@@ -1,0 +1,84 @@
+"""Relational building blocks the reference expresses in BQ-SQL / pandas.
+
+Each helper is a thin, composable DataFrame transform. Nothing here adds
+a custom execution path — the point is to pin the reference's semantics
+(deterministic top-k, latest-wins, guarded counts) onto plans Catalyst
+already executes well (TakeOrderedAndProject, partial+final aggregates,
+window functions without extra shuffles when partitioning aligns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk_by_recency(df: DataFrame, order_cols: list[Column], k: int) -> DataFrame:
+    """``ORDER BY … DESC LIMIT k`` (O1, ``dags/ FXRate_Reporting_Pipeline.py:141``).
+
+    Spark plans this as TakeOrderedAndProject: each partition keeps its
+    local top-k, the driver merges — no global sort, no full shuffle, so
+    it holds at any scale. Callers must pass a total order (include a
+    unique tiebreak column) for deterministic results.
+    """
+    return df.orderBy(*order_cols).limit(k)
+
+
+def latest_per_key(
+    df: DataFrame, keys: list[str], order_cols: list[Column]
+) -> DataFrame:
+    """Latest-wins row per key (§2.5; the MERGE 'latest analysis of the
+    day overwrites previous' semantic, README.md:8,66).
+
+    One shuffle on ``keys``; ``row_number`` needs no second shuffle when
+    a downstream agg groups by the same keys.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exists_guard(df: DataFrame, predicate: Column) -> DataFrame:
+    """COUNT(*) existence check (A3, ``dags/idempotent_fx_pipeline.py:73-87``).
+
+    Returned as a 1-row frame so it stays lazy/composable; the reference
+    collects the scalar driver-side to branch — callers can ``.first()``.
+    """
+    return df.filter(predicate).agg(F.count(F.lit(1)).alias("n_existing"))
+
+
+def decimal_sum(col: Column, precision: int = 18, scale: int = 6) -> Column:
+    """Order-insensitive double summation via exact decimal accumulation.
+
+    Double addition is not associative, so a parallel sum's low bits vary
+    with partitioning — poison for value-hash comparison against another
+    engine. Rounding each element to DECIMAL(p,s) first makes the sum
+    exact and order-independent; both Spark and DuckDB round the same
+    IEEE double to the same decimal, so totals match bit-for-bit. Cast
+    back to double at the end.
+    """
+    return F.sum(col.cast(f"decimal({precision},{scale})")).cast("double")
+
+
+def decimal_avg(col: Column, precision: int = 18, scale: int = 6) -> Column:
+    """Order-insensitive average: exact decimal sum / count, in double."""
+    return decimal_sum(col, precision, scale) / F.count(col)
+
+
+def round_half_up(col: Column, digits: int) -> Column:
+    """ROUND(x, n) with engine-portable tie behavior (F8).
+
+    Engines disagree on exact .5 ties: Spark rounds the exact binary
+    expansion via BigDecimal HALF_UP, DuckDB scales in floating point —
+    e.g. round(38.37875, 4) differs. Spelling the round as explicit IEEE
+    ops (floor(abs(x)·10ⁿ + 0.5)·sign(x)/10ⁿ) makes both engines execute
+    the same instructions, so results match bit-for-bit everywhere,
+    including ties. The oracle side mirrors this formula verbatim
+    (oracles._round).
+    """
+    p = float(10**digits)
+    magnitude = F.floor(F.abs(col) * p + F.lit(0.5)).cast("double") / F.lit(p)
+    return magnitude * F.when(col < 0, F.lit(-1.0)).otherwise(F.lit(1.0))

@@ -1,0 +1,167 @@
+"""Write-path semantics: append, MERGE upsert, idempotent append.
+
+These are the reference's three pipeline variants, re-expressed as
+engine-level writers (SURVEY.md §2.1, §2.3, §7 step 2):
+
+- **append** — ``WRITE_APPEND`` load job
+  (``dags/ FXRate_Reporting_Pipeline.py:75-94``).
+- **merge_upsert** — BigQuery ``MERGE target USING source ON <keys>
+  WHEN MATCHED THEN UPDATE … WHEN NOT MATCHED THEN INSERT``
+  (``dags/fx_pipeline_with_merge.py:90-103,173-189``; README.md:50-64).
+  Plain Parquet has no row-level ops, so MERGE = full-outer join with
+  source-wins coalesce + atomic directory swap. At 100 TB you never
+  rewrite the whole table: when ``partition_col`` is given, only the
+  partitions present in the source batch are read, merged, and swapped
+  (partition-scoped rewrite); untouched partitions are never opened.
+- **idempotent_append** — the check-then-insert guard
+  (``dags/idempotent_fx_pipeline.py:73-87``), strengthened from the
+  reference's all-or-nothing COUNT check to a per-row left-anti join
+  (only genuinely-new keys are appended).
+
+The pure DataFrame forms (``*_df``) are the algebra; the path forms add
+storage atomicity (write to ``<dir>.__tmp__`` then ``os.replace``-style
+swap; on object stores this maps to the usual commit-protocol rename).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _validate_keys(df: DataFrame, keys: list[str]) -> None:
+    missing = [k for k in keys if k not in df.columns]
+    if missing:
+        raise ValueError(f"key columns missing from frame: {missing}")
+
+
+def merge_upsert_df(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE semantics as a pure transform: source wins on key match.
+
+    Equi-join on the composite key (J1); matched rows take every source
+    column (the reference's MERGE updates all non-key columns,
+    ``dags/fx_pipeline_with_merge.py:96-101``), unmatched target rows pass
+    through, unmatched source rows are inserted. Column order follows the
+    target schema. The join is a plain full-outer equi-join — Catalyst
+    broadcasts the source side when it is small (the reference's batches
+    are 1 row/currency), and AQE handles skew at scale.
+    """
+    _validate_keys(target, keys)
+    _validate_keys(source, keys)
+    t = target.alias("t")
+    s = source.alias("s")
+    cond = None
+    for k in keys:
+        c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+        cond = c if cond is None else (cond & c)
+    matched = F.col(f"s.{keys[0]}").isNotNull()
+    cols = []
+    for name in target.columns:
+        if name in keys:
+            cols.append(F.coalesce(F.col(f"s.{name}"), F.col(f"t.{name}")).alias(name))
+        elif name in source.columns:
+            # source wins when the key matched, even if the new value is null
+            cols.append(
+                F.when(matched, F.col(f"s.{name}")).otherwise(F.col(f"t.{name}")).alias(name)
+            )
+        else:
+            cols.append(F.col(f"t.{name}").alias(name))
+    return t.join(s, cond, "full_outer").select(*cols)
+
+
+def idempotent_append_df(target: DataFrame, batch: DataFrame, keys: list[str]) -> DataFrame:
+    """Append only rows whose key is absent from the target (J2).
+
+    Left-anti join — strictly better than the reference's COUNT(*)>0
+    skip-everything guard (``dags/idempotent_fx_pipeline.py:73-87``): a
+    partially-loaded batch completes instead of being dropped.
+    """
+    _validate_keys(target, keys)
+    _validate_keys(batch, keys)
+    fresh = batch.dropDuplicates(keys).join(target, on=keys, how="left_anti")
+    return target.unionByName(fresh.select(*target.columns))
+
+
+def append(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """WRITE_APPEND load job (S3). Schema is whatever ``df`` declares."""
+    writer = df.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def _atomic_swap(tmp: str, dst: str) -> None:
+    """Replace ``dst`` with ``tmp`` as close to atomically as local FS allows."""
+    old = dst + f".__old__{uuid.uuid4().hex[:8]}"
+    if os.path.exists(dst):
+        os.rename(dst, old)
+    os.rename(tmp, dst)
+    if os.path.exists(old):
+        shutil.rmtree(old, ignore_errors=True)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    keys: list[str],
+    partition_col: str | None = None,
+) -> None:
+    """MERGE a source batch into a Parquet directory table.
+
+    First write creates the table. With ``partition_col`` (must be a key
+    and the table's physical partition column), only source-touched
+    partitions are rewritten — the 100 TB-safe path: read scope and write
+    scope are both bounded by the batch's partition footprint, not the
+    table size.
+    """
+    source = source.dropDuplicates(keys)
+    if not os.path.exists(target_path):
+        writer = source.write.mode("overwrite")
+        if partition_col:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(target_path)
+        return
+
+    target = spark.read.parquet(target_path)
+    if partition_col is None:
+        merged = merge_upsert_df(target, source, keys)
+        tmp = target_path + f".__tmp__{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        _atomic_swap(tmp, target_path)
+        return
+
+    # Partition-scoped rewrite: enumerate the batch's partitions (a small
+    # driver-side list — one entry per touched day/key, not per row),
+    # merge only those partitions, then swap each directory.
+    parts = [r[0] for r in source.select(partition_col).distinct().collect()]
+    scoped_target = target.filter(F.col(partition_col).isin(parts))
+    merged = merge_upsert_df(scoped_target, source, keys)
+    tmp = target_path + f".__tmp__{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+    for p in parts:
+        leaf = f"{partition_col}={p}"
+        src_dir = os.path.join(tmp, leaf)
+        if not os.path.isdir(src_dir):
+            continue
+        _atomic_swap(src_dir, os.path.join(target_path, leaf))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def idempotent_append(
+    spark: SparkSession,
+    target_path: str,
+    batch: DataFrame,
+    keys: list[str],
+) -> None:
+    """Cross-batch idempotent append to a Parquet directory table (T4/J2)."""
+    if not os.path.exists(target_path):
+        batch.dropDuplicates(keys).write.mode("overwrite").parquet(target_path)
+        return
+    target = spark.read.parquet(target_path)
+    fresh = batch.dropDuplicates(keys).join(target, on=keys, how="left_anti")
+    fresh.select(*target.columns).write.mode("append").parquet(target_path)

@@ -1,0 +1,4 @@
+from .queries import QUERIES
+from .oracles import ORACLES
+
+__all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,279 @@
+"""DuckDB oracle SQL — one ANSI-SQL statement per query in
+``queries.py``, value-equivalent by construction:
+
+- identical aliases and column order;
+- identical rounding (round after exact-decimal accumulation);
+- identical tie-breaks on every ORDER BY feeding a LIMIT;
+- identical ns→µs truncation on the events timestamp (DuckDB's parquet
+  reader already truncates; Spark-side we ``div 1000``).
+
+The driver registers the parquet tables as views named
+``region nation customer supplier part orders lineitem events documents
+embeddings`` before running these.
+"""
+
+from __future__ import annotations
+
+from .queries import (
+    EVENT_TYPES,
+    GUARD_EVENT_DATE,
+    GUARD_EVENT_TYPE,
+    GUARD_FLAGS,
+    GUARD_SHIP_DATE,
+    PRICING_CUTOFF,
+    SESSION_GAP_US,
+    STAR_HI,
+    STAR_LO,
+)
+
+
+def _round(expr: str, digits: int) -> str:
+    """Portable ROUND — same floor-based half-up formula as
+    relational.round_half_up, so ties behave identically in both engines."""
+    p = 10**digits
+    return (
+        f"(floor(abs({expr}) * {p} + 0.5) / {p}.0)"
+        f" * (CASE WHEN ({expr}) < 0 THEN -1.0 ELSE 1.0 END)"
+    )
+
+
+def _dsum(expr: str) -> str:
+    """Exact decimal accumulation, cast back to double (see
+    relational.decimal_sum)."""
+    return f"CAST(sum(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+def _davg(expr: str) -> str:
+    return f"{_dsum(expr)} / count({expr})"
+
+
+_ORDERS_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+_MERGE_SELECT = ",\n       ".join(
+    [
+        "coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey",
+        *[
+            f"CASE WHEN s.o_orderkey IS NOT NULL THEN s.{c} ELSE t.{c} END AS {c}"
+            for c in _ORDERS_COLS
+            if c != "o_orderkey"
+        ],
+    ]
+)
+
+_PIVOT_AGGS = ",\n       ".join(
+    f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in EVENT_TYPES
+)
+
+ORACLES: dict[str, str] = {
+    "daily_avg_report": f"""
+        SELECT CAST(ts AS DATE) AS report_date,
+               event_type,
+               {_round(_davg('value'), 4)} AS avg_rate,
+               count(*) AS n_ticks
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    "topk_recent_events": """
+        SELECT event_id, ts, value
+        FROM events
+        ORDER BY ts DESC, event_id DESC
+        LIMIT 10
+    """,
+    "avg_last10": f"""
+        SELECT {_round(_davg('value'), 4)} AS avg_rate,
+               count(*) AS n_rows
+        FROM (SELECT value FROM events ORDER BY ts DESC, event_id DESC LIMIT 10)
+    """,
+    "top_orders_by_date": """
+        SELECT o_orderkey, o_orderdate, o_totalprice
+        FROM orders
+        ORDER BY o_orderdate DESC, o_orderkey DESC
+        LIMIT 10
+    """,
+    "count_guard_inlist": f"""
+        SELECT count(*) AS n_rows
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) = DATE '{GUARD_SHIP_DATE}'
+          AND l_returnflag IN {GUARD_FLAGS!r}
+    """,
+    "report_exists_guard": f"""
+        SELECT count(*) AS n_existing
+        FROM events
+        WHERE CAST(ts AS DATE) = DATE '{GUARD_EVENT_DATE}'
+          AND event_type = '{GUARD_EVENT_TYPE}'
+    """,
+    "json_field_extract": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        FROM events
+    """,
+    "json_map_explode": """
+        SELECT event_id,
+               k AS prop_key,
+               CAST(json_extract_string(props, '$.' || k) AS BIGINT) AS prop_val
+        FROM (
+            SELECT event_id, props, unnest(json_keys(props)) AS k
+            FROM events
+        )
+    """,
+    "latest_event_per_key": """
+        SELECT user_id, event_type,
+               event_id AS last_event_id,
+               value AS last_value
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+    """,
+    "window_topk_per_customer": """
+        SELECT o_custkey, o_orderkey, o_orderdate, CAST(rn AS BIGINT) AS rn
+        FROM (
+            SELECT o_custkey, o_orderkey, o_orderdate, row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders
+        )
+        WHERE rn <= 3
+    """,
+    "setops_intersect": """
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "setops_except": """
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "setops_union": """
+        SELECT o_custkey, 'open' AS bucket
+        FROM orders WHERE o_orderstatus = 'O'
+        UNION ALL
+        SELECT o_custkey, 'finished' AS bucket
+        FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "scalar_function_pack": f"""
+        SELECT l_orderkey,
+               CAST(l_shipdate AS DATE) AS ship_date,
+               CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+               {_round('l_extendedprice * (1 - l_discount)', 4)} AS net_price,
+               'ITEM_' || CAST(l_orderkey AS VARCHAR) AS item_tag,
+               upper(l_returnflag) AS flag_u,
+               greatest(l_tax, l_discount) AS max_rate
+        FROM lineitem
+        WHERE l_linenumber = 1
+    """,
+    "pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               {_round(_dsum('l_quantity'), 2)} AS sum_qty,
+               {_round(_dsum('l_extendedprice'), 2)} AS sum_base_price,
+               {_round(_dsum('l_extendedprice * (1 - l_discount)'), 2)} AS sum_disc_price,
+               {_round(_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)'), 2)} AS sum_charge,
+               {_round(_davg('l_quantity'), 4)} AS avg_qty,
+               {_round(_davg('l_extendedprice'), 4)} AS avg_price,
+               {_round(_davg('l_discount'), 4)} AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF} 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "star_join_revenue": f"""
+        SELECT r_name, n_name,
+               {_round(_dsum('l_extendedprice * (1 - l_discount)'), 2)} AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE l_shipdate >= TIMESTAMP '{STAR_LO} 00:00:00'
+          AND l_shipdate <= TIMESTAMP '{STAR_HI} 00:00:00'
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name
+    """,
+    "distinct_parts_per_supplier": """
+        SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts
+        FROM lineitem
+        GROUP BY l_suppkey
+        ORDER BY l_suppkey
+    """,
+    "rollup_qty": f"""
+        SELECT l_returnflag, l_linestatus,
+               {_round(_dsum('l_quantity'), 2)} AS sum_qty,
+               count(*) AS n_rows,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grp_id
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY grp_id, l_returnflag, l_linestatus
+    """,
+    "pivot_event_counts": f"""
+        SELECT CAST(ts AS DATE) AS report_date,
+               {_PIVOT_AGGS}
+        FROM events
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "merge_upsert_orders": f"""
+        WITH target AS (
+            SELECT * FROM orders WHERE o_orderkey % 3 <> 0
+        ), source AS (
+            SELECT o_orderkey, o_custkey,
+                   'M' AS o_orderstatus,
+                   {_round('o_totalprice * 1.1', 2)} AS o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 2 = 0
+        )
+        SELECT {_MERGE_SELECT}
+        FROM target t
+        FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+    """,
+    "idempotent_append_orders": """
+        WITH target AS (
+            SELECT * FROM orders WHERE o_orderkey % 3 <> 0
+        ), batch AS (
+            SELECT * FROM orders WHERE o_orderkey % 5 = 0
+        )
+        SELECT * FROM target
+        UNION ALL
+        SELECT b.* FROM batch b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM target t WHERE t.o_orderkey = b.o_orderkey
+        )
+    """,
+    "sessionize_events": f"""
+        WITH e AS (
+            SELECT event_id, user_id, ts, epoch_us(ts) AS ts_us FROM events
+        ), f AS (
+            SELECT *,
+                   CASE WHEN ts_us - lag(ts_us) OVER
+                        (PARTITION BY user_id ORDER BY ts_us, event_id)
+                        > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session
+            FROM e
+        ), s AS (
+            SELECT *,
+                   CAST(sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM f
+        )
+        SELECT user_id, session_id,
+               count(*) AS n_events,
+               min(ts) AS session_start,
+               max(ts) AS session_end
+        FROM s
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+    """,
+}

@@ -1,0 +1,474 @@
+"""Named query inventory — every operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable, mirrored 1:1 by a DuckDB oracle in
+``oracles.py`` (same aliases, same rounding, same tie-breaks).
+
+Determinism rules (FIXTURES.md "Determinism"):
+- all double sums/averages go through exact decimal accumulation
+  (``relational.decimal_sum``) so values are independent of partitioning
+  and match DuckDB bit-for-bit;
+- every ORDER BY ends in a unique key so top-k is a total order;
+- timestamps stay microsecond ``timestamp_ntz`` end-to-end (events' ns
+  column is truncated ns→µs identically in both engines);
+- every computed column is aliased identically here and in the oracle.
+
+Scale notes are attached per query: each plan is shaped so the same code
+runs on a 1000-executor cluster — filters push to the parquet scan,
+small dimensions broadcast, top-k is TakeOrderedAndProject (no global
+sort), and aggregations are partial+final hash aggregates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.relational import (
+    decimal_avg,
+    decimal_sum,
+    latest_per_key,
+    round_half_up,
+)
+from ..operators.writers import idempotent_append_df, merge_upsert_df
+from ..sources.events import load_events
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# Shared literals (also interpolated into the oracle SQL).
+PRICING_CUTOFF = "2000-12-01"
+GUARD_SHIP_DATE = "1995-08-09"
+GUARD_FLAGS = ("R", "A")
+GUARD_EVENT_DATE = "2024-01-15"
+GUARD_EVENT_TYPE = "purchase"
+STAR_LO = "1996-01-01"
+STAR_HI = "1997-12-31"
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min session gap, microseconds
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+# --- §2.4/§2.8: flagship daily report (A2+A4+F1-F3+F8) -------------------
+
+
+def daily_avg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's canonical report (README.md:50-64): daily AVG per
+    key, rounded to 4 dp. `events` stands in for the FX tick table
+    (FIXTURES.md §C): (ts, event_type, value) ≈ (date, pair, rate).
+
+    Scale: single shuffle on (day, type) — partial aggregates map-side;
+    at 100 TB this is the textbook partial+final hash aggregate.
+    """
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.to_date("ts").alias("report_date"),
+            F.col("event_type"),
+        )
+        .agg(
+            round_half_up(decimal_avg(F.col("value")), 4).alias("avg_rate"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .orderBy("report_date", "event_type")
+    )
+
+
+# --- §2.6/§2.4: top-k by recency + last-10 average (O1, A1) --------------
+
+
+def topk_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ts DESC LIMIT 10 (``dags/ FXRate_Reporting_Pipeline.py:141``).
+
+    Planned as TakeOrderedAndProject: per-partition local top-k, merged at
+    the driver — no global sort at any scale. event_id tiebreak makes the
+    cut deterministic.
+    """
+    ev = load_events(spark, sf_dir)
+    return ev.select("event_id", "ts", "value").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    ).limit(10)
+
+
+def avg_last10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """numpy-mean over the 10 most recent ticks
+    (``dags/ FXRate_Reporting_Pipeline.py:144-152``) — kept entirely
+    in-plan: top-k feeds the aggregate without a driver round-trip.
+    """
+    ev = load_events(spark, sf_dir)
+    top = ev.orderBy(F.col("ts").desc(), F.col("event_id").desc()).limit(10)
+    return top.agg(
+        round_half_up(decimal_avg(F.col("value")), 4).alias("avg_rate"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def top_orders_by_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 on the orders table: recency top-k with composite tiebreak."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select("o_orderkey", "o_orderdate", "o_totalprice").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    ).limit(10)
+
+
+# --- §2.2: predicates (P3, P4, P5) + COUNT guard (A3) --------------------
+
+
+def count_guard_inlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-equality + IN-list + COUNT(*) guard
+    (``dags/idempotent_fx_pipeline.py:73-87``; P3/P5/A3).
+
+    Both predicates push down to the parquet scan (visible as
+    PushedFilters in .explain) — at scale only matching row groups are
+    decoded; with date-partitioned layout the day filter prunes
+    partitions before any IO.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.to_date("l_shipdate") == F.lit(GUARD_SHIP_DATE).cast("date"))
+        & F.col("l_returnflag").isin(*GUARD_FLAGS)
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def report_exists_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The report-level existence check (A3/P3/P4 on the tick table):
+    'is there already a row for (day, key)?'
+    (``dags/idempotent_fx_pipeline.py:184-198``)."""
+    ev = load_events(spark, sf_dir)
+    return ev.filter(
+        (F.to_date("ts") == F.lit(GUARD_EVENT_DATE).cast("date"))
+        & (F.col("event_type") == GUARD_EVENT_TYPE)
+    ).agg(F.count(F.lit(1)).alias("n_existing"))
+
+
+# --- §2.8: JSON handling (S1-adjacent, P2, F10) --------------------------
+
+
+def json_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field extraction from a JSON document column (P2: the
+    ``data.get("…")`` pattern, ``dags/ FXRate_Reporting_Pipeline.py:46-48``).
+    JVM-side ``get_json_object`` — no Python in the loop.
+    """
+    ev = load_events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+def json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON object → rows (F10: the ``rates.items()`` loop,
+    ``dags/ FXRate_Reporting_Pipeline.py:54-61``, as an engine-side
+    explode). ``from_json`` to a typed map, then generator expansion —
+    runs inside codegen, scales linearly with rows.
+    """
+    ev = load_events(spark, sf_dir)
+    parsed = ev.select(
+        "event_id",
+        F.from_json("props", "map<string,bigint>").alias("m"),
+    )
+    return parsed.select(
+        "event_id",
+        F.explode("m").alias("prop_key", "prop_val"),
+    )
+
+
+# --- §2.5: window functions (latest-wins, ranked top-k per key) ----------
+
+
+def latest_event_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins row per (user, type): the MERGE 'latest analysis
+    overwrites previous' semantic (README.md:8,66) as row_number()=1.
+    One shuffle on the key; no global sort.
+    """
+    ev = load_events(spark, sf_dir)
+    latest = latest_per_key(
+        ev,
+        keys=["user_id", "event_type"],
+        order_cols=[F.col("ts").desc(), F.col("event_id").desc()],
+    )
+    return latest.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
+
+
+def window_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key ranked top-k (§2.5): the reference's ORDER BY+LIMIT
+    generalized to 'top 3 most recent orders per customer'."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "rn")
+    )
+
+
+# --- §2.7: set operations -------------------------------------------------
+
+
+def setops_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having both open ('O') and finished ('F') orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return o.intersect(f)
+
+
+def setops_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with open orders and no finished orders (EXCEPT)."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return o.subtract(f)
+
+
+def setops_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged UNION ALL of two slices (the only set-op family the
+    reference's MERGE matched/not-matched split approximates)."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_custkey", F.lit("open").alias("bucket")
+    )
+    f = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_custkey", F.lit("finished").alias("bucket")
+    )
+    return o.unionByName(f)
+
+
+# --- §2.8: scalar function pack (F1-F9) ----------------------------------
+
+
+def scalar_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One projection exercising the reference's scalar surface:
+    DATE() cast (F2), month truncation (F1), arithmetic + ROUND (F7/F8),
+    string formatting (F9), greatest/least comparisons. All JVM-side,
+    whole-stage-codegen'd; the l_linenumber filter pushes down."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey",
+        F.to_date("l_shipdate").alias("ship_date"),
+        F.trunc("l_shipdate", "month").alias("ship_month"),
+        round_half_up(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "net_price"
+        ),
+        F.concat(F.lit("ITEM_"), F.col("l_orderkey").cast("string")).alias("item_tag"),
+        F.upper("l_returnflag").alias("flag_u"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+    )
+
+
+# --- §2.4: TPC-H Q1-style pricing summary (headline aggregate) -----------
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary over lineitem (the canonical partial+final hash
+    aggregate; generalizes the reference's grouped AVG, README.md:52-58).
+
+    Scale: scan reads only the 7 referenced columns (column pruning), the
+    shipdate filter pushes to parquet, and the 6-group aggregate does
+    map-side partial aggregation — shuffle traffic is 6 rows/partition
+    regardless of input size.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(PRICING_CUTOFF).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            round_half_up(decimal_sum(F.col("l_quantity")), 2).alias("sum_qty"),
+            round_half_up(decimal_sum(F.col("l_extendedprice")), 2).alias("sum_base_price"),
+            round_half_up(decimal_sum(disc_price), 2).alias("sum_disc_price"),
+            round_half_up(decimal_sum(charge), 2).alias("sum_charge"),
+            round_half_up(decimal_avg(F.col("l_quantity")), 4).alias("avg_qty"),
+            round_half_up(decimal_avg(F.col("l_extendedprice")), 4).alias("avg_price"),
+            round_half_up(decimal_avg(F.col("l_discount")), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- §2.3-adjacent: star-schema join (J-extension; bench headline) -------
+
+
+def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by region/nation across the full star schema.
+
+    Scale: region/nation are broadcast (explicit hint — they are bounded
+    dimension tables at any SF); customer⋈orders and orders⋈lineitem are
+    shuffle joins on their keys, which AQE converts to broadcast when a
+    side is small and skew-splits when not. The shipdate range filter
+    pushes to the lineitem scan before any join.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(STAR_LO).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") <= F.lit(STAR_HI).cast("timestamp_ntz"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.groupBy("r_name", "n_name")
+        .agg(
+            round_half_up(decimal_sum(revenue), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+# --- §2.4: distinct aggregate --------------------------------------------
+
+
+def distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per key — two-phase distinct aggregate; Spark
+    plans partial distinct before the shuffle (expand + two aggregates)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.countDistinct("l_partkey").alias("n_parts"))
+        .orderBy("l_suppkey")
+    )
+
+
+# --- §2.4: rollup / grouping sets ----------------------------------------
+
+
+def rollup_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): subtotal + grand-total rows
+    (free Spark capability the reference would need separate queries for)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            round_half_up(decimal_sum(F.col("l_quantity")), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id().cast("bigint").alias("grp_id"),
+        )
+        .orderBy("grp_id", "l_returnflag", "l_linestatus")
+    )
+
+
+# --- §2.4-pivot: conditional aggregation ---------------------------------
+
+
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events pivoted to one column per type per day (conditional
+    aggregation — same plan shape as df.groupBy().pivot(), spelled
+    explicitly so the oracle matches column-for-column)."""
+    ev = load_events(spark, sf_dir)
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+        for t in EVENT_TYPES
+    ]
+    return (
+        ev.groupBy(F.to_date("ts").alias("report_date"))
+        .agg(*aggs)
+        .orderBy("report_date")
+    )
+
+
+# --- §2.3: MERGE upsert + idempotent append (J1, J2) ---------------------
+
+
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — the reference's MERGE (``dags/fx_pipeline_with_merge.py:90-103``)
+    on driver tables: upsert a modified slice of orders into a subset.
+    Matched keys take every source column; unmatched source rows insert.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 3 != 0)
+    source = (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("o_totalprice", round_half_up(F.col("o_totalprice") * 1.1, 2))
+        .withColumn("o_orderstatus", F.lit("M"))
+    )
+    return merge_upsert_df(target, source, keys=["o_orderkey"])
+
+
+def idempotent_append_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — check-then-insert (``dags/idempotent_fx_pipeline.py:73-87``)
+    strengthened to per-row left-anti: only keys absent from the target
+    are appended."""
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 3 != 0)
+    batch = orders.filter(F.col("o_orderkey") % 5 == 0)
+    return idempotent_append_df(target, batch, keys=["o_orderkey"])
+
+
+# --- sessionization (window-function showcase over the tick stream) ------
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) per user — the classic
+    event-stream window pattern: lag → gap flag → running sum → session
+    aggregation. Two window passes over one shuffle on user_id, then a
+    grouped aggregate on (user_id, session_id): no extra exchanges.
+    """
+    ev = load_events(spark, sf_dir).withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts_us") - F.lag("ts_us").over(w) > F.lit(SESSION_GAP_US), 1
+        )
+        .otherwise(0)
+        .cast("bigint"),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+QUERIES: dict[str, QueryFn] = {
+    "daily_avg_report": daily_avg_report,
+    "topk_recent_events": topk_recent_events,
+    "avg_last10": avg_last10,
+    "top_orders_by_date": top_orders_by_date,
+    "count_guard_inlist": count_guard_inlist,
+    "report_exists_guard": report_exists_guard,
+    "json_field_extract": json_field_extract,
+    "json_map_explode": json_map_explode,
+    "latest_event_per_key": latest_event_per_key,
+    "window_topk_per_customer": window_topk_per_customer,
+    "setops_intersect": setops_intersect,
+    "setops_except": setops_except,
+    "setops_union": setops_union,
+    "scalar_function_pack": scalar_function_pack,
+    "pricing_summary": pricing_summary,
+    "star_join_revenue": star_join_revenue,
+    "distinct_parts_per_supplier": distinct_parts_per_supplier,
+    "rollup_qty": rollup_qty,
+    "pivot_event_counts": pivot_event_counts,
+    "merge_upsert_orders": merge_upsert_orders,
+    "idempotent_append_orders": idempotent_append_orders,
+    "sessionize_events": sessionize_events,
+}

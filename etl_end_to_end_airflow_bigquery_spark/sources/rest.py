@@ -1,0 +1,59 @@
+"""REST JSON source — Frankfurter-style FX-rate payloads (S1).
+
+Reference: ``fetch_fx_rate`` does a driver-side GET of
+``https://api.frankfurter.dev/v1/latest?symbols={to}`` and returns the
+parsed JSON dict (``dags/ FXRate_Reporting_Pipeline.py:23-30``; probed in
+``dags/test_api.ipynb``). Payload shape (README.md:76-81)::
+
+    {"amount": 1.0, "base": "EUR", "date": "2026-01-05",
+     "rates": {"USD": 1.1664}}
+
+Here the fetch stays driver-side (a single tiny JSON document per tick —
+there is nothing to distribute), and the payload immediately becomes a
+DataFrame so everything downstream is engine-side. For tests and offline
+runs, ``fetch_fx_payload`` accepts a fixture instead of hitting the
+network; the container has no outbound network, so HTTP is attempted only
+when explicitly requested.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import API_PAYLOAD_SCHEMA
+
+DEFAULT_URL = "https://api.frankfurter.dev/v1/latest"
+
+
+def fetch_fx_payload(
+    symbols: str = "USD",
+    *,
+    fixture: dict[str, Any] | None = None,
+    url: str = DEFAULT_URL,
+    timeout: float = 10.0,
+) -> dict[str, Any]:
+    """Fetch one FX payload dict; ``fixture`` short-circuits the network."""
+    if fixture is not None:
+        return fixture
+    with urllib.request.urlopen(f"{url}?symbols={symbols}", timeout=timeout) as resp:
+        return json.loads(resp.read().decode("utf-8"))
+
+
+def payload_dataframe(spark: SparkSession, payload: dict[str, Any]) -> DataFrame:
+    """One-row DataFrame with the declared payload schema (never inferred).
+
+    Empty/missing fields survive as nulls — the reference's empty-guard
+    (``dags/ FXRate_Reporting_Pipeline.py:41-43``) becomes a downstream
+    filter rather than a control-flow branch.
+    """
+    row = {
+        "amount": float(payload["amount"]) if payload.get("amount") is not None else None,
+        "base": payload.get("base"),
+        "date": payload.get("date"),
+        "rates": {str(k): float(v) for k, v in (payload.get("rates") or {}).items()},
+    }
+    return spark.createDataFrame([row], schema=API_PAYLOAD_SCHEMA)
