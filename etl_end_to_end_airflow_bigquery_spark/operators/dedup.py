@@ -1,0 +1,188 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Designed for 100 TB corpora: every method avoids the O(n²) all-pairs
+comparison —
+
+- **exact**: hash-groupBy on a content fingerprint (one shuffle).
+- **MinHash-LSH**: shingle → per-seed min-hash signature → band
+  signatures → candidate pairs via an equi-join on (band, signature).
+  Only near-duplicates collide, so join fan-out stays tiny; the shuffle
+  key is the band signature. This is the standard banding scheme (see
+  Broder's minwise hashing / MMDS ch.3).
+- **SimHash**: 32-bit sign-aggregated token-hash fingerprint; Hamming
+  buckets give near-dup candidates.
+- **n-gram Jaccard**: exact verification on LSH candidates only (never
+  all pairs).
+
+Hashes are md5-based (not Spark's internal hash) so signatures are
+engine-portable and every operator has an exact DuckDB oracle. Spark's
+MLlib ``MinHashLSH`` is the drop-in alternative when portability doesn't
+matter; the banding math here is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# MinHash parameters: 12 permutations in 4 bands of 3 → candidate-pair
+# probability 1-(1-j³)⁴ (≈0.9 at j=0.8, ≈0.03 at j=0.2).
+MINHASH_SEEDS = 12
+BAND_SIZE = 3
+N_BANDS = MINHASH_SEEDS // BAND_SIZE
+SHINGLE_K = 3  # words per shingle
+SIMHASH_BITS = 32
+NEAR_DUP_JACCARD = 0.5
+
+# Shared SQL fragments (Spark SQL dialect; the oracle builds the DuckDB
+# equivalents from the same constants).
+SHINGLES_EXPR = (
+    "array_distinct(transform(sequence(0, size(split(text, ' ')) - 3), "
+    "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], "
+    "split(text, ' ')[i+2])))"
+)
+
+
+def shingle_docs(docs: DataFrame) -> DataFrame:
+    """doc_id + distinct 3-word shingle set (docs with ≥3 tokens)."""
+    return (
+        docs.filter(F.expr("size(split(text, ' ')) >= 3"))
+        .select("doc_id", F.expr(SHINGLES_EXPR).alias("shingles"))
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id, mh: array of MINHASH_SEEDS hex minhashes, band_0..band_n.
+
+    min(md5(seed || '|' || shingle)) is a valid minwise hash per seed:
+    md5 behaves as a random permutation of the shingle universe, and the
+    lexicographic min over hex strings is engine-portable.
+    """
+    # Explode shingles to rows, hash once per (shingle, seed), then a
+    # grouped MIN per seed. Row-explosion + hash-aggregate beats nested
+    # array lambdas: Catalyst's CollapseProject would otherwise inline
+    # the shingling expression into every one of the 12 minhash columns
+    # (12× recompute), and the aggregate form is the shape that scales —
+    # partial MINs combine map-side, shuffling 12 hashes per doc.
+    sh_rows = shingle_docs(docs).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    hashed = sh_rows.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle"))).alias(f"h_{s}")
+            for s in range(MINHASH_SEEDS)
+        ],
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h_{s}").alias(f"mh_{s}") for s in range(MINHASH_SEEDS)]
+    )
+    band_cols = [
+        F.concat(
+            *[F.col(f"mh_{b * BAND_SIZE + i}") for i in range(BAND_SIZE)]
+        ).alias(f"band_{b}")
+        for b in range(N_BANDS)
+    ]
+    mh_array = F.array(*[F.col(f"mh_{s}") for s in range(MINHASH_SEEDS)]).alias("mh")
+    return sig.select("doc_id", mh_array, *band_cols)
+
+
+def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """LSH candidate pairs (doc_a < doc_b) + estimated Jaccard.
+
+    The self-join shuffles on (band_idx, signature) — only colliding
+    bands meet, so cost is proportional to true near-duplicate density,
+    not n². est_jaccard = fraction of agreeing minhashes.
+    """
+    sig = minhash_signatures(docs)
+    bands = sig.select(
+        "doc_id",
+        "mh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("sig")
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "mh", F.col("bs.band_idx").alias("band_idx"), F.col("bs.sig").alias("sig"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.mh").alias("mh_a"),
+            F.col("b.mh").alias("mh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.expr(
+        f"size(filter(sequence(1, {MINHASH_SEEDS}), "
+        "i -> element_at(mh_a, i) = element_at(mh_b, i))) "
+        f"/ cast({MINHASH_SEEDS} as double)"
+    ).alias("est_jaccard")
+    return pairs.select("doc_a", "doc_b", est)
+
+
+def jaccard_verify(docs: DataFrame, threshold: float = NEAR_DUP_JACCARD) -> DataFrame:
+    """Exact shingle-set Jaccard on LSH candidates (doc_a, doc_b, jaccard,
+    is_near_dup). Joins the shingle sets back only for candidate pairs —
+    the expensive set intersection runs on the tiny candidate list."""
+    cands = minhash_candidate_pairs(docs).select("doc_a", "doc_b")
+    sh = shingle_docs(docs)
+    j = (
+        cands.join(sh.withColumnsRenamed({"doc_id": "doc_a", "shingles": "sh_a"}), "doc_a")
+        .join(sh.withColumnsRenamed({"doc_id": "doc_b", "shingles": "sh_b"}), "doc_b")
+    )
+    inter = F.expr("size(array_intersect(sh_a, sh_b))").cast("double")
+    union = (
+        F.expr("size(sh_a)").cast("double") + F.expr("size(sh_b)").cast("double") - inter
+    )
+    jac = (inter / union).alias("__jac")
+    return j.select(
+        "doc_a",
+        "doc_b",
+        jac,
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.col("__jac").alias("jaccard"),
+        (F.col("__jac") >= threshold).alias("is_near_dup"),
+    )
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash per doc over distinct whitespace tokens.
+
+    Token hash = first 8 hex chars of md5 as uint32; each bit votes
+    +1/−1; the sign of each bit-sum sets the output bit. Implemented as
+    explode(tokens) × explode(bits) → two grouped aggregations — pure
+    codegen, no UDF, linear in tokens·32.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.expr("array_distinct(split(text, ' '))")).alias("tok")
+    ).withColumn("h", F.expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)"))
+    bits = toks.select(
+        "doc_id",
+        "h",
+        F.explode(F.expr(f"sequence(0, {SIMHASH_BITS - 1})")).alias("b"),
+    ).withColumn(
+        "contrib",
+        F.expr("CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END"),
+    )
+    bit_sums = bits.groupBy("doc_id", "b").agg(F.sum("contrib").alias("s"))
+    return bit_sums.groupBy("doc_id").agg(
+        F.sum(
+            F.expr("CASE WHEN s > 0 THEN shiftleft(cast(1 as bigint), b) ELSE 0 END")
+        ).alias("simhash")
+    )

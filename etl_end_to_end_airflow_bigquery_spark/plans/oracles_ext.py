@@ -1,0 +1,318 @@
+"""DuckDB oracles for the extension pack — generated from the same
+constants as the Spark side (seeds, band layout, hyperplanes, scoring
+formulas), so both engines compute literally the same arithmetic.
+
+DuckDB dialect notes: lists are 1-based (`range(1, n+1)` indexes a full
+list); `unnest` lives in the SELECT list; md5/concat_ws/least match
+Spark's semantics on these inputs.
+"""
+
+from __future__ import annotations
+
+from ..operators.dedup import BAND_SIZE, MINHASH_SEEDS, N_BANDS, NEAR_DUP_JACCARD
+from ..operators.similarity import EMB_DIM, N_PLANES, hyperplanes
+from ..operators.text import LANG_MARKERS, STOPWORDS
+from .oracles import _round
+from .queries_ext import (
+    ANN_K,
+    ANN_QUERY_PRED,
+    AVG_TOK_SQL,
+    COSINE_K,
+    QUALITY_SQL,
+    STOP_RATIO_SQL,
+)
+
+_DEC = "DECIMAL(25,12)"
+
+
+def _dlist(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# --- shared CTE fragments -------------------------------------------------
+
+# Distinct 3-word shingles per doc (1-based list indexing: range(1, n-1)
+# yields starts 1..n-2, mirroring Spark's sequence(0, n-3) 0-based).
+_SHINGLES_CTE = """
+    tok AS (
+        SELECT doc_id, string_split(text, ' ') AS tk
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS shingles
+        FROM tok
+    )
+"""
+
+_MH_EXPRS = ", ".join(
+    f"list_min(list_transform(shingles, x -> md5(concat('{s}|', x))))"
+    for s in range(MINHASH_SEEDS)
+)
+
+_BANDS_UNION = "\n        UNION ALL\n".join(
+    f"""        SELECT doc_id, mh, {b} AS band_idx,
+               mh[{b * BAND_SIZE + 1}] || mh[{b * BAND_SIZE + 2}] || mh[{b * BAND_SIZE + 3}] AS sig
+        FROM sig"""
+    for b in range(N_BANDS)
+)
+
+_PAIRS_CTE = f"""
+    {_SHINGLES_CTE.strip()}, sig AS (
+        SELECT doc_id, [{_MH_EXPRS}] AS mh FROM sh
+    ), bands AS (
+{_BANDS_UNION}
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.mh AS mh_a, b.mh AS mh_b
+        FROM bands a
+        JOIN bands b
+          ON a.band_idx = b.band_idx AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+"""
+
+# Vectors cast to double + exact-decimal squared norms.
+_VECTOR_CTE = f"""
+    v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), norms AS (
+        SELECT vec_id, CAST(sum(CAST(p AS {_DEC})) AS DOUBLE) AS norm2
+        FROM (
+            SELECT vec_id,
+                   unnest(list_transform(range(1, len(e) + 1), i -> e[i] * e[i])) AS p
+            FROM v
+        )
+        GROUP BY vec_id
+    )
+"""
+
+_JACCARD_INTER = "len(list_filter(sh_a, x -> list_contains(sh_b, x)))"
+_JACCARD_EXPR = (
+    f"CAST({_JACCARD_INTER} AS DOUBLE) / "
+    f"(CAST(len(sh_a) AS DOUBLE) + CAST(len(sh_b) AS DOUBLE) - CAST({_JACCARD_INTER} AS DOUBLE))"
+)
+
+_LANG_COUNTS = ",\n               ".join(
+    f"CAST(len(list_filter(string_split(text, ' '), "
+    f"t -> list_contains({_dlist(words)}, t))) AS BIGINT) AS c_{lg}"
+    for lg, words in LANG_MARKERS.items()
+)
+
+_PLANES_VALUES = ",\n            ".join(
+    f"({i}, [{', '.join(repr(float(x)) for x in row)}])"
+    for i, row in enumerate(hyperplanes(N_PLANES, EMB_DIM))
+)
+
+EXT_ORACLES: dict[str, str] = {
+    "dedup_exact_docs": """
+        SELECT md5(lower(text)) AS text_hash,
+               min(doc_id) AS doc_id_kept,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY md5(lower(text))
+        ORDER BY doc_id_kept
+    """,
+    "minhash_pairs": f"""
+        WITH {_PAIRS_CTE}
+        SELECT doc_a, doc_b,
+               len(list_filter(range(1, {MINHASH_SEEDS + 1}),
+                   i -> mh_a[i] = mh_b[i])) / CAST({MINHASH_SEEDS} AS DOUBLE)
+                   AS est_jaccard
+        FROM pairs
+        ORDER BY doc_a, doc_b
+    """,
+    "jaccard_near_dups": f"""
+        WITH {_PAIRS_CTE}, cand AS (
+            SELECT DISTINCT doc_a, doc_b FROM pairs
+        ), joined AS (
+            SELECT c.doc_a, c.doc_b, sa.shingles AS sh_a, sb.shingles AS sh_b
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b
+        )
+        SELECT doc_a, doc_b,
+               {_round(_JACCARD_EXPR, 6)} AS jaccard,
+               ({_JACCARD_EXPR}) >= {NEAR_DUP_JACCARD} AS is_near_dup
+        FROM joined
+        ORDER BY doc_a, doc_b
+    """,
+    "simhash_docs": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_distinct(string_split(text, ' '))) AS tok
+            FROM documents
+        ), hashes AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h
+            FROM toks
+        ), bits AS (
+            SELECT doc_id, h, unnest(range(0, 32)) AS b FROM hashes
+        ), bit_sums AS (
+            SELECT doc_id, b,
+                   sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+            FROM bits
+            GROUP BY doc_id, b
+        )
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                    AS BIGINT) AS simhash
+        FROM bit_sums
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id, md5(lower(text)) AS fingerprint
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "text_stats_quality": f"""
+        WITH s AS (
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_calc,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(string_split(text, ' '),
+                       t -> list_contains({_dlist(STOPWORDS)}, t))) AS BIGINT)
+                       AS n_stopwords
+            FROM documents
+        )
+        SELECT doc_id, n_tokens, n_stopwords,
+               {_round(STOP_RATIO_SQL, 4)} AS stop_ratio,
+               {_round(AVG_TOK_SQL, 4)} AS avg_token_len,
+               {_round(QUALITY_SQL, 4)} AS quality_score
+        FROM s
+        ORDER BY doc_id
+    """,
+    "lang_id_heuristic": f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+               {_LANG_COUNTS}
+            FROM documents
+        ), p AS (
+            SELECT doc_id, lang,
+                   CASE
+                     WHEN c_en = 0 AND c_de = 0 AND c_es = 0 AND c_fr = 0 THEN 'und'
+                     WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+                     WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+                     WHEN c_es >= c_fr THEN 'es'
+                     ELSE 'fr'
+                   END AS pred_lang
+            FROM scored
+        )
+        SELECT doc_id, pred_lang, pred_lang = lang AS is_correct
+        FROM p
+        ORDER BY doc_id
+    """,
+    "cosine_topk": f"""
+        WITH {_VECTOR_CTE.strip()}, q AS (
+            SELECT vec_id AS q_id, e AS qe FROM v WHERE {ANN_QUERY_PRED}
+        ), prods AS (
+            SELECT q.q_id, v.vec_id,
+                   unnest(list_transform(range(1, len(q.qe) + 1),
+                       i -> q.qe[i] * v.e[i])) AS p
+            FROM q, v
+        ), dots AS (
+            SELECT q_id, vec_id, CAST(sum(CAST(p AS {_DEC})) AS DOUBLE) AS dot
+            FROM prods GROUP BY q_id, vec_id
+        ), scored AS (
+            SELECT d.q_id, d.vec_id,
+                   d.dot / (sqrt(nq.norm2) * sqrt(nv.norm2)) AS cosine_raw
+            FROM dots d
+            JOIN norms nq ON nq.vec_id = d.q_id
+            JOIN norms nv ON nv.vec_id = d.vec_id
+            WHERE d.q_id <> d.vec_id
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id) AS rnk
+            FROM scored
+        )
+        SELECT q_id, vec_id AS neighbor_id,
+               {_round('cosine_raw', 6)} AS cosine,
+               CAST(rnk AS BIGINT) AS rank
+        FROM ranked
+        WHERE rnk <= {COSINE_K}
+        ORDER BY q_id, rnk
+    """,
+    "ann_lsh_topk": f"""
+        WITH {_VECTOR_CTE.strip()}, pl AS (
+            SELECT * FROM (VALUES
+            {_PLANES_VALUES}
+            ) AS t(plane_idx, w)
+        ), pd AS (
+            SELECT v.vec_id, pl.plane_idx,
+                   unnest(list_transform(range(1, len(v.e) + 1),
+                       i -> v.e[i] * pl.w[i])) AS p
+            FROM v, pl
+        ), pdots AS (
+            SELECT vec_id, plane_idx, CAST(sum(CAST(p AS {_DEC})) AS DOUBLE) AS dot
+            FROM pd GROUP BY vec_id, plane_idx
+        ), buckets AS (
+            SELECT vec_id,
+                   CAST(sum(CASE WHEN dot >= 0
+                        THEN (CAST(1 AS BIGINT) << plane_idx) ELSE 0 END)
+                        AS BIGINT) AS bucket
+            FROM pdots GROUP BY vec_id
+        ), vb AS (
+            SELECT v.vec_id, v.e, b.bucket FROM v JOIN buckets b USING (vec_id)
+        ), q AS (
+            SELECT vec_id AS q_id, e AS qe, bucket FROM vb WHERE {ANN_QUERY_PRED}
+        ), cand AS (
+            SELECT q.q_id, vb.vec_id, q.bucket, q.qe, vb.e
+            FROM q JOIN vb ON q.bucket = vb.bucket AND vb.vec_id <> q.q_id
+        ), prods AS (
+            SELECT q_id, vec_id, bucket,
+                   unnest(list_transform(range(1, len(qe) + 1),
+                       i -> qe[i] * e[i])) AS p
+            FROM cand
+        ), dots AS (
+            SELECT q_id, vec_id, bucket,
+                   CAST(sum(CAST(p AS {_DEC})) AS DOUBLE) AS dot
+            FROM prods GROUP BY q_id, vec_id, bucket
+        ), scored AS (
+            SELECT d.q_id, d.vec_id, d.bucket,
+                   d.dot / (sqrt(nq.norm2) * sqrt(nv.norm2)) AS cosine_raw
+            FROM dots d
+            JOIN norms nq ON nq.vec_id = d.q_id
+            JOIN norms nv ON nv.vec_id = d.vec_id
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id) AS rnk
+            FROM scored
+        )
+        SELECT q_id, vec_id AS neighbor_id, bucket,
+               {_round('cosine_raw', 6)} AS cosine,
+               CAST(rnk AS BIGINT) AS rank
+        FROM ranked
+        WHERE rnk <= {ANN_K}
+        ORDER BY q_id, rnk
+    """,
+    "label_centroids": f"""
+        WITH v AS (
+            SELECT label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), ex AS (
+            SELECT label,
+                   unnest(list_transform(range(1, len(e) + 1),
+                       i -> {{'pos': i - 1, 'val': e[i]}})) AS s
+            FROM v
+        )
+        SELECT label,
+               CAST(s.pos AS BIGINT) AS pos,
+               {_round(f"CAST(sum(CAST(s.val AS {_DEC})) AS DOUBLE) / count(s.val)", 6)}
+                   AS centroid
+        FROM ex
+        GROUP BY label, s.pos
+        ORDER BY label, pos
+    """,
+    "multimodal_meta": """
+        SELECT doc_id AS asset_id,
+               'text' AS modality,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               md5(text) AS digest
+        FROM documents
+        ORDER BY asset_id
+    """,
+}

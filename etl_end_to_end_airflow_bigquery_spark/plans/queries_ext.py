@@ -1,0 +1,213 @@
+"""Extension-pack query inventory: dedup, similarity search, text
+analysis, multimodal — the LLM-data-pipeline operators (SURVEY.md §7
+step 5), each with an exact DuckDB oracle in ``oracles_ext.py``.
+
+Cross-engine exactness recipe: md5-based hashing (portable), decimal
+accumulation for every floating sum (order-insensitive), shared SQL
+formula strings for scoring heuristics, portable floor-based rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators.relational import round_half_up
+from ..operators.text import (
+    LANG_MARKERS,
+    marker_count,
+    fingerprint,
+    text_stats,
+)
+from .queries import QueryFn
+
+# Shared scoring formulas — interpreted by Spark's F.expr AND embedded
+# verbatim in the DuckDB oracle (identical IEEE evaluation order).
+STOP_RATIO_SQL = "n_stopwords / CAST(n_tokens AS DOUBLE)"
+AVG_TOK_SQL = "(n_chars_calc - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE)"
+QUALITY_SQL = (
+    f"0.4 * least(n_tokens / 100.0, 1.0) + 0.4 * (1.0 - ({STOP_RATIO_SQL})) "
+    f"+ 0.2 * least(({AVG_TOK_SQL}) / 8.0, 1.0)"
+)
+ANN_QUERY_PRED = "vec_id < 5"
+COSINE_K = 5
+ANN_K = 3
+
+
+# --- deduplication -------------------------------------------------------
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy keeping the smallest doc_id.
+    One shuffle on the 128-bit fingerprint; at 100 TB this is the only
+    dedup pass that needs no candidate generation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(fingerprint().alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("doc_id_kept"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("doc_id_kept")
+    )
+
+
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs with estimated Jaccard (banding:
+    12 hashes, 4 bands × 3). See operators.dedup for the scale story."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_candidate_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+def jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-shingle Jaccard on the LSH candidates; flags pairs
+    above the near-dup threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    j = D.jaccard_verify(docs)
+    return j.select(
+        "doc_a",
+        "doc_b",
+        round_half_up(F.col("jaccard"), 6).alias("jaccard"),
+        "is_near_dup",
+    ).orderBy("doc_a", "doc_b")
+
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (near-dup via Hamming distance)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs).orderBy("doc_id")
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint per document (md5 of normalized text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint().alias("fingerprint")).orderBy("doc_id")
+
+
+# --- text analysis -------------------------------------------------------
+
+
+def text_stats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring (length/stopword/token-shape
+    heuristics). Single projection, fully codegen'd."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = text_stats(docs)
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "n_stopwords",
+        round_half_up(F.expr(STOP_RATIO_SQL), 4).alias("stop_ratio"),
+        round_half_up(F.expr(AVG_TOK_SQL), 4).alias("avg_token_len"),
+        round_half_up(F.expr(QUALITY_SQL), 4).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID (stopword-list voting). On this synthetic
+    shared-vocabulary corpus only the mechanism is meaningful — accuracy
+    against the generator's `lang` label is reported as `is_correct`."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[marker_count(lg).alias(f"c_{lg}") for lg in LANG_MARKERS],
+    )
+    pred = F.expr(
+        """
+        CASE
+          WHEN c_en = 0 AND c_de = 0 AND c_es = 0 AND c_fr = 0 THEN 'und'
+          WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+          WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+          WHEN c_es >= c_fr THEN 'es'
+          ELSE 'fr'
+        END
+        """
+    )
+    return scored.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("is_correct"),
+    ).orderBy("doc_id")
+
+
+# --- similarity search ---------------------------------------------------
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embedding column (ANN baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = S.cosine_topk(emb, query_pred=ANN_QUERY_PRED, k=COSINE_K)
+    return res.select(
+        "q_id",
+        "neighbor_id",
+        round_half_up(F.col("cosine"), 6).alias("cosine"),
+        "rank",
+    ).orderBy("q_id", "rank")
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (random hyperplanes): top-k within the query's
+    bucket — the 100 TB path where the bucket is a partition key."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = S.ann_lsh_topk(spark, emb, query_pred=ANN_QUERY_PRED, k=ANN_K)
+    return res.select(
+        "q_id",
+        "neighbor_id",
+        "bucket",
+        round_half_up(F.col("cosine"), 6).alias("cosine"),
+        "rank",
+    ).orderBy("q_id", "rank")
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, flattened to (label, pos, centroid) —
+    vector aggregation via posexplode + grouped decimal-exact average."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "label", F.expr("transform(embedding, x -> cast(x as double))").alias("e")
+    )
+    ex = v.select("label", F.posexplode("e").alias("pos", "val"))
+    return (
+        ex.groupBy("label", F.col("pos").cast("bigint").alias("pos"))
+        .agg(
+            round_half_up(
+                F.sum(F.col("val").cast(S.DEC)).cast("double") / F.count("val"), 6
+            ).alias("centroid")
+        )
+        .orderBy("label", "pos")
+    )
+
+
+# --- multimodal ----------------------------------------------------------
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata over the multimodal column pattern: byte
+    length + content digest of the payload (text bytes stand in for
+    image/audio blobs; decode itself is the stubbed mapInPandas path in
+    operators.multimodal, exercised in tests)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("text").alias("modality"),
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("bigint").alias("n_bytes"),
+        F.md5(F.col("text")).alias("digest"),
+    ).orderBy("asset_id")
+
+
+EXT_QUERIES: dict[str, QueryFn] = {
+    "dedup_exact_docs": dedup_exact_docs,
+    "minhash_pairs": minhash_pairs,
+    "jaccard_near_dups": jaccard_near_dups,
+    "simhash_docs": simhash_docs,
+    "doc_fingerprint": doc_fingerprint,
+    "text_stats_quality": text_stats_quality,
+    "lang_id_heuristic": lang_id_heuristic,
+    "cosine_topk": cosine_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "label_centroids": label_centroids,
+    "multimodal_meta": multimodal_meta,
+}
