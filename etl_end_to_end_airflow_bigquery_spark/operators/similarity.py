@@ -98,7 +98,9 @@ def cosine_topk(
     )
 
 
-def lsh_buckets(spark: SparkSession, embeddings: DataFrame) -> DataFrame:
+def lsh_buckets(
+    spark: SparkSession, embeddings: DataFrame, dim: int = EMB_DIM
+) -> DataFrame:
     """vec_id → LSH bucket id (random-hyperplane sign bits).
 
     Plane dots use the same exact fold, so the sign — and therefore the
@@ -107,7 +109,10 @@ def lsh_buckets(spark: SparkSession, embeddings: DataFrame) -> DataFrame:
     """
     v = _vectors(embeddings)
     planes = spark.createDataFrame(
-        [(i, [float(x) for x in row]) for i, row in enumerate(hyperplanes())],
+        [
+            (i, [float(x) for x in row])
+            for i, row in enumerate(hyperplanes(dim=dim))
+        ],
         "plane_idx int, w array<double>",
     )
     plane_dots = (
@@ -129,6 +134,7 @@ def ann_lsh_topk(
     embeddings: DataFrame,
     query_pred: str = "vec_id < 5",
     k: int = 3,
+    dim: int = EMB_DIM,
 ) -> DataFrame:
     """ANN via LSH buckets: top-k cosine *within the query's bucket*.
 
@@ -138,7 +144,7 @@ def ann_lsh_topk(
     keys on the bucket — at scale, a partition-pruned scan.
     """
     v = _vectors(embeddings)
-    buckets = lsh_buckets(spark, embeddings)
+    buckets = lsh_buckets(spark, embeddings, dim=dim)
     vb = v.join(buckets, "vec_id").select("vec_id", "e", "norm2", "bucket")
     q = vb.filter(query_pred).select(
         F.col("vec_id").alias("q_id"),

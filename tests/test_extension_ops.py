@@ -1,0 +1,89 @@
+"""Extension operators on constructed corpora with known answers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_end_to_end_airflow_bigquery_spark.operators import dedup as D
+from etl_end_to_end_airflow_bigquery_spark.operators import similarity as S
+from etl_end_to_end_airflow_bigquery_spark.operators.multimodal import (
+    decode_assets,
+    frame_sample,
+    text_as_assets,
+)
+from etl_end_to_end_airflow_bigquery_spark.operators.text import fingerprint
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy cat again and again today"
+    far = "completely different words about spark query engines and columnar io"
+    return spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base)], "doc_id long, text string"
+    )
+
+
+def test_minhash_finds_planted_near_dup(corpus):
+    pairs = {(r.doc_a, r.doc_b) for r in D.minhash_candidate_pairs(corpus).collect()}
+    assert (1, 4) in pairs  # exact copy always collides
+    assert (1, 2) in pairs or (2, 4) in pairs  # 1-word-edit near-dup
+    assert (1, 3) not in pairs and (2, 3) not in pairs  # unrelated doc doesn't
+
+
+def test_jaccard_verify_flags_and_scores(corpus):
+    got = {(r.doc_a, r.doc_b): r for r in D.jaccard_verify(corpus).collect()}
+    assert got[(1, 4)].jaccard == 1.0 and got[(1, 4)].is_near_dup
+
+
+def test_simhash_hamming_orders_similarity(corpus):
+    sh = {r.doc_id: r.simhash for r in D.simhash(corpus).collect()}
+    assert sh[1] == sh[4]
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])
+
+
+def test_fingerprint_normalizes_case(spark):
+    df = spark.createDataFrame([(1, "Hello World"), (2, "hello world")], "doc_id long, text string")
+    fps = [r.fp for r in df.select(fingerprint().alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 0),   # closest to 0
+        (2, [0.0, 1.0, 0.0, 0.0], 1),
+        (3, [-1.0, 0.0, 0.0, 0.0], 1),  # opposite of 0
+        (4, [0.5, 0.5, 0.0, 0.0], 0),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_topk_exact_neighbor_order(vectors):
+    got = [
+        (r.neighbor_id, r.rank)
+        for r in S.cosine_topk(vectors, query_pred="vec_id = 0", k=4)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert [n for n, _ in got] == [1, 4, 2, 3]  # by true cosine to e_x
+
+
+def test_ann_lsh_same_bucket_has_near_neighbor(spark, vectors):
+    res = S.ann_lsh_topk(spark, vectors, query_pred="vec_id = 0", k=4, dim=4).collect()
+    ids = [r.neighbor_id for r in res]
+    assert 3 not in ids  # the antipode never shares all sign bits
+    buckets = {r.vec_id: r.bucket for r in S.lsh_buckets(spark, vectors, dim=4).collect()}
+    assert buckets[0] != buckets[3]
+
+
+def test_multimodal_decode_batch_shapes(spark):
+    docs = spark.createDataFrame([(1, "abc"), (2, "defgh")], "doc_id long, text string")
+    out = {r.asset_id: r for r in decode_assets(text_as_assets(docs)).collect()}
+    assert out[1].n_bytes == 3 and out[2].n_bytes == 5
+    assert out[1].modality == "text" and len(out[1].sha256) == 64
+    frames = frame_sample(text_as_assets(docs))
+    assert frames.count() == 2  # n_frames=1 stub → one frame row each

@@ -1,0 +1,70 @@
+"""Structured Streaming layer (T1-T5): file-source payload ingest with
+availableNow, exactly-once re-runs, windowed report with merge sink."""
+
+from __future__ import annotations
+
+import json
+
+from etl_end_to_end_airflow_bigquery_spark.streaming import (
+    daily_report_stream,
+    stream_payloads,
+    streaming_report_to_merge,
+)
+from etl_end_to_end_airflow_bigquery_spark.streaming.ingest import write_ticks
+
+
+def _drop_payload(payload_dir, name, date, rates):
+    payload_dir.mkdir(parents=True, exist_ok=True)
+    (payload_dir / f"{name}.json").write_text(
+        json.dumps({"amount": 1.0, "base": "EUR", "date": date, "rates": rates})
+    )
+
+
+def test_stream_ingest_available_now_exactly_once(spark, tmp_path):
+    pdir = tmp_path / "payloads"
+    raw = str(tmp_path / "raw")
+    ckpt = str(tmp_path / "ckpt")
+    _drop_payload(pdir, "t1", "2026-01-05", {"USD": 1.1, "GBP": 0.8})
+
+    q = write_ticks(stream_payloads(spark, str(pdir)), raw, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(raw).count() == 2
+
+    # re-running with the same checkpoint reprocesses nothing (T5/catchup)
+    q = write_ticks(stream_payloads(spark, str(pdir)), raw, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(raw).count() == 2
+
+    # a new payload file is picked up incrementally
+    _drop_payload(pdir, "t2", "2026-01-06", {"USD": 1.2})
+    q = write_ticks(stream_payloads(spark, str(pdir)), raw, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(raw).count() == 3
+
+
+def test_streaming_daily_report_merge_sink(spark, tmp_path):
+    pdir = tmp_path / "payloads"
+    rep = str(tmp_path / "report")
+    ckpt = str(tmp_path / "ckpt_rep")
+    _drop_payload(pdir, "d1", "2026-01-05", {"USD": 1.0})
+    _drop_payload(pdir, "d2", "2026-01-05", {"USD": 3.0})
+    _drop_payload(pdir, "d3", "2026-01-06", {"USD": 5.0})
+
+    ticks = stream_payloads(spark, str(pdir))
+    report = daily_report_stream(ticks)
+    q = streaming_report_to_merge(spark, report, rep, ckpt)
+    q.awaitTermination(120)
+
+    got = {str(r.date)[:10]: r.avg_rate for r in spark.read.parquet(rep).collect()}
+    # note: the two Jan-5 payloads dedup to ONE tick (same (date, pair)
+    # within the watermark — T4), so the day's average is the first tick
+    assert set(got) == {"2026-01-05", "2026-01-06"}
+    assert got["2026-01-06"] == 5.0
+
+    # late re-run with an additional day merges in without disturbing old rows
+    _drop_payload(pdir, "d4", "2026-01-07", {"USD": 7.0})
+    ticks = stream_payloads(spark, str(pdir))
+    q = streaming_report_to_merge(spark, daily_report_stream(ticks), rep, ckpt)
+    q.awaitTermination(120)
+    got2 = {str(r.date)[:10]: r.avg_rate for r in spark.read.parquet(rep).collect()}
+    assert got2["2026-01-07"] == 7.0 and got2["2026-01-06"] == 5.0

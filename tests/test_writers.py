@@ -1,0 +1,95 @@
+"""Write-path semantics (J1/J2/S3): the property the reference's v2/v3
+DAG variants exist to provide — running a batch twice ≡ once."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+    append,
+    idempotent_append,
+    idempotent_append_df,
+    merge_upsert,
+    merge_upsert_df,
+)
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "k int, day string, v double")
+
+
+def _sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def target(spark):
+    return _frame(spark, [(1, "d1", 1.0), (2, "d1", 2.0), (3, "d2", 3.0)])
+
+
+def test_merge_upsert_df_updates_and_inserts(spark, target):
+    source = _frame(spark, [(2, "d1", 20.0), (4, "d2", 40.0)])
+    got = _sorted(merge_upsert_df(target, source, keys=["k"]))
+    assert got == [(1, "d1", 1.0), (2, "d1", 20.0), (3, "d2", 3.0), (4, "d2", 40.0)]
+
+
+def test_merge_upsert_df_source_wins_even_null(spark, target):
+    source = spark.createDataFrame([(2, "d1", None)], "k int, day string, v double")
+    got = dict((r.k, r.v) for r in merge_upsert_df(target, source, keys=["k"]).collect())
+    assert got[2] is None  # MERGE updates all columns, including to null
+
+
+def test_merge_upsert_df_composite_key(spark, target):
+    source = _frame(spark, [(1, "d2", 10.0)])  # same k, different day → insert
+    assert len(merge_upsert_df(target, source, keys=["k", "day"]).collect()) == 4
+
+
+def test_idempotent_append_df_skips_existing_keys(spark, target):
+    batch = _frame(spark, [(3, "dX", 30.0), (5, "d3", 5.0), (5, "d3", 5.0)])
+    got = _sorted(idempotent_append_df(target, batch, keys=["k"]))
+    assert (5, "d3", 5.0) in got and (3, "dX", 30.0) not in got
+    assert len(got) == 4  # in-batch dup of k=5 collapsed
+
+
+def test_merge_upsert_file_idempotent(spark, tmp_path, target):
+    path = str(tmp_path / "t")
+    merge_upsert(spark, path, target, keys=["k"])
+    batch = _frame(spark, [(2, "d1", 99.0), (9, "d9", 9.0)])
+    merge_upsert(spark, path, batch, keys=["k"])
+    once = _sorted(spark.read.parquet(path))
+    merge_upsert(spark, path, batch, keys=["k"])  # re-run the same batch
+    assert _sorted(spark.read.parquet(path)) == once
+    assert (2, "d1", 99.0) in once and (9, "d9", 9.0) in once and len(once) == 4
+
+
+def test_merge_upsert_partition_scoped(spark, tmp_path, target):
+    """Only source-touched partitions are rewritten; others untouched."""
+    import os
+
+    path = str(tmp_path / "p")
+    merge_upsert(spark, path, target, keys=["k", "day"], partition_col="day")
+    d2_files = set(os.listdir(os.path.join(path, "day=d2")))
+    batch = _frame(spark, [(1, "d1", 100.0)])
+    merge_upsert(spark, path, batch, keys=["k", "day"], partition_col="day")
+    assert set(os.listdir(os.path.join(path, "day=d2"))) == d2_files  # untouched
+    got = dict(((r.k, r.day), r.v) for r in spark.read.parquet(path).collect())
+    assert got[(1, "d1")] == 100.0 and got[(3, "d2")] == 3.0 and len(got) == 3
+
+
+def test_idempotent_append_file_rerun_safe(spark, tmp_path, target):
+    path = str(tmp_path / "i")
+    idempotent_append(spark, path, target, keys=["k"])
+    batch = _frame(spark, [(3, "zz", 333.0), (7, "d7", 7.0)])
+    idempotent_append(spark, path, batch, keys=["k"])
+    idempotent_append(spark, path, batch, keys=["k"])
+    got = _sorted(spark.read.parquet(path))
+    assert len(got) == 4  # 3 original + k=7; k=3 never overwritten
+    assert (3, "zz", 333.0) not in got
+
+
+def test_append_accumulates(spark, tmp_path, target):
+    path = str(tmp_path / "a")
+    append(target, path)
+    append(target, path)
+    assert spark.read.parquet(path).count() == 6  # v1 semantics: duplicates
