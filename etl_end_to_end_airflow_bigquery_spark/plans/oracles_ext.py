@@ -191,6 +191,16 @@ EXT_ORACLES: dict[str, str] = {
         FROM s
         ORDER BY doc_id
     """,
+    "token_count_bpe": r"""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                    AS BIGINT) AS n_re_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT)
+                    AS n_subwords
+        FROM documents
+        ORDER BY doc_id
+    """,
     "lang_id_heuristic": f"""
         WITH scored AS (
             SELECT doc_id, lang,

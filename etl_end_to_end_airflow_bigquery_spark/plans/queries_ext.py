@@ -105,6 +105,25 @@ def text_stats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways (north-star spec): whitespace, a BPE-ish
+    pre-tokenizer regex (word/number/punct classes), and ≤4-char subword
+    chunks — the usual proxy for LLM token-budget estimation. All via
+    JVM-side regexp_extract_all; identical greedy-left-to-right matches
+    in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").cast("bigint").alias("n_ws_tokens"),
+        F.expr(r"size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+        .cast("bigint")
+        .alias("n_re_tokens"),
+        F.expr(r"size(regexp_extract_all(text, '[a-z]{1,4}', 0))")
+        .cast("bigint")
+        .alias("n_subwords"),
+    ).orderBy("doc_id")
+
+
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language ID (stopword-list voting). On this synthetic
     shared-vocabulary corpus only the mechanism is meaningful — accuracy
@@ -205,6 +224,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "simhash_docs": simhash_docs,
     "doc_fingerprint": doc_fingerprint,
     "text_stats_quality": text_stats_quality,
+    "token_count_bpe": token_count_bpe,
     "lang_id_heuristic": lang_id_heuristic,
     "cosine_topk": cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
