@@ -31,6 +31,7 @@ MINHASH_SEEDS = 12
 BAND_SIZE = 3
 N_BANDS = MINHASH_SEEDS // BAND_SIZE
 SHINGLE_K = 3  # words per shingle
+SLICE_LEN = 5  # hex chars (20 bits) per minhash slice of the 64-char digest
 SIMHASH_BITS = 32
 NEAR_DUP_JACCARD = 0.5
 
@@ -61,28 +62,33 @@ def shingle_docs(docs: DataFrame) -> DataFrame:
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """doc_id, mh: array of MINHASH_SEEDS hex minhashes, band_0..band_n.
 
-    min(md5(seed || '|' || shingle)) is a valid minwise hash per seed:
-    md5 behaves as a random permutation of the shingle universe, and the
-    lexicographic min over hex strings is engine-portable.
+    Hash budget: two md5s per shingle, concatenated to 64 hex chars, cut
+    into MINHASH_SEEDS disjoint ``SLICE_LEN``-char windows — one minwise
+    hash per window (the standard one-hash/many-slices economy; md5
+    bits behave as independent permutations of the shingle universe,
+    and lexicographic min over hex is engine-portable).
+
+    Shape: explode shingles to rows, hash once, grouped MIN per slice.
+    Row-explosion + hash-aggregate beats nested array lambdas (Catalyst's
+    CollapseProject would inline the shingling into every minhash column)
+    and is the shape that scales — partial MINs combine map-side, so the
+    shuffle carries 12 short strings per doc.
     """
-    # Explode shingles to rows, hash once per (shingle, seed), then a
-    # grouped MIN per seed. Row-explosion + hash-aggregate beats nested
-    # array lambdas: Catalyst's CollapseProject would otherwise inline
-    # the shingling expression into every one of the 12 minhash columns
-    # (12× recompute), and the aggregate form is the shape that scales —
-    # partial MINs combine map-side, shuffling 12 hashes per doc.
     sh_rows = shingle_docs(docs).select(
         "doc_id", F.explode("shingles").alias("shingle")
     )
     hashed = sh_rows.select(
         "doc_id",
-        *[
-            F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle"))).alias(f"h_{s}")
-            for s in range(MINHASH_SEEDS)
-        ],
+        F.concat(
+            F.md5(F.concat(F.lit("0|"), F.col("shingle"))),
+            F.md5(F.concat(F.lit("1|"), F.col("shingle"))),
+        ).alias("h64"),
     )
     sig = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h_{s}").alias(f"mh_{s}") for s in range(MINHASH_SEEDS)]
+        *[
+            F.min(F.substring("h64", s * SLICE_LEN + 1, SLICE_LEN)).alias(f"mh_{s}")
+            for s in range(MINHASH_SEEDS)
+        ]
     )
     band_cols = [
         F.concat(

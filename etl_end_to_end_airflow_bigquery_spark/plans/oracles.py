@@ -206,6 +206,29 @@ ORACLES: dict[str, str] = {
         GROUP BY r_name, n_name
         ORDER BY r_name, n_name
     """,
+    "shipping_priority": f"""
+        SELECT l_orderkey,
+               CAST(o_orderdate AS DATE) AS order_date,
+               o_orderpriority,
+               {_round(_dsum('l_extendedprice * (1 - l_discount)'), 2)} AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "forecast_revenue": f"""
+        SELECT {_round(_dsum('l_extendedprice * l_discount'), 2)} AS forecast_revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
     "distinct_parts_per_supplier": """
         SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts
         FROM lineitem

@@ -9,7 +9,13 @@ Spark's semantics on these inputs.
 
 from __future__ import annotations
 
-from ..operators.dedup import BAND_SIZE, MINHASH_SEEDS, N_BANDS, NEAR_DUP_JACCARD
+from ..operators.dedup import (
+    BAND_SIZE,
+    MINHASH_SEEDS,
+    N_BANDS,
+    NEAR_DUP_JACCARD,
+    SLICE_LEN,
+)
 from ..operators.similarity import EMB_DIM, N_PLANES, hyperplanes
 from ..operators.text import LANG_MARKERS, STOPWORDS
 from .oracles import _round
@@ -46,8 +52,10 @@ _SHINGLES_CTE = """
     )
 """
 
+# Same hash economy as dedup.minhash_signatures: one 64-hex digest per
+# shingle (two md5s), MIN over each 5-char slice.
 _MH_EXPRS = ", ".join(
-    f"list_min(list_transform(shingles, x -> md5(concat('{s}|', x))))"
+    f"min(substr(h64, {s * SLICE_LEN + 1}, {SLICE_LEN}))"
     for s in range(MINHASH_SEEDS)
 )
 
@@ -59,8 +67,14 @@ _BANDS_UNION = "\n        UNION ALL\n".join(
 )
 
 _PAIRS_CTE = f"""
-    {_SHINGLES_CTE.strip()}, sig AS (
-        SELECT doc_id, [{_MH_EXPRS}] AS mh FROM sh
+    {_SHINGLES_CTE.strip()}, shx AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), hashed AS (
+        SELECT doc_id,
+               md5(concat('0|', shingle)) || md5(concat('1|', shingle)) AS h64
+        FROM shx
+    ), sig AS (
+        SELECT doc_id, [{_MH_EXPRS}] AS mh FROM hashed GROUP BY doc_id
     ), bands AS (
 {_BANDS_UNION}
     ), pairs AS (

@@ -331,6 +331,48 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment filter → 3-table join → grouped revenue →
+    top-10. Exercises filter-before-join placement (both predicates reach
+    their scans), shuffle joins with AQE, and top-k-after-aggregate.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("order_date"), "o_orderpriority")
+        .agg(round_half_up(decimal_sum(revenue), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-side range predicates feeding one scalar
+    aggregate — the pushdown showcase (no join, no groupBy key, shuffle
+    carries a single partial row per partition)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        round_half_up(
+            decimal_sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+        ).alias("forecast_revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 # --- §2.4: distinct aggregate --------------------------------------------
 
 
@@ -465,6 +507,8 @@ QUERIES: dict[str, QueryFn] = {
     "scalar_function_pack": scalar_function_pack,
     "pricing_summary": pricing_summary,
     "star_join_revenue": star_join_revenue,
+    "shipping_priority": shipping_priority,
+    "forecast_revenue": forecast_revenue,
     "distinct_parts_per_supplier": distinct_parts_per_supplier,
     "rollup_qty": rollup_qty,
     "pivot_event_counts": pivot_event_counts,
