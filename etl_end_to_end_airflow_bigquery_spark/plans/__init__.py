@@ -2,8 +2,10 @@ from .oracles import ORACLES as _CORE_ORACLES
 from .oracles_ext import EXT_ORACLES
 from .queries import QUERIES as _CORE_QUERIES
 from .queries_ext import EXT_QUERIES
+from .queries_stream import STREAM_QUERIES
+from .oracles_stream import STREAM_ORACLES
 
-QUERIES = {**_CORE_QUERIES, **EXT_QUERIES}
-ORACLES = {**_CORE_ORACLES, **EXT_ORACLES}
+QUERIES = {**_CORE_QUERIES, **EXT_QUERIES, **STREAM_QUERIES}
+ORACLES = {**_CORE_ORACLES, **EXT_ORACLES, **STREAM_ORACLES}
 
 __all__ = ["QUERIES", "ORACLES"]

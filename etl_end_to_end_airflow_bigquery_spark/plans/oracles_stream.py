@@ -1,0 +1,28 @@
+"""Oracles for the streaming / Pandas-UDF gate queries.
+
+The streaming daily average must equal the batch daily average — it
+reuses the batch oracle verbatim (same aliases, same rounding). The
+pandas grouped stats mirror the scaled-int accumulation the UDF does in
+numpy.
+"""
+
+from __future__ import annotations
+
+from .oracles import ORACLES, _round
+
+_SUM_U = "sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))"
+
+STREAM_ORACLES: dict[str, str] = {
+    # identical output contract to the batch flagship — one oracle fits both
+    "streaming_daily_avg": ORACLES["daily_avg_report"],
+    "grouped_stats_pandas": f"""
+        SELECT event_type,
+               count(*) AS n_ticks,
+               CAST({_SUM_U} AS BIGINT) AS sum_value_u,
+               {_round(f"CAST({_SUM_U} AS DOUBLE) / 1000000.0 / count(value)", 4)}
+                   AS avg_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+}

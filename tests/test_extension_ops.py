@@ -17,8 +17,18 @@ from etl_end_to_end_airflow_bigquery_spark.operators.text import fingerprint
 
 @pytest.fixture(scope="module")
 def corpus(spark):
-    base = "the quick brown fox jumps over the lazy dog again and again today"
-    near = "the quick brown fox jumps over the lazy cat again and again today"
+    # Long base + single trailing-word edit ⇒ shingle Jaccard ≈ 0.92, so a
+    # band collision is near-certain (1-(1-j³)⁴ ≈ 0.999) — the planted
+    # pair is found deterministically under the fixed md5 slicing. A short
+    # doc with a mid-text edit sits near j=0.5 where detection is a coin
+    # flip by design — don't "fix" this by shortening the fixture.
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+        "lima mike november oscar papa quebec romeo sierra tango uniform "
+        "victor whiskey xray yankee zulu one two three four five six seven "
+        "eight nine ten eleven twelve"
+    )
+    near = base.replace("twelve", "thirteen")
     far = "completely different words about spark query engines and columnar io"
     return spark.createDataFrame(
         [(1, base), (2, near), (3, far), (4, base)], "doc_id long, text string"
@@ -28,13 +38,14 @@ def corpus(spark):
 def test_minhash_finds_planted_near_dup(corpus):
     pairs = {(r.doc_a, r.doc_b) for r in D.minhash_candidate_pairs(corpus).collect()}
     assert (1, 4) in pairs  # exact copy always collides
-    assert (1, 2) in pairs or (2, 4) in pairs  # 1-word-edit near-dup
+    assert (1, 2) in pairs and (2, 4) in pairs  # trailing-edit near-dup
     assert (1, 3) not in pairs and (2, 3) not in pairs  # unrelated doc doesn't
 
 
 def test_jaccard_verify_flags_and_scores(corpus):
     got = {(r.doc_a, r.doc_b): r for r in D.jaccard_verify(corpus).collect()}
     assert got[(1, 4)].jaccard == 1.0 and got[(1, 4)].is_near_dup
+    assert got[(1, 2)].jaccard > 0.85 and got[(1, 2)].is_near_dup
 
 
 def test_simhash_hamming_orders_similarity(corpus):
