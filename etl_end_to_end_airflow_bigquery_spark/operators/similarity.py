@@ -172,3 +172,84 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "bucket", "cosine", "rank")
     )
+
+
+N_IVF_SEEDS = 8
+
+
+def ivf_cells(embeddings: DataFrame, n_seeds: int = N_IVF_SEEDS) -> DataFrame:
+    """vec_id → IVF cell (nearest seed by cosine).
+
+    Seeds are the first ``n_seeds`` vectors by vec_id — deterministic
+    coarse quantizer initialization (a production index would k-means
+    them; the partition/search mechanics are identical and this keeps
+    the assignment exactly reproducible in any engine). Cell assignment
+    uses the same exact dot fold, so the partitioning is engine-exact.
+    """
+    v = _vectors(embeddings)
+    seeds = v.filter(F.col("vec_id") < n_seeds).select(
+        F.col("vec_id").alias("cell"),
+        F.col("e").alias("se"),
+        F.col("norm2").alias("sn"),
+    )
+    scored = (
+        v.select("vec_id", "e", "norm2")
+        .crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            "cell",
+            (
+                F.expr(dot_fold("e", "se")) / (F.sqrt("norm2") * F.sqrt("sn"))
+            ).alias("cos_to_seed"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_to_seed").desc(), F.col("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_pred: str = "vec_id < 5",
+    k: int = 3,
+    n_seeds: int = N_IVF_SEEDS,
+) -> DataFrame:
+    """IVF search: top-k cosine within the query's cell
+    (q_id, neighbor_id, cell, cosine, rank).
+
+    At scale the cell is the physical partition key of the index table:
+    a query reads one cell's list (1/n_seeds of the corpus on average),
+    never the full corpus. Probing more cells (nprobe>1) is the standard
+    recall knob — a union over the query's top-p cells.
+    """
+    v = _vectors(embeddings)
+    cells = ivf_cells(embeddings, n_seeds)
+    vc = v.join(cells, "vec_id").select("vec_id", "e", "norm2", "cell")
+    q = vc.filter(query_pred).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.col("norm2").alias("qn"),
+        F.col("cell"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(vc, "cell")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "cell",
+            (
+                F.expr(dot_fold("qe", "e")) / (F.sqrt("qn") * F.sqrt("norm2"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cell", "cosine", "rank")
+    )

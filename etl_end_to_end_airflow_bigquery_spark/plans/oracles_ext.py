@@ -294,6 +294,44 @@ EXT_ORACLES: dict[str, str] = {
         WHERE rnk <= {ANN_K}
         ORDER BY q_id, rnk
     """,
+    "ivf_topk": f"""
+        WITH {_VECTOR_CTE.strip()}, seeds AS (
+            SELECT vec_id AS cell, e AS se, norm2 AS sn
+            FROM vn WHERE vec_id < 8
+        ), assign_scored AS (
+            SELECT vn.vec_id, s.cell,
+                   {_dot('vn.e', 's.se')} / (sqrt(vn.norm2) * sqrt(s.sn))
+                       AS cos_to_seed
+            FROM vn, seeds s
+        ), cells AS (
+            SELECT vec_id, cell FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY cos_to_seed DESC, cell) AS rn
+                FROM assign_scored
+            ) WHERE rn = 1
+        ), vc AS (
+            SELECT vn.vec_id, vn.e, vn.norm2, c.cell
+            FROM vn JOIN cells c USING (vec_id)
+        ), q AS (
+            SELECT vec_id AS q_id, e AS qe, norm2 AS qn, cell
+            FROM vc WHERE {ANN_QUERY_PRED}
+        ), scored AS (
+            SELECT q.q_id, vc.vec_id, q.cell,
+                   {_dot('q.qe', 'vc.e')} / (sqrt(q.qn) * sqrt(vc.norm2))
+                       AS cosine_raw
+            FROM q JOIN vc ON q.cell = vc.cell AND vc.vec_id <> q.q_id
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id) AS rnk
+            FROM scored
+        )
+        SELECT q_id, vec_id AS neighbor_id, cell,
+               {_round('cosine_raw', 6)} AS cosine,
+               CAST(rnk AS BIGINT) AS rank
+        FROM ranked
+        WHERE rnk <= {ANN_K}
+        ORDER BY q_id, rnk
+    """,
     "label_centroids": f"""
         WITH v AS (
             SELECT label,

@@ -181,6 +181,21 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rank")
 
 
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned ANN (nearest-seed coarse quantizer): top-k within
+    the query's cell — the third ANN strategy next to brute force and
+    hyperplane LSH."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = S.ivf_topk(emb, query_pred=ANN_QUERY_PRED, k=ANN_K)
+    return res.select(
+        "q_id",
+        "neighbor_id",
+        "cell",
+        round_half_up(F.col("cosine"), 6).alias("cosine"),
+        "rank",
+    ).orderBy("q_id", "rank")
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid, flattened to (label, pos, centroid) —
     vector aggregation via posexplode + grouped decimal-exact average."""
@@ -228,6 +243,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "lang_id_heuristic": lang_id_heuristic,
     "cosine_topk": cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ivf_topk": ivf_topk,
     "label_centroids": label_centroids,
     "multimodal_meta": multimodal_meta,
 }
