@@ -68,36 +68,35 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     bits behave as independent permutations of the shingle universe,
     and lexicographic min over hex is engine-portable).
 
-    Shape: explode shingles to rows, hash once, grouped MIN per slice.
-    Row-explosion + hash-aggregate beats nested array lambdas (Catalyst's
-    CollapseProject would inline the shingling into every minhash column)
-    and is the shape that scales — partial MINs combine map-side, so the
-    shuffle carries 12 short strings per doc.
+    Shape: a single in-row fold — shingles → 64-hex digests (md5 pair
+    bound once per shingle via the two-level transform, so lambdas never
+    re-evaluate it) → per-shingle slice arrays → running element-wise
+    MIN via aggregate/zip_with/least. No explode and no aggregation
+    shuffle at all: each doc's signature materializes in the scan stage;
+    the only exchange in the whole LSH pipeline is the band-signature
+    join. ('g' sentinel > any hex char ⇒ identity for least.)
     """
-    sh_rows = shingle_docs(docs).select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
-    hashed = sh_rows.select(
-        "doc_id",
-        F.concat(
-            F.md5(F.concat(F.lit("0|"), F.col("shingle"))),
-            F.md5(F.concat(F.lit("1|"), F.col("shingle"))),
-        ).alias("h64"),
-    )
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(F.substring("h64", s * SLICE_LEN + 1, SLICE_LEN)).alias(f"mh_{s}")
-            for s in range(MINHASH_SEEDS)
-        ]
-    )
+    fold = f"""
+        aggregate(
+          transform(
+            transform(shingles,
+                      x -> concat(md5(concat('0|', x)), md5(concat('1|', x)))),
+            h -> transform(sequence(0, {MINHASH_SEEDS - 1}),
+                           s -> substring(h, s * {SLICE_LEN} + 1, {SLICE_LEN}))),
+          array_repeat('g', {MINHASH_SEEDS}),
+          (acc, sl) -> zip_with(acc, sl, (a, b) -> least(a, b)))
+    """
+    sig = shingle_docs(docs).select("doc_id", F.expr(fold).alias("mh"))
     band_cols = [
         F.concat(
-            *[F.col(f"mh_{b * BAND_SIZE + i}") for i in range(BAND_SIZE)]
+            *[
+                F.element_at("mh", b * BAND_SIZE + i + 1)
+                for i in range(BAND_SIZE)
+            ]
         ).alias(f"band_{b}")
         for b in range(N_BANDS)
     ]
-    mh_array = F.array(*[F.col(f"mh_{s}") for s in range(MINHASH_SEEDS)]).alias("mh")
-    return sig.select("doc_id", mh_array, *band_cols)
+    return sig.select("doc_id", "mh", *band_cols)
 
 
 def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
@@ -106,8 +105,13 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     The self-join shuffles on (band_idx, signature) — only colliding
     bands meet, so cost is proportional to true near-duplicate density,
     not n². est_jaccard = fraction of agreeing minhashes.
+
+    The explicit repartition below is a deliberate exchange barrier:
+    both sides of the self-join hang off the same shuffle output
+    (ReusedExchange), so the md5 signature computation runs once, not
+    once per join side.
     """
-    sig = minhash_signatures(docs)
+    sig = minhash_signatures(docs).repartition("doc_id")
     bands = sig.select(
         "doc_id",
         "mh",
