@@ -18,8 +18,29 @@ from .schemas import TESTDATA_TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _tune(spark: SparkSession) -> None:
+    """Runtime-settable tuning for caller-owned sessions.
+
+    The driver constructs its own SparkSession; if it still carries the
+    stock 200 shuffle partitions (oversized for this host), size it to
+    the local core budget, and make sure AQE is on. Only the stock value
+    is overridden — an explicitly configured session is respected.
+    """
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            )
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    except Exception:
+        pass  # tuning must never break a query
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one synthetic table. Plain columnar scan; filters push down."""
+    _tune(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -175,6 +175,41 @@ def ann_lsh_topk(
 
 
 N_IVF_SEEDS = 8
+NEAR_DUP_COSINE = 0.95
+
+
+def embedding_near_dups(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    threshold: float = NEAR_DUP_COSINE,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine).
+
+    Scale path: candidates are restricted to same-LSH-bucket pairs (near
+    duplicates at cosine ≥ 0.95 almost surely agree on every hyperplane
+    sign), so the pairwise stage runs within buckets — ~2^-P of the
+    all-pairs cost — and the bucket is the shuffle/partition key.
+    """
+    v = _vectors(embeddings)
+    vb = v.join(lsh_buckets(spark, embeddings, dim=dim), "vec_id").select(
+        "vec_id", "e", "norm2", "bucket"
+    ).repartition("bucket")  # exchange barrier → self-join reuses one computation
+    a = vb.alias("a")
+    b = vb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        (
+            F.expr(dot_fold("a.e", "b.e"))
+            / (F.sqrt(F.col("a.norm2")) * F.sqrt(F.col("b.norm2")))
+        ).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold)
 
 
 def ivf_cells(embeddings: DataFrame, n_seeds: int = N_IVF_SEEDS) -> DataFrame:

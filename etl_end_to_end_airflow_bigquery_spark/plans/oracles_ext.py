@@ -24,6 +24,7 @@ from .queries_ext import (
     ANN_QUERY_PRED,
     AVG_TOK_SQL,
     COSINE_K,
+    EMB_SIM_THRESHOLD,
     QUALITY_SQL,
     STOP_RATIO_SQL,
 )
@@ -331,6 +332,35 @@ EXT_ORACLES: dict[str, str] = {
         FROM ranked
         WHERE rnk <= {ANN_K}
         ORDER BY q_id, rnk
+    """,
+    "embedding_near_dups": f"""
+        WITH {_VECTOR_CTE.strip()}, pl AS (
+            SELECT * FROM (VALUES
+            {_PLANES_VALUES}
+            ) AS t(plane_idx, w)
+        ), pdots AS (
+            SELECT vn.vec_id, pl.plane_idx, {_dot('vn.e', 'pl.w')} AS dot
+            FROM vn, pl
+        ), buckets AS (
+            SELECT vec_id,
+                   CAST(sum(CASE WHEN dot >= 0
+                        THEN (CAST(1 AS BIGINT) << plane_idx) ELSE 0 END)
+                        AS BIGINT) AS bucket
+            FROM pdots GROUP BY vec_id
+        ), vb AS (
+            SELECT vn.vec_id, vn.e, vn.norm2, b.bucket
+            FROM vn JOIN buckets b USING (vec_id)
+        ), pairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   {_dot('a.e', 'b.e')} / (sqrt(a.norm2) * sqrt(b.norm2))
+                       AS cosine_raw
+            FROM vb a JOIN vb b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, {_round('cosine_raw', 6)} AS cosine
+        FROM pairs
+        WHERE cosine_raw >= {EMB_SIM_THRESHOLD}
+        ORDER BY vec_a, vec_b
     """,
     "label_centroids": f"""
         WITH v AS (

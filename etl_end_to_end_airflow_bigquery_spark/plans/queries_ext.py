@@ -35,6 +35,10 @@ QUALITY_SQL = (
 ANN_QUERY_PRED = "vec_id < 5"
 COSINE_K = 5
 ANN_K = 3
+# Gate threshold: the synthetic embeddings top out near cosine 0.51, so a
+# production dedup cut (0.95) would test empty-vs-empty; 0.4 exercises the
+# full candidate→filter path with real survivors.
+EMB_SIM_THRESHOLD = 0.4
 
 
 # --- deduplication -------------------------------------------------------
@@ -196,6 +200,18 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rank")
 
 
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucket-candidated (the
+    fifth dedup strategy: exact / minhash / simhash / jaccard / cosine)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = S.embedding_near_dups(spark, emb, threshold=EMB_SIM_THRESHOLD)
+    return res.select(
+        "vec_a",
+        "vec_b",
+        round_half_up(F.col("cosine"), 6).alias("cosine"),
+    ).orderBy("vec_a", "vec_b")
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid, flattened to (label, pos, centroid) —
     vector aggregation via posexplode + grouped decimal-exact average."""
@@ -244,6 +260,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "cosine_topk": cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ivf_topk": ivf_topk,
+    "embedding_near_dups": embedding_near_dups,
     "label_centroids": label_centroids,
     "multimodal_meta": multimodal_meta,
 }

@@ -33,7 +33,7 @@ def _sorted(df):
     return sorted(tuple(r) for r in df.collect())
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
 @given(target=batch, source=batch)
 def test_merge_upsert_idempotent_and_unique(spark, target, source):
     t = _df(spark, {k: v for k, v in target}.items())  # unique-key target
@@ -49,7 +49,7 @@ def test_merge_upsert_idempotent_and_unique(spark, target, source):
         assert got[k] == v
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
 @given(target=batch, b=batch)
 def test_idempotent_append_monotone_and_stable(spark, target, b):
     t = _df(spark, {k: v for k, v in target}.items())
