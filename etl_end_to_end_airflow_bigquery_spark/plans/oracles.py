@@ -244,6 +244,14 @@ ORACLES: dict[str, str] = {
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY grp_id, l_returnflag, l_linestatus
     """,
+    "cube_counts": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS grp_id
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY grp_id, o_orderstatus, o_orderpriority
+    """,
     "pivot_event_counts": f"""
         SELECT CAST(ts AS DATE) AS report_date,
                {_PIVOT_AGGS}

@@ -405,6 +405,20 @@ def rollup_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority): all grouping-set combos in
+    one pass (Expand + single aggregate — 4 subtotal levels for one scan)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().cast("bigint").alias("grp_id"),
+        )
+        .orderBy("grp_id", "o_orderstatus", "o_orderpriority")
+    )
+
+
 # --- §2.4-pivot: conditional aggregation ---------------------------------
 
 
@@ -511,6 +525,7 @@ QUERIES: dict[str, QueryFn] = {
     "forecast_revenue": forecast_revenue,
     "distinct_parts_per_supplier": distinct_parts_per_supplier,
     "rollup_qty": rollup_qty,
+    "cube_counts": cube_counts,
     "pivot_event_counts": pivot_event_counts,
     "merge_upsert_orders": merge_upsert_orders,
     "idempotent_append_orders": idempotent_append_orders,

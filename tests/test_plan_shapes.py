@@ -1,0 +1,61 @@
+"""Plan-shape regression tests: the properties that make these queries
+scale are asserted, not assumed. If a refactor silently drops a pushed
+filter, un-broadcasts a dimension, or turns top-k into a global sort,
+these fail before any benchmark notices.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_end_to_end_airflow_bigquery_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted(spark, name):
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_count_guard_pushes_day_range_and_inlist(spark):
+    plan = _formatted(spark, "count_guard_inlist")
+    assert "PushedFilters:" in plan
+    # Catalyst rewrites to_date(x) = d into a [d, d+1) range on the scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "In(l_returnflag" in plan
+
+
+def test_pricing_summary_prunes_columns_and_partial_aggs(spark):
+    plan = _formatted(spark, "pricing_summary")
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    df = QUERIES["topk_recent_events"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = _formatted(spark, "star_join_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region at minimum
+
+
+def test_merge_upsert_no_cartesian(spark):
+    plan = _formatted(spark, "merge_upsert_orders")
+    assert "CartesianProduct" not in plan
+    assert "FULL OUTER" in plan.upper() or "FullOuter" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["latest_event_per_key", "window_topk_per_customer"]
+)
+def test_window_queries_single_exchange(spark, name):
+    plan = _formatted(spark, name)
+    # one hash exchange for the window partition key; no extra shuffles
+    assert plan.count("Exchange hashpartitioning") <= 1
