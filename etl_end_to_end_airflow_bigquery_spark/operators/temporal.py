@@ -1,0 +1,79 @@
+"""Temporal join operators Spark lacks natively: as-of (most-recent-prior)
+join and the supporting pieces for interval joins.
+
+The reference's closest analog is its latest-wins MERGE semantics
+(``dags/fx_pipeline_with_merge.py:173-189``: the newest intra-day analysis
+overwrites the previous one) — an as-of join is the read-side dual: for
+each observation, the latest state row at-or-before it. FX pipelines use
+exactly this to stamp each trade with the prevailing rate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """ASOF LEFT JOIN: each left row picks up the latest right row with
+    ``right_ts <= left_ts`` for the same ``on`` key; unmatched left rows
+    keep nulls in the right columns.
+
+    Spark has no ASOF JOIN, and the naive spelling (equi-join on key plus
+    a range predicate, then row_number) materializes the full
+    left×right-per-key cross-product before pruning — quadratic on hot
+    keys, dead at scale. This is the single-pass union-scan form instead:
+    tag each side, union, and run ``last(payload, ignorenulls)`` over a
+    key-partitioned window ordered by (time, side). Right rows sort
+    before left rows at equal timestamps, so the ``<=`` bound holds.
+    Cost: one hash exchange of each side on the key + one linear sorted
+    scan per key — the same shape streaming engines use for temporal
+    joins, and it survives 100 TB because no per-key cross-product ever
+    exists.
+
+    Ties between right rows at the same (key, timestamp) resolve to the
+    struct-greatest payload — callers get determinism by listing a unique
+    column in ``right_cols``.
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    payload = F.struct(*[F.col(c) for c in right_cols])
+    payload_t = right.select(payload.alias("__p")).schema["__p"].dataType
+    left_row = F.struct(*[F.col(c) for c in left.columns])
+    left_row_t = left.select(left_row.alias("__l")).schema["__l"].dataType
+
+    tagged_left = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        left_row.alias("__l"),
+        F.lit(None).cast(payload_t).alias("__p"),
+    )
+    tagged_right = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(left_row_t).alias("__l"),
+        payload.alias("__p"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side", "__p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        tagged_left.unionByName(tagged_right)
+        .withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    return matched.select(
+        "__l.*", *[F.col(f"__m.{c}").alias(c) for c in right_cols]
+    )

@@ -21,6 +21,9 @@ from .queries import (
     GUARD_FLAGS,
     GUARD_SHIP_DATE,
     PRICING_CUTOFF,
+    Q4_HI,
+    Q4_LO,
+    Q17_BRAND,
     SESSION_GAP_US,
     STAR_HI,
     STAR_LO,
@@ -309,5 +312,99 @@ ORACLES: dict[str, str] = {
         FROM s
         GROUP BY user_id, session_id
         ORDER BY user_id, session_id
+    """,
+    "asof_attribution": """
+        SELECT p.event_id, p.user_id, v.view_id,
+               epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT event_id AS view_id, user_id, ts FROM events
+                        WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+        ORDER BY p.event_id
+    """,
+    "views_before_purchase": """
+        SELECT p.event_id, p.user_id, count(v.ts) AS n_views
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT user_id, ts FROM events
+                   WHERE event_type = 'view') v
+          ON p.user_id = v.user_id
+         AND v.ts < p.ts
+         AND v.ts >= p.ts - INTERVAL 1 HOUR
+        GROUP BY p.event_id, p.user_id
+        ORDER BY p.event_id
+    """,
+    "reorder_gap_by_segment": f"""
+        WITH g AS (
+            SELECT o_custkey,
+                   date_diff('day',
+                       CAST(lag(o_orderdate) OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) AS DATE),
+                       CAST(o_orderdate AS DATE)) AS gap_days
+            FROM orders
+        )
+        SELECT c_mktsegment,
+               {_round('CAST(sum(gap_days) AS DOUBLE) / count(gap_days)', 4)}
+                   AS avg_gap_days,
+               count(gap_days) AS n_gaps
+        FROM g JOIN customer ON g.o_custkey = customer.c_custkey
+        WHERE gap_days IS NOT NULL
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    "cumulative_monthly_revenue": """
+        WITH m AS (
+            SELECT o_orderstatus,
+                   CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders
+            GROUP BY 1, 2
+        )
+        SELECT o_orderstatus, month,
+               CAST(cents AS DOUBLE) / 100.0 AS revenue,
+               CAST(CAST(sum(cents) OVER (
+                   PARTITION BY o_orderstatus ORDER BY month
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE) / 100.0
+                   AS cum_revenue
+        FROM m
+        ORDER BY o_orderstatus, month
+    """,
+    "order_priority_exists": f"""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '{Q4_LO} 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '{Q4_HI} 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "small_qty_revenue": f"""
+        WITH lb AS (
+            SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand = '{Q17_BRAND}'
+        ), t AS (
+            SELECT l_partkey,
+                   ({_davg('l_quantity')}) * 0.2 AS qty_thresh
+            FROM lb
+            GROUP BY l_partkey
+        )
+        SELECT {_round(_dsum('lb.l_extendedprice') + ' / 7.0', 2)} AS avg_yearly
+        FROM lb JOIN t USING (l_partkey)
+        WHERE lb.l_quantity < t.qty_thresh
+    """,
+    "skew_safe_event_counts": f"""
+        SELECT event_type,
+               count(*) AS n_events,
+               {_dsum('value')} AS sum_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
     """,
 }

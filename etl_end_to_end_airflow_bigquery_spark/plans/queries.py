@@ -31,6 +31,8 @@ from ..operators.relational import (
     latest_per_key,
     round_half_up,
 )
+from ..operators.skew import salted_count_sum
+from ..operators.temporal import asof_join
 from ..operators.writers import idempotent_append_df, merge_upsert_df
 from ..sources.events import load_events
 
@@ -45,6 +47,9 @@ GUARD_EVENT_TYPE = "purchase"
 STAR_LO = "1996-01-01"
 STAR_HI = "1997-12-31"
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min session gap, microseconds
+Q4_LO = "1996-07-01"
+Q4_HI = "1996-10-01"
+Q17_BRAND = "Brand#13"
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -504,6 +509,218 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- temporal joins: as-of + interval (beyond-reference operators) -------
+
+
+def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution via as-of join: each purchase picks up the user's most
+    recent at-or-before view. Read-side dual of the reference's
+    latest-wins MERGE (``dags/fx_pipeline_with_merge.py:173-189``) — "the
+    prevailing observation at time t".
+
+    Scale: ``temporal.asof_join`` is the union-scan form — one exchange
+    per side on user_id, one linear window pass, no per-key
+    cross-product (the naive range-join spelling is quadratic on hot
+    users).
+    """
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    joined = asof_join(
+        purchases, views, on="user_id", right_cols=["view_ts", "view_id"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "view_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("view_ts").cast("timestamp"))
+        ).alias("lag_us"),
+    ).orderBy("event_id")
+
+
+def views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: views in the hour strictly before each
+    purchase, per user. The equality on user_id keeps this a hash join
+    with a range residual — never a nested-loop cross-product — so the
+    cost at 100 TB is the user_id shuffle, same as any equi-join.
+    """
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    cond = (
+        (purchases.user_id == views.v_user)
+        & (views.v_ts < purchases.ts)
+        & (views.v_ts >= purchases.ts - F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        purchases.join(views, cond, "left")
+        .groupBy("event_id", "user_id")
+        .agg(F.count("v_ts").alias("n_views"))
+        .orderBy("event_id")
+    )
+
+
+# --- window analytics: lag deltas + running totals (§2.5 extension) ------
+
+
+def reorder_gap_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average days between consecutive orders per market segment:
+    lag() per customer, then a broadcast dim join and grouped average.
+    One shuffle on o_custkey for the window; customer broadcasts.
+    Gap-days sum as BIGINT (exact), so the average is bit-stable.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .withColumn(
+            "gap_days",
+            F.datediff(F.col("o_orderdate"), F.col("prev_date")).cast("bigint"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    return (
+        gaps.join(F.broadcast(cust), gaps.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            round_half_up(
+                F.sum("gap_days").cast("double") / F.count("gap_days"), 4
+            ).alias("avg_gap_days"),
+            F.count("gap_days").alias("n_gaps"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def cumulative_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue total per order status by month. Monthly sums
+    accumulate as exact integer cents; the window running sum then adds
+    BIGINTs — associative, so partitioning can't perturb a bit. The
+    window input is the *aggregated* frame (≤ statuses × months rows),
+    so the running-sum stage is trivially small at any raw-data scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.col("o_orderstatus"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+        ).alias("__cents")
+    )
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        "o_orderstatus",
+        "month",
+        (F.col("__cents").cast("double") / 100.0).alias("revenue"),
+        (F.sum("__cents").over(w).cast("double") / 100.0).alias("cum_revenue"),
+    ).orderBy("o_orderstatus", "month")
+
+
+# --- TPC-H-shaped subquery joins (Q4 / Q17 analogs) ----------------------
+
+
+def order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shaped EXISTS: count 1996-Q3 orders per priority having at least
+    one line item shipped after the order date. Planned as a left-semi
+    join (existence short-circuits; no duplication), with the quarter
+    filter pushed to the orders scan so lineitem only meets the
+    surviving keys.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q4_LO))
+        & (F.col("o_orderdate") < F.lit(Q4_HI))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    joined = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-shaped correlated-average subquery: revenue from line items of
+    one brand whose quantity is below 20% of that part's average.
+
+    Plan: broadcast-semi the brand's part keys into the lineitem scan
+    first (so the per-part average aggregates only the brand's slice,
+    not all of lineitem), then broadcast the tiny per-part threshold
+    frame back. Two broadcasts, one small shuffle — Q17 without ever
+    re-scanning or re-shuffling the fact table.
+    """
+    part_keys = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == Q17_BRAND)
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    li_b = li.join(
+        F.broadcast(part_keys), li.l_partkey == part_keys.p_partkey
+    ).drop("p_partkey")
+    thresh = li_b.groupBy("l_partkey").agg(
+        (decimal_avg(F.col("l_quantity")) * F.lit(0.2)).alias("qty_thresh")
+    )
+    small = li_b.join(F.broadcast(thresh), "l_partkey").filter(
+        F.col("l_quantity") < F.col("qty_thresh")
+    )
+    return small.agg(
+        round_half_up(
+            decimal_sum(F.col("l_extendedprice")) / F.lit(7.0), 2
+        ).alias("avg_yearly")
+    )
+
+
+# --- skew-safe aggregation (two-phase salted; SURVEY.md §4 item 3) -------
+
+
+def skew_safe_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count + exact sum per event type via two-phase salted aggregation
+    (``skew.salted_count_sum``): 5 hot keys spread over 16 salted
+    reducers, then 16 tiny partials combine per key. Bit-identical to
+    the one-phase aggregate because both phases add integers.
+    """
+    ev = load_events(spark, sf_dir)
+    agg = salted_count_sum(
+        ev, keys=["event_type"], value_col="value", salt_src="event_id"
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_rows").alias("n_events"),
+        "sum_value",
+    ).orderBy("event_type")
+
+
 QUERIES: dict[str, QueryFn] = {
     "daily_avg_report": daily_avg_report,
     "topk_recent_events": topk_recent_events,
@@ -530,4 +747,11 @@ QUERIES: dict[str, QueryFn] = {
     "merge_upsert_orders": merge_upsert_orders,
     "idempotent_append_orders": idempotent_append_orders,
     "sessionize_events": sessionize_events,
+    "asof_attribution": asof_attribution,
+    "views_before_purchase": views_before_purchase,
+    "reorder_gap_by_segment": reorder_gap_by_segment,
+    "cumulative_monthly_revenue": cumulative_monthly_revenue,
+    "order_priority_exists": order_priority_exists,
+    "small_qty_revenue": small_qty_revenue,
+    "skew_safe_event_counts": skew_safe_event_counts,
 }

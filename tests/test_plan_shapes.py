@@ -59,3 +59,25 @@ def test_window_queries_single_exchange(spark, name):
     plan = _formatted(spark, name)
     # one hash exchange for the window partition key; no extra shuffles
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_asof_is_union_scan_not_range_join(spark):
+    plan = _formatted(spark, "asof_attribution")
+    # union-scan form: window over one key exchange, never a join operator
+    assert "Join" not in plan
+    assert "Union" in plan and "Window" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_interval_join_is_hash_not_nested_loop(spark):
+    plan = _formatted(spark, "views_before_purchase")
+    # equi-key on user_id must anchor the join; range residual rides along
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_small_qty_revenue_broadcasts_both_small_sides(spark):
+    plan = _formatted(spark, "small_qty_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2  # part keys + thresholds
+    # lineitem scanned, filtered by broadcast — never shuffled whole
+    assert "SortMergeJoin" not in plan

@@ -1,0 +1,114 @@
+"""Unit + property tests for temporal.asof_join and skew.salted_count_sum.
+
+The asof operator is validated two ways: hand-built tiny frames with
+known answers (boundary semantics: <=, ties, unmatched rows), and a
+property check against the naive quadratic spelling on a slice of real
+events — the union-scan plan must return exactly what the obvious
+range-join + row_number would.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_end_to_end_airflow_bigquery_spark.operators.skew import salted_count_sum
+from etl_end_to_end_airflow_bigquery_spark.operators.temporal import asof_join
+from etl_end_to_end_airflow_bigquery_spark.sources.events import load_events
+
+SF = "/root/testdata/sf0.001"
+
+
+def _t(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, _t("2024-01-01 10:00:00"), "a"),
+         (1, _t("2024-01-01 12:00:00"), "b"),
+         (2, _t("2024-01-01 09:00:00"), "c")],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _t("2024-01-01 09:30:00"), 100),
+         (1, _t("2024-01-01 11:00:00"), 200),
+         (2, _t("2024-01-01 09:00:00"), 300),   # equal ts: <= must match
+         (3, _t("2024-01-01 00:00:00"), 400)],
+        "k long, ts timestamp, v int",
+    )
+    out = {
+        (r.k, r.tag): r.v
+        for r in asof_join(left, right, on="k", right_cols=["v"]).collect()
+    }
+    assert out == {(1, "a"): 100, (1, "b"): 200, (2, "c"): 300}
+
+
+def test_asof_unmatched_left_rows_keep_nulls(spark):
+    left = spark.createDataFrame(
+        [(1, _t("2024-01-01 08:00:00"), "early")],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _t("2024-01-01 09:00:00"), 1)], "k long, ts timestamp, v int"
+    )
+    rows = asof_join(left, right, on="k", right_cols=["v"]).collect()
+    assert len(rows) == 1 and rows[0].v is None and rows[0].tag == "early"
+
+
+def test_asof_matches_naive_range_join_on_real_events(spark):
+    ev = load_events(spark, SF)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    fast = asof_join(
+        purchases,
+        views.select("user_id", "ts", F.col("ts").alias("view_ts"), "view_id"),
+        on="user_id",
+        right_cols=["view_ts", "view_id"],
+    ).select("event_id", "view_id")
+
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        "view_id",
+    )
+    naive = (
+        purchases.join(
+            v, (purchases.user_id == v.v_user) & (v.v_ts <= purchases.ts), "left"
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("event_id").orderBy(
+                    F.desc_nulls_last("v_ts"), F.desc_nulls_last("view_id")
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("event_id", "view_id")
+    )
+    assert fast.exceptAll(naive).isEmpty() and naive.exceptAll(fast).isEmpty()
+
+
+def test_salted_count_sum_equals_plain_aggregate(spark):
+    ev = load_events(spark, SF)
+    salted = salted_count_sum(
+        ev, keys=["event_type"], value_col="value", salt_src="event_id"
+    )
+    p = 1_000_000.0
+    plain = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.sum(F.floor(F.col("value") * F.lit(p) + F.lit(0.5))).cast("double")
+            / F.lit(p)
+        ).alias("sum_value"),
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
