@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "daily_avg_report",
     "latest_event_per_key",
     "sessionize_events",
+    "asof_attribution",
     "merge_upsert_orders",
     "dedup_exact_docs",
     "minhash_pairs",
