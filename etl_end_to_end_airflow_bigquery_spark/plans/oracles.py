@@ -399,6 +399,21 @@ ORACLES: dict[str, str] = {
         FROM lb JOIN t USING (l_partkey)
         WHERE lb.l_quantity < t.qty_thresh
     """,
+    "median_price_by_status": """
+        WITH r AS (
+            SELECT o_orderstatus, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderstatus
+                                      ORDER BY o_totalprice, o_orderkey) AS rn,
+                   count(*) OVER (PARTITION BY o_orderstatus) AS n
+            FROM orders
+        )
+        SELECT o_orderstatus,
+               sum(o_totalprice) / count(*) AS median_price
+        FROM r
+        WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
     "skew_safe_event_counts": f"""
         SELECT event_type,
                count(*) AS n_events,

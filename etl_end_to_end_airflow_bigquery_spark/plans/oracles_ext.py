@@ -23,8 +23,12 @@ from .queries_ext import (
     ANN_K,
     ANN_QUERY_PRED,
     AVG_TOK_SQL,
+    CORPUS_LANG,
+    CORPUS_MIN_QUALITY,
+    CORPUS_MIN_TOKENS,
     COSINE_K,
     EMB_SIM_THRESHOLD,
+    LANG_CASE_SQL,
     QUALITY_SQL,
     STOP_RATIO_SQL,
 )
@@ -223,13 +227,7 @@ EXT_ORACLES: dict[str, str] = {
             FROM documents
         ), p AS (
             SELECT doc_id, lang,
-                   CASE
-                     WHEN c_en = 0 AND c_de = 0 AND c_es = 0 AND c_fr = 0 THEN 'und'
-                     WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
-                     WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
-                     WHEN c_es >= c_fr THEN 'es'
-                     ELSE 'fr'
-                   END AS pred_lang
+                   {LANG_CASE_SQL} AS pred_lang
             FROM scored
         )
         SELECT doc_id, pred_lang, pred_lang = lang AS is_correct
@@ -390,5 +388,37 @@ EXT_ORACLES: dict[str, str] = {
                md5(text) AS digest
         FROM documents
         ORDER BY asset_id
+    """,
+    "curated_corpus": f"""
+        WITH s AS (
+            SELECT doc_id, text,
+                   CAST(length(text) AS BIGINT) AS n_chars_calc,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(string_split(text, ' '),
+                       t -> list_contains({_dlist(STOPWORDS)}, t))) AS BIGINT)
+                       AS n_stopwords,
+                   {_LANG_COUNTS}
+            FROM documents
+        ), p AS (
+            SELECT *,
+                   {LANG_CASE_SQL} AS pred_lang,
+                   ({QUALITY_SQL}) AS quality
+            FROM s
+        ), kept AS (
+            SELECT * FROM p
+            WHERE pred_lang = '{CORPUS_LANG}'
+              AND quality >= {CORPUS_MIN_QUALITY}
+              AND n_tokens >= {CORPUS_MIN_TOKENS}
+        ), uniq AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY md5(lower(text))
+                                      ORDER BY doc_id) AS rn
+            FROM kept
+        )
+        SELECT doc_id, n_tokens,
+               {_round('quality', 4)} AS quality_score
+        FROM uniq
+        WHERE rn = 1
+        ORDER BY doc_id
     """,
 }

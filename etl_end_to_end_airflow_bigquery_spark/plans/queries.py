@@ -721,6 +721,37 @@ def skew_safe_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def median_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median per group, spelled as rank arithmetic instead of an
+    engine quantile function — implementations disagree on interpolation,
+    but "the middle row(s) by a total order" is bit-portable: odd n takes
+    rank (n+1)/2, even n averages ranks n/2 and n/2+1 (one commutative
+    IEEE add + an exact halving). One shuffle on the group key.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    wo = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wp = Window.partitionBy("o_orderstatus")
+    ranked = orders.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.expr("(n + 1) div 2"))
+        | (F.col("rn") == F.expr("n div 2 + 1"))
+    )
+    return (
+        mid.groupBy("o_orderstatus")
+        .agg(
+            (F.sum("o_totalprice") / F.count(F.lit(1))).alias("median_price")
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "daily_avg_report": daily_avg_report,
     "topk_recent_events": topk_recent_events,
@@ -754,4 +785,5 @@ QUERIES: dict[str, QueryFn] = {
     "order_priority_exists": order_priority_exists,
     "small_qty_revenue": small_qty_revenue,
     "skew_safe_event_counts": skew_safe_event_counts,
+    "median_price_by_status": median_price_by_status,
 }

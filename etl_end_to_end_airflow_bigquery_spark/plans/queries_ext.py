@@ -9,7 +9,7 @@ formula strings for scoring heuristics, portable floor-based rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -32,6 +32,20 @@ QUALITY_SQL = (
     f"0.4 * least(n_tokens / 100.0, 1.0) + 0.4 * (1.0 - ({STOP_RATIO_SQL})) "
     f"+ 0.2 * least(({AVG_TOK_SQL}) / 8.0, 1.0)"
 )
+# Marker-vote language classifier — shared verbatim with the oracle.
+LANG_CASE_SQL = """
+        CASE
+          WHEN c_en = 0 AND c_de = 0 AND c_es = 0 AND c_fr = 0 THEN 'und'
+          WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+          WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+          WHEN c_es >= c_fr THEN 'es'
+          ELSE 'fr'
+        END
+"""
+# Curation cuts for the composite corpus pipeline.
+CORPUS_LANG = "en"
+CORPUS_MIN_QUALITY = 0.5
+CORPUS_MIN_TOKENS = 30
 ANN_QUERY_PRED = "vec_id < 5"
 COSINE_K = 5
 ANN_K = 3
@@ -138,17 +152,7 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         *[marker_count(lg).alias(f"c_{lg}") for lg in LANG_MARKERS],
     )
-    pred = F.expr(
-        """
-        CASE
-          WHEN c_en = 0 AND c_de = 0 AND c_es = 0 AND c_fr = 0 THEN 'und'
-          WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
-          WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
-          WHEN c_es >= c_fr THEN 'es'
-          ELSE 'fr'
-        END
-        """
-    )
+    pred = F.expr(LANG_CASE_SQL)
     return scored.select(
         "doc_id",
         pred.alias("pred_lang"),
@@ -248,6 +252,45 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("asset_id")
 
 
+# --- composite curation pipeline -----------------------------------------
+
+
+def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation pass, composed from the
+    individual operators: quality scoring + language ID + length cut +
+    exact dedup, in one lazy plan.
+
+    Shape at scale: scoring/lang-ID are pure projections (whole-stage
+    codegen, no shuffle); the filters cut the corpus *before* the only
+    shuffle (dedup's hash partition on the content fingerprint) — the
+    expensive stage sees curated rows only. This is the operator order a
+    100 TB pipeline wants: cheap row-local cuts first, shuffling last.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (
+        text_stats(docs)
+        .withColumns({f"c_{lg}": marker_count(lg) for lg in LANG_MARKERS})
+        .withColumn("pred_lang", F.expr(LANG_CASE_SQL))
+        .withColumn("quality", F.expr(QUALITY_SQL))
+    )
+    kept = scored.filter(
+        (F.col("pred_lang") == CORPUS_LANG)
+        & (F.col("quality") >= CORPUS_MIN_QUALITY)
+        & (F.col("n_tokens") >= CORPUS_MIN_TOKENS)
+    )
+    w = Window.partitionBy(fingerprint()).orderBy("doc_id")
+    return (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "doc_id",
+            "n_tokens",
+            round_half_up(F.col("quality"), 4).alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "dedup_exact_docs": dedup_exact_docs,
     "minhash_pairs": minhash_pairs,
@@ -263,4 +306,5 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "embedding_near_dups": embedding_near_dups,
     "label_centroids": label_centroids,
     "multimodal_meta": multimodal_meta,
+    "curated_corpus": curated_corpus,
 }

@@ -58,7 +58,7 @@ def test_merge_upsert_no_cartesian(spark):
 def test_window_queries_single_exchange(spark, name):
     plan = _formatted(spark, name)
     # one hash exchange for the window partition key; no extra shuffles
-    assert plan.count("Exchange hashpartitioning") <= 1
+    assert plan.count("hashpartitioning(") <= 1
 
 
 def test_asof_is_union_scan_not_range_join(spark):
@@ -66,7 +66,7 @@ def test_asof_is_union_scan_not_range_join(spark):
     # union-scan form: window over one key exchange, never a join operator
     assert "Join" not in plan
     assert "Union" in plan and "Window" in plan
-    assert plan.count("Exchange hashpartitioning") <= 1
+    assert plan.count("hashpartitioning(") <= 1
 
 
 def test_interval_join_is_hash_not_nested_loop(spark):
@@ -74,6 +74,16 @@ def test_interval_join_is_hash_not_nested_loop(spark):
     # equi-key on user_id must anchor the join; range residual rides along
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_curated_corpus_filters_before_the_dedup_shuffle(spark):
+    plan = _formatted(spark, "curated_corpus")
+    # quality/lang/length cuts are row-local projections + one Filter
+    # feeding the single hash exchange (dedup on the content fingerprint)
+    assert plan.count("hashpartitioning(") == 1
+    # rank()==1 pushes down as WindowGroupLimit (per-partition top-1 before
+    # the full window sort touches every row)
+    assert "WindowGroupLimit" in plan
 
 
 def test_small_qty_revenue_broadcasts_both_small_sides(spark):
