@@ -389,6 +389,19 @@ EXT_ORACLES: dict[str, str] = {
         FROM documents
         ORDER BY asset_id
     """,
+    "multimodal_decode": """
+        SELECT doc_id AS asset_id,
+               'text' AS modality,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               sha256(text) AS sha256,
+               CAST(CAST(concat('0x', substr(sha256(text), 1, 4)) AS BIGINT)
+                    % 1920 AS INTEGER) AS width,
+               CAST(CAST(concat('0x', substr(sha256(text), 5, 4)) AS BIGINT)
+                    % 1080 AS INTEGER) AS height,
+               CAST(1 AS INTEGER) AS n_frames
+        FROM documents
+        ORDER BY asset_id
+    """,
     "curated_corpus": f"""
         WITH s AS (
             SELECT doc_id, text,

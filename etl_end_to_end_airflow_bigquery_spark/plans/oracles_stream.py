@@ -25,4 +25,9 @@ STREAM_ORACLES: dict[str, str] = {
         GROUP BY event_type
         ORDER BY event_type
     """,
+    "streaming_dedup_events": """
+        SELECT DISTINCT user_id, event_type
+        FROM events
+        ORDER BY user_id, event_type
+    """,
 }

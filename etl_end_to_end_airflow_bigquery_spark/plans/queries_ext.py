@@ -291,6 +291,19 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal decode path through the gate: binary payloads →
+    Arrow-batched ``mapInPandas`` (operators.multimodal.decode_assets,
+    stub codec) → typed metadata. Verifies the *Python* batch path
+    bit-for-bit: the stub's content-derived dimensions are re-derived in
+    SQL by the oracle. Pure map stage — no shuffle; batch-at-a-time
+    memory regardless of corpus size."""
+    from ..operators.multimodal import decode_assets, text_as_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_assets(text_as_assets(docs)).orderBy("asset_id")
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "dedup_exact_docs": dedup_exact_docs,
     "minhash_pairs": minhash_pairs,
@@ -307,4 +320,5 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "label_centroids": label_centroids,
     "multimodal_meta": multimodal_meta,
     "curated_corpus": curated_corpus,
+    "multimodal_decode": multimodal_decode,
 }

@@ -124,7 +124,50 @@ def grouped_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 (late/duplicate handling) through the gate:
+    ``dropDuplicatesWithinWatermark`` over the tick stream, emitting each
+    (user_id, event_type) key once. The watermark horizon covers the
+    bounded replay, so state is exact here; at production scale the
+    horizon bounds state size and duplicates arriving later than the
+    delay re-emit — the documented trade. Output is the distinct key
+    set (deterministic regardless of which physical row survived), so
+    the oracle is a plain SELECT DISTINCT.
+    """
+    global _SINK_SEQ
+    _SINK_SEQ += 1
+    sink = f"stream_dedup_{_SINK_SEQ}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ticks = raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
+    )
+    deduped = (
+        ticks.withWatermark("ts", "31 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).orderBy("user_id", "event_type")
+
+
 STREAM_QUERIES: dict[str, QueryFn] = {
     "streaming_daily_avg": streaming_daily_avg,
     "grouped_stats_pandas": grouped_stats_pandas,
+    "streaming_dedup_events": streaming_dedup_events,
 }
