@@ -182,24 +182,31 @@ def simhash(docs: DataFrame) -> DataFrame:
     """32-bit SimHash per doc over distinct whitespace tokens.
 
     Token hash = first 8 hex chars of md5 as uint32; each bit votes
-    +1/−1; the sign of each bit-sum sets the output bit. Implemented as
-    explode(tokens) × explode(bits) → two grouped aggregations — pure
-    codegen, no UDF, linear in tokens·32.
+    +1/−1; the sign of each bit-sum sets the output bit.
+
+    Shape: a single in-row fold, like ``minhash_signatures`` — tokens →
+    uint32 hashes (md5 bound once per token via the outer transform, so
+    the bit lambda never re-evaluates it) → running 32-wide bit-sum via
+    aggregate/zip_with → sign fold to one bigint. Zero explode and zero
+    shuffle: each doc's fingerprint materializes in the scan stage, so
+    the operator stays a pure map at any corpus size (the previous
+    explode(tokens)×explode(bits) shape shuffled tokens·32 rows per doc
+    through two hash aggregations).
     """
-    toks = docs.select(
-        "doc_id", F.explode(F.expr("array_distinct(split(text, ' '))")).alias("tok")
-    ).withColumn("h", F.expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)"))
-    bits = toks.select(
-        "doc_id",
-        "h",
-        F.explode(F.expr(f"sequence(0, {SIMHASH_BITS - 1})")).alias("b"),
-    ).withColumn(
-        "contrib",
-        F.expr("CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END"),
-    )
-    bit_sums = bits.groupBy("doc_id", "b").agg(F.sum("contrib").alias("s"))
-    return bit_sums.groupBy("doc_id").agg(
-        F.sum(
-            F.expr("CASE WHEN s > 0 THEN shiftleft(cast(1 as bigint), b) ELSE 0 END")
-        ).alias("simhash")
-    )
+    fold = f"""
+        aggregate(
+          transform(array_distinct(split(text, ' ')),
+                    t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)),
+          array_repeat(0, {SIMHASH_BITS}),
+          (acc, h) -> zip_with(acc,
+                               transform(sequence(0, {SIMHASH_BITS - 1}),
+                                         b -> CASE WHEN (shiftright(h, b) & 1) = 1
+                                              THEN 1 ELSE -1 END),
+                               (a, v) -> a + v),
+          acc -> aggregate(sequence(0, {SIMHASH_BITS - 1}),
+                           cast(0 as bigint),
+                           (s, b) -> s + CASE WHEN element_at(acc, b + 1) > 0
+                                    THEN shiftleft(cast(1 as bigint), b)
+                                    ELSE cast(0 as bigint) END))
+    """
+    return docs.select("doc_id", F.expr(fold).alias("simhash"))
