@@ -81,6 +81,93 @@ def frame_sample(assets: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+def resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resampler: truncate/keep the payload to the
+    target byte budget (``width*height``). A real implementation is
+    PIL ``Image.resize`` / ffmpeg scale; the binary-in→binary-out
+    contract is what the pipeline depends on."""
+    return payload[: width * height]
+
+
+def resize_assets(assets: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Resize plumbing: binary→binary transform over Arrow batches.
+
+    Keeps the MULTIMODAL shape (asset_id, modality, payload, meta) with
+    the meta width/height rewritten to the target, so resize composes
+    with ``decode_assets``/``extract_features`` downstream. Pure map
+    stage — no shuffle; batch-at-a-time memory. Output schema matches
+    the input contract so resized corpora round-trip through the same
+    writers.
+    """
+    out_schema = (
+        "asset_id long, modality string, payload binary, "
+        "meta struct<mime: string, width: int, height: int, "
+        "duration_ms: bigint, sha256: string>"
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                resize_stub(p if p is not None else b"", width, height)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].values,
+                    "modality": pdf["modality"].values,
+                    "payload": payloads,
+                    "meta": [
+                        {
+                            "mime": m["mime"] if m is not None else None,
+                            "width": width,
+                            "height": height,
+                            "duration_ms": m["duration_ms"] if m is not None else None,
+                            "sha256": hashlib.sha256(p).hexdigest(),
+                        }
+                        for m, p in zip(pdf["meta"], payloads)
+                    ],
+                }
+            )
+
+    return assets.mapInPandas(_resize, schema=out_schema)
+
+
+FEATURE_DIM = 16
+
+
+def extract_features(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature-extraction plumbing: payload → dense ``array<float>``.
+
+    The stub embedding is content-derived (consecutive sha256 digest
+    byte pairs scaled by /256 — exact in binary floating point, so the
+    DuckDB oracle reproduces it bit-for-bit); a real extractor is a
+    CLIP/wav2vec forward pass over the same Arrow batches. Output
+    (asset_id, features) plugs straight into the similarity operators
+    (cosine_topk / ivf_topk) — this is the multimodal→embedding bridge.
+    ``dim`` ≤ 32 (sha256 yields 32 bytes).
+    """
+    if not 0 < dim <= 32:
+        raise ValueError("dim must be in 1..32")
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                digest = hashlib.sha256(p if p is not None else b"").digest()
+                feats.append([digest[i] / 256.0 for i in range(dim)])
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].values,
+                    "modality": pdf["modality"].values,
+                    "features": feats,
+                }
+            )
+
+    return assets.mapInPandas(
+        _extract, schema="asset_id long, modality string, features array<float>"
+    )
+
+
 def text_as_assets(docs: DataFrame) -> DataFrame:
     """Adapter: documents → multimodal frame (text bytes as the payload).
 

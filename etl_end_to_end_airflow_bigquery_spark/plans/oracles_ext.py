@@ -402,6 +402,30 @@ EXT_ORACLES: dict[str, str] = {
         FROM documents
         ORDER BY asset_id
     """,
+    "multimodal_features": """
+        WITH f AS (
+            SELECT doc_id AS asset_id,
+                   unnest(list_transform(range(0, 16),
+                       i -> {'feat_idx': i,
+                             'feat': CAST(CAST(concat('0x',
+                                 substr(sha256(text), i * 2 + 1, 2)) AS INT)
+                                 AS DOUBLE) / 256.0})) AS s
+            FROM documents
+        )
+        SELECT asset_id,
+               CAST(s.feat_idx AS INT) AS feat_idx,
+               s.feat AS feat
+        FROM f
+        ORDER BY asset_id, feat_idx
+    """,
+    "multimodal_resize": """
+        SELECT doc_id AS asset_id,
+               CAST(32 AS INTEGER) AS out_width,
+               CAST(32 AS INTEGER) AS out_height,
+               CAST(least(strlen(text), 32 * 32) AS BIGINT) AS n_bytes
+        FROM documents
+        ORDER BY asset_id
+    """,
     "curated_corpus": f"""
         WITH s AS (
             SELECT doc_id, text,

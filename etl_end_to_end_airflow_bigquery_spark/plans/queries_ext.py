@@ -304,6 +304,42 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_assets(text_as_assets(docs)).orderBy("asset_id")
 
 
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction (payload → dense embedding) through the gate:
+    ``extract_features``'s stub is content-derived (sha256 digest bytes
+    /256 — exact in binary floating point), so the oracle re-derives
+    every vector component in SQL. Exploded to (asset_id, feat_idx,
+    feat) rows for comparison; the operator itself returns
+    ``array<float>`` ready for cosine_topk/ivf_topk."""
+    from ..operators.multimodal import extract_features, text_as_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(text_as_assets(docs))
+    return feats.select(
+        "asset_id", F.posexplode("features").alias("feat_idx", "feat")
+    ).select(
+        "asset_id", "feat_idx", F.col("feat").cast("double").alias("feat")
+    ).orderBy("asset_id", "feat_idx")
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (binary→binary Pandas-UDF transform) through the
+    gate: the stub resamples each payload to a ``width*height`` byte
+    budget, so the oracle checks the per-row byte arithmetic and target
+    dims (the truncated-payload sha is covered by a unit test — this
+    DuckDB build cannot slice blobs)."""
+    from ..operators.multimodal import resize_assets, text_as_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_assets(text_as_assets(docs), width=32, height=32)
+    return resized.select(
+        "asset_id",
+        F.col("meta.width").alias("out_width"),
+        F.col("meta.height").alias("out_height"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    ).orderBy("asset_id")
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "dedup_exact_docs": dedup_exact_docs,
     "minhash_pairs": minhash_pairs,
@@ -321,4 +357,6 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "multimodal_meta": multimodal_meta,
     "curated_corpus": curated_corpus,
     "multimodal_decode": multimodal_decode,
+    "multimodal_features": multimodal_features,
+    "multimodal_resize": multimodal_resize,
 }
