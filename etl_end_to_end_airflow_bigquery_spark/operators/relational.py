@@ -50,7 +50,7 @@ def exists_guard(df: DataFrame, predicate: Column) -> DataFrame:
     return df.filter(predicate).agg(F.count(F.lit(1)).alias("n_existing"))
 
 
-def decimal_sum(col: Column, digits: int = 6) -> Column:
+def decimal_sum(col: Column, digits: int = 6, wide: bool = False) -> Column:
     """Order-insensitive double summation via exact fixed-point integers.
 
     Double addition is not associative, so a parallel sum's low bits vary
@@ -59,16 +59,27 @@ def decimal_sum(col: Column, digits: int = 6) -> Column:
     makes the sum exact integer arithmetic (order-independent); both
     engines then convert the identical integer to the identical nearest
     double. ~4× faster than a DECIMAL accumulator and bit-stable at any
-    partitioning. Keep |sum|·10^digits within int64; the double
-    conversion is nearest-even either way, identically in both engines.
+    partitioning.
+
+    Overflow is never silent: ``session.get_spark`` pins
+    ``spark.sql.ansi.enabled=true``, so an int64 accumulator overflow
+    raises ARITHMETIC_OVERFLOW instead of wrapping (the DuckDB oracle
+    promotes to HUGEINT and stays exact — a wrap here would diverge
+    silently). For sums where |sum|·10^digits can exceed int64 (wide
+    fact-table totals at high SF: ~6e8 rows · 4e4 · 1e6 > 2^63) pass
+    ``wide=True`` to accumulate in DECIMAL(38,0) — still exact and
+    associative, headroom to 10^38.
     """
     p = float(10**digits)
-    return F.sum(F.floor(col * F.lit(p) + F.lit(0.5))).cast("double") / F.lit(p)
+    scaled = F.floor(col * F.lit(p) + F.lit(0.5))
+    if wide:
+        scaled = scaled.cast("decimal(38,0)")
+    return F.sum(scaled).cast("double") / F.lit(p)
 
 
-def decimal_avg(col: Column, digits: int = 6) -> Column:
+def decimal_avg(col: Column, digits: int = 6, wide: bool = False) -> Column:
     """Order-insensitive average: exact fixed-point sum / count."""
-    return decimal_sum(col, digits) / F.count(col)
+    return decimal_sum(col, digits, wide=wide) / F.count(col)
 
 
 def round_half_up(col: Column, digits: int) -> Column:

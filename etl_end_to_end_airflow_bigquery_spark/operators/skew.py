@@ -75,7 +75,17 @@ def salted_join(
     e.g. from a pre-pass ``large.groupBy(on).count().filter(...)``),
     only hot rows are salted and the rest join normally — the replicate
     cost then scales with |hot_keys|·buckets, not |small|·buckets.
+
+    Only ``inner`` and ``left`` joins are supported: with right/full
+    outer, each unmatched exploded small-side row would surface once per
+    salt bucket (``buckets``× duplicate null-extended rows), so those
+    modes are rejected rather than silently wrong.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how in ('inner', 'left'); got {how!r} — "
+            "outer modes would emit unmatched small-side rows once per salt bucket"
+        )
     salt = (F.rand(seed=42) * buckets).cast("int")
     if hot_keys is None:
         salted_large = large.withColumn("__salt", salt)
@@ -84,7 +94,16 @@ def salted_join(
         )
         return salted_large.join(exploded_small, [*on, "__salt"], how).drop("__salt")
 
-    marked = large.join(F.broadcast(hot_keys.withColumn("__hot", F.lit(1))), on, "left")
+    # Exchange-reuse barrier (same trick as dedup.py's minhash self-join):
+    # `marked` feeds both the hot and cold branches; without a common
+    # exchange under the two filters, each branch re-scans `large` and
+    # re-runs the broadcast mark join — and the per-row rand() salt would
+    # not even be stable across the two computations. Repartitioning on
+    # the join key makes the subtree below both filters identical, so the
+    # second branch becomes a ReusedExchange of the first.
+    marked = large.join(
+        F.broadcast(hot_keys.withColumn("__hot", F.lit(1))), on, "left"
+    ).repartition(*on)
     hot = marked.filter(F.col("__hot").isNotNull()).drop("__hot")
     cold = marked.filter(F.col("__hot").isNull()).drop("__hot")
     small_hot = small.join(F.broadcast(hot_keys), on, "left_semi")

@@ -39,8 +39,14 @@ def asof_join(
     exists.
 
     Ties between right rows at the same (key, timestamp) resolve to the
-    struct-greatest payload — callers get determinism by listing a unique
-    column in ``right_cols``.
+    struct-greatest payload — exactly equivalent to pre-deduping the
+    right side to one row per (key, ts) keeping ``max(payload)``, but
+    without the extra (key, ts) aggregation exchange. Callers get
+    determinism by listing a unique column in ``right_cols``; an oracle
+    comparing against this operator must pin the same rule (e.g. DuckDB
+    ASOF JOIN picks an *unspecified* row on ties — pre-dedup its right
+    side with ``GROUP BY key, ts`` + ``max``, see
+    ``plans/oracles.py::asof_attribution``).
     """
     right_cols = right_cols or [
         c for c in right.columns if c not in (on, right_ts)

@@ -143,10 +143,14 @@ def merge_upsert(
     merged = merge_upsert_df(scoped_target, source, keys)
     tmp = target_path + f".__tmp__{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
-    for p in parts:
-        leaf = f"{partition_col}={p}"
+    # Swap the leaf dirs Spark actually wrote rather than reconstructing
+    # their names from the collected values — Spark URL-escapes partition
+    # values (':' → '%3A') and renders timestamps with its own formatting,
+    # so a reconstructed name can miss the dir and silently drop the batch.
+    prefix = f"{partition_col}="
+    for leaf in os.listdir(tmp):
         src_dir = os.path.join(tmp, leaf)
-        if not os.path.isdir(src_dir):
+        if not leaf.startswith(prefix) or not os.path.isdir(src_dir):
             continue
         _atomic_swap(src_dir, os.path.join(target_path, leaf))
     shutil.rmtree(tmp, ignore_errors=True)

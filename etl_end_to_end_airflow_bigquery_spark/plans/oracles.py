@@ -314,12 +314,19 @@ ORACLES: dict[str, str] = {
         ORDER BY user_id, session_id
     """,
     "asof_attribution": """
+        -- The right side is pre-deduped to one row per (user_id, ts) with
+        -- an explicit max-by rule: DuckDB's ASOF JOIN picks an unspecified
+        -- row on timestamp ties, while the Spark operator deterministically
+        -- takes the struct-greatest payload (= max view_id at equal ts).
+        -- The GROUP BY pins both engines to the identical row.
         SELECT p.event_id, p.user_id, v.view_id,
                epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
         FROM (SELECT event_id, user_id, ts FROM events
               WHERE event_type = 'purchase') p
-        ASOF LEFT JOIN (SELECT event_id AS view_id, user_id, ts FROM events
-                        WHERE event_type = 'view') v
+        ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS view_id
+                        FROM events
+                        WHERE event_type = 'view'
+                        GROUP BY user_id, ts) v
           ON p.user_id = v.user_id AND p.ts >= v.ts
         ORDER BY p.event_id
     """,

@@ -44,6 +44,9 @@ def get_spark(
         # Read parquet TIMESTAMP (isAdjustedToUTC=false) as NTZ so values
         # match the DuckDB oracle byte-for-byte regardless of host TZ.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        # Pinned (Spark 4 default, but relied upon): int64 accumulator
+        # overflow in decimal_sum must raise, never wrap silently.
+        .config("spark.sql.ansi.enabled", "true")
     )
     if master is None and "SPARK_MASTER" not in os.environ:
         builder = builder.master(f"local[{cpus}]").config(

@@ -68,6 +68,10 @@ def sessionize_stateful(
                 elif t - cur[1] > gap_us:
                     closed.append((cur[0], cur[1], cur[2]))
                     cur = [t, t, 0]
+                # An in-watermark out-of-order event may precede the open
+                # session's start (cross-micro-batch); batch semantics are
+                # min(ts) per session, so lower the start too.
+                cur[0] = min(cur[0], t)
                 cur[1] = max(cur[1], t)
                 cur[2] += 1
             if cur is not None:

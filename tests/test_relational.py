@@ -1,0 +1,45 @@
+"""decimal_sum overflow semantics: exact, and never silently wrong.
+
+The int64 fixed-point accumulator is the fast path; ANSI mode (pinned in
+session.get_spark) must turn an overflow into a loud ARITHMETIC_OVERFLOW
+instead of a silent wrap, and wide=True must keep the sum exact past the
+int64 bound via DECIMAL(38,0) accumulation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_end_to_end_airflow_bigquery_spark.operators.relational import (
+    decimal_sum,
+)
+
+
+def test_ansi_mode_is_pinned(spark):
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+
+
+def test_decimal_sum_overflow_raises_not_wraps(spark):
+    # each scaled element ≈ 9e17·1e6 ≫ int64 on the very first add
+    df = spark.createDataFrame([(9.0e17,), (9.0e17,)], "x double")
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        df.agg(decimal_sum(F.col("x")).alias("s")).collect()
+
+
+def test_decimal_sum_wide_survives_past_int64(spark):
+    # 4 × 4.0e12 scaled by 1e6 → 1.6e19 > 2^63-1 ≈ 9.22e18; the wide
+    # DECIMAL(38,0) accumulator stays exact where int64 would overflow
+    df = spark.createDataFrame([(4.0e12,)] * 4, "x double")
+    (got,) = df.agg(decimal_sum(F.col("x"), wide=True).alias("s")).collect()
+    assert got.s == 1.6e13
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        df.agg(decimal_sum(F.col("x")).alias("s")).collect()
+
+
+def test_decimal_sum_wide_matches_narrow_in_range(spark):
+    vals = [(1.234567,), (-2.5,), (3.000001,), (0.0000004,)]
+    df = spark.createDataFrame(vals, "x double")
+    (narrow,) = df.agg(decimal_sum(F.col("x")).alias("s")).collect()
+    (wide,) = df.agg(decimal_sum(F.col("x"), wide=True).alias("s")).collect()
+    assert narrow.s == wide.s

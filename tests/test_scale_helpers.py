@@ -40,6 +40,33 @@ def test_salted_join_hot_keys_path(spark):
     assert salted == plain
 
 
+def test_salted_join_rejects_outer_modes(spark):
+    import pytest
+
+    large = spark.createDataFrame([("a", 1)], "k string, v int")
+    small = spark.createDataFrame([("a", 1.0)], "k string, w double")
+    for how in ("right", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(large, small, on=["k"], how=how)
+
+
+def test_salted_join_hot_path_scans_large_once(spark):
+    """The hot/cold split must not recompute the marked frame: the cold
+    branch has to be a ReusedExchange of the hot branch's exchange, so
+    the large side is scanned (and the rand salt drawn) exactly once."""
+    large = spark.createDataFrame(
+        [(k, i) for i in range(30) for k in ("hot", f"k{i % 3}")], "k string, v int"
+    )
+    small = spark.createDataFrame(
+        [("hot", 1.0), ("k0", 2.0), ("k1", 3.0)], "k string, w double"
+    )
+    hot = spark.createDataFrame([("hot",)], "k string")
+    df = salted_join(large, small, on=["k"], buckets=4, hot_keys=hot)
+    df.collect()  # AQE finalizes reuse at execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+
+
 def test_fx_rest_datasource_fixture_dir(spark, tmp_path):
     from etl_end_to_end_airflow_bigquery_spark.sources.rest_datasource import (
         FxRestDataSource,

@@ -77,6 +77,28 @@ def test_merge_upsert_partition_scoped(spark, tmp_path, target):
     assert got[(1, "d1")] == 100.0 and got[(3, "d2")] == 3.0 and len(got) == 3
 
 
+def test_merge_upsert_partition_scoped_timestamp_col(spark, tmp_path):
+    """Partition values whose Spark dir rendering differs from str(py value)
+    (timestamps URL-escape ':' as %3A) must still merge — the swap walks
+    the leaf dirs Spark actually wrote, never reconstructed names."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2026, 1, 5, 10, 30), 1.0),
+        (2, dt.datetime(2026, 1, 6, 11, 45), 2.0),
+    ]
+    schema = "k int, ts timestamp_ntz, v double"
+    target = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "ts")
+    merge_upsert(spark, path, target, keys=["k", "ts"], partition_col="ts")
+    batch = spark.createDataFrame(
+        [(1, dt.datetime(2026, 1, 5, 10, 30), 100.0)], schema
+    )
+    merge_upsert(spark, path, batch, keys=["k", "ts"], partition_col="ts")
+    got = {(r.k): r.v for r in spark.read.parquet(path).collect()}
+    assert got[1] == 100.0 and got[2] == 2.0 and len(got) == 2
+
+
 def test_idempotent_append_file_rerun_safe(spark, tmp_path, target):
     path = str(tmp_path / "i")
     idempotent_append(spark, path, target, keys=["k"])
