@@ -30,4 +30,7 @@ STREAM_ORACLES: dict[str, str] = {
         FROM events
         ORDER BY user_id, event_type
     """,
+    # the production update-mode + foreachBatch-merge sink must converge
+    # to the same table as the batch flagship — same oracle again
+    "streaming_report_merge": ORACLES["daily_avg_report"],
 }

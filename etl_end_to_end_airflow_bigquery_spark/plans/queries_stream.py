@@ -87,41 +87,53 @@ def streaming_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def grouped_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type tick statistics via Arrow-batched applyInPandas (§2.10 —
-    the reference's whole-batch Python tasks, done the vectorized way).
+    the reference's whole-batch numpy task,
+    ``dags/ FXRate_Reporting_Pipeline.py:144-152``, done the vectorized
+    and *scale-safe* way).
 
-    The pandas function accumulates in scaled int64 (numpy), so results
-    are exact and the Python path hash-matches SQL engines. One shuffle
-    on the group key; each group is one Arrow batch.
+    Salted two-phase shape (mirrors ``operators.skew.salted_count_sum``):
+    phase 1 groups by (event_type, salt) so each pandas invocation sees
+    only ~1/buckets of a key's rows — a naive ``groupBy(key).
+    applyInPandas`` with 5 distinct keys would materialize an entire
+    key's rows (~20 TB at 100 TB scale) in one executor's pandas frame.
+    Phase 2 combines the per-salt partials JVM-side in exact scaled-int64
+    arithmetic, so re-association is bit-exact and the Python path still
+    hash-matches SQL engines. Overflow of the combine raises under the
+    session's pinned ANSI mode rather than wrapping.
     """
+    from ..operators.relational import round_half_up
     from ..sources.events import load_events
 
-    ev = load_events(spark, sf_dir).select("event_type", "value")
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "value")
+    buckets = 32
 
-    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    def partial_stats(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
         u = np.floor(pdf["value"].to_numpy() * 1e6 + 0.5).astype("int64")
-        n = len(u)
-        total = int(u.sum())
-        mean = float(total) / 1e6 / n
-        mean_r = float(np.floor(abs(mean) * 1e4 + 0.5) / 1e4 * (1 if mean >= 0 else -1))
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],
-                "n_ticks": [n],
-                "sum_value_u": [total],
-                "avg_value": [mean_r],
+                "n": [len(u)],
+                "s": [int(u.sum())],
             }
         )
 
-    return (
-        ev.groupBy("event_type")
-        .applyInPandas(
-            stats,
-            schema="event_type string, n_ticks long, sum_value_u long, avg_value double",
-        )
-        .orderBy("event_type")
+    partials = (
+        ev.withColumn("__salt", F.pmod(F.hash("event_id"), F.lit(buckets)))
+        .groupBy("event_type", "__salt")
+        .applyInPandas(partial_stats, schema="event_type string, n long, s long")
     )
+    combined = partials.groupBy("event_type").agg(
+        F.sum("n").alias("n_ticks"), F.sum("s").alias("sum_value_u")
+    )
+    mean = F.col("sum_value_u").cast("double") / F.lit(1e6) / F.col("n_ticks")
+    return combined.select(
+        "event_type",
+        "n_ticks",
+        "sum_value_u",
+        round_half_up(mean, 4).alias("avg_value"),
+    ).orderBy("event_type")
 
 
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -166,8 +178,79 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).orderBy("user_id", "event_type")
 
 
+def streaming_report_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2+T3's *production* path through the gate: event-time tumbling
+    window, ``outputMode("update")``, and a ``foreachBatch`` MERGE-upsert
+    sink into a parquet report table — the exact shape of
+    ``streaming/report.py`` (reference:
+    ``dags/fx_pipeline_with_merge.py:141-195``, latest analysis wins).
+
+    Unlike ``streaming_daily_avg`` (complete mode + memory sink — the
+    simple bounded-replay demo), this variant never retains the full
+    result in state-output or collects to the driver: update mode emits
+    only changed (day, type) rows per micro-batch and the merge writer
+    upserts them in place, so sink traffic per batch is the *delta*, not
+    the table. The returned frame is read back from the merged parquet —
+    hash-checked against the same DuckDB oracle as the batch flagship.
+    """
+    import tempfile
+
+    from ..operators.relational import decimal_avg, round_half_up
+    from ..operators.writers import merge_upsert
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = tempfile.mkdtemp(prefix="stream_report_merge_")
+    report_path = os.path.join(base, "report")
+    ckpt = os.path.join(base, "ckpt")
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ticks = raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
+    )
+    agg = (
+        # Watermark chosen to admit every tick in the bounded replay —
+        # exactness gate; production trims it to the real lateness bound,
+        # trading state size against late-data refreshes (T4's trade).
+        ticks.withWatermark("ts", "365 days")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            round_half_up(decimal_avg(F.col("value")), 4).alias("avg_rate"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
+    out = agg.select(
+        F.col("w.start").cast("date").alias("report_date"),
+        "event_type",
+        "avg_rate",
+        "n_ticks",
+    )
+
+    def _merge(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        merge_upsert(spark, report_path, batch, keys=["report_date", "event_type"])
+
+    q = (
+        out.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(report_path).orderBy("report_date", "event_type")
+
+
 STREAM_QUERIES: dict[str, QueryFn] = {
     "streaming_daily_avg": streaming_daily_avg,
     "grouped_stats_pandas": grouped_stats_pandas,
     "streaming_dedup_events": streaming_dedup_events,
+    "streaming_report_merge": streaming_report_merge,
 }
