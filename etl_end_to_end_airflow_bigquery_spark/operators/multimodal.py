@@ -42,7 +42,9 @@ def decode_stub(payload: bytes) -> dict:
         "sha256": digest,
         "width": int(digest[:4], 16) % 1920,
         "height": int(digest[4:8], 16) % 1080,
-        "n_frames": 1,
+        # content-derived fake frame count (1..240) so frame sampling has
+        # real variety to explode over; a video decoder reports the truth
+        "n_frames": int(digest[8:12], 16) % 240 + 1,
     }
 
 

@@ -135,14 +135,26 @@ def ann_lsh_topk(
     query_pred: str = "vec_id < 5",
     k: int = 3,
     dim: int = EMB_DIM,
+    n_planes: int = N_PLANES,
+    probe_hamming: int = 0,
 ) -> DataFrame:
-    """ANN via LSH buckets: top-k cosine *within the query's bucket*.
+    """ANN via LSH buckets: top-k cosine *within the query's bucket(s)*.
 
     (q_id, neighbor_id, bucket, cosine, rank). Recall trades against the
     number of planes; candidates shrink ~2^-P per bucket so the pairwise
     stage touches a constant fraction of the corpus. The candidate join
     keys on the bucket — at scale, a partition-pruned scan.
+
+    ``probe_hamming=1`` is the multi-probe recall knob: each query also
+    probes the P buckets at Hamming distance 1 (one sign bit flipped —
+    the buckets a near neighbor most likely fell into when its dot with
+    one hyperplane landed on the other side of zero). Candidate cost
+    grows ×(P+1) buckets ≈ ×(P+1)/2^P of the corpus — still bucket-keyed
+    and partition-pruned; each corpus vector lives in exactly one bucket,
+    so no candidate dedup stage is needed.
     """
+    if probe_hamming not in (0, 1):
+        raise ValueError("probe_hamming must be 0 or 1")
     v = _vectors(embeddings)
     buckets = lsh_buckets(spark, embeddings, dim=dim)
     vb = v.join(buckets, "vec_id").select("vec_id", "e", "norm2", "bucket")
@@ -152,6 +164,14 @@ def ann_lsh_topk(
         F.col("norm2").alias("qn"),
         F.col("bucket"),
     )
+    if probe_hamming == 1:
+        flips = ", ".join(f"bucket ^ {1 << i}" for i in range(n_planes))
+        q = q.select(
+            "q_id",
+            "qe",
+            "qn",
+            F.explode(F.expr(f"array(bucket, {flips})")).alias("bucket"),
+        )
     scored = (
         F.broadcast(q)
         .join(vb, "bucket")
@@ -251,24 +271,65 @@ def ivf_topk(
     query_pred: str = "vec_id < 5",
     k: int = 3,
     n_seeds: int = N_IVF_SEEDS,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF search: top-k cosine within the query's cell
-    (q_id, neighbor_id, cell, cosine, rank).
+    """IVF search: top-k cosine within the query's ``nprobe`` nearest
+    cells (q_id, neighbor_id, cell, cosine, rank).
 
     At scale the cell is the physical partition key of the index table:
-    a query reads one cell's list (1/n_seeds of the corpus on average),
-    never the full corpus. Probing more cells (nprobe>1) is the standard
-    recall knob — a union over the query's top-p cells.
+    a query reads ``nprobe`` cells' lists (nprobe/n_seeds of the corpus
+    on average), never the full corpus. ``nprobe`` is the standard
+    recall/cost knob; ``nprobe=1`` degenerates to the query's own cell.
+    Each corpus vector is assigned to exactly one cell and the probed
+    cells are distinct, so candidates are already unique — the rank
+    window is unchanged.
     """
+    if nprobe < 1 or nprobe > n_seeds:
+        raise ValueError("nprobe must be in 1..n_seeds")
     v = _vectors(embeddings)
     cells = ivf_cells(embeddings, n_seeds)
     vc = v.join(cells, "vec_id").select("vec_id", "e", "norm2", "cell")
-    q = vc.filter(query_pred).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("e").alias("qe"),
-        F.col("norm2").alias("qn"),
-        F.col("cell"),
-    )
+    if nprobe == 1:
+        q = vc.filter(query_pred).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("e").alias("qe"),
+            F.col("norm2").alias("qn"),
+            F.col("cell"),
+        )
+    else:
+        # rank every seed per query by cosine (same exact arithmetic as
+        # the cell assignment) and probe the top-nprobe cells
+        seeds = v.filter(F.col("vec_id") < n_seeds).select(
+            F.col("vec_id").alias("cell"),
+            F.col("e").alias("se"),
+            F.col("norm2").alias("sn"),
+        )
+        qs = (
+            v.filter(query_pred)
+            .select(
+                F.col("vec_id").alias("q_id"),
+                F.col("e").alias("qe"),
+                F.col("norm2").alias("qn"),
+            )
+            .crossJoin(F.broadcast(seeds))
+            .select(
+                "q_id",
+                "qe",
+                "qn",
+                "cell",
+                (
+                    F.expr(dot_fold("qe", "se")) / (F.sqrt("qn") * F.sqrt("sn"))
+                ).alias("cos_to_seed"),
+            )
+        )
+        wq = Window.partitionBy("q_id").orderBy(
+            F.col("cos_to_seed").desc(), F.col("cell")
+        )
+        q = (
+            qs.withColumn("__rn", F.row_number().over(wq))
+            .filter(F.col("__rn") <= nprobe)
+            .select("q_id", "qe", "qn", "cell")
+        )
     scored = (
         F.broadcast(q)
         .join(vc, "cell")

@@ -331,6 +331,98 @@ EXT_ORACLES: dict[str, str] = {
         WHERE rnk <= {ANN_K}
         ORDER BY q_id, rnk
     """,
+    "ann_lsh_multiprobe": f"""
+        WITH {_VECTOR_CTE.strip()}, pl AS (
+            SELECT * FROM (VALUES
+            {_PLANES_VALUES}
+            ) AS t(plane_idx, w)
+        ), pdots AS (
+            SELECT vn.vec_id, pl.plane_idx, {_dot('vn.e', 'pl.w')} AS dot
+            FROM vn, pl
+        ), buckets AS (
+            SELECT vec_id,
+                   CAST(sum(CASE WHEN dot >= 0
+                        THEN (CAST(1 AS BIGINT) << plane_idx) ELSE 0 END)
+                        AS BIGINT) AS bucket
+            FROM pdots GROUP BY vec_id
+        ), vb AS (
+            SELECT vn.vec_id, vn.e, vn.norm2, b.bucket
+            FROM vn JOIN buckets b USING (vec_id)
+        ), q AS (
+            SELECT vec_id AS q_id, e AS qe, norm2 AS qn, bucket
+            FROM vb WHERE {ANN_QUERY_PRED}
+        ), probes AS (
+            -- own bucket + the {N_PLANES} Hamming-1 flips (one per plane)
+            SELECT q_id, qe, qn,
+                   unnest([bucket] || list_transform(range(0, {N_PLANES}),
+                       i -> xor(bucket, CAST(1 AS BIGINT) << i))) AS bucket
+            FROM q
+        ), scored AS (
+            SELECT p.q_id, vb.vec_id, vb.bucket,
+                   {_dot('p.qe', 'vb.e')} / (sqrt(p.qn) * sqrt(vb.norm2))
+                       AS cosine_raw
+            FROM probes p JOIN vb ON p.bucket = vb.bucket
+                         AND vb.vec_id <> p.q_id
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id) AS rnk
+            FROM scored
+        )
+        SELECT q_id, vec_id AS neighbor_id, bucket,
+               {_round('cosine_raw', 6)} AS cosine,
+               CAST(rnk AS BIGINT) AS rank
+        FROM ranked
+        WHERE rnk <= {ANN_K}
+        ORDER BY q_id, rnk
+    """,
+    "ivf_topk_nprobe": f"""
+        WITH {_VECTOR_CTE.strip()}, seeds AS (
+            SELECT vec_id AS cell, e AS se, norm2 AS sn
+            FROM vn WHERE vec_id < 8
+        ), assign_scored AS (
+            SELECT vn.vec_id, s.cell,
+                   {_dot('vn.e', 's.se')} / (sqrt(vn.norm2) * sqrt(s.sn))
+                       AS cos_to_seed
+            FROM vn, seeds s
+        ), cells AS (
+            SELECT vec_id, cell FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY cos_to_seed DESC, cell) AS rn
+                FROM assign_scored
+            ) WHERE rn = 1
+        ), vc AS (
+            SELECT vn.vec_id, vn.e, vn.norm2, c.cell
+            FROM vn JOIN cells c USING (vec_id)
+        ), qprobe AS (
+            -- each query's top-2 cells by cosine-to-seed (nprobe = 2)
+            SELECT vec_id AS q_id, qe, qn, cell FROM (
+                SELECT vn.vec_id, vn.e AS qe, vn.norm2 AS qn, s.cell,
+                       row_number() OVER (
+                           PARTITION BY vn.vec_id
+                           ORDER BY {_dot('vn.e', 's.se')}
+                                    / (sqrt(vn.norm2) * sqrt(s.sn)) DESC,
+                                    s.cell) AS rn
+                FROM vn, seeds s
+                WHERE {ANN_QUERY_PRED}
+            ) WHERE rn <= 2
+        ), scored AS (
+            SELECT p.q_id, vc.vec_id, vc.cell,
+                   {_dot('p.qe', 'vc.e')} / (sqrt(p.qn) * sqrt(vc.norm2))
+                       AS cosine_raw
+            FROM qprobe p JOIN vc ON p.cell = vc.cell
+                         AND vc.vec_id <> p.q_id
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id) AS rnk
+            FROM scored
+        )
+        SELECT q_id, vec_id AS neighbor_id, cell,
+               {_round('cosine_raw', 6)} AS cosine,
+               CAST(rnk AS BIGINT) AS rank
+        FROM ranked
+        WHERE rnk <= {ANN_K}
+        ORDER BY q_id, rnk
+    """,
     "embedding_near_dups": f"""
         WITH {_VECTOR_CTE.strip()}, pl AS (
             SELECT * FROM (VALUES
@@ -398,7 +490,8 @@ EXT_ORACLES: dict[str, str] = {
                     % 1920 AS INTEGER) AS width,
                CAST(CAST(concat('0x', substr(sha256(text), 5, 4)) AS BIGINT)
                     % 1080 AS INTEGER) AS height,
-               CAST(1 AS INTEGER) AS n_frames
+               CAST(CAST(concat('0x', substr(sha256(text), 9, 4)) AS BIGINT)
+                    % 240 + 1 AS INTEGER) AS n_frames
         FROM documents
         ORDER BY asset_id
     """,
@@ -425,6 +518,23 @@ EXT_ORACLES: dict[str, str] = {
                CAST(least(strlen(text), 32 * 32) AS BIGINT) AS n_bytes
         FROM documents
         ORDER BY asset_id
+    """,
+    # Spark: sequence(0, n_frames-1, 10) (inclusive end); DuckDB:
+    # range(0, n_frames, 10) (exclusive end) — identical lists for n ≥ 1.
+    "frame_sample_assets": """
+        WITH d AS (
+            SELECT doc_id AS asset_id,
+                   sha256(text) AS sha256,
+                   CAST(CAST(concat('0x', substr(sha256(text), 9, 4)) AS BIGINT)
+                        % 240 + 1 AS INTEGER) AS n_frames
+            FROM documents
+        )
+        SELECT asset_id,
+               'text' AS modality,
+               CAST(unnest(range(0, n_frames, 10)) AS INTEGER) AS frame_idx,
+               sha256
+        FROM d
+        ORDER BY asset_id, frame_idx
     """,
     "curated_corpus": f"""
         WITH s AS (

@@ -204,6 +204,38 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rank")
 
 
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: each query also searches the P buckets at
+    Hamming distance 1 — the recall knob over ``ann_lsh_topk`` (a near
+    neighbor that landed one sign bit away is recovered). Candidate cost
+    ×(P+1) buckets, still bucket-keyed/partition-pruned."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = S.ann_lsh_topk(
+        spark, emb, query_pred=ANN_QUERY_PRED, k=ANN_K, probe_hamming=1
+    )
+    return res.select(
+        "q_id",
+        "neighbor_id",
+        "bucket",
+        round_half_up(F.col("cosine"), 6).alias("cosine"),
+        "rank",
+    ).orderBy("q_id", "rank")
+
+
+def ivf_topk_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe=2: each query unions its two nearest cells before
+    the (unchanged) rank window — the standard IVF recall knob."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = S.ivf_topk(emb, query_pred=ANN_QUERY_PRED, k=ANN_K, nprobe=2)
+    return res.select(
+        "q_id",
+        "neighbor_id",
+        "cell",
+        round_half_up(F.col("cosine"), 6).alias("cosine"),
+        "rank",
+    ).orderBy("q_id", "rank")
+
+
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucket-candidated (the
     fifth dedup strategy: exact / minhash / simhash / jaccard / cosine)."""
@@ -340,6 +372,23 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("asset_id")
 
 
+def frame_sample_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through the gate: decode (stub, content-derived
+    n_frames) → ``sequence``/``explode`` into per-frame rows every 10th
+    frame. The explode is the real contract — per-asset fan-out happens
+    JVM-side after the Arrow-batched decode, so a 2-hour video becomes
+    rows without ever holding all frames in Python. The oracle re-derives
+    n_frames from sha256 and unnests the same arithmetic range."""
+    from ..operators.multimodal import frame_sample, text_as_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = frame_sample(text_as_assets(docs), every_n=10)
+    return frames.select(
+        "asset_id", "modality", F.col("frame_idx").cast("int").alias("frame_idx"),
+        "sha256",
+    ).orderBy("asset_id", "frame_idx")
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "dedup_exact_docs": dedup_exact_docs,
     "minhash_pairs": minhash_pairs,
@@ -359,4 +408,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "multimodal_decode": multimodal_decode,
     "multimodal_features": multimodal_features,
     "multimodal_resize": multimodal_resize,
+    "frame_sample_assets": frame_sample_assets,
+    "ann_lsh_multiprobe": ann_lsh_multiprobe,
+    "ivf_topk_nprobe": ivf_topk_nprobe,
 }

@@ -1,0 +1,133 @@
+"""ANN recall@k vs the brute-force baseline — the check that catches a
+bucketing bug that still hashes green (a broken signature would be
+*consistently* broken in both engines, so the oracle gate can't see it).
+
+Calibration note: the sf* embeddings are near-isotropic random vectors —
+measured top-1 neighbor cosine ≈ 0.37 at sf0.01 — so single-table
+hyperplane LSH recall is the collision probability p^P with
+p = 1 − θ/π ≈ 0.6, i.e. ~2%: a *data* property, not an index bug (no ANN
+index beats brute force on structureless data). The floor test therefore
+runs on planted clusters (cosine ≥ 0.99 within a cluster) — the workload
+ANN exists for (near-dup retrieval, similar-item search) — where the
+math puts single-probe LSH at p^8 ≈ 0.7 and IVF near 1.0. The random
+table still checks the monotone contract: probing more buckets/cells
+never loses recall.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from etl_end_to_end_airflow_bigquery_spark.operators import similarity as S
+
+SF = "/root/testdata/sf0.01"
+PRED = "vec_id < 20"
+K = 4
+
+
+def _neighbors(df) -> dict[int, set[int]]:
+    out: dict[int, set[int]] = {}
+    for r in df.collect():
+        out.setdefault(r.q_id, set()).add(r.neighbor_id)
+    return out
+
+
+def _recall(approx: dict[int, set[int]], truth: dict[int, set[int]]) -> float:
+    hits = sum(len(approx.get(q, set()) & t) for q, t in truth.items())
+    total = sum(len(t) for t in truth.values())
+    return hits / total
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """100 clusters × 5 members, intra-cluster cosine ≈ 0.993.
+
+    vec_ids are member-major (member m of cluster c gets id m·100+c), so
+    the first 8 ids — the IVF seed vectors — come from 8 *distinct*
+    clusters (cluster-major ids would hand IVF five near-identical seeds
+    from cluster 0, a degenerate quantizer). True top-4 of any query is
+    its 4 cluster siblings; ground truth is still computed brute-force.
+    """
+    rng = np.random.RandomState(11)
+    centers = rng.randn(100, S.EMB_DIM)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for m in range(5):
+        for c in range(100):
+            v = centers[c] + 0.015 * rng.randn(S.EMB_DIM)
+            rows.append((m * 100 + c, [float(x) for x in v], c))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+@pytest.fixture(scope="module")
+def cluster_truth(clustered):
+    return _neighbors(S.cosine_topk(clustered, query_pred=PRED, k=K))
+
+
+def test_lsh_recall_floor_on_clustered(spark, clustered, cluster_truth):
+    single = _recall(
+        _neighbors(S.ann_lsh_topk(spark, clustered, query_pred=PRED, k=K)),
+        cluster_truth,
+    )
+    multi = _recall(
+        _neighbors(
+            S.ann_lsh_topk(
+                spark, clustered, query_pred=PRED, k=K, probe_hamming=1
+            )
+        ),
+        cluster_truth,
+    )
+    assert single >= 0.6, f"LSH single-probe recall@{K} = {single:.3f} < 0.6"
+    assert multi >= single
+    assert multi >= 0.8, f"LSH multi-probe recall@{K} = {multi:.3f} < 0.8"
+
+
+def test_ivf_recall_floor_on_clustered(clustered, cluster_truth):
+    single = _recall(
+        _neighbors(S.ivf_topk(clustered, query_pred=PRED, k=K)), cluster_truth
+    )
+    probed = _recall(
+        _neighbors(S.ivf_topk(clustered, query_pred=PRED, k=K, nprobe=2)),
+        cluster_truth,
+    )
+    assert single >= 0.6, f"IVF nprobe=1 recall@{K} = {single:.3f} < 0.6"
+    assert probed >= single
+
+
+def test_multiprobe_monotone_on_random_table(spark):
+    """On the structureless sf0.01 table absolute recall is ~p^P by the
+    LSH math — assert only the monotone contract: more probes, ≥ recall."""
+    from etl_end_to_end_airflow_bigquery_spark.io import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    truth = _neighbors(S.cosine_topk(emb, query_pred=PRED, k=K))
+    lsh1 = _recall(
+        _neighbors(S.ann_lsh_topk(spark, emb, query_pred=PRED, k=K)), truth
+    )
+    lshm = _recall(
+        _neighbors(
+            S.ann_lsh_topk(spark, emb, query_pred=PRED, k=K, probe_hamming=1)
+        ),
+        truth,
+    )
+    ivf1 = _recall(_neighbors(S.ivf_topk(emb, query_pred=PRED, k=K)), truth)
+    ivf2 = _recall(
+        _neighbors(S.ivf_topk(emb, query_pred=PRED, k=K, nprobe=2)), truth
+    )
+    assert lshm >= lsh1
+    assert ivf2 >= ivf1
+
+
+def test_ivf_nprobe_validation(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0] * S.EMB_DIM, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    with pytest.raises(ValueError):
+        S.ivf_topk(emb, nprobe=0)
+    with pytest.raises(ValueError):
+        S.ivf_topk(emb, nprobe=99)
+    with pytest.raises(ValueError):
+        S.ann_lsh_topk(spark, emb, probe_hamming=2)

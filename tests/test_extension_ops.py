@@ -98,8 +98,14 @@ def test_multimodal_decode_batch_shapes(spark):
     out = {r.asset_id: r for r in decode_assets(text_as_assets(docs)).collect()}
     assert out[1].n_bytes == 3 and out[2].n_bytes == 5
     assert out[1].modality == "text" and len(out[1].sha256) == 64
-    frames = frame_sample(text_as_assets(docs))
-    assert frames.count() == 2  # n_frames=1 stub → one frame row each
+    import math
+
+    frames = frame_sample(text_as_assets(docs), every_n=10)
+    n_frames = {r.asset_id: r.n_frames for r in out.values()}
+    assert all(1 <= n <= 240 for n in n_frames.values())
+    expected = sum(math.ceil(n / 10) for n in n_frames.values())
+    assert frames.count() == expected
+    assert frames.filter("frame_idx % 10 != 0").count() == 0
 
 
 def test_multimodal_resize_truncates_and_rehashes(spark):
