@@ -38,6 +38,12 @@ BENCH_QUERIES = [
     "minhash_pairs",
     "simhash_docs",
     "cosine_topk",
+    # round 2: the LLM-pack heavy hitters join the record (same min-of-2
+    # noop-sink measurement; r01's 11 queries keep their per-query analogs)
+    "jaccard_near_dups",
+    "embedding_near_dups",
+    "ann_lsh_topk",
+    "curated_corpus",
 ]
 
 
