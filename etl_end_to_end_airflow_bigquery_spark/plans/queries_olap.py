@@ -1,0 +1,277 @@
+"""OLAP pack round 2: the remaining classic TPC-H plan shapes the
+testdata star schema can express (no partsupp / shipmode / phone columns
+in the driver's synthetic tables, so Q2/Q9/Q12/Q16/Q21 have no faithful
+mapping; every other canonical shape is here or in ``queries.py``).
+
+Each query exercises a *distinct* optimizer pattern at 100 TB:
+
+- q7_volume_shipping   — double dimension broadcast (nation joined twice
+                         under different roles) over a 4-way fact join
+- q8_market_share      — conditional share-of-total inside one grouped
+                         aggregate (no self-join, no second pass)
+- q10_returned_revenue — quarter+flag filters before a fact-fact join,
+                         grouped top-k with composite tiebreak
+- q14_promo_share      — global conditional ratio over a partkey join
+- q18_big_orders       — pre-aggregated semi-join (HAVING feeds the join
+                         key set; the 100 TB shape for "big groups only")
+- q19_or_pushdown      — OR-of-ANDs residual with the hand-derived
+                         brand IN-list pushed to the part scan
+- q22_idle_customers   — scalar-subquery threshold (broadcast one row) +
+                         anti-join against a date-bounded order window
+
+Reference basis: the reference's BigQuery engine runs arbitrary ANSI
+SQL of exactly these shapes (SURVEY.md §2.4-§2.7); this pack widens the
+engine's verified surface to match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.relational import decimal_avg, decimal_sum, round_half_up
+from .queries import QueryFn
+
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+Q7_LO = "1996-01-01"
+Q7_HI = "1998-01-01"
+Q8_REGION = "EUROPE"
+Q8_NATION = "NATION_7"
+Q8_TYPE = "PROMO"
+Q10_LO = "1996-01-01"
+Q10_HI = "1996-04-01"
+Q14_LO = "1996-06-01"
+Q14_HI = "1996-07-01"
+Q18_MIN_QTY = 300
+Q19_BRANDS = (("Brand#1", 1, 5, 1, 11), ("Brand#2", 1, 10, 10, 20), ("Brand#3", 1, 15, 20, 30))
+Q22_CUTOFF = "2000-01-01"
+
+def _rev():
+    # built lazily: Column construction needs an active session
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp_ntz")
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: revenue flows between two nations by (supplier nation,
+    customer nation, year).
+
+    Scale: nation is broadcast twice (supplier role, customer role) — the
+    fact-side join order is orders⋈lineitem⋈(customer, supplier) with the
+    nation-pair filter applied as soon as both nationkeys are bound, so
+    the grouped aggregate sees only the two flows.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts(Q7_LO)) & (F.col("l_shipdate") < _ts(Q7_HI))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == Q7_NATION_A) & (F.col("cust_nation") == Q7_NATION_B))
+        | ((F.col("supp_nation") == Q7_NATION_B) & (F.col("cust_nation") == Q7_NATION_A))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(round_half_up(decimal_sum(_rev()), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of PROMO-part revenue delivered into
+    one region, per order year.
+
+    The share is a *conditional sum over the same grouped pass* — never a
+    second aggregation or self-join; both numerator and denominator
+    accumulate as exact scaled integers so the division is bit-portable.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == Q8_TYPE)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q8_REGION)
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat_rev = F.when(F.col("supp_nation") == Q8_NATION, _rev()).otherwise(F.lit(0.0))
+    joined = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            round_half_up(
+                decimal_sum(nat_rev) / decimal_sum(_rev()), 6
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returns in one
+    quarter. Quarter + returnflag filters reach the scans before the
+    fact-fact join; nation broadcasts; TakeOrderedAndProject caps the
+    result without a global sort."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts(Q10_LO)) & (F.col("o_orderdate") < _ts(Q10_HI))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(round_half_up(decimal_sum(_rev()), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: percentage of one month's revenue from PROMO parts.
+    One partkey join, one global conditional ratio — numerator and
+    denominator from the same exact-integer pass."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts(Q14_LO)) & (F.col("l_shipdate") < _ts(Q14_HI))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.when(F.col("p_type") == Q8_TYPE, _rev()).otherwise(F.lit(0.0))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            round_half_up(
+                F.lit(100.0) * decimal_sum(promo) / decimal_sum(_rev()), 4
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers who placed very large orders. The HAVING
+    aggregate runs *first* (one shuffle on l_orderkey, the fact table's
+    natural key) and only qualifying keys flow into the joins — at
+    100 TB the join input is the filtered key set, not the fact table.
+    l_quantity is integral in this data, so the sum and the > cut are
+    exact in double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q18_MIN_QTY)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            "o_totalprice",
+            F.col("sum_qty").cast("long").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+def q19_or_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue under an OR of brand/size/quantity conjunctions.
+    The brand IN-list (the OR's common derivable predicate) is pushed to
+    the part scan by hand — the part side shrinks to three brands before
+    the join; the full OR evaluates as the join residual."""
+    brands = [b for b, *_ in Q19_BRANDS]
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand").isin(brands))
+    arm = None
+    for b, size_lo, size_hi, q_lo, q_hi in Q19_BRANDS:
+        c = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(size_lo, size_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+        arm = c if arm is None else (arm | c)
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(arm)
+        .agg(
+            round_half_up(decimal_sum(_rev()), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no orders in
+    the recent window, counted per nation. The global threshold is a
+    1-row scalar aggregate (broadcast, not recomputed per row); the "no
+    recent orders" test is a left-anti join — both are the shapes that
+    survive when customer is 10⁹ rows."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        decimal_avg(F.col("c_acctbal")).alias("avg_bal")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= _ts(Q22_CUTOFF))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            round_half_up(decimal_sum(F.col("c_acctbal")), 2).alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+OLAP_QUERIES: dict[str, QueryFn] = {
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q10_returned_revenue": q10_returned_revenue,
+    "q14_promo_share": q14_promo_share,
+    "q18_big_orders": q18_big_orders,
+    "q19_or_pushdown": q19_or_pushdown,
+    "q22_idle_customers": q22_idle_customers,
+}

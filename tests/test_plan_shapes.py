@@ -86,6 +86,34 @@ def test_curated_corpus_filters_before_the_dedup_shuffle(spark):
     assert "WindowGroupLimit" in plan
 
 
+@pytest.mark.parametrize("name", ["q10_returned_revenue", "q18_big_orders"])
+def test_olap_topk_is_take_ordered(spark, name):
+    df = QUERIES[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize("name", ["q7_volume_shipping", "q8_market_share"])
+def test_olap_dims_broadcast_no_cartesian(spark, name):
+    plan = _formatted(spark, name)
+    assert plan.count("BroadcastHashJoin") >= 2  # nation roles at minimum
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_scalar_broadcast_and_antijoin(spark):
+    plan = _formatted(spark, "q22_idle_customers")
+    # the global-average threshold is a 1-row broadcast (nested-loop on a
+    # single row is the right plan); the no-recent-orders test is an
+    # anti-join, never a per-row subquery
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_brand_inlist_reaches_part_scan(spark):
+    plan = _formatted(spark, "q19_or_pushdown")
+    assert "In(p_brand" in plan  # hand-derived OR-common predicate pushed
+
+
 def test_small_qty_revenue_broadcasts_both_small_sides(spark):
     plan = _formatted(spark, "small_qty_revenue")
     assert plan.count("BroadcastHashJoin") >= 2  # part keys + thresholds
