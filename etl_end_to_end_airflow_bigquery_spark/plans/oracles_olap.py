@@ -117,6 +117,83 @@ OLAP_ORACLES: dict[str, str] = {
         WHERE p_brand IN ({_Q19_BRAND_LIST})
           AND ({_Q19_ARMS})
     """,
+    "window_function_pack": """
+        SELECT o_orderkey, o_custkey,
+               CAST(row_number() OVER w AS BIGINT) AS rn,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume,
+               first_value(o_totalprice) OVER wf AS first_price,
+               last_value(o_totalprice) OVER wf AS last_price,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                    CAST(lead(o_orderdate) OVER w AS DATE)) AS BIGINT)
+                   AS days_to_next
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING)
+        ORDER BY o_custkey, rn
+    """,
+    "stats_pack": f"""
+        WITH m AS (
+            SELECT l_returnflag,
+                   CAST(count(*) AS DOUBLE) AS __n,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS __sq,
+                   CAST(sum(CAST(l_quantity * l_quantity AS BIGINT)) AS DOUBLE)
+                       AS __sq2,
+                   CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                       AS BIGINT)) AS DOUBLE) / 100.0 AS __sp,
+                   -- wide accumulation: HUGEINT mirrors Spark DECIMAL(38,0)
+                   CAST(sum(CAST(floor(l_quantity * l_extendedprice * 100.0
+                       + 0.5) AS HUGEINT)) AS DOUBLE) / 100.0 AS __sqp
+            FROM lineitem
+            GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               CAST(__n AS BIGINT) AS n_rows,
+               {_round('__sq / __n', 4)} AS mean_qty,
+               {_round('(__sq2 - __sq * __sq / __n) / (__n - 1)', 4)} AS var_qty,
+               {_round('sqrt((__sq2 - __sq * __sq / __n) / (__n - 1))', 4)}
+                   AS stddev_qty,
+               {_round('(__sqp - __sq * __sp / __n) / (__n - 1)', 2)}
+                   AS covar_qty_price
+        FROM m
+        ORDER BY l_returnflag
+    """,
+    "datetime_function_pack": """
+        SELECT o_orderkey,
+               CAST(quarter(o_orderdate) AS BIGINT) AS q,
+               CAST(month(o_orderdate) AS BIGINT) AS m,
+               CAST(day(o_orderdate) AS BIGINT) AS d,
+               CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+               CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 DAY AS DATE)
+                   AS plus3d,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE)
+                   AS plus1m,
+               CAST(date_diff('day', DATE '1995-01-01',
+                    CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_epoch
+        FROM orders
+        ORDER BY o_orderkey
+    """,
+    "string_function_pack2": """
+        SELECT c_custkey,
+               lpad(c_name, 22, '*') AS lp,
+               rpad(c_name, 22, '.') AS rp,
+               translate(c_name, 'Cust', 'KUST') AS tr,
+               reverse(c_name) AS rev,
+               repeat(substr(c_name, 1, 2), 2) AS rep,
+               split_part(c_name, '#', 2) AS cust_num,
+               CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+               left(c_name, 8) AS l8,
+               right(c_name, 6) AS r6,
+               CAST(levenshtein(c_name, 'Customer#000000000') AS BIGINT) AS lev
+        FROM customer
+        ORDER BY c_custkey
+    """,
     "q22_idle_customers": f"""
         WITH t AS (
             SELECT {_davg('c_acctbal')} AS avg_bal

@@ -266,6 +266,125 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining window-function surface in one gated pass: ntile,
+    percent_rank, cume_dist, first/last_value (full frame), lead. One
+    shuffle on the partition key serves every function (same window
+    spec); rank ratios are integer divisions evaluated identically as
+    IEEE doubles in both engines, so no rounding is needed."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.first("o_totalprice").over(wf).alias("first_price"),
+            F.last("o_totalprice").over(wf).alias("last_price"),
+            F.datediff(
+                F.lead("o_orderdate").over(w), F.col("o_orderdate")
+            ).cast("long").alias("days_to_next"),
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
+def stats_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed statistics per return flag: mean / sample
+    variance / stddev / covariance / correlation, all derived from
+    integer-exact moment sums (Σx, Σx², Σxy) so the closed-form results
+    are bit-identical across engines and partitionings.
+
+    Σ(qty·price) is accumulated with ``wide=True`` (DECIMAL(38,0)): at
+    100 TB the scaled product sum exceeds int64, and the DuckDB side
+    promotes to HUGEINT the same way — the documented wide-sum path.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1)).cast("double")
+    # l_quantity is integral in this data: Σq and Σq² are exact BIGINTs
+    sum_q = F.sum(F.col("l_quantity").cast("long"))
+    sum_q2 = F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("long"))
+    sum_p = decimal_sum(F.col("l_extendedprice"), 2)
+    sum_qp = decimal_sum(F.col("l_quantity") * F.col("l_extendedprice"), 2, wide=True)
+    agg = li.groupBy("l_returnflag").agg(
+        n.alias("__n"),
+        sum_q.cast("double").alias("__sq"),
+        sum_q2.cast("double").alias("__sq2"),
+        sum_p.alias("__sp"),
+        sum_qp.alias("__sqp"),
+    )
+    mean_q = F.col("__sq") / F.col("__n")
+    var_q = (F.col("__sq2") - F.col("__sq") * F.col("__sq") / F.col("__n")) / (
+        F.col("__n") - 1
+    )
+    cov_qp = (F.col("__sqp") - F.col("__sq") * F.col("__sp") / F.col("__n")) / (
+        F.col("__n") - 1
+    )
+    return (
+        agg.select(
+            "l_returnflag",
+            F.col("__n").cast("long").alias("n_rows"),
+            round_half_up(mean_q, 4).alias("mean_qty"),
+            round_half_up(var_q, 4).alias("var_qty"),
+            round_half_up(F.sqrt(var_q), 4).alias("stddev_qty"),
+            round_half_up(cov_qp, 2).alias("covar_qty_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def datetime_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar scalar surface: quarter/month/day/dayofweek/dayofyear,
+    last_day, month truncation, day and month arithmetic, datediff vs an
+    epoch — all row-local projections (codegen'd, zero shuffle).
+    DuckDB numbers weekdays 0=Sunday vs Spark's 1=Sunday; the oracle
+    compensates with +1."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 3).alias("plus3d"),
+        F.add_months(F.col("o_orderdate").cast("date"), 1).alias("plus1m"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch"),
+    ).orderBy("o_orderkey")
+
+
+def string_function_pack2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string scalar pack: pad/translate/reverse/repeat,
+    split_part, position, left/right slices, Levenshtein distance —
+    row-local, codegen'd, shared semantics with DuckDB on ASCII input."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.lpad("c_name", 22, "*").alias("lp"),
+        F.rpad("c_name", 22, ".").alias("rp"),
+        F.translate("c_name", "Cust", "KUST").alias("tr"),
+        F.reverse(F.col("c_name")).alias("rev"),
+        F.repeat(F.substring("c_name", 1, 2), 2).alias("rep"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("cust_num"),
+        F.instr(F.col("c_name"), "#").cast("long").alias("hash_pos"),
+        F.expr("left(c_name, 8)").alias("l8"),
+        F.expr("right(c_name, 6)").alias("r6"),
+        F.levenshtein(F.col("c_name"), F.lit("Customer#000000000"))
+        .cast("long")
+        .alias("lev"),
+    ).orderBy("c_custkey")
+
+
 OLAP_QUERIES: dict[str, QueryFn] = {
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
@@ -274,4 +393,8 @@ OLAP_QUERIES: dict[str, QueryFn] = {
     "q18_big_orders": q18_big_orders,
     "q19_or_pushdown": q19_or_pushdown,
     "q22_idle_customers": q22_idle_customers,
+    "window_function_pack": window_function_pack,
+    "stats_pack": stats_pack,
+    "datetime_function_pack": datetime_function_pack,
+    "string_function_pack2": string_function_pack2,
 }
