@@ -178,6 +178,73 @@ def jaccard_verify(docs: DataFrame, threshold: float = NEAR_DUP_JACCARD) -> Data
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair list → (node, component),
+    component = min node id in the cluster.
+
+    This is the step that turns *pairs* into *dedup clusters* (keep one
+    representative per component — the standard tail of a MinHash
+    pipeline: shingle → LSH band → verify → components → canonical doc).
+
+    Algorithm: iterative min-label propagation. Each round every node
+    takes the min label among itself and its neighbors; convergence in
+    O(component diameter) rounds — near-dup clusters are shallow (dups
+    of a common source), so a handful of rounds suffices at any corpus
+    size. Each round is one shuffle of the edge list plus a grouped min
+    — no per-component state ever concentrates on one task, unlike
+    label-to-driver approaches. ``localCheckpoint`` truncates lineage so
+    the loop doesn't accumulate a quadratic plan (the standard Spark
+    iterative-algorithm pattern; on a cluster this spills to local disk
+    only). Deterministic: labels are data-defined mins, independent of
+    partitioning and iteration interleaving.
+    """
+    edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        # materialize once: the pair list may sit atop an expensive
+        # pipeline (minhash → band join → verify) that must not re-run
+        # every round
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["a"] == labels["node"])
+            .select(F.col("b").alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        merged = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
+                    "new_label"
+                ),
+                "label",
+            )
+        )
+        changed = merged.filter(F.col("new_label") != F.col("label")).count()
+        labels = (
+            merged.select("node", F.col("new_label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
 def simhash(docs: DataFrame) -> DataFrame:
     """32-bit SimHash per doc over distinct whitespace tokens.
 

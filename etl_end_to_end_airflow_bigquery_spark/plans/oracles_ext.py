@@ -164,6 +164,31 @@ EXT_ORACLES: dict[str, str] = {
         FROM joined
         ORDER BY doc_a, doc_b
     """,
+    "dedup_clusters": f"""
+        WITH RECURSIVE {_PAIRS_CTE}, cand AS (
+            SELECT DISTINCT doc_a, doc_b FROM pairs
+        ), joined AS (
+            SELECT c.doc_a, c.doc_b, sa.shingles AS sh_a, sb.shingles AS sh_b
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b
+        ), nd AS (
+            SELECT doc_a, doc_b FROM joined
+            WHERE ({_JACCARD_EXPR}) >= {NEAR_DUP_JACCARD}
+        ), edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM nd
+            UNION
+            SELECT doc_b AS a, doc_a AS b FROM nd
+        ), reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        )
+        SELECT a AS node, least(a, min(b)) AS component
+        FROM reach
+        GROUP BY a
+        ORDER BY node
+    """,
     "simhash_docs": """
         WITH toks AS (
             SELECT doc_id,

@@ -93,6 +93,17 @@ def jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tail of the production dedup pipeline: verified near-dup
+    pairs → connected components → (node, component) cluster labels
+    (component = min doc_id; keep that doc, drop the rest). Iterative
+    min-label propagation — O(diameter) rounds of one edge shuffle each;
+    the oracle computes the same closure with a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_verify(docs).filter(F.col("is_near_dup"))
+    return D.connected_components(pairs).orderBy("node")
+
+
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints (near-dup via Hamming distance)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -393,6 +404,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "dedup_exact_docs": dedup_exact_docs,
     "minhash_pairs": minhash_pairs,
     "jaccard_near_dups": jaccard_near_dups,
+    "dedup_clusters": dedup_clusters,
     "simhash_docs": simhash_docs,
     "doc_fingerprint": doc_fingerprint,
     "text_stats_quality": text_stats_quality,

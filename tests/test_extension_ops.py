@@ -145,3 +145,15 @@ def test_extract_features_feeds_similarity_ops(spark):
     )
     nn = {r.q_id: r.neighbor_id for r in topk.collect()}
     assert nn[1] == 2 and nn[2] == 1  # identical vectors are mutual NNs
+
+
+def test_connected_components_chain_triangle_pair(spark):
+    """Known topology: a 4-chain (1-2-3-4), a triangle (10,11,12), an
+    isolated pair (20,21). Labels must converge to the component min,
+    including across the chain (diameter 3 > 1 propagation round)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.node: r.component for r in D.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
