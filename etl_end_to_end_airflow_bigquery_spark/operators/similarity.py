@@ -46,9 +46,12 @@ def dot_fold(a: str, b: str) -> str:
     )
 
 
-def hyperplanes(n_planes: int = N_PLANES, dim: int = EMB_DIM) -> np.ndarray:
-    """Fixed random hyperplanes, identical across engines/runs."""
-    return np.random.RandomState(PLANE_SEED).randn(n_planes, dim)
+def hyperplanes(
+    n_planes: int = N_PLANES, dim: int = EMB_DIM, seed: int = PLANE_SEED
+) -> np.ndarray:
+    """Fixed random hyperplanes, identical across engines/runs. Distinct
+    ``seed``s give the independent tables of multi-table LSH."""
+    return np.random.RandomState(seed).randn(n_planes, dim)
 
 
 def _vectors(df: DataFrame) -> DataFrame:
@@ -99,7 +102,10 @@ def cosine_topk(
 
 
 def lsh_buckets(
-    spark: SparkSession, embeddings: DataFrame, dim: int = EMB_DIM
+    spark: SparkSession,
+    embeddings: DataFrame,
+    dim: int = EMB_DIM,
+    seed: int = PLANE_SEED,
 ) -> DataFrame:
     """vec_id → LSH bucket id (random-hyperplane sign bits).
 
@@ -111,7 +117,7 @@ def lsh_buckets(
     planes = spark.createDataFrame(
         [
             (i, [float(x) for x in row])
-            for i, row in enumerate(hyperplanes(dim=dim))
+            for i, row in enumerate(hyperplanes(dim=dim, seed=seed))
         ],
         "plane_idx int, w array<double>",
     )
@@ -191,6 +197,66 @@ def ann_lsh_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "bucket", "cosine", "rank")
+    )
+
+
+TABLE_SEED_STRIDE = 101  # table t hashes with seed PLANE_SEED + t·stride
+
+
+def ann_lsh_multitable(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    query_pred: str = "vec_id < 5",
+    k: int = 3,
+    dim: int = EMB_DIM,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Multi-table LSH ANN: L independent hyperplane tables, candidates
+    OR-combined — the *production* recall lever (recall = 1−(1−p^P)^L vs
+    a single table's p^P; at p=0.9, P=8: 0.43 → 0.90 with L=4).
+
+    (q_id, neighbor_id, cosine, rank). Each table is its own bucket
+    column — at scale, L bucket-partitioned index tables, each probed
+    with one partition-pruned scan; candidate lists union and dedup on
+    (q_id, vec_id) before the (unchanged) scoring/rank stage, so a pair
+    found by several tables is scored once.
+    """
+    if n_tables < 1:
+        raise ValueError("n_tables must be >= 1")
+    v = _vectors(embeddings)
+    qv = v.filter(query_pred).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.col("norm2").alias("qn"),
+    )
+    cands = None
+    for t in range(n_tables):
+        b = lsh_buckets(
+            spark, embeddings, dim=dim, seed=PLANE_SEED + t * TABLE_SEED_STRIDE
+        )
+        qb = (
+            qv.select("q_id")
+            .join(b.withColumnRenamed("vec_id", "q_id"), "q_id")
+        )
+        ct = qb.join(b, "bucket").select("q_id", "vec_id")
+        cands = ct if cands is None else cands.union(ct)
+    cands = cands.filter(F.col("q_id") != F.col("vec_id")).distinct()
+    scored = (
+        cands.join(F.broadcast(qv), "q_id")
+        .join(v.select("vec_id", "e", "norm2"), "vec_id")
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                F.expr(dot_fold("qe", "e")) / (F.sqrt("qn") * F.sqrt("norm2"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
     )
 
 

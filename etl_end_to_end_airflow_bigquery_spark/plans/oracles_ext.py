@@ -131,6 +131,19 @@ _PLANES_VALUES = ",\n            ".join(
     for i, row in enumerate(hyperplanes(N_PLANES, EMB_DIM))
 )
 
+# Multi-table LSH: the same plane literals per table, tagged with the
+# table index (seeds follow similarity.TABLE_SEED_STRIDE).
+from ..operators.similarity import PLANE_SEED, TABLE_SEED_STRIDE  # noqa: E402
+from .queries_ext import ANN_N_TABLES  # noqa: E402
+
+_MT_PLANES_VALUES = ",\n            ".join(
+    f"({t}, {i}, [{', '.join(repr(float(x)) for x in row)}])"
+    for t in range(ANN_N_TABLES)
+    for i, row in enumerate(
+        hyperplanes(N_PLANES, EMB_DIM, seed=PLANE_SEED + t * TABLE_SEED_STRIDE)
+    )
+)
+
 EXT_ORACLES: dict[str, str] = {
     "dedup_exact_docs": """
         SELECT md5(lower(text)) AS text_hash,
@@ -163,6 +176,34 @@ EXT_ORACLES: dict[str, str] = {
                ({_JACCARD_EXPR}) >= {NEAR_DUP_JACCARD} AS is_near_dup
         FROM joined
         ORDER BY doc_a, doc_b
+    """,
+    "dataset_split": """
+        WITH b AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(concat('v1|',
+                        CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                       % 10000 AS bucket
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN bucket < 8000 THEN 'train'
+                    WHEN bucket < 9000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
+        ORDER BY doc_id
+    """,
+    "shard_histogram": """
+        WITH s AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(concat('shard|',
+                        CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                       % 16 AS shard
+            FROM documents
+        )
+        SELECT shard, count(*) AS n_docs
+        FROM s
+        GROUP BY shard
+        ORDER BY shard
     """,
     "dedup_clusters": f"""
         WITH RECURSIVE {_PAIRS_CTE}, cand AS (
@@ -394,6 +435,51 @@ EXT_ORACLES: dict[str, str] = {
             FROM scored
         )
         SELECT q_id, vec_id AS neighbor_id, bucket,
+               {_round('cosine_raw', 6)} AS cosine,
+               CAST(rnk AS BIGINT) AS rank
+        FROM ranked
+        WHERE rnk <= {ANN_K}
+        ORDER BY q_id, rnk
+    """,
+    "ann_lsh_multitable": f"""
+        WITH {_VECTOR_CTE.strip()}, pl AS (
+            SELECT * FROM (VALUES
+            {_MT_PLANES_VALUES}
+            ) AS t(tbl, plane_idx, w)
+        ), pdots AS (
+            SELECT vn.vec_id, pl.tbl, pl.plane_idx,
+                   {_dot('vn.e', 'pl.w')} AS dot
+            FROM vn, pl
+        ), buckets AS (
+            SELECT vec_id, tbl,
+                   CAST(sum(CASE WHEN dot >= 0
+                        THEN (CAST(1 AS BIGINT) << plane_idx) ELSE 0 END)
+                        AS BIGINT) AS bucket
+            FROM pdots GROUP BY vec_id, tbl
+        ), q AS (
+            SELECT vec_id AS q_id, e AS qe, norm2 AS qn
+            FROM vn WHERE {ANN_QUERY_PRED}
+        ), qb AS (
+            SELECT q.q_id, b.tbl, b.bucket
+            FROM q JOIN buckets b ON b.vec_id = q.q_id
+        ), cand AS (
+            SELECT DISTINCT qb.q_id, b.vec_id
+            FROM qb JOIN buckets b
+              ON qb.tbl = b.tbl AND qb.bucket = b.bucket
+            WHERE b.vec_id <> qb.q_id
+        ), scored AS (
+            SELECT c.q_id, c.vec_id,
+                   {_dot('q.qe', 'vn.e')} / (sqrt(q.qn) * sqrt(vn.norm2))
+                       AS cosine_raw
+            FROM cand c
+            JOIN q  ON c.q_id = q.q_id
+            JOIN vn ON c.vec_id = vn.vec_id
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id) AS rnk
+            FROM scored
+        )
+        SELECT q_id, vec_id AS neighbor_id,
                {_round('cosine_raw', 6)} AS cosine,
                CAST(rnk AS BIGINT) AS rank
         FROM ranked

@@ -194,6 +194,27 @@ OLAP_ORACLES: dict[str, str] = {
         FROM customer
         ORDER BY c_custkey
     """,
+    "quantile_pack": """
+        WITH r AS (
+            SELECT o_orderstatus, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderstatus
+                                      ORDER BY o_totalprice, o_orderkey) AS rn,
+                   count(*) OVER (PARTITION BY o_orderstatus) AS n
+            FROM orders
+        )
+        SELECT o_orderstatus,
+               min(CASE WHEN rn = greatest(1, CAST(ceil(0.25 * n) AS BIGINT))
+                   THEN o_totalprice END) AS p25,
+               min(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                   THEN o_totalprice END) AS p50,
+               min(CASE WHEN rn = greatest(1, CAST(ceil(0.75 * n) AS BIGINT))
+                   THEN o_totalprice END) AS p75,
+               min(CASE WHEN rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT))
+                   THEN o_totalprice END) AS p95
+        FROM r
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
     "q22_idle_customers": f"""
         WITH t AS (
             SELECT {_davg('c_acctbal')} AS avg_bal

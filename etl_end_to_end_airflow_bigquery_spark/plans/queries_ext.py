@@ -233,6 +233,24 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rank")
 
 
+ANN_N_TABLES = 4
+
+
+def ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH (L=4 independent hyperplane tables, candidates
+    OR-combined) — the production recall lever: 1−(1−p^P)^L."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = S.ann_lsh_multitable(
+        spark, emb, query_pred=ANN_QUERY_PRED, k=ANN_K, n_tables=ANN_N_TABLES
+    )
+    return res.select(
+        "q_id",
+        "neighbor_id",
+        round_half_up(F.col("cosine"), 6).alias("cosine"),
+        "rank",
+    ).orderBy("q_id", "rank")
+
+
 def ivf_topk_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with nprobe=2: each query unions its two nearest cells before
     the (unchanged) rank window — the standard IVF recall knob."""
@@ -383,6 +401,36 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("asset_id")
 
 
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+N_SHARDS = 16
+
+
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment per document — hash-based
+    (md5 of salt|key → bucket → cumulative ranges), never RNG: a doc
+    keeps its split across runs, engines, and corpus refreshes (no
+    train/test leakage on rebuild). Row-local; zero shuffle."""
+    from ..operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(docs, "doc_id", SPLIT_WEIGHTS).orderBy("doc_id")
+
+
+def shard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable shard assignment for distributed-loader output files:
+    md5-bucket per doc mod N_SHARDS, histogram proves uniformity and the
+    oracle proves engine-portability of every assignment."""
+    from ..operators.sampling import shard_assign
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        shard_assign(docs, "doc_id", N_SHARDS)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("shard")
+    )
+
+
 def frame_sample_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling through the gate: decode (stub, content-derived
     n_frames) → ``sequence``/``explode`` into per-frame rows every 10th
@@ -421,6 +469,9 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "multimodal_features": multimodal_features,
     "multimodal_resize": multimodal_resize,
     "frame_sample_assets": frame_sample_assets,
+    "dataset_split": dataset_split,
+    "shard_histogram": shard_histogram,
     "ann_lsh_multiprobe": ann_lsh_multiprobe,
+    "ann_lsh_multitable": ann_lsh_multitable,
     "ivf_topk_nprobe": ivf_topk_nprobe,
 }

@@ -385,6 +385,40 @@ def string_function_pack2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey")
 
 
+QUANTILES = (0.25, 0.5, 0.75, 0.95)
+
+
+def quantile_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-quantile per group, percentile_disc-style: the value
+    at rank ⌈p·n⌉ of the (price, key) total order. Engine quantile
+    functions disagree on interpolation; the rank pick is bit-portable
+    and needs one shuffle + one window pass for all four quantiles (the
+    conditional-min trick collapses them into a single aggregate)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    wo = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wp = Window.partitionBy("o_orderstatus")
+    ranked = orders.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("rn") == F.greatest(
+                    F.lit(1), F.ceil(F.lit(p) * F.col("n"))
+                ),
+                F.col("o_totalprice"),
+            )
+        ).alias(f"p{int(p * 100)}")
+        for p in QUANTILES
+    ]
+    return ranked.groupBy("o_orderstatus").agg(*aggs).orderBy("o_orderstatus")
+
+
 OLAP_QUERIES: dict[str, QueryFn] = {
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
@@ -397,4 +431,5 @@ OLAP_QUERIES: dict[str, QueryFn] = {
     "stats_pack": stats_pack,
     "datetime_function_pack": datetime_function_pack,
     "string_function_pack2": string_function_pack2,
+    "quantile_pack": quantile_pack,
 }

@@ -85,6 +85,24 @@ def test_lsh_recall_floor_on_clustered(spark, clustered, cluster_truth):
     assert multi >= 0.8, f"LSH multi-probe recall@{K} = {multi:.3f} < 0.8"
 
 
+def test_lsh_multitable_recall_on_clustered(spark, clustered, cluster_truth):
+    single = _recall(
+        _neighbors(S.ann_lsh_topk(spark, clustered, query_pred=PRED, k=K)),
+        cluster_truth,
+    )
+    mt = _recall(
+        _neighbors(
+            S.ann_lsh_multitable(
+                spark, clustered, query_pred=PRED, k=K, n_tables=4
+            )
+        ),
+        cluster_truth,
+    )
+    # 1-(1-p^P)^L: four independent tables must beat one
+    assert mt >= single
+    assert mt >= 0.9, f"multi-table recall@{K} = {mt:.3f} < 0.9"
+
+
 def test_ivf_recall_floor_on_clustered(clustered, cluster_truth):
     single = _recall(
         _neighbors(S.ivf_topk(clustered, query_pred=PRED, k=K)), cluster_truth

@@ -1,0 +1,57 @@
+"""Hash-based splits/shards: stability and proportion guarantees."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_end_to_end_airflow_bigquery_spark.operators.sampling import (
+    hash_split,
+    shard_assign,
+)
+
+
+@pytest.fixture(scope="module")
+def keys(spark):
+    return spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+
+
+def test_split_is_stable_and_proportional(keys):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split for r in hash_split(keys, "doc_id", w).collect()}
+    b = {r.doc_id: r.split for r in hash_split(keys, "doc_id", w).collect()}
+    assert a == b  # pure function of (key, salt): rerun-identical
+    n = len(a)
+    frac = {s: sum(1 for v in a.values() if v == s) / n for s in w}
+    for s, target in w.items():
+        assert abs(frac[s] - target) < 0.03, (s, frac[s])
+
+
+def test_split_changes_with_salt_not_with_partitioning(keys):
+    w = {"train": 0.5, "test": 0.5}
+    a = {r.doc_id: r.split for r in hash_split(keys, "doc_id", w).collect()}
+    rep = {r.doc_id: r.split
+           for r in hash_split(keys.repartition(13), "doc_id", w).collect()}
+    assert a == rep  # partitioning-independent
+    salted = {r.doc_id: r.split
+              for r in hash_split(keys, "doc_id", w, salt="v2").collect()}
+    assert a != salted  # a new salt draws an independent assignment
+
+
+def test_split_weight_validation(keys):
+    with pytest.raises(ValueError):
+        hash_split(keys, "doc_id", {"train": 0.5, "test": 0.2})
+
+
+def test_shards_cover_range_roughly_uniformly(keys):
+    counts = {
+        r.shard: r.n
+        for r in shard_assign(keys, "doc_id", 8)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(counts) == set(range(8))
+    assert max(counts.values()) < 2 * min(counts.values())
+    with pytest.raises(ValueError):
+        shard_assign(keys, "doc_id", 0)
