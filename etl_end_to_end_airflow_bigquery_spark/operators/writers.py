@@ -86,6 +86,80 @@ def idempotent_append_df(target: DataFrame, batch: DataFrame, keys: list[str]) -
     return target.unionByName(fresh.select(*target.columns))
 
 
+def scd2_apply(
+    target: DataFrame,
+    batch: DataFrame,
+    keys: list[str],
+    effective_ts: str,
+    ts_col: str = "valid_from",
+    end_col: str = "valid_to",
+    flag_col: str = "is_current",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge: history-keeping MERGE
+    (the read-side dual of the reference's latest-wins overwrite,
+    ``dags/fx_pipeline_with_merge.py:90-103`` — instead of losing the
+    previous analysis, close it out and version the new one).
+
+    ``target`` carries (keys…, attrs…, valid_from, valid_to, is_current);
+    ``batch`` carries (keys…, attrs…). For each batch key whose attrs
+    differ from the current version (or that is new), the current row is
+    closed (``valid_to = effective_ts``, ``is_current = false``) and a
+    new current version opens at ``effective_ts``. Unchanged keys and
+    history rows pass through untouched — re-applying the same batch is
+    a no-op (idempotent).
+
+    Shape: one equi-join of batch against the *current* slice plus one
+    union — never touches closed history (at scale: partition the table
+    on ``is_current`` or cluster by it so the current slice is a pruned
+    scan).
+    """
+    _validate_keys(target, keys)
+    _validate_keys(batch, keys)
+    attrs = [
+        c for c in batch.columns if c not in keys and c not in (ts_col, end_col, flag_col)
+    ]
+    eff = F.lit(effective_ts).cast(target.schema[ts_col].dataType)
+
+    cur = target.filter(F.col(flag_col))
+    b = batch.dropDuplicates(keys).alias("b")
+    c = cur.alias("c")
+    on = [F.col(f"b.{k}").eqNullSafe(F.col(f"c.{k}")) for k in keys]
+    cond = on[0]
+    for x in on[1:]:
+        cond = cond & x
+    diff = None
+    for a in attrs:
+        d = ~F.col(f"b.{a}").eqNullSafe(F.col(f"c.{a}"))
+        diff = d if diff is None else (diff | d)
+    joined = b.join(c, cond, "left")
+    is_new = F.col(f"c.{keys[0]}").isNull()
+    changed = joined.filter(is_new | diff).select(
+        *[F.col(f"b.{k}").alias(k) for k in keys],
+        *[F.col(f"b.{a}").alias(a) for a in attrs],
+    )
+    # rows to open: one new current version per changed/new key
+    opened = changed.select(
+        *keys,
+        *attrs,
+        eff.alias(ts_col),
+        F.lit(None).cast(target.schema[end_col].dataType).alias(end_col),
+        F.lit(True).alias(flag_col),
+    )
+    # target splits in one pass: superseded current rows get closed,
+    # everything else (history + unchanged current) passes through
+    closing_keys = changed.select(*keys).withColumn("__close", F.lit(1))
+    marked = target.join(F.broadcast(closing_keys), keys, "left")
+    superseded = F.col(flag_col) & F.col("__close").isNotNull()
+    kept = marked.filter(~superseded).drop("__close")
+    closed = (
+        marked.filter(superseded)
+        .drop("__close")
+        .withColumn(end_col, eff)
+        .withColumn(flag_col, F.lit(False))
+    )
+    return kept.unionByName(closed).unionByName(opened.select(*target.columns))
+
+
 def append(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
     """WRITE_APPEND load job (S3). Schema is whatever ``df`` declares."""
     writer = df.write.mode("append")

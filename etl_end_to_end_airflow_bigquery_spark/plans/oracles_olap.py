@@ -215,6 +215,53 @@ OLAP_ORACLES: dict[str, str] = {
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
     """,
+    "profile_orders": """
+        SELECT count(*) AS n_rows,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS null_custkey,
+               count(DISTINCT o_custkey) AS n_customers,
+               count(DISTINCT o_orderstatus) AS n_statuses,
+               count(DISTINCT o_orderpriority) AS n_priorities,
+               min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price,
+               CAST(min(o_orderdate) AS DATE) AS first_day,
+               CAST(max(o_orderdate) AS DATE) AS last_day
+        FROM orders
+    """,
+    "scd2_orders_status": """
+        WITH target AS (
+            SELECT o_orderkey AS k, o_orderstatus AS v,
+                   TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
+                   CAST(NULL AS TIMESTAMP) AS valid_to,
+                   true AS is_current
+            FROM orders
+        ), batch AS (
+            SELECT o_orderkey AS k,
+                   CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus || '+'
+                        ELSE o_orderstatus END AS v
+            FROM orders
+        ), changed AS (
+            SELECT b.k, b.v
+            FROM batch b JOIN target t ON b.k = t.k AND t.is_current
+            WHERE b.v IS DISTINCT FROM t.v
+        )
+        SELECT t.k, t.v, t.valid_from, t.valid_to, t.is_current
+        FROM target t
+        WHERE NOT (t.is_current AND t.k IN (SELECT k FROM changed))
+        UNION ALL
+        SELECT t.k, t.v, t.valid_from,
+               TIMESTAMP '2026-01-01 00:00:00' AS valid_to,
+               false AS is_current
+        FROM target t
+        WHERE t.is_current AND t.k IN (SELECT k FROM changed)
+        UNION ALL
+        SELECT c.k, c.v,
+               TIMESTAMP '2026-01-01 00:00:00' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to,
+               true AS is_current
+        FROM changed c
+        ORDER BY k, valid_from
+    """,
     "q22_idle_customers": f"""
         WITH t AS (
             SELECT {_davg('c_acctbal')} AS avg_bal

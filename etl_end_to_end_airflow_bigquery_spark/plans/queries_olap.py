@@ -419,6 +419,59 @@ def quantile_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("o_orderstatus").agg(*aggs).orderBy("o_orderstatus")
 
 
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (the ANALYZE/data-quality surface): row count,
+    null counts, exact distinct cardinalities, min/max per column — one
+    scan, one aggregate row. At 100 TB the exact COUNT(DISTINCT o_custkey)
+    is the only expensive term (Spark expands it to a partial distinct
+    aggregate); swap in approx_count_distinct when a 2% error is
+    acceptable — kept exact here because the oracle must match."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_custkey"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min(F.to_date("o_orderdate")).alias("first_day"),
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+    )
+
+
+SCD2_T0 = "1995-01-01 00:00:00"
+SCD2_EFF = "2026-01-01 00:00:00"
+
+
+def scd2_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (history-keeping MERGE) through the gate: a deterministic
+    batch mutates every third order's status; changed keys get their
+    current version closed at the effective timestamp and a new current
+    version opened, unchanged keys pass through untouched. The oracle
+    reproduces the split/close/open algebra in plain SQL."""
+    from ..operators.writers import scd2_apply
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("v"),
+        F.lit(SCD2_T0).cast("timestamp_ntz").alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    batch = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.concat("o_orderstatus", F.lit("+"))
+        )
+        .otherwise(F.col("o_orderstatus"))
+        .alias("v"),
+    )
+    out = scd2_apply(target, batch, keys=["k"], effective_ts=SCD2_EFF)
+    return out.orderBy("k", "valid_from")
+
+
 OLAP_QUERIES: dict[str, QueryFn] = {
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
@@ -432,4 +485,6 @@ OLAP_QUERIES: dict[str, QueryFn] = {
     "datetime_function_pack": datetime_function_pack,
     "string_function_pack2": string_function_pack2,
     "quantile_pack": quantile_pack,
+    "profile_orders": profile_orders,
+    "scd2_orders_status": scd2_orders_status,
 }

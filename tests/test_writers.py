@@ -115,3 +115,47 @@ def test_append_accumulates(spark, tmp_path, target):
     append(target, path)
     append(target, path)
     assert spark.read.parquet(path).count() == 6  # v1 semantics: duplicates
+
+
+def _scd_frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "k int, v string, valid_from timestamp_ntz, valid_to timestamp_ntz, is_current boolean"
+    )
+
+
+def test_scd2_apply_versions_changes_and_inserts(spark):
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import scd2_apply
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    target = _scd_frame(
+        spark,
+        [(1, "a", t0, None, True), (2, "b", t0, None, True)],
+    )
+    batch = spark.createDataFrame([(1, "a2"), (3, "c")], "k int, v string")
+    out = scd2_apply(target, batch, keys=["k"], effective_ts="2026-02-01 00:00:00")
+    rows = {(r.k, r.v): r for r in out.collect()}
+    assert len(rows) == 4
+    # k=1 changed: old version closed, new current opened
+    assert rows[(1, "a")].is_current is False
+    assert rows[(1, "a")].valid_to == dt.datetime(2026, 2, 1)
+    assert rows[(1, "a2")].is_current is True and rows[(1, "a2")].valid_to is None
+    # k=2 untouched; k=3 new
+    assert rows[(2, "b")].is_current is True
+    assert rows[(3, "c")].valid_from == dt.datetime(2026, 2, 1)
+    # invariant: exactly one current row per key
+    cur = out.filter("is_current").groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in cur)
+
+
+def test_scd2_apply_is_idempotent(spark):
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import scd2_apply
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    target = _scd_frame(spark, [(1, "a", t0, None, True)])
+    batch = spark.createDataFrame([(1, "a2")], "k int, v string")
+    once = scd2_apply(target, batch, keys=["k"], effective_ts="2026-02-01 00:00:00")
+    twice = scd2_apply(once, batch, keys=["k"], effective_ts="2026-03-01 00:00:00")
+    # same attrs again: no new version, history unchanged
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
