@@ -17,7 +17,7 @@ pushdown-transparent.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SPLIT_BUCKETS = 10_000
@@ -64,6 +64,47 @@ def hash_split(
         F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
     )
     return df.withColumn(col, expr)
+
+
+def hash_sample(
+    df: DataFrame, key: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff its hash bucket
+    falls below ``fraction``. Unlike ``df.sample()`` (seeded RNG over
+    partition order), the decision is a pure function of the key — the
+    same doc is in or out regardless of partitioning, cluster size, or
+    engine, and a re-run over a refreshed corpus keeps prior decisions.
+    Row-local filter; pushes down past it like any other predicate."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    cutoff = int(round(fraction * SPLIT_BUCKETS))
+    return df.filter(hash_bucket(key, salt) < cutoff)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group: str,
+    key: str,
+    max_rows: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Deterministic per-group downsampling: keep at most ``max_rows``
+    rows per group, chosen by hash order (bucket, then key as a total
+    tiebreak) — the "cap each source/language at N docs" curation staple.
+    Selection is stable across runs and engines.
+
+    One shuffle on ``group`` (the rank window). At 100 TB with a hot
+    group, pre-filter with ``hash_sample`` to an over-sample (e.g.
+    3·max_rows/|group| fraction) before ranking so the window input is
+    bounded; the final rank keeps the result exact."""
+    w = Window.partitionBy(group).orderBy(
+        hash_bucket(key, salt).asc(), F.col(key).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_rows)
+        .drop("_rk")
+    )
 
 
 def shard_assign(

@@ -86,3 +86,48 @@ def fingerprint(text: str = "text") -> Column:
     """Document fingerprint: md5 over the lower-cased text. Content-hash
     dedup key; cheap, exact, portable."""
     return F.md5(F.lower(F.col(text)))
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text: str = "text",
+    chunk_size: int = 20,
+    overlap: int = 5,
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks —
+    context-window prep for LLM training (a 100k-token doc becomes
+    ~100k/stride rows of ``chunk_size`` tokens each).
+
+    Shape matters for scale: tokenize ONCE per document in a projection
+    *below* the Generate, posexplode the arithmetic start sequence, then
+    slice the carried token array per output row. Generate is a
+    CollapseProject barrier, so ``split()`` is never inlined into the
+    per-chunk expressions (the O(n²/stride) trap). All JVM-side; the
+    per-doc fan-out happens after the scan, so no single task ever holds
+    more than one document's tokens plus its chunk rows.
+
+    Output: one row per (doc, chunk) with ``chunk_idx`` (0-based),
+    ``chunk_text``, and ``n_chunk_tokens`` (= chunk_size except the tail).
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    other = [c for c in df.columns if c != text]
+    toks = df.select(*other, F.split(F.col(text), " ").alias("_toks"))
+    exploded = toks.select(
+        *other,
+        "_toks",
+        F.posexplode(
+            F.expr(f"sequence(0, greatest(size(_toks) - 1, 0), {stride})")
+        ).alias("chunk_idx", "_start"),
+    )
+    return exploded.select(
+        *other,
+        F.col("chunk_idx").cast("bigint"),
+        F.expr(f"array_join(slice(_toks, _start + 1, {chunk_size}), ' ')").alias(
+            "chunk_text"
+        ),
+        F.expr(f"least(CAST({chunk_size} AS BIGINT), size(_toks) - _start)").alias(
+            "n_chunk_tokens"
+        ),
+    )

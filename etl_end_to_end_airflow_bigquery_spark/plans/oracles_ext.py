@@ -177,6 +177,42 @@ EXT_ORACLES: dict[str, str] = {
         FROM joined
         ORDER BY doc_a, doc_b
     """,
+    "chunk_documents": """
+        WITH t AS (
+            SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+        ), s AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, greatest(len(toks) - 1, 0) + 1, 15)) AS st
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(st // 15 AS BIGINT) AS chunk_idx,
+               md5(array_to_string(list_slice(toks, st + 1, st + 20), ' '))
+                   AS chunk_hash,
+               least(CAST(20 AS BIGINT), len(toks) - st) AS n_chunk_tokens
+        FROM s
+        ORDER BY doc_id, chunk_idx
+    """,
+    "hash_sample_docs": """
+        SELECT doc_id, lang FROM documents
+        WHERE CAST(concat('0x', substr(md5(concat('sample|',
+                  CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000 < 1000
+        ORDER BY doc_id
+    """,
+    "cap_docs_per_source": """
+        WITH r AS (
+            SELECT source, doc_id,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY CAST(concat('0x', substr(md5(concat('cap|',
+                                    CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                                % 10000 ASC,
+                                doc_id ASC) AS rk
+            FROM documents
+        )
+        SELECT source, doc_id FROM r WHERE rk <= 15
+        ORDER BY source, doc_id
+    """,
     "dataset_split": """
         WITH b AS (
             SELECT doc_id,

@@ -448,6 +448,52 @@ def frame_sample_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("asset_id", "frame_idx")
 
 
+CHUNK_SIZE = 20
+CHUNK_OVERLAP = 5
+SAMPLE_FRACTION = 0.1
+CAP_PER_SOURCE = 15
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: overlapping token windows per document,
+    tokenized once below the Generate barrier (see
+    ``operators.text.chunk_tokens``). Chunks are hashed (md5) so the gate
+    compares fixed-width rows; the text itself is what a training
+    pipeline would write."""
+    from ..operators.text import chunk_tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_tokens(docs, "text", CHUNK_SIZE, CHUNK_OVERLAP)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.md5("chunk_text").alias("chunk_hash"),
+        "n_chunk_tokens",
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sample — hash-gated, not RNG: the same
+    doc survives every run/engine/partitioning, so incremental corpus
+    rebuilds never flip membership. Plain row-local filter."""
+    from ..operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_sample(docs, "doc_id", SAMPLE_FRACTION).orderBy("doc_id")
+
+
+def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (curation staple: bound any one domain's
+    share of the corpus). Hash-ordered rank window per source; selection
+    is deterministic and engine-portable."""
+    from ..operators.sampling import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id")
+    return cap_per_group(docs, "source", "doc_id", CAP_PER_SOURCE).orderBy(
+        "source", "doc_id"
+    )
+
+
 EXT_QUERIES: dict[str, QueryFn] = {
     "dedup_exact_docs": dedup_exact_docs,
     "minhash_pairs": minhash_pairs,
@@ -471,6 +517,9 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "frame_sample_assets": frame_sample_assets,
     "dataset_split": dataset_split,
     "shard_histogram": shard_histogram,
+    "chunk_documents": chunk_documents,
+    "hash_sample_docs": hash_sample_docs,
+    "cap_docs_per_source": cap_docs_per_source,
     "ann_lsh_multiprobe": ann_lsh_multiprobe,
     "ann_lsh_multitable": ann_lsh_multitable,
     "ivf_topk_nprobe": ivf_topk_nprobe,

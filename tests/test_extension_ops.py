@@ -157,3 +157,29 @@ def test_connected_components_chain_triangle_pair(spark):
     )
     got = {r.node: r.component for r in D.connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+class TestChunking:
+    def test_chunk_windows_and_overlap(self, spark):
+        from etl_end_to_end_airflow_bigquery_spark.operators.text import chunk_tokens
+
+        doc = " ".join(f"t{i}" for i in range(47))
+        df = spark.createDataFrame([(1, doc), (2, "a b"), (3, "solo")],
+                                   "doc_id long, text string")
+        out = {(r.doc_id, r.chunk_idx): (r.chunk_text, r.n_chunk_tokens)
+               for r in chunk_tokens(df, chunk_size=20, overlap=5).collect()}
+        # doc 1: starts 0,15,30,45 -> 4 chunks; tail has 2 tokens
+        assert [k for k in out if k[0] == 1] == [(1, i) for i in range(4)]
+        assert out[(1, 0)][0].split(" ") == [f"t{i}" for i in range(20)]
+        assert out[(1, 1)][0].split(" ")[0] == "t15"  # 5-token overlap
+        assert out[(1, 3)] == ("t45 t46", 2)
+        assert out[(2, 0)] == ("a b", 2)  # short doc: one whole chunk
+        assert out[(3, 0)] == ("solo", 1)
+
+    def test_chunk_validation(self, spark):
+        import pytest
+        from etl_end_to_end_airflow_bigquery_spark.operators.text import chunk_tokens
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_tokens(df, chunk_size=5, overlap=5)

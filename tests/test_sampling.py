@@ -55,3 +55,36 @@ def test_shards_cover_range_roughly_uniformly(keys):
     assert max(counts.values()) < 2 * min(counts.values())
     with pytest.raises(ValueError):
         shard_assign(keys, "doc_id", 0)
+
+
+def test_hash_sample_fraction_and_stability(keys):
+    from etl_end_to_end_airflow_bigquery_spark.operators.sampling import hash_sample
+
+    a = {r.doc_id for r in hash_sample(keys, "doc_id", 0.2).collect()}
+    b = {r.doc_id for r in hash_sample(keys.repartition(7), "doc_id", 0.2).collect()}
+    assert a == b  # membership is key-pure, not partition-dependent
+    assert abs(len(a) / 5000 - 0.2) < 0.03
+    # widening the fraction keeps prior members (nested cutoffs, same salt)
+    wide = {r.doc_id for r in hash_sample(keys, "doc_id", 0.5).collect()}
+    assert a <= wide
+    with pytest.raises(ValueError):
+        hash_sample(keys, "doc_id", 1.5)
+
+
+def test_cap_per_group_bounds_and_determinism(spark):
+    from etl_end_to_end_airflow_bigquery_spark.operators.sampling import cap_per_group
+
+    df = spark.range(0, 900).select(
+        (F.col("id") % 3).cast("string").alias("grp"), F.col("id").alias("k")
+    )
+    capped = cap_per_group(df, "grp", "k", 50)
+    rows = capped.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.grp, set()).add(r.k)
+    assert all(len(v) == 50 for v in per.values())
+    again = cap_per_group(df.repartition(11), "grp", "k", 50).collect()
+    assert {(r.grp, r.k) for r in again} == {(r.grp, r.k) for r in rows}
+    # groups under the cap pass through untouched
+    small = cap_per_group(df.filter("k < 30"), "grp", "k", 50)
+    assert small.count() == 30
