@@ -83,3 +83,37 @@ def asof_join(
     return matched.select(
         "__l.*", *[F.col(f"__m.{c}").alias(c) for c in right_cols]
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    values: list[str],
+    step: str = "1 day",
+) -> DataFrame:
+    """Gap-fill + forward-fill: densify each key's timeline to a regular
+    grid (``step`` apart, from that key's first to last observation) and
+    carry the last observed value into the gaps — the time-series
+    resampling primitive (FX: publish a rate for every calendar day even
+    when no tick arrived; metrics: zero-free daily panels).
+
+    Shape at 100 TB: one grouped agg for per-key bounds, the spine
+    explodes JVM-side (``sequence`` — rows never exist on the driver), a
+    co-partitioned left join on (key, ts), then one ``last(...,
+    ignorenulls)`` window per key. Three hash exchanges, all on ``key``
+    — AQE coalesces them; no per-key cross-product, no driver loop.
+    """
+    bounds = df.groupBy(key).agg(
+        F.min(ts).alias("_lo"), F.max(ts).alias("_hi")
+    )
+    spine = bounds.select(
+        key,
+        F.explode(
+            F.expr(f"sequence(_lo, _hi, interval {step})")
+        ).alias(ts),
+    )
+    joined = spine.join(df, [key, ts], "left")
+    w = Window.partitionBy(key).orderBy(ts)
+    filled = {v: F.last(v, ignorenulls=True).over(w) for v in values}
+    return joined.withColumns(filled)

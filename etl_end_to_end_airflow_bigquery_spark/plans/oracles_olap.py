@@ -5,8 +5,14 @@ from __future__ import annotations
 
 from .oracles import _davg, _dsum, _round
 from .queries_olap import (
+    Q5_HI,
+    Q5_LO,
+    Q5_REGION,
     Q7_HI,
     Q7_LO,
+    Q13_EXCLUDE,
+    Q15_HI,
+    Q15_LO,
     Q7_NATION_A,
     Q7_NATION_B,
     Q8_NATION,
@@ -278,5 +284,72 @@ OLAP_ORACLES: dict[str, str] = {
                 AND o_orderdate >= TIMESTAMP '{Q22_CUTOFF} 00:00:00')
         GROUP BY c_nationkey
         ORDER BY c_nationkey
+    """,
+    "q5_local_supplier_volume": f"""
+        SELECT n_name, {_round(_dsum(_REV), 2)} AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = '{Q5_REGION}'
+          AND o_orderdate >= TIMESTAMP '{Q5_LO} 00:00:00'
+          AND o_orderdate <  TIMESTAMP '{Q5_HI} 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    "q13_order_distribution": f"""
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+                 AND o_orderpriority <> '{Q13_EXCLUDE}'
+            GROUP BY c_custkey
+        ) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "q15_top_supplier": f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no, {_dsum(_REV)} AS revenue_raw
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '{Q15_LO} 00:00:00'
+              AND l_shipdate <  TIMESTAMP '{Q15_HI} 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, {_round('revenue_raw', 2)} AS total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE revenue_raw = (SELECT max(revenue_raw) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    "resample_daily_rates": f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   {_round(_davg('value'), 4)} AS avg_rate,
+                   count(*) AS n_ticks
+            FROM events GROUP BY 1, 2
+        ), bounds AS (
+            SELECT event_type, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1
+        ), spine AS (
+            SELECT event_type,
+                   CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                       AS d
+            FROM bounds
+        ), joined AS (
+            SELECT s.event_type, s.d, daily.avg_rate, daily.n_ticks
+            FROM spine s
+            LEFT JOIN daily ON s.event_type = daily.event_type AND s.d = daily.d
+        ), runs AS (
+            SELECT *, count(avg_rate)
+                          OVER (PARTITION BY event_type ORDER BY d) AS grp
+            FROM joined
+        )
+        SELECT event_type, d,
+               max(avg_rate) OVER (PARTITION BY event_type, grp) AS avg_rate,
+               n_ticks
+        FROM runs
+        ORDER BY event_type, d
     """,
 }

@@ -472,6 +472,122 @@ def scd2_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("k", "valid_from")
 
 
+Q5_REGION = "ASIA"
+Q5_LO = "1996-01-01"
+Q5_HI = "1997-01-01"
+Q13_EXCLUDE = "1-URGENT"
+Q15_LO = "1996-01-01"
+Q15_HI = "1996-04-01"
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue from orders where the customer and the supplier
+    sit in the same nation, one region, one year — per nation.
+
+    Scale: the region→nation chain prunes to a handful of nationkeys
+    that broadcast; the c_nationkey = s_nationkey locality predicate
+    binds as part of the supplier join condition, so mismatched rows die
+    inside the join instead of surviving to a filter.
+    """
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q5_REGION)
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts(Q5_LO)) & (F.col("o_orderdate") < _ts(Q5_HI))
+    ).select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round_half_up(decimal_sum(_rev()), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of customers by order count, zero-order
+    customers included — the left-outer-join-with-join-side-filter shape
+    (the priority filter must live in the join, not a WHERE, or the
+    zero-order bucket vanishes).
+
+    Scale: two grouped aggregates; the first shuffles on c_custkey (the
+    join key, so AQE reuses the exchange), the second on the tiny
+    c_count domain.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != Q13_EXCLUDE
+    ).select("o_custkey", "o_orderkey")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue — the
+    aggregate-then-scalar-max-subquery shape. The max is one row,
+    broadcast back over the per-supplier revenues; exact fixed-point
+    accumulation makes the double equality engine-portable.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts(Q15_LO)) & (F.col("l_shipdate") < _ts(Q15_HI))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        decimal_sum(_rev()).alias("revenue_raw")
+    )
+    top = rev.agg(F.max("revenue_raw").alias("max_rev"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top), F.col("revenue_raw") == F.col("max_rev"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            round_half_up(F.col("revenue_raw"), 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def resample_daily_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill + forward-fill through the gate: the per-type daily
+    average rate densified to every calendar day (FX semantics: publish
+    yesterday's rate on days with no ticks). ``n_ticks`` stays null on
+    filled rows so consumers can tell observed from carried."""
+    from ..operators.temporal import resample_ffill
+    from ..sources.events import load_events
+
+    ev = load_events(spark, sf_dir)
+    daily = (
+        ev.groupBy(
+            F.col("event_type"), F.to_date("ts").alias("d")
+        )
+        .agg(
+            round_half_up(decimal_avg(F.col("value")), 4).alias("avg_rate"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
+    filled = resample_ffill(daily, "event_type", "d", ["avg_rate"])
+    return filled.select(
+        "event_type", "d", "avg_rate", "n_ticks"
+    ).orderBy("event_type", "d")
+
+
 OLAP_QUERIES: dict[str, QueryFn] = {
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
@@ -487,4 +603,8 @@ OLAP_QUERIES: dict[str, QueryFn] = {
     "quantile_pack": quantile_pack,
     "profile_orders": profile_orders,
     "scd2_orders_status": scd2_orders_status,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q13_order_distribution": q13_order_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "resample_daily_rates": resample_daily_rates,
 }

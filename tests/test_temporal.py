@@ -112,3 +112,43 @@ def test_salted_count_sum_equals_plain_aggregate(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+class TestResampleFfill:
+    def test_gaps_filled_per_key(self, spark):
+        from etl_end_to_end_airflow_bigquery_spark.operators.temporal import (
+            resample_ffill,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("a", "2024-01-01", 1.0, 10),
+                ("a", "2024-01-04", 4.0, 40),
+                ("b", "2024-01-02", 2.0, 20),
+                ("b", "2024-01-03", 3.0, 30),
+            ],
+            "k string, d string, v double, n int",
+        ).selectExpr("k", "CAST(d AS DATE) AS d", "v", "n")
+        out = resample_ffill(df, "k", "d", ["v"])
+        rows = {(r.k, str(r.d)): (r.v, r.n) for r in out.collect()}
+        # key a: Jan 2 and 3 are synthesized, carry v=1.0, n stays null
+        assert rows[("a", "2024-01-02")] == (1.0, None)
+        assert rows[("a", "2024-01-03")] == (1.0, None)
+        assert rows[("a", "2024-01-04")] == (4.0, 40)
+        # key b has its own bounds — no rows outside [Jan 2, Jan 3]
+        assert [k for k in rows if k[0] == "b"] == [
+            ("b", "2024-01-02"), ("b", "2024-01-03")]
+        assert len(rows) == 6
+
+    def test_custom_step(self, spark):
+        from etl_end_to_end_airflow_bigquery_spark.operators.temporal import (
+            resample_ffill,
+        )
+
+        df = spark.createDataFrame(
+            [("a", "2024-01-01 00:00:00", 1.0), ("a", "2024-01-01 06:00:00", 7.0)],
+            "k string, t string, v double",
+        ).selectExpr("k", "CAST(t AS TIMESTAMP_NTZ) AS t", "v")
+        out = resample_ffill(df, "k", "t", ["v"], step="2 hours")
+        vals = [r.v for r in out.orderBy("t").collect()]
+        assert vals == [1.0, 1.0, 1.0, 7.0]
