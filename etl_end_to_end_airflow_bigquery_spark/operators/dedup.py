@@ -156,7 +156,11 @@ def jaccard_verify(docs: DataFrame, threshold: float = NEAR_DUP_JACCARD) -> Data
     is_near_dup). Joins the shingle sets back only for candidate pairs —
     the expensive set intersection runs on the tiny candidate list."""
     cands = minhash_candidate_pairs(docs).select("doc_a", "doc_b")
-    sh = shingle_docs(docs)
+    # Exchange-reuse barrier (same trick as minhash_candidate_pairs): the
+    # shingle arrays are consumed by BOTH sides of the candidate join;
+    # pinning them behind one hash exchange makes the second consumer a
+    # ReusedExchange instead of a full re-tokenization of the corpus.
+    sh = shingle_docs(docs).repartition("doc_id")
     j = (
         cands.join(sh.withColumnsRenamed({"doc_id": "doc_a", "shingles": "sh_a"}), "doc_a")
         .join(sh.withColumnsRenamed({"doc_id": "doc_b", "shingles": "sh_b"}), "doc_b")
