@@ -243,3 +243,37 @@ def idempotent_append(
     target = spark.read.parquet(target_path)
     fresh = batch.dropDuplicates(keys).join(target, on=keys, how="left_anti")
     fresh.select(*target.columns).write.mode("append").parquet(target_path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    shuffle: bool = False,
+) -> int:
+    """Small-file compaction: rewrite a Parquet directory into
+    ceil(total_bytes / target) files and atomically swap it in. Returns
+    the output file count.
+
+    The small-files problem is THE silent scale killer for append-heavy
+    tables (a streaming sink or per-batch ``merge_upsert`` emitting
+    thousands of KB-sized files turns every downstream scan into
+    task-scheduling overhead). Default is ``coalesce`` — no shuffle,
+    each output task concatenates whole input files; pass
+    ``shuffle=True`` for an even-size rebalance when input files are
+    badly skewed. Partitioned tables: compact each partition directory
+    independently (this keeps the rewrite scoped exactly like
+    ``merge_upsert``'s partition path).
+    """
+    df = spark.read.parquet(path)
+    total = 0
+    for f in df.inputFiles():
+        local = f.removeprefix("file:")
+        if os.path.exists(local):
+            total += os.path.getsize(local)
+    n = max(1, -(-total // target_file_bytes))
+    tmp = path + f".__compact__{uuid.uuid4().hex[:8]}"
+    shaped = df.repartition(n) if shuffle else df.coalesce(n)
+    shaped.write.mode("overwrite").parquet(tmp)
+    _atomic_swap(tmp, path)
+    return n

@@ -313,6 +313,32 @@ ORACLES: dict[str, str] = {
         GROUP BY user_id, session_id
         ORDER BY user_id, session_id
     """,
+    "session_window_native": f"""
+        WITH e AS (
+            SELECT event_id, user_id, ts, epoch_us(ts) AS ts_us FROM events
+        ), f AS (
+            SELECT *,
+                   -- >= (not >): a gap of exactly the timeout starts a new
+                   -- session under Spark's session_window merge rule
+                   CASE WHEN ts_us - lag(ts_us) OVER
+                        (PARTITION BY user_id ORDER BY ts_us, event_id)
+                        >= {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session
+            FROM e
+        ), s AS (
+            SELECT *,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM f
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events
+        FROM s
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """,
     "asof_attribution": """
         -- The right side is pre-deduped to one row per (user_id, ts) with
         -- an explicit max-by rule: DuckDB's ASOF JOIN picks an unspecified

@@ -15,6 +15,23 @@ _SUM_U = "sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))"
 STREAM_ORACLES: dict[str, str] = {
     # identical output contract to the batch flagship — one oracle fits both
     "streaming_daily_avg": ORACLES["daily_avg_report"],
+    "streaming_sliding_avg": f"""
+        WITH ticks AS (
+            SELECT CAST(ts AS DATE) AS d, event_type, value FROM events
+        ), ks AS (
+            SELECT unnest(range(0, 7)) AS k
+        ), expanded AS (
+            SELECT d - CAST(k AS INTEGER) AS win_start, event_type, value
+            FROM ticks CROSS JOIN ks
+        )
+        SELECT win_start, event_type,
+               {_round("CAST(" + _SUM_U + " AS DOUBLE) / 1000000.0 / count(value)", 4)}
+                   AS avg_rate,
+               count(*) AS n_ticks
+        FROM expanded
+        GROUP BY win_start, event_type
+        ORDER BY win_start, event_type
+    """,
     "grouped_stats_pandas": f"""
         SELECT event_type,
                count(*) AS n_ticks,

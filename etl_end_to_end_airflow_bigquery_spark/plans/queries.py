@@ -509,6 +509,32 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via Spark's *native* ``session_window`` operator
+    (the built-in dual of ``sessionize_events``' lag/cumsum spelling) —
+    one shuffle on user_id, sessions merged inside the aggregate, and the
+    same operator carries unchanged into Structured Streaming.
+
+    Boundary semantics (pinned in the oracle): a gap of exactly the
+    timeout starts a NEW session (Spark merges only while next_ts <
+    prev_ts + gap), and session_end = last event + gap, not last event.
+    """
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 # --- temporal joins: as-of + interval (beyond-reference operators) -------
 
 
@@ -778,6 +804,7 @@ QUERIES: dict[str, QueryFn] = {
     "merge_upsert_orders": merge_upsert_orders,
     "idempotent_append_orders": idempotent_append_orders,
     "sessionize_events": sessionize_events,
+    "session_window_native": session_window_native,
     "asof_attribution": asof_attribution,
     "views_before_purchase": views_before_purchase,
     "reorder_gap_by_segment": reorder_gap_by_segment,

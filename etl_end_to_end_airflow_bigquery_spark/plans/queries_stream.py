@@ -248,8 +248,66 @@ def streaming_report_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(report_path).orderBy("report_date", "event_type")
 
 
+def streaming_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows on the streaming engine: 7-day windows
+    advancing 1 day, average rate per (window, type) — the moving-average
+    report every monitoring pipeline runs. Each tick lands in 7 windows;
+    Spark assigns them JVM-side in the grouped aggregate (no explode).
+
+    Bounded replay through a memory sink, same contract as
+    ``streaming_daily_avg``; the oracle expands the 7 window starts per
+    tick arithmetically and must agree bit-for-bit."""
+    global _SINK_SEQ
+    _SINK_SEQ += 1
+    sink = f"stream_sliding_{_SINK_SEQ}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ticks = raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    )
+    from ..operators.relational import round_half_up
+
+    agg = (
+        ticks.groupBy(
+            F.window("ts", "7 days", "1 day").alias("win"), F.col("event_type")
+        )
+        .agg(
+            (
+                F.sum(F.floor(F.col("value") * 1000000.0 + 0.5)).cast("double")
+                / 1000000.0
+                / F.count("value")
+            ).alias("__avg"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            F.col("win.start").cast("date").alias("win_start"),
+            "event_type",
+            round_half_up(F.col("__avg"), 4).alias("avg_rate"),
+            "n_ticks",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).orderBy("win_start", "event_type")
+
+
 STREAM_QUERIES: dict[str, QueryFn] = {
     "streaming_daily_avg": streaming_daily_avg,
+    "streaming_sliding_avg": streaming_sliding_avg,
     "grouped_stats_pandas": grouped_stats_pandas,
     "streaming_dedup_events": streaming_dedup_events,
     "streaming_report_merge": streaming_report_merge,

@@ -159,3 +159,39 @@ def test_scd2_apply_is_idempotent(spark):
     twice = scd2_apply(once, batch, keys=["k"], effective_ts="2026-03-01 00:00:00")
     # same attrs again: no new version, history unchanged
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+class TestCompaction:
+    def test_compact_reduces_files_and_preserves_rows(self, spark, tmp_path):
+        from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+            compact_parquet,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.range(0, 10_000).selectExpr("id", "id * 2 AS v")
+        df.repartition(16).write.parquet(path)
+        import glob
+
+        before = glob.glob(path + "/part-*.parquet")
+        assert len(before) == 16
+        n = compact_parquet(spark, path, target_file_bytes=1 << 30)
+        after = glob.glob(path + "/part-*.parquet")
+        assert n == 1 and len(after) == 1
+        got = sorted((r.id, r.v) for r in spark.read.parquet(path).collect())
+        assert got == [(i, 2 * i) for i in range(10_000)]
+
+    def test_compact_splits_to_target_size(self, spark, tmp_path):
+        from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+            compact_parquet,
+        )
+
+        path = str(tmp_path / "t2")
+        spark.range(0, 50_000).selectExpr(
+            "id", "repeat('x', 64) AS pad"
+        ).repartition(20).write.parquet(path)
+        n = compact_parquet(spark, path, target_file_bytes=40_000, shuffle=True)
+        import glob
+
+        assert n > 1
+        assert len(glob.glob(path + "/part-*.parquet")) == n
+        assert spark.read.parquet(path).count() == 50_000
