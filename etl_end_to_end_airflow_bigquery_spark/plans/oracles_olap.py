@@ -352,4 +352,12 @@ OLAP_ORACLES: dict[str, str] = {
         FROM runs
         ORDER BY event_type, d
     """,
+    "unpivot_part_measures": """
+        SELECT p_partkey, 'p_size' AS measure,
+               CAST(p_size AS DOUBLE) AS value
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+        ORDER BY p_partkey, measure
+    """,
 }

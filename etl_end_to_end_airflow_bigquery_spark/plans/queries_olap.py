@@ -588,6 +588,21 @@ def resample_daily_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "d")
 
 
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via the native ``DataFrame.unpivot`` (SQL
+    UNPIVOT / melt): part's numeric measures become (measure, value)
+    rows. Row-local generate — no shuffle; the long form is what ML
+    feature stores and plotting layers consume."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    )
+    return part.unpivot(
+        ["p_partkey"], ["p_size", "p_retailprice"], "measure", "value"
+    ).orderBy("p_partkey", "measure")
+
+
 OLAP_QUERIES: dict[str, QueryFn] = {
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
@@ -607,4 +622,5 @@ OLAP_QUERIES: dict[str, QueryFn] = {
     "q13_order_distribution": q13_order_distribution,
     "q15_top_supplier": q15_top_supplier,
     "resample_daily_rates": resample_daily_rates,
+    "unpivot_part_measures": unpivot_part_measures,
 }

@@ -44,3 +44,43 @@ def test_missing_fields_survive_as_nulls(spark):
     )
     r = rows.collect()[0]
     assert r.from_cur is None and r.date is None and r.rate == 2.0
+
+
+class TestFileQuarantine:
+    def test_jsonl_bad_rows_quarantined(self, spark, tmp_path):
+        from etl_end_to_end_airflow_bigquery_spark.sources.files import read_jsonl
+
+        p = tmp_path / "in.jsonl"
+        p.write_text(
+            '{"id": 1, "rate": 1.1}\n'
+            'not json at all\n'
+            '{"id": 2, "rate": 2.2}\n'
+            '{"id": "abc", "rate": 3.3}\n'  # id fails the long cast
+        )
+        valid, rejected = read_jsonl(spark, str(p), "id long, rate double")
+        good = sorted((r.id, r.rate) for r in valid.collect())
+        assert good == [(1, 1.1), (2, 2.2)]
+        bad = sorted(r.raw_record for r in rejected.collect())
+        assert bad == ['not json at all', '{"id": "abc", "rate": 3.3}']
+        assert valid.columns == ["id", "rate"]
+        valid.unpersist()
+
+    def test_csv_bad_rows_quarantined(self, spark, tmp_path):
+        from etl_end_to_end_airflow_bigquery_spark.sources.files import read_csv
+
+        p = tmp_path / "in.csv"
+        p.write_text("id,rate\n1,1.1\n2,notanumber\n3,3.3\n")
+        valid, rejected = read_csv(spark, str(p), "id long, rate double")
+        assert sorted((r.id, r.rate) for r in valid.collect()) == [
+            (1, 1.1), (3, 3.3)]
+        assert [r.raw_record for r in rejected.collect()] == ["2,notanumber"]
+        valid.unpersist()
+
+    def test_all_good_rows_empty_quarantine(self, spark, tmp_path):
+        from etl_end_to_end_airflow_bigquery_spark.sources.files import read_jsonl
+
+        p = tmp_path / "ok.jsonl"
+        p.write_text('{"id": 1}\n{"id": 2}\n')
+        valid, rejected = read_jsonl(spark, str(p), "id long")
+        assert valid.count() == 2 and rejected.count() == 0
+        valid.unpersist()
