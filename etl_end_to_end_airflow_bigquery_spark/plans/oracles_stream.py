@@ -15,6 +15,15 @@ _SUM_U = "sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))"
 STREAM_ORACLES: dict[str, str] = {
     # identical output contract to the batch flagship — one oracle fits both
     "streaming_daily_avg": ORACLES["daily_avg_report"],
+    "streaming_segment_counts": f"""
+        SELECT c_mktsegment,
+               count(*) AS n_events,
+               {_round("CAST(" + _SUM_U + " AS DOUBLE) / 1000000.0", 4)}
+                   AS sum_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
     "streaming_sliding_avg": f"""
         WITH ticks AS (
             SELECT CAST(ts AS DATE) AS d, event_type, value FROM events

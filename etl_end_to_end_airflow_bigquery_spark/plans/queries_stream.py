@@ -305,9 +305,63 @@ def streaming_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).orderBy("win_start", "event_type")
 
 
+def streaming_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the live tick stream enriched against a batch
+    dimension (customer segments) inside the streaming engine — the
+    lookup-table pattern every enrichment pipeline runs. The static side
+    is broadcast per micro-batch (and re-resolved each batch, so a
+    refreshed dim table is picked up without restarting the stream).
+    """
+    global _SINK_SEQ
+    _SINK_SEQ += 1
+    sink = f"stream_segments_{_SINK_SEQ}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_mktsegment")
+    )
+    from ..operators.relational import round_half_up
+
+    agg = (
+        raw.join(F.broadcast(cust), raw["user_id"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.floor(F.col("value") * 1000000.0 + 0.5)).cast("double")
+                / 1000000.0
+            ).alias("__sum"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_events",
+            round_half_up(F.col("__sum"), 4).alias("sum_value"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).orderBy("c_mktsegment")
+
+
 STREAM_QUERIES: dict[str, QueryFn] = {
     "streaming_daily_avg": streaming_daily_avg,
     "streaming_sliding_avg": streaming_sliding_avg,
+    "streaming_segment_counts": streaming_segment_counts,
     "grouped_stats_pandas": grouped_stats_pandas,
     "streaming_dedup_events": streaming_dedup_events,
     "streaming_report_merge": streaming_report_merge,
