@@ -360,4 +360,17 @@ OLAP_ORACLES: dict[str, str] = {
         SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
         ORDER BY p_partkey, measure
     """,
+    "grouping_sets_sql": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
+                   AS grp_id
+        FROM orders
+        GROUP BY GROUPING SETS (
+            (o_orderstatus, o_orderpriority),
+            (o_orderpriority),
+            ()
+        )
+        ORDER BY grp_id, o_orderstatus, o_orderpriority
+    """,
 }

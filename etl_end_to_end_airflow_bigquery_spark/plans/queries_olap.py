@@ -588,6 +588,29 @@ def resample_daily_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "d")
 
 
+def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS via the ``spark.sql`` entry point — the
+    engine's SQL surface, verified end-to-end (every other gate query
+    drives the DataFrame API; the reference's users write exactly this
+    kind of ANSI SQL). Three hand-picked sets in one Expand + one
+    aggregate pass — the shape ROLLUP/CUBE can't express."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               CAST(grouping_id() AS BIGINT) AS grp_id
+        FROM orders_v
+        GROUP BY GROUPING SETS (
+            (o_orderstatus, o_orderpriority),
+            (o_orderpriority),
+            ()
+        )
+        ORDER BY grp_id, o_orderstatus, o_orderpriority
+        """
+    )
+
+
 def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long reshape via the native ``DataFrame.unpivot`` (SQL
     UNPIVOT / melt): part's numeric measures become (measure, value)
@@ -623,4 +646,5 @@ OLAP_QUERIES: dict[str, QueryFn] = {
     "q15_top_supplier": q15_top_supplier,
     "resample_daily_rates": resample_daily_rates,
     "unpivot_part_measures": unpivot_part_measures,
+    "grouping_sets_sql": grouping_sets_sql,
 }
