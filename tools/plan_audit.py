@@ -1,0 +1,175 @@
+"""Physical-plan audit over every registered query.
+
+For each ``queries()`` entry, build the DataFrame at the given sf dir
+and inspect the executed plan for the properties that decide 100 TB
+behavior: exchange count, join strategies, whole-stage codegen, scan
+pushdown, and the red flags (CartesianProduct, BroadcastNestedLoopJoin,
+row-at-a-time Python UDFs).
+
+Usage:
+    python tools/plan_audit.py [sf_dir] [--md PLANS.md] [query ...]
+
+Streaming queries are skipped (their micro-batch plans aren't built
+until execution); they are listed as such so the skip is visible.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+STREAMING = {
+    "streaming_daily_avg",
+    "streaming_dedup_events",
+    "streaming_report_merge",
+    "streaming_sliding_avg",
+    "streaming_segment_counts",
+}
+
+# Arrow-batched Python stages that are the documented design (multimodal
+# codecs, pandas stats) — ArrowEvalPython/MapInPandas there is expected.
+ARROW_OK = {
+    "multimodal_decode",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_meta",
+    "frame_sample_assets",
+    "grouped_stats_pandas",
+}
+
+# Queries whose BroadcastNestedLoopJoin builds a ≤-handful-of-rows side —
+# a scalar aggregate (q22's avg-balance threshold) or a one-row literal
+# table (the ANN hyperplane/centroid seeds, the cosine query set). A
+# one-row broadcast cross is O(n) work at any scale; the flag exists to
+# catch *unintended* cross products, so these verified sites pass.
+BNLJ_OK = {
+    "q22_idle_customers",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "ann_lsh_multiprobe",
+    "ann_lsh_multitable",
+    "ivf_topk",
+    "ivf_topk_nprobe",
+    "embedding_near_dups",
+}
+
+# Structurally-high exchange counts with a justification.
+EXCHANGES_OK = {
+    # union of N independent LSH tables: exchanges scale with the table
+    # count (each table's band join is bounded); not a per-row blowup.
+    "ann_lsh_multitable",
+}
+
+
+def audit(name: str, df) -> dict:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "name": name,
+        "exchanges": plan.count("Exchange hashpartitioning"),
+        "range_exchanges": plan.count("Exchange rangepartitioning"),
+        "bhj": plan.count("BroadcastHashJoin"),
+        "smj": plan.count("SortMergeJoin"),
+        "shj": plan.count("ShuffledHashJoin"),
+        "scans": plan.count("FileScan parquet") + plan.count("Scan parquet"),
+        "pushed": "PushedFilters: [" in plan
+        and "PushedFilters: []" not in plan.split("PushedFilters: [", 1)[0],
+        "codegen": "WholeStageCodegen" in plan
+        or "*(" in plan,  # formatted vs simple string
+        "cartesian": plan.count("CartesianProduct"),
+        "bnlj": plan.count("BroadcastNestedLoopJoin"),
+        "python_row": plan.count("BatchEvalPython"),
+        "python_arrow": plan.count("ArrowEvalPython")
+        + plan.count("MapInPandas")
+        + plan.count("FlatMapGroupsInPandas"),
+    }
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    md_out = None
+    for i, a in enumerate(sys.argv[1:]):
+        if a == "--md":
+            md_out = sys.argv[1:][i + 1]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    if md_out in args:
+        args.remove(md_out)
+    only = set(args[1:])
+
+    import __spark_entry__ as entrymod
+    from etl_end_to_end_airflow_bigquery_spark.session import get_spark
+
+    spark = get_spark("plan_audit")
+    rows, flagged, skipped = [], [], []
+    for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
+        if name in STREAMING:
+            skipped.append(name)
+            continue
+        try:
+            r = audit(name, fn(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001 — audit must cover all
+            print(f"ERR  {name}: {type(e).__name__}: {str(e)[:200]}")
+            flagged.append(name)
+            continue
+        rows.append(r)
+        flags = []
+        if r["cartesian"]:
+            flags.append("CARTESIAN")
+        if r["bnlj"] and name not in BNLJ_OK:
+            flags.append("BNLJ")
+        if r["python_row"]:
+            flags.append("ROW_PYTHON_UDF")
+        if r["python_arrow"] and name not in ARROW_OK:
+            flags.append("ARROW_PYTHON(unexpected)")
+        if r["exchanges"] > 6 and name not in EXCHANGES_OK:
+            flags.append(f"EXCHANGES={r['exchanges']}")
+        tag = " !! " + ",".join(flags) if flags else ""
+        print(
+            f"{name:32s} exch={r['exchanges']}+{r['range_exchanges']}r "
+            f"bhj={r['bhj']} smj={r['smj']} scans={r['scans']} "
+            f"codegen={'y' if r['codegen'] else 'N'}{tag}"
+        )
+        if flags:
+            flagged.append(name)
+
+    print(f"\n{len(rows)} audited, {len(skipped)} streaming skipped, "
+          f"{len(flagged)} flagged" + (f": {flagged}" if flagged else ""))
+
+    if md_out:
+        with open(md_out, "w") as f:
+            f.write(
+                "# Physical-plan audit\n\n"
+                f"Auto-generated by `tools/plan_audit.py` at `{sf_dir}`.\n"
+                "Exchanges = hash + range shuffles; flags mark plan shapes "
+                "that do not survive scale.\n\n"
+                "| query | exchanges | broadcast | sort-merge | scans | "
+                "codegen | flags |\n|---|---|---|---|---|---|---|\n"
+            )
+            for r in sorted(rows, key=lambda r: r["name"]):
+                flags = []
+                if r["cartesian"]:
+                    flags.append("CARTESIAN")
+                if r["bnlj"]:
+                    flags.append("one-row-broadcast cross (by design)"
+                                 if r["name"] in BNLJ_OK else "BNLJ")
+                if r["python_row"]:
+                    flags.append("row-Python-UDF")
+                if r["python_arrow"]:
+                    flags.append("arrow-python (by design)"
+                                 if r["name"] in ARROW_OK else "arrow-python?")
+                f.write(
+                    f"| {r['name']} | {r['exchanges']}+{r['range_exchanges']}r "
+                    f"| {r['bhj']} | {r['smj']} | {r['scans']} "
+                    f"| {'yes' if r['codegen'] else 'NO'} "
+                    f"| {', '.join(flags) or '—'} |\n"
+                )
+            f.write(f"\nStreaming (audited at runtime, not here): "
+                    f"{', '.join(sorted(skipped))}\n")
+        print(f"wrote {md_out}")
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
