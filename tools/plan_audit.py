@@ -59,11 +59,28 @@ EXCHANGES_OK = {
     # union of N independent LSH tables: exchanges scale with the table
     # count (each table's band join is bounded); not a per-row blowup.
     "ann_lsh_multitable",
+    # candidate-generation + exact-verify pipelines: LSH banding join,
+    # then the shingle/vector frames joined back to both pair sides.
+    # ReusedExchange (asserted in test_plan_shapes) keeps each corpus
+    # derivation computed once; the count is stages, not amplification.
+    "jaccard_near_dups",
+    "embedding_near_dups",
 }
 
 
-def audit(name: str, df) -> dict:
-    plan = df._jdf.queryExecution().executedPlan().toString()
+def audit(spark, name: str, df) -> dict:
+    # Execute first: Spark 4 wraps every exchange-bearing plan in
+    # AdaptiveSparkPlan, and the true topology (runtime join strategy,
+    # ReusedExchange dedup, codegen spans) only exists in the *final*
+    # adaptive plan. Gate queries return gate-sized results, so the
+    # collect is bounded.
+    df.collect()
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    cg = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        qe, "codegen"
+    )
+    n_codegen = int(cg.split(" WholeStageCodegen subtree")[0].rsplit(" ", 1)[-1])
     return {
         "name": name,
         "exchanges": plan.count("Exchange hashpartitioning"),
@@ -72,10 +89,8 @@ def audit(name: str, df) -> dict:
         "smj": plan.count("SortMergeJoin"),
         "shj": plan.count("ShuffledHashJoin"),
         "scans": plan.count("FileScan parquet") + plan.count("Scan parquet"),
-        "pushed": "PushedFilters: [" in plan
-        and "PushedFilters: []" not in plan.split("PushedFilters: [", 1)[0],
-        "codegen": "WholeStageCodegen" in plan
-        or "*(" in plan,  # formatted vs simple string
+        "reused": plan.count("ReusedExchange"),
+        "codegen": n_codegen,
         "cartesian": plan.count("CartesianProduct"),
         "bnlj": plan.count("BroadcastNestedLoopJoin"),
         "python_row": plan.count("BatchEvalPython"),
@@ -108,7 +123,7 @@ def main() -> int:
             skipped.append(name)
             continue
         try:
-            r = audit(name, fn(spark, sf_dir))
+            r = audit(spark, name, fn(spark, sf_dir))
         except Exception as e:  # noqa: BLE001 — audit must cover all
             print(f"ERR  {name}: {type(e).__name__}: {str(e)[:200]}")
             flagged.append(name)
@@ -129,7 +144,8 @@ def main() -> int:
         print(
             f"{name:32s} exch={r['exchanges']}+{r['range_exchanges']}r "
             f"bhj={r['bhj']} smj={r['smj']} scans={r['scans']} "
-            f"codegen={'y' if r['codegen'] else 'N'}{tag}"
+            f"reused={r['reused']} "
+            f"codegen={r['codegen']}{tag}"
         )
         if flags:
             flagged.append(name)
@@ -145,7 +161,8 @@ def main() -> int:
                 "Exchanges = hash + range shuffles; flags mark plan shapes "
                 "that do not survive scale.\n\n"
                 "| query | exchanges | broadcast | sort-merge | scans | "
-                "codegen | flags |\n|---|---|---|---|---|---|---|\n"
+                "reused-exchange | codegen | flags |\n"
+                "|---|---|---|---|---|---|---|---|\n"
             )
             for r in sorted(rows, key=lambda r: r["name"]):
                 flags = []
@@ -162,7 +179,8 @@ def main() -> int:
                 f.write(
                     f"| {r['name']} | {r['exchanges']}+{r['range_exchanges']}r "
                     f"| {r['bhj']} | {r['smj']} | {r['scans']} "
-                    f"| {'yes' if r['codegen'] else 'NO'} "
+                    f"| {r['reused']} "
+                    f"| {r['codegen']} "
                     f"| {', '.join(flags) or '—'} |\n"
                 )
             f.write(f"\nStreaming (audited at runtime, not here): "
