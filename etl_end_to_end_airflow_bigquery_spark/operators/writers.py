@@ -277,3 +277,34 @@ def compact_parquet(
     shaped.write.mode("overwrite").parquet(tmp)
     _atomic_swap(tmp, path)
     return n
+
+
+def cluster_write(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    n_files: int | None = None,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Write with range-clustered layout: rows range-partition on
+    ``cluster_by`` and sort within each file, so every parquet row-group
+    carries tight min/max bounds on those columns — the data-skipping
+    (zone-map) layout. A later scan with a ``cluster_by`` predicate
+    prunes whole files/row-groups at planning time instead of reading
+    them; at 100 TB this is the difference between touching one file and
+    touching all of them for a point/range query.
+
+    One range exchange (with a driver-side sample to pick bounds) + a
+    local sort — the standard cost of producing clustered output.
+    """
+    cols = [F.col(c) for c in cluster_by]
+    shaped = (
+        df.repartitionByRange(n_files, *cols)
+        if n_files
+        else df.repartitionByRange(*cols)
+    )
+    shaped = shaped.sortWithinPartitions(*cols)
+    writer = shaped.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

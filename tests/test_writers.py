@@ -195,3 +195,35 @@ class TestCompaction:
         assert n > 1
         assert len(glob.glob(path + "/part-*.parquet")) == n
         assert spark.read.parquet(path).count() == 50_000
+
+
+class TestClusterWrite:
+    def test_rowgroup_bounds_are_tight_and_scan_prunes(self, spark, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+            cluster_write,
+        )
+
+        path = str(tmp_path / "clustered")
+        df = spark.range(0, 100_000).selectExpr(
+            "id AS k", "CAST(id % 97 AS DOUBLE) AS v"
+        ).repartition(8)  # scrambled input
+        cluster_write(df, path, ["k"], n_files=8)
+        files = sorted(glob.glob(path + "/part-*.parquet"))
+        assert len(files) == 8
+        # each file covers a disjoint contiguous k-range (zone-map layout)
+        spans = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            col = md.row_group(0).column(0)
+            lo = col.statistics.min
+            hi = md.row_group(md.num_row_groups - 1).column(0).statistics.max
+            spans.append((lo, hi))
+        spans.sort()
+        for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+            assert hi1 < lo2  # disjoint: a point predicate hits ONE file
+        # data survives intact
+        assert spark.read.parquet(path).count() == 100_000
