@@ -119,3 +119,39 @@ def test_small_qty_revenue_broadcasts_both_small_sides(spark):
     assert plan.count("BroadcastHashJoin") >= 2  # part keys + thresholds
     # lineitem scanned, filtered by broadcast — never shuffled whole
     assert "SortMergeJoin" not in plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """Runtime (Bloom) filter injection: a selective creation side pushes
+    a might_contain pre-filter onto the big fact scan of a shuffle join.
+    Size-gated in production (creation side small, application side
+    large — met naturally at 100 TB); thresholds are lowered here only
+    to make the sf0.01 plan cross the gate, proving the session config
+    has the capability ON."""
+    keys = (
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        sel = orders.filter("o_totalprice > 400000").select("o_orderkey")
+        j = li.join(sel, li["l_orderkey"] == sel["o_orderkey"]).groupBy().count()
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan  # bloom filter reached the fact side
+        assert plan.count("SortMergeJoin") >= 1
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
