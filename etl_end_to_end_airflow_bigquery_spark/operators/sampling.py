@@ -117,3 +117,34 @@ def shard_assign(
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
     return df.withColumn(col, hash_bucket(key, salt, buckets=n_shards))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    stratum: str,
+    key: str,
+    fractions: dict[str, float],
+    default: float = 1.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum keeps its own
+    hash-gated fraction of rows (corpus rebalancing: downsample the
+    dominant language/source, keep the rare ones whole). Decisions are
+    key-pure — stable across runs, engines, partitionings, and corpus
+    refreshes. Row-local filter; no shuffle, pushdown-transparent.
+
+    ``fractions`` maps stratum value → keep fraction; unmapped strata
+    keep ``default``.
+    """
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {s!r} must be in [0,1], got {f}")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError(f"default must be in [0,1], got {default}")
+    cutoff = F.lit(int(round(default * SPLIT_BUCKETS)))
+    for s, f in sorted(fractions.items()):
+        cutoff = (
+            F.when(F.col(stratum) == s, int(round(f * SPLIT_BUCKETS)))
+            .otherwise(cutoff)
+        )
+    return df.filter(hash_bucket(key, salt) < cutoff)

@@ -199,6 +199,15 @@ EXT_ORACLES: dict[str, str] = {
                   CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000 < 1000
         ORDER BY doc_id
     """,
+    "stratified_sample_docs": """
+        SELECT doc_id, lang FROM documents
+        WHERE CAST(concat('0x', substr(md5(concat('strat|',
+                  CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000
+              < CASE lang WHEN 'en' THEN 2000
+                          WHEN 'de' THEN 5000
+                          ELSE 10000 END
+        ORDER BY doc_id
+    """,
     "cap_docs_per_source": """
         WITH r AS (
             SELECT source, doc_id,

@@ -482,6 +482,22 @@ def hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample(docs, "doc_id", SAMPLE_FRACTION).orderBy("doc_id")
 
 
+STRAT_FRACTIONS = {"en": 0.2, "de": 0.5}
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing: per-language keep fractions (downsample the
+    dominant languages, keep the rest whole) — hash-gated, so the cut is
+    reproducible across engines and corpus refreshes. Pure row-local
+    filter, no shuffle."""
+    from ..operators.sampling import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_hash_sample(docs, "lang", "doc_id", STRAT_FRACTIONS).orderBy(
+        "doc_id"
+    )
+
+
 def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap (curation staple: bound any one domain's
     share of the corpus). Hash-ordered rank window per source; selection
@@ -519,6 +535,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "shard_histogram": shard_histogram,
     "chunk_documents": chunk_documents,
     "hash_sample_docs": hash_sample_docs,
+    "stratified_sample_docs": stratified_sample_docs,
     "cap_docs_per_source": cap_docs_per_source,
     "ann_lsh_multiprobe": ann_lsh_multiprobe,
     "ann_lsh_multitable": ann_lsh_multitable,

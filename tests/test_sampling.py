@@ -88,3 +88,30 @@ def test_cap_per_group_bounds_and_determinism(spark):
     # groups under the cap pass through untouched
     small = cap_per_group(df.filter("k < 30"), "grp", "k", 50)
     assert small.count() == 30
+
+
+def test_stratified_sample_per_group_fractions(spark):
+    from etl_end_to_end_airflow_bigquery_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    df = spark.range(0, 9000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("grp"),
+    )
+    out = stratified_hash_sample(df, "grp", "k", {"0": 0.1, "1": 0.5})
+    per = {
+        r.grp: r.n
+        for r in out.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert abs(per["0"] / 3000 - 0.1) < 0.03
+    assert abs(per["1"] / 3000 - 0.5) < 0.03
+    assert per["2"] == 3000  # default 1.0: untouched
+    # stable across partitioning
+    again = stratified_hash_sample(
+        df.repartition(13), "grp", "k", {"0": 0.1, "1": 0.5}
+    )
+    assert {(r.grp, r.k) for r in again.collect()} == {
+        (r.grp, r.k) for r in out.collect()}
+    with pytest.raises(ValueError):
+        stratified_hash_sample(df, "grp", "k", {"0": 2.0})
