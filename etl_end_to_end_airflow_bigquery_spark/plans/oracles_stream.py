@@ -15,6 +15,17 @@ _SUM_U = "sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))"
 STREAM_ORACLES: dict[str, str] = {
     # identical output contract to the batch flagship — one oracle fits both
     "streaming_daily_avg": ORACLES["daily_avg_report"],
+    "streaming_view_purchase_join": """
+        SELECT p.event_id AS purchase_id, v.event_id AS view_id
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        JOIN (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'view') v
+          ON p.user_id = v.user_id
+         AND v.ts < p.ts
+         AND v.ts >= p.ts - INTERVAL 1 HOUR
+        ORDER BY purchase_id, view_id
+    """,
     "streaming_segment_counts": f"""
         SELECT c_mktsegment,
                count(*) AS n_events,

@@ -358,10 +358,70 @@ def streaming_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).orderBy("c_mktsegment")
 
 
+def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: the purchase stream joins the view
+    stream on user within a 1-hour look-back — attribution computed *in
+    flight*. Both sides carry watermarks and the join condition bounds
+    event-time distance, so each side's state buffer is the watermark
+    horizon, not the full stream (the property that makes stream-stream
+    joins viable at all at scale). Self-join of one source stream,
+    filtered into two roles; append mode emits each matched pair once.
+
+    Batch dual: ``views_before_purchase`` (same interval semantics,
+    aggregated); the oracle here checks the raw pair set.
+    """
+    global _SINK_SEQ
+    _SINK_SEQ += 1
+    sink = f"stream_vpjoin_{_SINK_SEQ}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ticks = raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
+    )
+    purchases = (
+        ticks.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", "31 days")
+    )
+    views = (
+        ticks.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "31 days")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            "user_id = v_user AND v_ts < ts AND v_ts >= ts - INTERVAL 1 HOUR"
+        ),
+    ).select(F.col("event_id").alias("purchase_id"), "view_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).orderBy("purchase_id", "view_id")
+
+
 STREAM_QUERIES: dict[str, QueryFn] = {
     "streaming_daily_avg": streaming_daily_avg,
     "streaming_sliding_avg": streaming_sliding_avg,
     "streaming_segment_counts": streaming_segment_counts,
+    "streaming_view_purchase_join": streaming_view_purchase_join,
     "grouped_stats_pandas": grouped_stats_pandas,
     "streaming_dedup_events": streaming_dedup_events,
     "streaming_report_merge": streaming_report_merge,
