@@ -373,4 +373,16 @@ OLAP_ORACLES: dict[str, str] = {
         )
         ORDER BY grp_id, o_orderstatus, o_orderpriority
     """,
+    "try_function_pack": """
+        SELECT event_id,
+               TRY_CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)
+                   AS props_num,
+               TRY_CAST(event_type AS BIGINT) AS type_as_num,
+               CASE WHEN event_id % 5 = 0 THEN NULL
+                    ELSE value / CAST(event_id % 5 AS DOUBLE) END
+                   AS value_per_mod,
+               CAST(NULL AS DOUBLE) AS div_zero
+        FROM events
+        ORDER BY event_id
+    """,
 }

@@ -588,6 +588,29 @@ def resample_daily_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "d")
 
 
+def try_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe evaluation under ANSI mode: the session pins
+    ``spark.sql.ansi.enabled=true`` (overflow/bad-cast RAISES — the only
+    safe default for an exact engine), so the ``try_`` family is the
+    sanctioned way to express "null on failure" per-expression:
+    try_cast on mixed text, try_divide on zero denominators, try_add at
+    the int boundary. Row-local, codegen'd; oracle via TRY_CAST/NULLIF.
+    """
+    from ..sources.events import load_events
+
+    ev = load_events(spark, sf_dir)
+    digits = F.regexp_extract(F.col("props"), "([0-9]+)", 1)
+    return ev.select(
+        "event_id",
+        digits.try_cast("bigint").alias("props_num"),
+        F.col("event_type").try_cast("bigint").alias("type_as_num"),
+        F.try_divide(
+            F.col("value"), (F.col("event_id") % 5).cast("double")
+        ).alias("value_per_mod"),
+        F.try_divide(F.lit(1.0), F.lit(0.0)).alias("div_zero"),
+    ).orderBy("event_id")
+
+
 def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary GROUPING SETS via the ``spark.sql`` entry point — the
     engine's SQL surface, verified end-to-end (every other gate query
@@ -647,4 +670,5 @@ OLAP_QUERIES: dict[str, QueryFn] = {
     "resample_daily_rates": resample_daily_rates,
     "unpivot_part_measures": unpivot_part_measures,
     "grouping_sets_sql": grouping_sets_sql,
+    "try_function_pack": try_function_pack,
 }
