@@ -183,3 +183,34 @@ class TestChunking:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with pytest.raises(ValueError):
             chunk_tokens(df, chunk_size=5, overlap=5)
+
+
+class TestUdtf:
+    def test_python_udtf_lateral_join(self, spark):
+        """Spark 4 Python UDTF surface: a table function lateral-joined
+        per input row — the escape hatch when a transform yields a
+        variable number of rows and genuinely needs Python. (The engine's
+        own chunker stays JVM-side — text.chunk_tokens — this pins the
+        API contract itself.)"""
+        from pyspark.sql.functions import udtf
+
+        @udtf(returnType="piece_idx int, piece string")
+        class SplitEvery:
+            def eval(self, text: str, n: int):
+                words = text.split(" ")
+                for i in range(0, len(words), n):
+                    yield i // n, " ".join(words[i : i + n])
+
+        spark.udtf.register("split_every", SplitEvery)
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "x y")], "id long, text string"
+        )
+        df.createOrReplaceTempView("udtf_in")
+        out = spark.sql(
+            "SELECT id, piece_idx, piece "
+            "FROM udtf_in, LATERAL split_every(text, 2) "
+            "ORDER BY id, piece_idx"
+        ).collect()
+        got = [(r.id, r.piece_idx, r.piece) for r in out]
+        assert got == [
+            (1, 0, "a b"), (1, 1, "c d"), (1, 2, "e"), (2, 0, "x y")]

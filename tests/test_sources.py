@@ -84,3 +84,43 @@ class TestFileQuarantine:
         valid, rejected = read_jsonl(spark, str(p), "id long")
         assert valid.count() == 2 and rejected.count() == 0
         valid.unpersist()
+
+
+class TestFxRestStream:
+    def test_stream_reader_emits_deterministic_ticks(self, spark, tmp_path):
+        from etl_end_to_end_airflow_bigquery_spark.sources.rest_datasource import (
+            FxRestDataSource,
+        )
+
+        try:
+            spark.dataSource.register(FxRestDataSource)
+        except Exception:
+            pass  # already registered by another test
+        stream = (
+            spark.readStream.format("fx_rest")
+            .option("symbols", "USD,GBP")
+            .option("batch_ticks", "3")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("fx_ticks")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("fx_ticks").count() >= 6:
+                break
+            time.sleep(0.5)
+        q.stop()
+        rows = spark.table("fx_ticks").collect()
+        assert len(rows) >= 6
+        got = {(r.quote_date, r.from_cur, r.to_cur, r.rate) for r in rows}
+        # deterministic synthesis: tick 0 row for USD is pinned
+        assert ("2026-01-01", "EUR", "USD", 1.0) in got
+        assert all(r.from_cur == "EUR" for r in rows)
+        assert {r.to_cur for r in rows} == {"USD", "GBP"}
