@@ -25,6 +25,7 @@ STREAMING = {
     "streaming_report_merge",
     "streaming_sliding_avg",
     "streaming_segment_counts",
+    "streaming_view_purchase_join",
 }
 
 # Arrow-batched Python stages that are the documented design (multimodal
