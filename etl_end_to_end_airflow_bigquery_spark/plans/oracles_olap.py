@@ -385,4 +385,20 @@ OLAP_ORACLES: dict[str, str] = {
         FROM events
         ORDER BY event_id
     """,
+    "array_function_pack": """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(tk) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+               list_sort(tk)[1] AS first_sorted,
+               CAST(coalesce(list_position(tk, 'the'), 0) AS BIGINT)
+                   AS the_pos,
+               list_max(tk) AS max_tok,
+               CAST(list_sum(list_transform(tk, x -> len(x))) AS BIGINT)
+                   AS sum_tok_lens
+        FROM t
+        ORDER BY doc_id
+    """,
 }

@@ -588,6 +588,26 @@ def resample_daily_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "d")
 
 
+def array_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order function surface over the token arrays:
+    sort/distinct/position/max plus an aggregate fold — all JVM-side
+    lambdas (no Python), each with a DuckDB list_* twin. One projection,
+    zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("tk"))
+    return toks.select(
+        "doc_id",
+        F.expr("size(tk)").cast("bigint").alias("n_tokens"),
+        F.expr("size(array_distinct(tk))").cast("bigint").alias("n_distinct"),
+        F.expr("element_at(array_sort(tk), 1)").alias("first_sorted"),
+        F.expr("array_position(tk, 'the')").cast("bigint").alias("the_pos"),
+        F.expr("array_max(tk)").alias("max_tok"),
+        F.expr("aggregate(tk, 0L, (a, x) -> a + length(x))")
+        .cast("bigint")
+        .alias("sum_tok_lens"),
+    ).orderBy("doc_id")
+
+
 def try_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error-safe evaluation under ANSI mode: the session pins
     ``spark.sql.ansi.enabled=true`` (overflow/bad-cast RAISES — the only
@@ -671,4 +691,5 @@ OLAP_QUERIES: dict[str, QueryFn] = {
     "unpivot_part_measures": unpivot_part_measures,
     "grouping_sets_sql": grouping_sets_sql,
     "try_function_pack": try_function_pack,
+    "array_function_pack": array_function_pack,
 }
