@@ -61,3 +61,68 @@ def test_idempotent_append_monotone_and_stable(spark, target, b):
     got = dict((r.k, r.v) for r in once.collect())
     for k, v in {k: v for k, v in target}.items():
         assert got[k] == v
+
+
+# --- curation-operator invariants ---------------------------------------
+
+words = st.lists(
+    st.text(alphabet="abcde", min_size=1, max_size=4), min_size=1, max_size=40
+)
+chunk_params = st.tuples(
+    st.integers(min_value=2, max_value=10),  # chunk_size
+    st.integers(min_value=0, max_value=5),   # overlap (< chunk_size enforced)
+)
+
+
+@given(words=words, params=chunk_params)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_chunks_reconstruct_document(spark, words, params):
+    """Dropping each chunk's leading overlap and concatenating yields the
+    original token stream — no token lost or duplicated, any geometry."""
+    from etl_end_to_end_airflow_bigquery_spark.operators.text import chunk_tokens
+
+    chunk_size, overlap = params
+    overlap = min(overlap, chunk_size - 1)
+    doc = " ".join(words)
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    chunks = (
+        chunk_tokens(df, chunk_size=chunk_size, overlap=overlap)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    rebuilt: list[str] = []
+    for r in chunks:
+        toks = r.chunk_text.split(" ")
+        rebuilt.extend(toks if not rebuilt else toks[overlap:])
+        assert r.n_chunk_tokens == len(toks)
+    assert rebuilt == words
+
+
+@given(keys=st.lists(st.integers(min_value=0, max_value=10**9),
+                     min_size=1, max_size=50, unique=True))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_split_is_a_partition(spark, keys):
+    """Every key lands in exactly one split, and sample ⊆ its split's
+    population under the same salt (consistent hashing law)."""
+    from etl_end_to_end_airflow_bigquery_spark.operators.sampling import (
+        hash_sample,
+        hash_split,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    w = {"a": 0.3, "b": 0.3, "c": 0.4}
+    assigned = hash_split(df, "doc_id", w).collect()
+    assert len(assigned) == len(keys)          # no row lost or duplicated
+    assert {r.split for r in assigned} <= set(w)
+    # same salt ⇒ nested cutoffs: a 10% sample is inside a 30% sample
+    small = {r.doc_id for r in hash_sample(df, "doc_id", 0.1, salt="s").collect()}
+    large = {r.doc_id for r in hash_sample(df, "doc_id", 0.3, salt="s").collect()}
+    assert small <= large
