@@ -1,0 +1,61 @@
+"""Incremental aggregate maintenance: fold a new batch into a stored
+grouped aggregate WITHOUT rescanning history.
+
+The reference recomputes its daily report from the raw table every run
+(`dags/ FXRate_Reporting_Pipeline.py:128-141` rescans recent ticks); at
+100 TB that rescan is the bottleneck — the incremental form touches
+only the batch and the affected groups. The trick is the standard one:
+store the aggregate in *mergeable* form (exact scaled-integer sum +
+count per group, not the finished average), so folding a batch is
+partial-aggregate algebra:
+
+    stored(keys, sum_u, n)  ⊕  partials(batch)  =  stored'
+
+which is associative and exact — applying batches one at a time, in any
+order or grouping, lands bit-identically on the full recompute. The
+finished report (rounded average) is a cheap projection of the stored
+form. Late or out-of-order data needs no special casing: a late tick is
+just another batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .relational import round_half_up
+
+
+def partial_avg_state(
+    df: DataFrame, keys: list[str], value: str, digits: int = 6
+) -> DataFrame:
+    """Mergeable per-group state for an exact average: scaled-int sum +
+    count. One shuffle on ``keys`` (map-side partials apply)."""
+    p = float(10**digits)
+    return df.groupBy(*keys).agg(
+        F.sum(F.floor(F.col(value) * F.lit(p) + F.lit(0.5)))
+        .cast("bigint")
+        .alias("sum_u"),
+        F.count(value).alias("n"),
+    )
+
+
+def merge_avg_state(stored: DataFrame, batch_state: DataFrame, keys: list[str]) -> DataFrame:
+    """stored ⊕ batch: one union + grouped integer sum — the only data
+    touched is the batch plus matching stored groups (at scale: the
+    stored side is partition-pruned to the batch's key range before this
+    runs)."""
+    return (
+        stored.select(*keys, "sum_u", "n")
+        .unionByName(batch_state.select(*keys, "sum_u", "n"))
+        .groupBy(*keys)
+        .agg(F.sum("sum_u").alias("sum_u"), F.sum("n").alias("n"))
+    )
+
+
+def finish_avg(state: DataFrame, digits: int = 6, out: str = "avg_value",
+               round_to: int = 4) -> DataFrame:
+    """Project the stored form to the published report column."""
+    p = float(10**digits)
+    avg: Column = F.col("sum_u").cast("double") / F.lit(p) / F.col("n")
+    return state.withColumn(out, round_half_up(avg, round_to))

@@ -401,4 +401,16 @@ OLAP_ORACLES: dict[str, str] = {
         FROM t
         ORDER BY doc_id
     """,
+    "incremental_daily_state": f"""
+        SELECT CAST(ts AS DATE) AS report_date,
+               event_type,
+               CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                   AS BIGINT) AS sum_u,
+               count(value) AS n,
+               {_round("CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(value)", 4)}
+                   AS avg_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
 }

@@ -588,6 +588,35 @@ def resample_daily_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "d")
 
 
+def incremental_daily_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance through the gate: the daily
+    report built by folding three arbitrary batches into mergeable
+    (sum_u, n) state — the no-history-rescan pattern
+    (``operators.incremental``). The oracle aggregates the full table
+    directly in one pass; hash-equality certifies the incremental
+    algebra is exact, not approximately convergent."""
+    from ..operators.incremental import (
+        finish_avg,
+        merge_avg_state,
+        partial_avg_state,
+    )
+    from ..sources.events import load_events
+
+    keys = ["report_date", "event_type"]
+    ev = load_events(spark, sf_dir).select(
+        F.to_date("ts").alias("report_date"), "event_type", "value", "event_id"
+    )
+    batches = [
+        ev.filter(F.pmod(F.hash("event_id"), F.lit(3)) == i) for i in range(3)
+    ]
+    state = partial_avg_state(batches[0], keys, "value")
+    for b in batches[1:]:
+        state = merge_avg_state(state, partial_avg_state(b, keys, "value"), keys)
+    return finish_avg(state).select(
+        "report_date", "event_type", "sum_u", "n", "avg_value"
+    ).orderBy("report_date", "event_type")
+
+
 def array_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/higher-order function surface over the token arrays:
     sort/distinct/position/max plus an aggregate fold — all JVM-side
@@ -692,4 +721,5 @@ OLAP_QUERIES: dict[str, QueryFn] = {
     "grouping_sets_sql": grouping_sets_sql,
     "try_function_pack": try_function_pack,
     "array_function_pack": array_function_pack,
+    "incremental_daily_state": incremental_daily_state,
 }
