@@ -96,3 +96,33 @@ def round_half_up(col: Column, digits: int) -> Column:
     p = float(10**digits)
     magnitude = F.floor(F.abs(col) * p + F.lit(0.5)).cast("double") / F.lit(p)
     return magnitude * F.when(col < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+
+
+def table_diff(
+    old: DataFrame, new: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Snapshot diff → CDC rows: compare two versions of a table on
+    ``keys`` and emit one row per changed key with ``change_type`` in
+    ('insert', 'delete', 'update'). The read-side inverse of MERGE:
+    given yesterday's and today's snapshots, this is the change feed a
+    downstream consumer replays.
+
+    One full-outer equi-join on the keys (shuffle both sides, or
+    partition-prune to the suspected-change window at scale); non-key
+    columns compare as a single struct so schema growth doesn't add
+    join passes. Unchanged keys drop out before the output.
+    """
+    attrs = [c for c in old.columns if c not in keys]
+    o = old.select(*keys, F.struct(*attrs).alias("_old"))
+    n = new.select(*keys, F.struct(*attrs).alias("_new"))
+    j = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("_old").isNull(), F.lit("insert"))
+        .when(F.col("_new").isNull(), F.lit("delete"))
+        .when(~F.col("_old").eqNullSafe(F.col("_new")), F.lit("update"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*keys, "change_type", "_old", "_new")
+    )

@@ -413,4 +413,39 @@ OLAP_ORACLES: dict[str, str] = {
         GROUP BY 1, 2
         ORDER BY 1, 2
     """,
+    "snapshot_diff_orders": """
+        WITH old AS (
+            SELECT o_orderkey, o_orderstatus FROM orders
+        ), new AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0
+                        THEN o_orderstatus || '*'
+                        ELSE o_orderstatus END AS o_orderstatus
+            FROM orders WHERE o_orderkey % 13 <> 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, 'N'
+            FROM orders WHERE o_orderkey % 13 = 0
+        )
+        SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                    WHEN n.o_orderkey IS NULL THEN 'delete'
+                    ELSE 'update' END AS change_type,
+               o.o_orderstatus AS old_status,
+               n.o_orderstatus AS new_status
+        FROM old o
+        FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+        WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+           OR o.o_orderstatus <> n.o_orderstatus
+        ORDER BY o_orderkey
+    """,
+    "unreferenced_parts": f"""
+        SELECT p_partkey, p_name FROM part
+        WHERE NOT EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_partkey = p_partkey
+              AND l_shipdate >= TIMESTAMP '{Q14_LO} 00:00:00'
+              AND l_shipdate <  TIMESTAMP '{Q14_HI} 00:00:00'
+        )
+        ORDER BY p_partkey
+    """,
 }

@@ -588,6 +588,60 @@ def resample_daily_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "d")
 
 
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff through the gate: today's orders vs a
+    deterministically mutated tomorrow (every 7th status flips, every
+    13th row deleted, one synthetic insert per deleted key) →
+    insert/delete/update change feed (``relational.table_diff``). The
+    oracle rebuilds the same mutation and diffs with FULL OUTER JOIN
+    algebra."""
+    from ..operators.relational import table_diff
+
+    old = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    mutated = (
+        old.filter(F.col("o_orderkey") % 13 != 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.concat("o_orderstatus", F.lit("*"))
+            ).otherwise(F.col("o_orderstatus")),
+        )
+    )
+    inserts = (
+        old.filter(F.col("o_orderkey") % 13 == 0)
+        .select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(0.0).alias("o_totalprice"),
+        )
+    )
+    new = mutated.unionByName(inserts)
+    d = table_diff(old, new, ["o_orderkey"])
+    return d.select(
+        "o_orderkey",
+        "change_type",
+        F.col("_old.o_orderstatus").alias("old_status"),
+        F.col("_new.o_orderstatus").alias("new_status"),
+    ).orderBy("o_orderkey")
+
+
+def unreferenced_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality / coverage anti-join: parts with no shipment in a
+    given month (dead catalog rows for that window). Left-anti on the
+    date-filtered fact table — the filter prunes the fact scan first, so
+    the join build side is the month's distinct keys, not the table."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts(Q14_LO)) & (F.col("l_shipdate") < _ts(Q14_HI))
+    ).select("l_partkey")
+    return (
+        part.join(li, part["p_partkey"] == li["l_partkey"], "left_anti")
+        .orderBy("p_partkey")
+    )
+
+
 def incremental_daily_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance through the gate: the daily
     report built by folding three arbitrary batches into mergeable
@@ -722,4 +776,6 @@ OLAP_QUERIES: dict[str, QueryFn] = {
     "try_function_pack": try_function_pack,
     "array_function_pack": array_function_pack,
     "incremental_daily_state": incremental_daily_state,
+    "snapshot_diff_orders": snapshot_diff_orders,
+    "unreferenced_parts": unreferenced_parts,
 }
