@@ -448,4 +448,26 @@ OLAP_ORACLES: dict[str, str] = {
         )
         ORDER BY p_partkey
     """,
+    "ewma_daily_rates": f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   {_davg('value')} AS avg_rate
+            FROM events GROUP BY 1, 2
+        ), win AS (
+            SELECT event_type, d, avg_rate,
+                   list(avg_rate) OVER (
+                       PARTITION BY event_type ORDER BY d
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS vs
+            FROM daily
+        )
+        SELECT event_type, d,
+               {_round('avg_rate', 4)} AS avg_rate,
+               {_round(
+                   "list_sum(list_transform(range(1, len(vs) + 1), "
+                   "i -> vs[i] * ([0.0625, 0.125, 0.25, 0.5, 1.0][5 - len(vs) + i]))) "
+                   "/ list_sum(list_slice([0.0625, 0.125, 0.25, 0.5, 1.0], 5 - len(vs) + 1, 5))",
+                   4)} AS ewma_rate
+        FROM win
+        ORDER BY event_type, d
+    """,
 }

@@ -588,6 +588,53 @@ def resample_daily_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "d")
 
 
+EWMA_SPAN = 5
+# Unnormalized EWMA weights for alpha = 0.5, oldest → newest: 2^-(k-1-i).
+# Powers of two are exactly representable, so both engines multiply the
+# *identical* doubles in the identical order — no libm pow() divergence.
+EWMA_WEIGHTS = [2.0 ** -(EWMA_SPAN - 1 - i) for i in range(EWMA_SPAN)]
+
+
+def ewma_daily_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the daily rate per type —
+    the FX smoothing every trading report publishes. Bounded-span form
+    (last 5 days, alpha=0.5): the unbounded recursion becomes a window
+    ``collect_list`` + in-row weighted fold, linear and shuffle-bounded
+    (one exchange on event_type). Weights are power-of-two literals in
+    both engines so the double arithmetic is bit-identical."""
+    from ..sources.events import load_events
+
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("d")
+    ).agg(decimal_avg(F.col("value")).alias("avg_rate"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-(EWMA_SPAN - 1), 0)
+    )
+    wlist = "array(" + ", ".join(repr(x) for x in EWMA_WEIGHTS) + ")"
+    windowed = daily.withColumn("vs", F.collect_list("avg_rate").over(w))
+    ewma = F.expr(
+        f"""
+        aggregate(
+          zip_with(vs, slice({wlist}, {EWMA_SPAN} - size(vs) + 1, size(vs)),
+                   (v, wt) -> v * wt),
+          CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
+        / aggregate(slice({wlist}, {EWMA_SPAN} - size(vs) + 1, size(vs)),
+                    CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
+        """
+    )
+    return windowed.select(
+        "event_type",
+        "d",
+        round_half_up(F.col("avg_rate"), 4).alias("avg_rate"),
+        round_half_up(ewma, 4).alias("ewma_rate"),
+    ).orderBy("event_type", "d")
+
+
 def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC snapshot diff through the gate: today's orders vs a
     deterministically mutated tomorrow (every 7th status flips, every
@@ -776,6 +823,7 @@ OLAP_QUERIES: dict[str, QueryFn] = {
     "try_function_pack": try_function_pack,
     "array_function_pack": array_function_pack,
     "incremental_daily_state": incremental_daily_state,
+    "ewma_daily_rates": ewma_daily_rates,
     "snapshot_diff_orders": snapshot_diff_orders,
     "unreferenced_parts": unreferenced_parts,
 }
