@@ -470,4 +470,38 @@ OLAP_ORACLES: dict[str, str] = {
         FROM win
         ORDER BY event_type, d
     """,
+    "anomaly_zscore_daily": f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   count(value) AS n,
+                   CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                       AS BIGINT) AS su,
+                   CAST(sum(CAST(floor(value * value * 1000.0 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS sq
+            FROM events GROUP BY 1, 2
+        ), rolled AS (
+            SELECT event_type, d,
+                   CAST(su AS DOUBLE) / 1000000.0 / n AS day_avg,
+                   sum(n)  OVER w AS rn,
+                   sum(su) OVER w AS rsu,
+                   sum(sq) OVER w AS rsq
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY d
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ), z AS (
+            SELECT event_type, d, day_avg,
+                   CAST(rsu AS DOUBLE) / 1000000.0 / rn AS m,
+                   (CAST(rsq AS DOUBLE) / 1000.0 / rn)
+                       - (CAST(rsu AS DOUBLE) / 1000000.0 / rn)
+                         * (CAST(rsu AS DOUBLE) / 1000000.0 / rn) AS var
+            FROM rolled
+        )
+        SELECT event_type, d,
+               {_round('day_avg', 4)} AS day_avg,
+               {_round('m', 4)} AS roll_mean,
+               {_round('(day_avg - m) / sqrt(var)', 4)} AS zscore,
+               abs((day_avg - m) / sqrt(var)) > 2.0 AS is_anomaly
+        FROM z
+        ORDER BY event_type, d
+    """,
 }

@@ -635,6 +635,59 @@ def ewma_daily_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "d")
 
 
+ZSCORE_WIN = 7
+
+
+def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags on the daily rate: each day scored
+    against the trailing 7-day mean/stddev of its type — the monitoring
+    alert every rate pipeline runs. Per-day partials (count, scaled-int
+    sum, scaled-int sum-of-squares) window-sum exactly; the variance
+    algebra then runs in doubles with identical operand order in both
+    engines. One exchange on event_type."""
+    from pyspark.sql import Window
+
+    from ..sources.events import load_events
+
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("d")
+    ).agg(
+        F.count("value").alias("n"),
+        F.sum(F.floor(F.col("value") * 1000000.0 + 0.5))
+        .cast("bigint")
+        .alias("su"),
+        F.sum(F.floor(F.col("value") * F.col("value") * 1000.0 + 0.5))
+        .cast("bigint")
+        .alias("sq"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-(ZSCORE_WIN - 1), 0)
+    )
+    rolled = daily.select(
+        "event_type",
+        "d",
+        (F.col("su").cast("double") / 1000000.0 / F.col("n")).alias("day_avg"),
+        F.sum("n").over(w).alias("rn"),
+        F.sum("su").over(w).alias("rsu"),
+        F.sum("sq").over(w).alias("rsq"),
+    )
+    mean = F.col("rsu").cast("double") / 1000000.0 / F.col("rn")
+    ex2 = F.col("rsq").cast("double") / 1000.0 / F.col("rn")
+    var = ex2 - mean * mean
+    z = (F.col("day_avg") - mean) / F.sqrt(var)
+    return rolled.select(
+        "event_type",
+        "d",
+        round_half_up(F.col("day_avg"), 4).alias("day_avg"),
+        round_half_up(mean, 4).alias("roll_mean"),
+        round_half_up(z, 4).alias("zscore"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    ).orderBy("event_type", "d")
+
+
 def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC snapshot diff through the gate: today's orders vs a
     deterministically mutated tomorrow (every 7th status flips, every
@@ -824,6 +877,7 @@ OLAP_QUERIES: dict[str, QueryFn] = {
     "array_function_pack": array_function_pack,
     "incremental_daily_state": incremental_daily_state,
     "ewma_daily_rates": ewma_daily_rates,
+    "anomaly_zscore_daily": anomaly_zscore_daily,
     "snapshot_diff_orders": snapshot_diff_orders,
     "unreferenced_parts": unreferenced_parts,
 }
