@@ -43,3 +43,30 @@ def test_decimal_sum_wide_matches_narrow_in_range(spark):
     (narrow,) = df.agg(decimal_sum(F.col("x")).alias("s")).collect()
     (wide,) = df.agg(decimal_sum(F.col("x"), wide=True).alias("s")).collect()
     assert narrow.s == wide.s
+
+
+class TestTableDiff:
+    def test_insert_delete_update_and_null_safety(self, spark):
+        from etl_end_to_end_airflow_bigquery_spark.operators.relational import (
+            table_diff,
+        )
+
+        old = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "c"), (4, "d")], "k int, v string"
+        )
+        new = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "C"), (5, "e")], "k int, v string"
+        )
+        d = {r.k: r.change_type for r in table_diff(old, new, ["k"]).collect()}
+        # 1 unchanged (absent); 2 has null==null (eqNullSafe: unchanged)
+        assert d == {3: "update", 4: "delete", 5: "insert"}
+
+    def test_null_transition_is_update(self, spark):
+        from etl_end_to_end_airflow_bigquery_spark.operators.relational import (
+            table_diff,
+        )
+
+        old = spark.createDataFrame([(1, "x")], "k int, v string")
+        new = spark.createDataFrame([(1, None)], "k int, v string")
+        rows = table_diff(old, new, ["k"]).collect()
+        assert [r.change_type for r in rows] == ["update"]
