@@ -504,4 +504,14 @@ OLAP_ORACLES: dict[str, str] = {
         FROM z
         ORDER BY event_type, d
     """,
+    "histogram_prices": """
+        SELECT least(CAST(floor((o_totalprice - 0.0) / 5000.0) AS BIGINT),
+                     11) AS bin,
+               count(*) AS n_orders,
+               least(CAST(floor((o_totalprice - 0.0) / 5000.0) AS BIGINT),
+                     11) * 5000.0 + 0.0 AS bin_lo
+        FROM orders
+        GROUP BY 1
+        ORDER BY bin
+    """,
 }

@@ -588,6 +588,28 @@ def resample_daily_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "d")
 
 
+HIST_LO = 0.0
+HIST_WIDTH = 5000.0
+HIST_BINS = 12
+
+
+def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals: floor-arithmetic binning
+    (portable — no engine-specific width_bucket), top-clamped into the
+    last bin. One grouped count over a row-local bin projection; the bin
+    id doubles as the partition key if the histogram feeds a sketch."""
+    orders = load_table(spark, sf_dir, "orders")
+    bin_raw = F.floor((F.col("o_totalprice") - HIST_LO) / HIST_WIDTH)
+    bin_id = F.least(bin_raw, F.lit(HIST_BINS - 1)).cast("bigint")
+    return (
+        orders.select(bin_id.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .withColumn("bin_lo", F.col("bin") * HIST_WIDTH + HIST_LO)
+        .orderBy("bin")
+    )
+
+
 EWMA_SPAN = 5
 # Unnormalized EWMA weights for alpha = 0.5, oldest → newest: 2^-(k-1-i).
 # Powers of two are exactly representable, so both engines multiply the
@@ -876,6 +898,7 @@ OLAP_QUERIES: dict[str, QueryFn] = {
     "try_function_pack": try_function_pack,
     "array_function_pack": array_function_pack,
     "incremental_daily_state": incremental_daily_state,
+    "histogram_prices": histogram_prices,
     "ewma_daily_rates": ewma_daily_rates,
     "anomaly_zscore_daily": anomaly_zscore_daily,
     "snapshot_diff_orders": snapshot_diff_orders,
