@@ -148,3 +148,16 @@ def stratified_hash_sample(
             .otherwise(cutoff)
         )
     return df.filter(hash_bucket(key, salt) < cutoff)
+
+
+def weighted_hash_sample(
+    df: DataFrame, key: str, weight: Column, salt: str = "wsample"
+) -> DataFrame:
+    """Per-row weighted Bernoulli: keep a row with probability equal to
+    its own ``weight`` column (clamped to [0,1]) — quality-weighted
+    corpus downsampling (a doc scoring 0.9 survives 9× as often as one
+    scoring 0.1), still fully deterministic: the coin flip is the row's
+    hash bucket, so membership is stable across runs/engines/refreshes.
+    Row-local filter, no shuffle."""
+    cutoff = F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0)) * SPLIT_BUCKETS
+    return df.filter(hash_bucket(key, salt) < cutoff)

@@ -208,6 +208,25 @@ EXT_ORACLES: dict[str, str] = {
                           ELSE 10000 END
         ORDER BY doc_id
     """,
+    "weighted_sample_docs": f"""
+        WITH s AS (
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_calc,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(string_split(text, ' '),
+                       t -> list_contains({_dlist(STOPWORDS)}, t))) AS BIGINT)
+                       AS n_stopwords
+            FROM documents
+        ), q AS (
+            SELECT doc_id, {QUALITY_SQL} AS quality FROM s
+        )
+        SELECT doc_id, {_round('quality', 4)} AS quality_score
+        FROM q
+        WHERE CAST(concat('0x', substr(md5(concat('wsample|',
+                  CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000
+              < least(greatest(quality, 0.0), 1.0) * 10000
+        ORDER BY doc_id
+    """,
     "cap_docs_per_source": """
         WITH r AS (
             SELECT source, doc_id,

@@ -498,6 +498,21 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus downsampling: each doc survives with
+    probability equal to its own quality score (deterministic hash coin
+    — ``sampling.weighted_hash_sample``). The curation move that keeps
+    the corpus's best docs without a hard threshold."""
+    from ..operators.sampling import weighted_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text_stats(docs).withColumn("quality", F.expr(QUALITY_SQL))
+    kept = weighted_hash_sample(scored, "doc_id", F.col("quality"))
+    return kept.select(
+        "doc_id", round_half_up(F.col("quality"), 4).alias("quality_score")
+    ).orderBy("doc_id")
+
+
 def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap (curation staple: bound any one domain's
     share of the corpus). Hash-ordered rank window per source; selection
@@ -536,6 +551,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "chunk_documents": chunk_documents,
     "hash_sample_docs": hash_sample_docs,
     "stratified_sample_docs": stratified_sample_docs,
+    "weighted_sample_docs": weighted_sample_docs,
     "cap_docs_per_source": cap_docs_per_source,
     "ann_lsh_multiprobe": ann_lsh_multiprobe,
     "ann_lsh_multitable": ann_lsh_multitable,

@@ -115,3 +115,29 @@ def test_stratified_sample_per_group_fractions(spark):
         (r.grp, r.k) for r in out.collect()}
     with pytest.raises(ValueError):
         stratified_hash_sample(df, "grp", "k", {"0": 2.0})
+
+
+def test_weighted_sample_tracks_weights(spark):
+    from etl_end_to_end_airflow_bigquery_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+
+    df = spark.range(0, 6000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, 0.1)
+        .when(F.col("id") % 3 == 1, 0.6)
+        .otherwise(1.5)  # clamps to 1.0
+        .alias("w"),
+    )
+    out = weighted_hash_sample(df, "k", F.col("w"))
+    per = {
+        int(r.grp): r.n
+        for r in out.withColumn("grp", F.col("k") % 3)
+        .groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert abs(per[0] / 2000 - 0.1) < 0.03
+    assert abs(per[1] / 2000 - 0.6) < 0.04
+    assert per[2] == 2000  # weight >= 1 keeps everything
+    # determinism across partitionings
+    again = weighted_hash_sample(df.repartition(9), "k", F.col("w"))
+    assert {r.k for r in again.collect()} == {r.k for r in out.collect()}
