@@ -514,4 +514,15 @@ OLAP_ORACLES: dict[str, str] = {
         GROUP BY 1
         ORDER BY bin
     """,
+    "richest_customer_per_nation": f"""
+        SELECT n_name,
+               max_by(c_custkey,
+                      CAST(floor(c_acctbal * 100) AS BIGINT) * 10000000
+                          + c_custkey) AS top_custkey,
+               {_round('max(c_acctbal)', 2)} AS max_acctbal,
+               count(*) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name
+    """,
 }

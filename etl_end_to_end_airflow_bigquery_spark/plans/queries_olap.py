@@ -588,6 +588,29 @@ def resample_daily_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "d")
 
 
+def richest_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group argmax via the ``max_by`` aggregate (no window, no
+    self-join — one grouped pass). Both engines leave max_by ties
+    unspecified, so the ordering key is a composed integer
+    (cents·10⁷ + custkey) that makes the pick total and identical."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    ordkey = (
+        F.floor(F.col("c_acctbal") * 100).cast("bigint") * 10_000_000
+        + F.col("c_custkey")
+    )
+    return (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.max_by(F.col("c_custkey"), ordkey).alias("top_custkey"),
+            round_half_up(F.max("c_acctbal"), 2).alias("max_acctbal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .orderBy("n_name")
+    )
+
+
 HIST_LO = 0.0
 HIST_WIDTH = 5000.0
 HIST_BINS = 12
@@ -899,6 +922,7 @@ OLAP_QUERIES: dict[str, QueryFn] = {
     "array_function_pack": array_function_pack,
     "incremental_daily_state": incremental_daily_state,
     "histogram_prices": histogram_prices,
+    "richest_customer_per_nation": richest_customer_per_nation,
     "ewma_daily_rates": ewma_daily_rates,
     "anomaly_zscore_daily": anomaly_zscore_daily,
     "snapshot_diff_orders": snapshot_diff_orders,
