@@ -525,4 +525,13 @@ OLAP_ORACLES: dict[str, str] = {
         GROUP BY n_name
         ORDER BY n_name
     """,
+    "fuzzy_name_pairs": """
+        SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edits
+        FROM customer a
+        JOIN customer b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+        ORDER BY key_a, key_b
+    """,
 }

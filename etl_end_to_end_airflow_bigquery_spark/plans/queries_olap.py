@@ -588,6 +588,42 @@ def resample_daily_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "d")
 
 
+FUZZY_MAX_EDITS = 1
+
+
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (record linkage): customer-name pairs
+    within edit distance 1, *blocked by nation* so the quadratic
+    comparison runs per block, never corpus-wide — the same
+    candidate-bounding idea as LSH banding, with equi-join blocking
+    instead of hashing. levenshtein() evaluates JVM-side inside the
+    joined block; at 100 TB the block key is the shuffle key and block
+    sizes bound task cost."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    a = cust.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+    )
+    b = cust.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+    )
+    return (
+        a.join(b, "nk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn(
+            "edits", F.levenshtein("name_a", "name_b").cast("bigint")
+        )
+        .filter(F.col("edits") <= FUZZY_MAX_EDITS)
+        .select("key_a", "key_b", "edits")
+        .orderBy("key_a", "key_b")
+    )
+
+
 def richest_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group argmax via the ``max_by`` aggregate (no window, no
     self-join — one grouped pass). Both engines leave max_by ties
@@ -923,6 +959,7 @@ OLAP_QUERIES: dict[str, QueryFn] = {
     "incremental_daily_state": incremental_daily_state,
     "histogram_prices": histogram_prices,
     "richest_customer_per_nation": richest_customer_per_nation,
+    "fuzzy_name_pairs": fuzzy_name_pairs,
     "ewma_daily_rates": ewma_daily_rates,
     "anomaly_zscore_daily": anomaly_zscore_daily,
     "snapshot_diff_orders": snapshot_diff_orders,
