@@ -534,4 +534,27 @@ OLAP_ORACLES: dict[str, str] = {
         WHERE levenshtein(a.c_name, b.c_name) <= 1
         ORDER BY key_a, key_b
     """,
+    "conditional_agg_pack": """
+        SELECT o_orderstatus,
+               count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+               bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+               bool_and(o_totalprice > 0) AS all_positive,
+               count(DISTINCT o_orderpriority) AS n_priorities,
+               CAST(sum(DISTINCT CAST(year(o_orderdate) AS BIGINT))
+                   AS BIGINT) AS sum_distinct_years
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    "null_function_pack": """
+        SELECT event_id,
+               coalesce(nullif(event_type, 'view'), '(hidden)')
+                   AS type_or_hidden,
+               CASE WHEN nullif(event_id % 3, 0) IS NOT NULL
+                    THEN 'nonzero' ELSE 'zero' END AS mod3_class,
+               (nullif(user_id % 2, 0) IS NOT DISTINCT FROM NULL)
+                   AS even_user
+        FROM events
+        ORDER BY event_id
+    """,
 }

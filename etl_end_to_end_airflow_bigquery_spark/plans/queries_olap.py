@@ -588,6 +588,52 @@ def resample_daily_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "d")
 
 
+def conditional_agg_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregate surface per order status: count_if,
+    bool_or/bool_and (ANY/EVERY), DISTINCT aggregation — one grouped
+    pass; DISTINCT adds its own partial de-dup shuffle, flagged here on
+    purpose as the expensive variant."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 100_000).alias("n_big"),
+            F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.count_distinct(F.col("o_orderpriority")).alias("n_priorities"),
+            F.sum_distinct(F.year("o_orderdate").cast("bigint")).alias(
+                "sum_distinct_years"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def null_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics surface: coalesce / nullif / nvl2 plus null-safe
+    equality — the expressions ETL cleaning layers live on. (NaN/∞
+    handling is deliberately absent: engines disagree on float-error
+    semantics, the pinned-ANSI + try_ stack covers those paths.)
+    Row-local, codegen'd; DuckDB twins are exact."""
+    from ..sources.events import load_events
+
+    ev = load_events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.coalesce(
+            F.nullif(F.col("event_type"), F.lit("view")), F.lit("(hidden)")
+        ).alias("type_or_hidden"),
+        F.nvl2(
+            F.nullif((F.col("event_id") % 3), F.lit(0)),
+            F.lit("nonzero"),
+            F.lit("zero"),
+        ).alias("mod3_class"),
+        (F.nullif(F.col("user_id") % 2, F.lit(0)).eqNullSafe(F.lit(None))).alias(
+            "even_user"
+        ),
+    ).orderBy("event_id")
+
+
 FUZZY_MAX_EDITS = 1
 
 
@@ -960,6 +1006,8 @@ OLAP_QUERIES: dict[str, QueryFn] = {
     "histogram_prices": histogram_prices,
     "richest_customer_per_nation": richest_customer_per_nation,
     "fuzzy_name_pairs": fuzzy_name_pairs,
+    "conditional_agg_pack": conditional_agg_pack,
+    "null_function_pack": null_function_pack,
     "ewma_daily_rates": ewma_daily_rates,
     "anomaly_zscore_daily": anomaly_zscore_daily,
     "snapshot_diff_orders": snapshot_diff_orders,
