@@ -227,6 +227,16 @@ EXT_ORACLES: dict[str, str] = {
               < least(greatest(quality, 0.0), 1.0) * 10000
         ORDER BY doc_id
     """,
+    "vocab_top_tokens": """
+        SELECT token,
+               count(*) AS n_occurrences,
+               count(DISTINCT doc_id) AS n_docs
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        GROUP BY token
+        ORDER BY n_occurrences DESC, token
+        LIMIT 50
+    """,
     "cap_docs_per_source": """
         WITH r AS (
             SELECT source, doc_id,

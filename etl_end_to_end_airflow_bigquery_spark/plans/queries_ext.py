@@ -513,6 +513,36 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+VOCAB_TOP_K = 50
+
+
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-k tokens by total occurrences with their
+    document frequencies — the tokenizer-training / IDF-table pass.
+
+    Shape at 100 TB: explode fans out ~tokens-per-doc rows, but the
+    grouped count is partial+final (map-side combine collapses each
+    partition to its distinct-token counts before the single shuffle on
+    token), and document frequency rides the same shuffle via
+    count(distinct doc_id)'s partial de-dup. Top-k is
+    TakeOrderedAndProject — no global sort. IDF itself is left to the
+    consumer (ln() is libm-dependent; the exact integer pair here is
+    engine-portable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(VOCAB_TOP_K)
+    )
+
+
 def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap (curation staple: bound any one domain's
     share of the corpus). Hash-ordered rank window per source; selection
@@ -552,6 +582,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "hash_sample_docs": hash_sample_docs,
     "stratified_sample_docs": stratified_sample_docs,
     "weighted_sample_docs": weighted_sample_docs,
+    "vocab_top_tokens": vocab_top_tokens,
     "cap_docs_per_source": cap_docs_per_source,
     "ann_lsh_multiprobe": ann_lsh_multiprobe,
     "ann_lsh_multitable": ann_lsh_multitable,
