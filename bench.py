@@ -44,6 +44,12 @@ BENCH_QUERIES = [
     "embedding_near_dups",
     "ann_lsh_topk",
     "curated_corpus",
+    # round 3: the widest joins in the repo join the record (VERDICT r02
+    # item 8); r02's 15 queries stay a prefix so the shared subtotal is
+    # directly comparable across rounds.
+    "q5_local_supplier_volume",
+    "q18_big_orders",
+    "scd2_orders_status",
 ]
 
 

@@ -332,6 +332,158 @@ def ivf_cells(embeddings: DataFrame, n_seeds: int = N_IVF_SEEDS) -> DataFrame:
     )
 
 
+KMEANS_ITERS = 2
+MEAN_SCALE = "1000000000000.0"  # fixed-point scale for exact centroid means
+
+
+def _assign_cells(v: DataFrame, centroids: DataFrame) -> DataFrame:
+    """vec_id → nearest centroid by cosine (ties → lowest cell id).
+
+    One broadcast of the K centroids, one in-row dot per (vector,
+    centroid), argmax via a per-vector window — O(N·K·d) with no
+    shuffle beyond the rank's partition on vec_id."""
+    scored = (
+        v.select("vec_id", "e", "norm2")
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "cell",
+            (
+                F.expr(dot_fold("e", "ce")) / (F.sqrt("norm2") * F.sqrt("cn"))
+            ).alias("cos_to_seed"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_to_seed").desc(), F.col("cell")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+
+
+def ivf_cells_kmeans(
+    embeddings: DataFrame,
+    n_seeds: int = N_IVF_SEEDS,
+    n_iters: int = KMEANS_ITERS,
+    dim: int = EMB_DIM,
+) -> tuple[DataFrame, DataFrame]:
+    """Production coarse quantizer: deterministic seeded Lloyd k-means
+    (VERDICT r02 item 6). Returns (cells, centroids) where cells =
+    (vec_id, cell) and centroids = (cell, ce, cn).
+
+    Init = the first ``n_seeds`` vectors by vec_id (same deterministic
+    seeding as :func:`ivf_cells`); each Lloyd round reassigns vectors to
+    the nearest centroid and recomputes centroids as the per-cell,
+    per-dimension mean — entirely JVM-side: the mean is ``dim`` exact
+    fixed-point SUM aggregates in ONE grouped pass (no explode — a
+    posexplode would shuffle N·d rows per round), and the assignment is
+    a broadcast cross of K centroids. Engine-exact: scaled-int sums and
+    a pinned divide order make every centroid component bit-identical in
+    the DuckDB oracle, so cell assignments — and therefore search
+    results — hash-match. Cells that lose all members drop out
+    (deterministically, in both engines).
+
+    At 100 TB this is the index-build step: n_iters bounded scans of the
+    corpus, each one shuffle keyed on the K-bounded cell id.
+    """
+    v = _vectors(embeddings)
+    cents = v.filter(F.col("vec_id") < n_seeds).select(
+        F.col("vec_id").alias("cell"),
+        F.col("e").alias("ce"),
+        F.col("norm2").alias("cn"),
+    )
+    scale = F.lit(float(MEAN_SCALE))
+    for _ in range(n_iters):
+        assign = _assign_cells(v, cents)
+        member = v.join(assign, "vec_id")
+        sums = member.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(F.floor(F.col("e")[i] * scale)).alias(f"__s{i}")
+                for i in range(dim)
+            ],
+        )
+        cents = sums.select(
+            "cell",
+            F.array(
+                *[
+                    F.col(f"__s{i}").cast("double") / scale / F.col("__n")
+                    for i in range(dim)
+                ]
+            ).alias("ce"),
+        ).withColumn("cn", F.expr(dot_fold("ce", "ce")))
+    return _assign_cells(v, cents), cents
+
+
+def ivf_topk_kmeans(
+    embeddings: DataFrame,
+    query_pred: str = "vec_id < 5",
+    k: int = 3,
+    n_seeds: int = N_IVF_SEEDS,
+    n_iters: int = KMEANS_ITERS,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search over the k-means quantizer (q_id, neighbor_id, cell,
+    cosine, rank): rank the Lloyd centroids per query, probe the top
+    ``nprobe`` cells, exact top-k within the probed lists. Identical
+    search mechanics to :func:`ivf_topk`; only the quantizer (and hence
+    cell quality/balance) differs."""
+    if nprobe < 1 or nprobe > n_seeds:
+        raise ValueError("nprobe must be in 1..n_seeds")
+    v = _vectors(embeddings)
+    cells, cents = ivf_cells_kmeans(embeddings, n_seeds, n_iters)
+    vc = v.join(cells, "vec_id").select("vec_id", "e", "norm2", "cell")
+    qs = (
+        v.filter(query_pred)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("e").alias("qe"),
+            F.col("norm2").alias("qn"),
+        )
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "q_id",
+            "qe",
+            "qn",
+            "cell",
+            (
+                F.expr(dot_fold("qe", "ce")) / (F.sqrt("qn") * F.sqrt("cn"))
+            ).alias("cos_to_seed"),
+        )
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("cos_to_seed").desc(), F.col("cell")
+    )
+    q = (
+        qs.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("q_id", "qe", "qn", "cell")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(vc, "cell")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "cell",
+            (
+                F.expr(dot_fold("qe", "e")) / (F.sqrt("qn") * F.sqrt("norm2"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id", F.col("vec_id").alias("neighbor_id"), "cell", "cosine", "rank"
+        )
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_pred: str = "vec_id < 5",

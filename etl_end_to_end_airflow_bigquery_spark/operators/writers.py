@@ -19,8 +19,27 @@ engine-level writers (SURVEY.md §2.1, §2.3, §7 step 2):
   (only genuinely-new keys are appended).
 
 The pure DataFrame forms (``*_df``) are the algebra; the path forms add
-storage atomicity (write to ``<dir>.__tmp__`` then ``os.replace``-style
-swap; on object stores this maps to the usual commit-protocol rename).
+storage atomicity via a **versioned-commit layout** (VERDICT r02 item 4
+— reader-safe, unlike a rename swap which has a window where the table
+directory doesn't exist):
+
+    table/
+      _CURRENT              ← text pointer, atomically replaced
+      v_000001_<uuid>/…parquet
+      v_000002_<uuid>/…parquet
+
+A commit writes a fresh ``v_*`` directory, then flips ``_CURRENT`` with
+``os.replace`` (atomic on POSIX; on an object store the pointer PUT is
+the commit). Readers resolve the pointer via :func:`read_table`; a
+reader that resolved the previous pointer keeps a fully-intact directory
+— the last ``keep_versions`` versions are retained (the Delta/Iceberg
+snapshot-retention trade: shrink it and a very slow reader can lose its
+snapshot to cleanup, exactly like VACUUM).
+
+The partition-scoped merge path still uses per-leaf directory swaps —
+its contract is single-writer with no concurrent readers of the touched
+partitions (documented below); the versioned layout per leaf is the
+production upgrade when that contract is too weak.
 """
 
 from __future__ import annotations
@@ -31,6 +50,56 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_CURRENT_PTR = "_CURRENT"
+
+
+def _resolve_data_dir(path: str) -> str:
+    """Data directory a reader should scan: the ``_CURRENT``-pointed
+    version for versioned tables, the path itself for plain directories
+    (append tables, driver testdata, partition-scoped merge targets)."""
+    ptr = os.path.join(path, _CURRENT_PTR)
+    if os.path.isfile(ptr):
+        with open(ptr, encoding="utf-8") as f:
+            return os.path.join(path, f.read().strip())
+    return path
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read a table written by these writers, resolving the versioned
+    ``_CURRENT`` pointer when present (plain directories pass through)."""
+    return spark.read.parquet(_resolve_data_dir(path))
+
+
+def _commit_version(path: str, vdir: str, keep_versions: int) -> None:
+    """Flip ``_CURRENT`` to ``vdir`` atomically, then drop versions older
+    than the newest ``keep_versions`` (never the one just committed or
+    its predecessor when keep_versions ≥ 2, so in-flight readers keep an
+    intact snapshot)."""
+    vname = os.path.basename(vdir)
+    tmp_ptr = os.path.join(path, f".{_CURRENT_PTR}.{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp_ptr, "w", encoding="utf-8") as f:
+        f.write(vname)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp_ptr, os.path.join(path, _CURRENT_PTR))
+    versions = sorted(
+        d for d in os.listdir(path)
+        if d.startswith("v_") and os.path.isdir(os.path.join(path, d))
+    )
+    for stale in versions[: max(0, len(versions) - max(1, keep_versions))]:
+        shutil.rmtree(os.path.join(path, stale), ignore_errors=True)
+
+
+def _next_version_dir(path: str) -> str:
+    os.makedirs(path, exist_ok=True)
+    seqs = [
+        int(d.split("_")[1])
+        for d in os.listdir(path)
+        if d.startswith("v_") and d.split("_")[1].isdigit()
+    ]
+    seq = (max(seqs) + 1) if seqs else 1
+    return os.path.join(path, f"v_{seq:06d}_{uuid.uuid4().hex[:8]}")
 
 
 def _validate_keys(df: DataFrame, keys: list[str]) -> None:
@@ -169,7 +238,12 @@ def append(df: DataFrame, path: str, partition_by: list[str] | None = None) -> N
 
 
 def _atomic_swap(tmp: str, dst: str) -> None:
-    """Replace ``dst`` with ``tmp`` as close to atomically as local FS allows."""
+    """Replace ``dst`` with ``tmp`` via two renames. NOT reader-safe:
+    there is a window where ``dst`` does not exist, and a crash between
+    the renames strands the ``.__old__`` dir — callers own a
+    single-writer/no-concurrent-reader contract (used for partition-leaf
+    swaps and plain-directory compaction; the versioned-commit layout is
+    the reader-safe path)."""
     old = dst + f".__old__{uuid.uuid4().hex[:8]}"
     if os.path.exists(dst):
         os.rename(dst, old)
@@ -184,30 +258,69 @@ def merge_upsert(
     source: DataFrame,
     keys: list[str],
     partition_col: str | None = None,
+    keep_versions: int = 2,
 ) -> None:
     """MERGE a source batch into a Parquet directory table.
 
-    First write creates the table. With ``partition_col`` (must be a key
-    and the table's physical partition column), only source-touched
-    partitions are rewritten — the 100 TB-safe path: read scope and write
-    scope are both bounded by the batch's partition footprint, not the
-    table size.
+    First write creates the table. Without ``partition_col`` the table
+    uses the versioned-commit layout (module docstring): each merge
+    writes a new ``v_*`` snapshot and atomically flips ``_CURRENT`` —
+    readers using :func:`read_table` always see a complete snapshot,
+    concurrent with any merge, and a crash mid-merge leaves the previous
+    snapshot current (orphaned ``v_*`` dirs are swept by later commits'
+    retention pass).
+
+    With ``partition_col`` (must be a key and the table's physical
+    partition column), only source-touched partitions are rewritten —
+    the 100 TB-safe path: read scope and write scope are both bounded by
+    the batch's partition footprint, not the table size. Contract:
+    **single writer, no concurrent readers of the touched partitions**
+    (each leaf directory is rename-swapped; untouched partitions are
+    always safe to read).
     """
     source = source.dropDuplicates(keys)
+    if partition_col is None:
+        vdir = _next_version_dir(target_path)
+        ptr_exists = os.path.isfile(os.path.join(target_path, _CURRENT_PTR))
+        # One-time migration of a pre-versioning plain directory: its
+        # loose top-level files are the current table. Read them by
+        # explicit file list (immune to the new v_* subdir appearing in
+        # a directory listing), then retire them after the commit.
+        legacy_files = (
+            []
+            if ptr_exists
+            else [
+                os.path.join(target_path, f)
+                for f in (
+                    os.listdir(target_path)
+                    if os.path.isdir(target_path)
+                    else []
+                )
+                if f.endswith(".parquet")
+            ]
+        )
+        if ptr_exists:
+            merged = merge_upsert_df(read_table(spark, target_path), source, keys)
+        elif legacy_files:
+            merged = merge_upsert_df(spark.read.parquet(*legacy_files), source, keys)
+        else:
+            merged = source
+        merged.write.mode("overwrite").parquet(vdir)
+        _commit_version(target_path, vdir, keep_versions)
+        for f in legacy_files:
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+        return
+
     if not os.path.exists(target_path):
-        writer = source.write.mode("overwrite")
-        if partition_col:
-            writer = writer.partitionBy(partition_col)
-        writer.parquet(target_path)
+        source.write.mode("overwrite").partitionBy(partition_col).parquet(
+            target_path
+        )
         return
 
     target = spark.read.parquet(target_path)
-    if partition_col is None:
-        merged = merge_upsert_df(target, source, keys)
-        tmp = target_path + f".__tmp__{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(tmp)
-        _atomic_swap(tmp, target_path)
-        return
 
     # Partition-scoped rewrite: enumerate the batch's partitions (a small
     # driver-side list — one entry per touched day/key, not per row),
@@ -264,16 +377,31 @@ def compact_parquet(
     badly skewed. Partitioned tables: compact each partition directory
     independently (this keeps the rewrite scoped exactly like
     ``merge_upsert``'s partition path).
+
+    Versioned tables (``_CURRENT`` pointer present) compact into a new
+    ``v_*`` snapshot + pointer flip — fully reader-safe; plain
+    directories fall back to the rename swap (single-writer contract).
+
+    File sizing uses ``os.path.getsize`` on ``file:`` URIs — correct for
+    local/NFS storage. On an object store, swap in the Hadoop
+    ``FileSystem.getContentSummary`` listing (or the store's inventory
+    API); ``inputFiles()`` still enumerates the right paths.
     """
-    df = spark.read.parquet(path)
+    data_dir = _resolve_data_dir(path)
+    df = spark.read.parquet(data_dir)
     total = 0
     for f in df.inputFiles():
         local = f.removeprefix("file:")
         if os.path.exists(local):
             total += os.path.getsize(local)
     n = max(1, -(-total // target_file_bytes))
-    tmp = path + f".__compact__{uuid.uuid4().hex[:8]}"
     shaped = df.repartition(n) if shuffle else df.coalesce(n)
+    if data_dir != path:
+        vdir = _next_version_dir(path)
+        shaped.write.mode("overwrite").parquet(vdir)
+        _commit_version(path, vdir, keep_versions=2)
+        return n
+    tmp = path + f".__compact__{uuid.uuid4().hex[:8]}"
     shaped.write.mode("overwrite").parquet(tmp)
     _atomic_swap(tmp, path)
     return n

@@ -27,7 +27,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.relational import decimal_avg, round_half_up
-from ..operators.writers import append, idempotent_append, merge_upsert
+from ..operators.writers import (
+    append,
+    idempotent_append,
+    merge_upsert,
+    read_table,
+)
 from ..sources.payload import payload_to_rows
 from ..sources.rest import payload_dataframe
 
@@ -98,7 +103,7 @@ def run_report(
     overwrite, ``README.md:8,66``); ``idempotent`` gives v3 (first write
     of the day wins); ``append`` gives v1.
     """
-    raw = spark.read.parquet(raw_path)
+    raw = read_table(spark, raw_path)
     report = build_report(raw, last_k=last_k)
     if mode == "append":
         append(report, report_path)

@@ -4,8 +4,9 @@
 - identical aliases and column order;
 - identical rounding (round after exact-decimal accumulation);
 - identical tie-breaks on every ORDER BY feeding a LIMIT;
-- identical ns→µs truncation on the events timestamp (DuckDB's parquet
-  reader already truncates; Spark-side we ``div 1000``).
+- identical µs precision on the events timestamp (both engines read the
+  parquet TIMESTAMP(MICROS) column natively; legacy nanos files were
+  truncated ns→µs identically on both sides).
 
 The driver registers the parquet tables as views named
 ``region nation customer supplier part orders lineitem events documents

@@ -754,3 +754,93 @@ EXT_ORACLES: dict[str, str] = {
         ORDER BY doc_id
     """,
 }
+
+
+def _kmeans_ivf_oracle(
+    n_seeds: int = 8, n_iters: int = 2, dim: int = 64, nprobe: int = 2
+) -> str:
+    """Generated oracle for ``ivf_topk_kmeans``: unrolls the fixed Lloyd
+    rounds as CTE layers. Per round: assignment (argmax cosine over the
+    current centroids, ties → lowest cell) then per-cell per-dimension
+    exact fixed-point means — the same scaled-int BIGINT arithmetic and
+    pinned divide order as ``similarity.ivf_cells_kmeans``, so centroid
+    components (and therefore cells and search results) are
+    bit-identical across engines."""
+
+    def assign(cte_c: str, name: str, pred: str | None = None) -> str:
+        where = f"WHERE {pred}" if pred else ""
+        return f"""{name} AS (
+            SELECT vec_id, cell FROM (
+                SELECT vn.vec_id, c.cell,
+                       row_number() OVER (PARTITION BY vn.vec_id
+                           ORDER BY {_dot('vn.e', 'c.ce')}
+                               / (sqrt(vn.norm2) * sqrt(c.cn)) DESC,
+                               c.cell) AS rn
+                FROM vn, {cte_c} c {where}
+            ) WHERE rn = 1
+        )"""
+
+    def means(a_cte: str, m_name: str, c_name: str) -> str:
+        sums = ",\n                   ".join(
+            f"SUM(CAST(FLOOR(vn.e[{i + 1}] * {_SCALE}) AS BIGINT)) AS s{i}"
+            for i in range(dim)
+        )
+        comps = ", ".join(
+            f"CAST(s{i} AS DOUBLE) / {_SCALE} / n" for i in range(dim)
+        )
+        return f"""{m_name} AS (
+            SELECT a.cell, COUNT(*) AS n,
+                   {sums}
+            FROM vn JOIN {a_cte} a USING (vec_id) GROUP BY a.cell
+        ), {c_name}_raw AS (
+            SELECT cell, list_value({comps}) AS ce FROM {m_name}
+        ), {c_name} AS (
+            SELECT cell, ce, {_dot('ce', 'ce')} AS cn FROM {c_name}_raw
+        )"""
+
+    rounds = []
+    prev = "c0"
+    for r in range(1, n_iters + 1):
+        rounds.append(assign(prev, f"a{r}"))
+        rounds.append(means(f"a{r}", f"m{r}", f"c{r}"))
+        prev = f"c{r}"
+    body = ",\n        ".join(rounds)
+    return f"""
+        WITH {_VECTOR_CTE.strip()}, c0 AS (
+            SELECT vec_id AS cell, e AS ce, norm2 AS cn
+            FROM vn WHERE vec_id < {n_seeds}
+        ),
+        {body},
+        {assign(prev, 'cells')},
+        vc AS (
+            SELECT vn.vec_id, vn.e, vn.norm2, c.cell
+            FROM vn JOIN cells c USING (vec_id)
+        ), qp AS (
+            SELECT q_id, qe, qn, cell FROM (
+                SELECT vn.vec_id AS q_id, vn.e AS qe, vn.norm2 AS qn, c.cell,
+                       row_number() OVER (PARTITION BY vn.vec_id
+                           ORDER BY {_dot('vn.e', 'c.ce')}
+                               / (sqrt(vn.norm2) * sqrt(c.cn)) DESC,
+                               c.cell) AS rn
+                FROM vn, {prev} c WHERE {ANN_QUERY_PRED}
+            ) WHERE rn <= {nprobe}
+        ), scored AS (
+            SELECT qp.q_id, vc.vec_id, vc.cell,
+                   {_dot('qp.qe', 'vc.e')} / (sqrt(qp.qn) * sqrt(vc.norm2))
+                       AS cosine_raw
+            FROM qp JOIN vc ON qp.cell = vc.cell AND vc.vec_id <> qp.q_id
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id) AS rnk
+            FROM scored
+        )
+        SELECT q_id, vec_id AS neighbor_id, cell,
+               {_round('cosine_raw', 6)} AS cosine,
+               CAST(rnk AS BIGINT) AS rank
+        FROM ranked
+        WHERE rnk <= {ANN_K}
+        ORDER BY q_id, rnk
+    """
+
+
+EXT_ORACLES["ivf_topk_kmeans"] = _kmeans_ivf_oracle()

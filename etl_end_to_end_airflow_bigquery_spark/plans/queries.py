@@ -286,13 +286,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit(PRICING_CUTOFF).cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            round_half_up(decimal_sum(F.col("l_quantity")), 2).alias("sum_qty"),
-            round_half_up(decimal_sum(F.col("l_extendedprice")), 2).alias("sum_base_price"),
-            round_half_up(decimal_sum(disc_price), 2).alias("sum_disc_price"),
-            round_half_up(decimal_sum(charge), 2).alias("sum_charge"),
-            round_half_up(decimal_avg(F.col("l_quantity")), 4).alias("avg_qty"),
-            round_half_up(decimal_avg(F.col("l_extendedprice")), 4).alias("avg_price"),
-            round_half_up(decimal_avg(F.col("l_discount")), 4).alias("avg_disc"),
+            round_half_up(decimal_sum(F.col("l_quantity"), wide=True), 2).alias("sum_qty"),
+            round_half_up(decimal_sum(F.col("l_extendedprice"), wide=True), 2).alias("sum_base_price"),
+            round_half_up(decimal_sum(disc_price, wide=True), 2).alias("sum_disc_price"),
+            round_half_up(decimal_sum(charge, wide=True), 2).alias("sum_charge"),
+            round_half_up(decimal_avg(F.col("l_quantity"), wide=True), 4).alias("avg_qty"),
+            round_half_up(decimal_avg(F.col("l_extendedprice"), wide=True), 4).alias("avg_price"),
+            round_half_up(decimal_avg(F.col("l_discount"), wide=True), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -329,7 +329,7 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("r_name", "n_name")
         .agg(
-            round_half_up(decimal_sum(revenue), 2).alias("revenue"),
+            round_half_up(decimal_sum(revenue, wide=True), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy("r_name", "n_name")
@@ -372,7 +372,7 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     ).agg(
         round_half_up(
-            decimal_sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            decimal_sum(F.col("l_extendedprice") * F.col("l_discount"), wide=True), 2
         ).alias("forecast_revenue"),
         F.count(F.lit(1)).alias("n_rows"),
     )
@@ -402,7 +402,7 @@ def rollup_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
-            round_half_up(decimal_sum(F.col("l_quantity")), 2).alias("sum_qty"),
+            round_half_up(decimal_sum(F.col("l_quantity"), wide=True), 2).alias("sum_qty"),
             F.count(F.lit(1)).alias("n_rows"),
             F.grouping_id().cast("bigint").alias("grp_id"),
         )
@@ -722,7 +722,7 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return small.agg(
         round_half_up(
-            decimal_sum(F.col("l_extendedprice")) / F.lit(7.0), 2
+            decimal_sum(F.col("l_extendedprice"), wide=True) / F.lit(7.0), 2
         ).alias("avg_yearly")
     )
 

@@ -265,6 +265,22 @@ def ivf_topk_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rank")
 
 
+def ivf_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over the *production* coarse quantizer: 2 deterministic Lloyd
+    k-means rounds refine the first-k seeds into balanced cells
+    (engine-exact centroid means — VERDICT r02 item 6), then the
+    standard nprobe=2 probed search."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = S.ivf_topk_kmeans(emb, query_pred=ANN_QUERY_PRED, k=ANN_K, nprobe=2)
+    return res.select(
+        "q_id",
+        "neighbor_id",
+        "cell",
+        round_half_up(F.col("cosine"), 6).alias("cosine"),
+        "rank",
+    ).orderBy("q_id", "rank")
+
+
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucket-candidated (the
     fifth dedup strategy: exact / minhash / simhash / jaccard / cosine)."""
@@ -289,7 +305,7 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex.groupBy("label", F.col("pos").cast("bigint").alias("pos"))
         .agg(
             round_half_up(
-                decimal_sum(F.col("val"), 12) / F.count("val"), 6
+                decimal_sum(F.col("val"), 12, wide=True) / F.count("val"), 6
             ).alias("centroid")
         )
         .orderBy("label", "pos")
@@ -587,4 +603,5 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "ann_lsh_multiprobe": ann_lsh_multiprobe,
     "ann_lsh_multitable": ann_lsh_multitable,
     "ivf_topk_nprobe": ivf_topk_nprobe,
+    "ivf_topk_kmeans": ivf_topk_kmeans,
 }

@@ -91,7 +91,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(round_half_up(decimal_sum(_rev()), 2).alias("revenue"))
+        .agg(round_half_up(decimal_sum(_rev(), wide=True), 2).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -131,7 +131,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             round_half_up(
-                decimal_sum(nat_rev) / decimal_sum(_rev()), 6
+                decimal_sum(nat_rev, wide=True) / decimal_sum(_rev(), wide=True), 6
             ).alias("mkt_share"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -174,7 +174,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             round_half_up(
-                F.lit(100.0) * decimal_sum(promo) / decimal_sum(_rev()), 4
+                F.lit(100.0) * decimal_sum(promo, wide=True) / decimal_sum(_rev(), wide=True), 4
             ).alias("promo_pct"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -232,7 +232,7 @@ def q19_or_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .filter(arm)
         .agg(
-            round_half_up(decimal_sum(_rev()), 2).alias("revenue"),
+            round_half_up(decimal_sum(_rev(), wide=True), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -246,7 +246,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     survive when customer is 10⁹ rows."""
     cust = load_table(spark, sf_dir, "customer")
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        decimal_avg(F.col("c_acctbal")).alias("avg_bal")
+        decimal_avg(F.col("c_acctbal"), wide=True).alias("avg_bal")
     )
     recent = (
         load_table(spark, sf_dir, "orders")
@@ -260,7 +260,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_cust"),
-            round_half_up(decimal_sum(F.col("c_acctbal")), 2).alias("total_bal"),
+            round_half_up(decimal_sum(F.col("c_acctbal"), wide=True), 2).alias("total_bal"),
         )
         .orderBy("c_nationkey")
     )
@@ -509,7 +509,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(round_half_up(decimal_sum(_rev()), 2).alias("revenue"))
+        .agg(round_half_up(decimal_sum(_rev(), wide=True), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import json
 
+from etl_end_to_end_airflow_bigquery_spark.operators.writers import read_table
 from etl_end_to_end_airflow_bigquery_spark.streaming import (
     daily_report_stream,
     stream_payloads,
@@ -55,7 +56,7 @@ def test_streaming_daily_report_merge_sink(spark, tmp_path):
     q = streaming_report_to_merge(spark, report, rep, ckpt)
     q.awaitTermination(120)
 
-    got = {str(r.date)[:10]: r.avg_rate for r in spark.read.parquet(rep).collect()}
+    got = {str(r.date)[:10]: r.avg_rate for r in read_table(spark, rep).collect()}
     # note: the two Jan-5 payloads dedup to ONE tick (same (date, pair)
     # within the watermark — T4), so the day's average is the first tick
     assert set(got) == {"2026-01-05", "2026-01-06"}
@@ -66,5 +67,5 @@ def test_streaming_daily_report_merge_sink(spark, tmp_path):
     ticks = stream_payloads(spark, str(pdir))
     q = streaming_report_to_merge(spark, daily_report_stream(ticks), rep, ckpt)
     q.awaitTermination(120)
-    got2 = {str(r.date)[:10]: r.avg_rate for r in spark.read.parquet(rep).collect()}
+    got2 = {str(r.date)[:10]: r.avg_rate for r in read_table(spark, rep).collect()}
     assert got2["2026-01-07"] == 7.0 and got2["2026-01-06"] == 5.0

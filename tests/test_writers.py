@@ -12,6 +12,7 @@ from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
     idempotent_append_df,
     merge_upsert,
     merge_upsert_df,
+    read_table,
 )
 
 
@@ -57,10 +58,87 @@ def test_merge_upsert_file_idempotent(spark, tmp_path, target):
     merge_upsert(spark, path, target, keys=["k"])
     batch = _frame(spark, [(2, "d1", 99.0), (9, "d9", 9.0)])
     merge_upsert(spark, path, batch, keys=["k"])
-    once = _sorted(spark.read.parquet(path))
+    once = _sorted(read_table(spark, path))
     merge_upsert(spark, path, batch, keys=["k"])  # re-run the same batch
-    assert _sorted(spark.read.parquet(path)) == once
+    assert _sorted(read_table(spark, path)) == once
     assert (2, "d1", 99.0) in once and (9, "d9", 9.0) in once and len(once) == 4
+
+
+def test_merge_versioned_layout_pointer_and_retention(spark, tmp_path, target):
+    """Non-partitioned merge uses the versioned-commit layout: _CURRENT
+    points at the newest v_* snapshot, retention keeps keep_versions."""
+    import os
+
+    path = str(tmp_path / "vt")
+    merge_upsert(spark, path, target, keys=["k"])
+    for i in range(3):
+        merge_upsert(
+            spark, path, _frame(spark, [(50 + i, "dv", float(i))]), keys=["k"]
+        )
+    versions = sorted(d for d in os.listdir(path) if d.startswith("v_"))
+    assert len(versions) == 2  # default keep_versions=2 of the 4 commits
+    ptr = open(os.path.join(path, "_CURRENT")).read().strip()
+    assert ptr == versions[-1]
+    assert read_table(spark, path).count() == 6  # 3 base + 3 merged keys
+
+
+def test_merge_versioned_migrates_plain_directory(spark, tmp_path, target):
+    """Merging into a pre-versioning plain parquet dir keeps its rows
+    (one-time migration), then commits versioned snapshots."""
+    import os
+
+    path = str(tmp_path / "legacy")
+    target.write.mode("overwrite").parquet(path)  # plain layout
+    merge_upsert(spark, path, _frame(spark, [(2, "d1", 99.0)]), keys=["k"])
+    got = _sorted(read_table(spark, path))
+    assert (1, "d1", 1.0) in got and (2, "d1", 99.0) in got and len(got) == 3
+    assert os.path.isfile(os.path.join(path, "_CURRENT"))
+    # loose legacy files retired: the dir holds only pointer + versions
+    loose = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert loose == []
+
+
+def test_merge_versioned_concurrent_reader_always_full_snapshot(
+    spark, tmp_path, target
+):
+    """Reader-safety under concurrent merges (VERDICT r02 item 4): a
+    reader resolving the _CURRENT pointer mid-merge-storm must always
+    see a complete snapshot — counts only ever step through the commit
+    sequence, never a partial/missing directory."""
+    import threading
+
+    path = str(tmp_path / "cvt")
+    merge_upsert(spark, path, target, keys=["k"])  # 3 rows
+    errors: list[Exception] = []
+    counts: list[int] = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                counts.append(read_table(spark, path).count())
+            except Exception as e:  # noqa: BLE001 - the assertion target
+                errors.append(e)
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for i in range(5):
+            merge_upsert(
+                spark,
+                path,
+                _frame(spark, [(100 + i, "dc", float(i))]),
+                keys=["k"],
+                keep_versions=20,  # park old snapshots for slow readers
+            )
+    finally:
+        stop.set()
+        t.join()
+    assert errors == []
+    assert counts, "reader never completed a read"
+    assert set(counts) <= {3 + i for i in range(6)}  # only full snapshots
+    assert counts == sorted(counts)  # snapshots observed in commit order
 
 
 def test_merge_upsert_partition_scoped(spark, tmp_path, target):
