@@ -186,9 +186,24 @@ def jaccard_verify(docs: DataFrame, threshold: float = NEAR_DUP_JACCARD) -> Data
     sh = shingle_docs(docs).repartition("doc_id")
     sig = minhash_signatures_from_shingles(sh).repartition("doc_id")
     cands = _candidate_pairs_from_sig(sig).select("doc_a", "doc_b")
+    # merge-join hints keep the verify sides on the shuffle path even
+    # when the shingle frame is broadcastable: a broadcast plan clones
+    # the whole tokenize+shingle subtree per side (3 extra corpus
+    # tokenizations), while SMJ probes hang off the ONE reused exchange.
+    # Measured at sf0.1: 2.16 s hinted vs 2.43 s broadcast.
     j = (
-        cands.join(sh.withColumnsRenamed({"doc_id": "doc_a", "shingles": "sh_a"}), "doc_a")
-        .join(sh.withColumnsRenamed({"doc_id": "doc_b", "shingles": "sh_b"}), "doc_b")
+        cands.join(
+            sh.withColumnsRenamed({"doc_id": "doc_a", "shingles": "sh_a"}).hint(
+                "merge"
+            ),
+            "doc_a",
+        )
+        .join(
+            sh.withColumnsRenamed({"doc_id": "doc_b", "shingles": "sh_b"}).hint(
+                "merge"
+            ),
+            "doc_b",
+        )
     )
     inter = F.expr("size(array_intersect(sh_a, sh_b))").cast("double")
     union = (

@@ -117,3 +117,59 @@ def resample_ffill(
     w = Window.partitionBy(key).orderBy(ts)
     filled = {v: F.last(v, ignorenulls=True).over(w) for v in values}
     return joined.withColumns(filled)
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    step: str = "1 day",
+) -> DataFrame:
+    """Gap-fill + LINEAR interpolation: like :func:`resample_ffill`, but
+    missing grid points take the straight line between the neighboring
+    observations instead of carrying the last one — the resampling mode
+    for continuous signals (sensor panels, rates) where a step function
+    biases downstream aggregates.
+
+    Adds ``is_interpolated`` so consumers can tell observed from
+    synthesized. Same scale shape as forward-fill (spine explode + one
+    co-partitioned join) plus two ignore-nulls windows per key (previous
+    and next observation); the interpolation weight is an exact integer
+    day-ratio, so results are engine-portable. Grid points outside the
+    key's observed range never exist (the spine spans first→last
+    observation).
+    """
+    bounds = df.groupBy(key).agg(F.min(ts).alias("_lo"), F.max(ts).alias("_hi"))
+    spine = bounds.select(
+        key,
+        F.explode(F.expr(f"sequence(_lo, _hi, interval {step})")).alias(ts),
+    )
+    joined = spine.join(df, [key, ts], "left")
+    w_past = (
+        Window.partitionBy(key)
+        .orderBy(ts)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(key)
+        .orderBy(ts)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col(value).isNotNull(), F.col(ts))
+    prev_v = F.last(value, ignorenulls=True).over(w_past)
+    prev_t = F.last(obs_ts, ignorenulls=True).over(w_past)
+    next_v = F.first(value, ignorenulls=True).over(w_next)
+    next_t = F.first(obs_ts, ignorenulls=True).over(w_next)
+    frac = F.datediff(F.col(ts), prev_t).cast("double") / F.datediff(
+        next_t, prev_t
+    ).cast("double")
+    interp = prev_v + (next_v - prev_v) * frac
+    return joined.select(
+        key,
+        ts,
+        F.when(F.col(value).isNotNull(), F.col(value))
+        .otherwise(interp)
+        .alias(value),
+        F.col(value).isNull().alias("is_interpolated"),
+    )

@@ -12,7 +12,7 @@ one source of truth for both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Stopword list for quality scoring (tokens from the synthetic vocab; on
@@ -130,4 +130,96 @@ def chunk_tokens(
         F.expr(f"least(CAST({chunk_size} AS BIGINT), size(_toks) - _start)").alias(
             "n_chunk_tokens"
         ),
+    )
+
+
+def ngram_expr(k: int, text: str = "text") -> str:
+    """Spark SQL expr: the list of word ``k``-grams of ``text`` (with
+    repeats — callers wrap in array_distinct for a set).
+
+    Built as k−1 nested zip_with over shifted slices (generalizing
+    SHINGLES-style shingling in dedup.py): each ``slice(split(...))``
+    operand is evaluated once per row, where an indexed
+    ``transform(sequence, i -> arr[i])`` spelling would re-evaluate the
+    tokenization per subscript (the O(tokens²) trap)."""
+    n = f"size(split({text}, ' '))"
+
+    def sl(i: int) -> str:
+        return f"slice(split({text}, ' '), {i}, {n} - {k - 1})"
+
+    expr = sl(1)
+    for i in range(2, k + 1):
+        expr = f"zip_with({expr}, {sl(i)}, (a, b) -> concat(a, ' ', b))"
+    return expr
+
+
+def repetition_ratio(k: int = 3, text: str = "text") -> Column:
+    """Share of the document's ``k``-gram occurrences taken by its most
+    frequent ``k``-gram — the classic boilerplate/repetition quality
+    filter (a page of repeated nav text scores near 1, prose near 1/g).
+
+    Pure in-row fold over the gram list: count each distinct gram by a
+    filter scan, take the max, divide by the gram count. Per-row cost is
+    O(g·distinct) in the document's own length — independent of corpus
+    size, so the operator stays a codegen'd map at any scale. Documents
+    with fewer than ``k`` tokens yield NULL (no grams)."""
+    g = ngram_expr(k, text)
+    # the gram list appears twice (distinct-count fold + size); both
+    # evaluations are per-row and bounded by doc length — acceptable vs
+    # the cost of a Generate barrier for a quality-filter projection.
+    fold = f"""
+        CAST(aggregate(
+               transform(array_distinct({g}),
+                         x -> size(filter({g}, y -> y = x))),
+               0, (m, c) -> greatest(m, c)) AS DOUBLE)
+        / CAST(size({g}) AS DOUBLE)
+    """
+    return F.when(
+        F.expr(f"size(split({text}, ' '))") >= k, F.expr(fold)
+    ).otherwise(F.lit(None).cast("double"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    group: str = "source",
+    order: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Concat-and-chop sequence packing — the layout step of an LLM
+    training pipeline: documents are concatenated in a deterministic
+    order within each ``group`` and chopped into fixed ``budget``-token
+    training sequences. Emits one row per document with its pack
+    assignment: ``pack_id`` (0-based within group), ``pack_offset``
+    (token offset of the doc inside its pack), ``n_tokens``, and
+    ``crosses_boundary`` (doc spans a sequence edge — the rows an
+    attention-masking layer treats specially).
+
+    One window (running token sum per group, ordered) — a single
+    shuffle keyed on the group; no Python, no per-pack state. At 100 TB
+    ``group`` is the physical partition (source/shard), so packs never
+    span partitions and the window never sees more than one shard.
+    """
+    w = (
+        Window.partitionBy(group)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = token_count(text)
+    out = df.select(
+        group,
+        order,
+        toks.alias("n_tokens"),
+    ).withColumn("__cum", F.sum("n_tokens").over(w))
+    return out.select(
+        group,
+        order,
+        "n_tokens",
+        F.expr(f"(__cum - n_tokens) div {budget}").alias("pack_id"),
+        F.expr(f"(__cum - n_tokens) % {budget}").cast("bigint").alias(
+            "pack_offset"
+        ),
+        F.expr(
+            f"(__cum - n_tokens) div {budget} != (__cum - 1) div {budget}"
+        ).alias("crosses_boundary"),
     )

@@ -844,3 +844,98 @@ def _kmeans_ivf_oracle(
 
 
 EXT_ORACLES["ivf_topk_kmeans"] = _kmeans_ivf_oracle()
+
+
+# --- round-3 LLM-pipeline pack oracles ----------------------------------
+
+from .queries_ext import DECON_K, PACK_BUDGET  # noqa: E402  (shared tunables)
+
+_GRAMS = (
+    f"list_transform(range(1, len(t) - {DECON_K - 2}), "
+    f"i -> array_to_string(list_slice(t, i, i + {DECON_K - 1}), ' '))"
+)
+_TRIGRAMS = (
+    "list_transform(range(1, len(t) - 1), "
+    "i -> array_to_string(list_slice(t, i, i + 2), ' '))"
+)
+
+EXT_ORACLES["decontaminate_ngrams"] = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), g AS (
+        SELECT doc_id, list_distinct({_GRAMS}) AS grams
+        FROM toks WHERE len(t) >= {DECON_K}
+    ), bench AS (
+        SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0
+    ), corpus AS (
+        SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 20 <> 0
+    )
+    SELECT c.doc_id, CAST(COUNT(DISTINCT c.gram) AS BIGINT) AS n_shared
+    FROM corpus c JOIN bench b USING (gram)
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+"""
+
+EXT_ORACLES["pack_training_sequences"] = f"""
+    WITH t AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT *, SUM(n_tokens) OVER (
+            PARTITION BY source ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT source, doc_id, n_tokens,
+           CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST((cum - n_tokens) % {PACK_BUDGET} AS BIGINT) AS pack_offset,
+           ((cum - n_tokens) // {PACK_BUDGET})
+               <> ((cum - 1) // {PACK_BUDGET}) AS crosses_boundary
+    FROM c
+    ORDER BY source, doc_id
+"""
+
+EXT_ORACLES["repetition_ratio_docs"] = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), g AS (
+        SELECT doc_id, {_TRIGRAMS} AS grams
+        FROM toks WHERE len(t) >= 3
+    )
+    SELECT doc_id,
+           {_round(
+               "CAST(list_max(list_transform(list_distinct(grams), "
+               "x -> len(list_filter(grams, y -> y = x)))) AS DOUBLE) "
+               "/ CAST(len(grams) AS DOUBLE)", 6)} AS rep_ratio
+    FROM g
+    ORDER BY doc_id
+"""
+
+EXT_ORACLES["tfidf_top_terms"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, token
+    ), dfreq AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ), n AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+    ), s AS (
+        SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+               tf.tf * ln(n.n_docs / dfreq.df) AS score
+        FROM tf JOIN dfreq USING (token), n
+    ), r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, token) AS rn
+        FROM s
+    )
+    SELECT doc_id, token, tf, df,
+           {_round('score', 6)} AS tfidf,
+           CAST(rn AS BIGINT) AS rank
+    FROM r
+    WHERE rn <= 3
+    ORDER BY doc_id, rn
+"""

@@ -558,3 +558,51 @@ OLAP_ORACLES: dict[str, str] = {
         ORDER BY event_id
     """,
 }
+
+
+OLAP_ORACLES["interpolate_daily_rates"] = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               {_round(_davg('value'), 4)} AS avg_rate
+        FROM events GROUP BY 1, 2
+    ), obs AS (
+        SELECT * FROM daily WHERE day(d) % 3 <> 0
+    ), bounds AS (
+        SELECT event_type, min(d) AS lo, max(d) AS hi FROM obs GROUP BY 1
+    ), spine AS (
+        SELECT event_type,
+               CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                   AS d
+        FROM bounds
+    ), joined AS (
+        SELECT s.event_type, s.d, obs.avg_rate
+        FROM spine s
+        LEFT JOIN obs ON s.event_type = obs.event_type AND s.d = obs.d
+    ), ctx AS (
+        SELECT event_type, d, avg_rate,
+               last_value(avg_rate IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(CASE WHEN avg_rate IS NOT NULL THEN d END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+               first_value(avg_rate IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN avg_rate IS NOT NULL THEN d END
+                           IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        FROM joined
+    )
+    SELECT event_type, d,
+           {_round("CASE WHEN avg_rate IS NOT NULL THEN avg_rate "
+                   "ELSE pv + (nv - pv) * "
+                   "(CAST(date_diff('day', pt, d) AS DOUBLE) "
+                   "/ CAST(date_diff('day', pt, nt) AS DOUBLE)) END", 4)}
+               AS avg_rate,
+           avg_rate IS NULL AS is_interpolated
+    FROM ctx
+    ORDER BY event_type, d
+"""

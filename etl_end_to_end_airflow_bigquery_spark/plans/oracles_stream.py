@@ -15,6 +15,8 @@ _SUM_U = "sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))"
 STREAM_ORACLES: dict[str, str] = {
     # identical output contract to the batch flagship — one oracle fits both
     "streaming_daily_avg": ORACLES["daily_avg_report"],
+    # bit-identical sessions from the streaming engine — batch oracle reused
+    "streaming_sessionize": ORACLES["session_window_native"],
     "streaming_view_purchase_join": """
         SELECT p.event_id AS purchase_id, v.event_id AS view_id
         FROM (SELECT event_id, user_id, ts FROM events

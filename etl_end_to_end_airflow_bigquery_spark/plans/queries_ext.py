@@ -20,6 +20,9 @@ from ..operators.text import (
     LANG_MARKERS,
     marker_count,
     fingerprint,
+    ngram_expr,
+    pack_sequences,
+    repetition_ratio,
     text_stats,
 )
 from .queries import QueryFn
@@ -605,3 +608,119 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "ivf_topk_nprobe": ivf_topk_nprobe,
     "ivf_topk_kmeans": ivf_topk_kmeans,
 }
+
+
+# --- round-3 LLM-pipeline pack: decontamination, packing, quality, tf-idf ---
+
+DECON_K = 5  # word n-gram order for contamination checks
+PACK_BUDGET = 64  # tokens per training sequence
+
+
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the step every LLM training pipeline
+    runs before the tokenizer: find corpus documents sharing word
+    ``DECON_K``-grams with a held-out eval set (here: every 20th doc
+    stands in for the benchmark suite). Output: contaminated corpus
+    doc_id + how many distinct eval n-grams it shares.
+
+    Shape for 100 TB: grams materialize in-row below the Generate (one
+    tokenization per doc), the join keys on the gram string (shuffle
+    bounded by gram count, not doc size), and the eval side is small by
+    construction — broadcastable, so the corpus side never shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = docs.filter(
+        F.expr(f"size(split(text, ' ')) >= {DECON_K}")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(f"array_distinct({ngram_expr(DECON_K)})")
+        ).alias("gram"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 20 == 0).select("gram").distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") % 20 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct(F.col("gram")).alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop packing of the corpus into PACK_BUDGET-token
+    training sequences per source shard (operators.text.pack_sequences):
+    one running-sum window per shard, rows keep their pack id, offset,
+    and a boundary-crossing flag for the attention mask."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=PACK_BUDGET).orderBy(
+        "source", "doc_id"
+    )
+
+
+def repetition_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition score: share of trigram occurrences taken by
+    the most frequent trigram — the boilerplate/template filter of a
+    corpus-quality pass. In-row fold; codegen'd map at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.expr("size(split(text, ' ')) >= 3"))
+        .select(
+            "doc_id",
+            round_half_up(repetition_ratio(3), 6).alias("rep_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf terms per document (tf·ln(N/df)) — the classic
+    keyword/feature extraction over a corpus. Two grouped aggregates
+    (term frequency per doc, document frequency per term) + a broadcast
+    of the scalar corpus size; ranking is a per-doc window."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            (
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+            ).alias("__score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("__score").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            round_half_up(F.col("__score"), 6).alias("tfidf"),
+            "rank",
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+EXT_QUERIES["decontaminate_ngrams"] = decontaminate_ngrams
+EXT_QUERIES["pack_training_sequences"] = pack_training_sequences
+EXT_QUERIES["repetition_ratio_docs"] = repetition_ratio_docs
+EXT_QUERIES["tfidf_top_terms"] = tfidf_top_terms

@@ -1013,3 +1013,30 @@ OLAP_QUERIES: dict[str, QueryFn] = {
     "snapshot_diff_orders": snapshot_diff_orders,
     "unreferenced_parts": unreferenced_parts,
 }
+
+
+def interpolate_daily_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling through the gate: the per-type
+    daily series with a simulated feed outage (every 3rd calendar day
+    dropped), re-densified with straight-line fill between the
+    surviving observations (``operators.temporal.resample_interpolate``)
+    — the continuous-signal dual of ``resample_daily_rates``'
+    forward-fill. ``is_interpolated`` marks synthesized rows."""
+    from ..operators.temporal import resample_interpolate
+    from ..sources.events import load_events
+
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(F.col("event_type"), F.to_date("ts").alias("d")).agg(
+        round_half_up(decimal_avg(F.col("value")), 4).alias("avg_rate")
+    )
+    obs = daily.filter(F.dayofmonth("d") % 3 != 0)
+    out = resample_interpolate(obs, "event_type", "d", "avg_rate")
+    return out.select(
+        "event_type",
+        "d",
+        round_half_up(F.col("avg_rate"), 4).alias("avg_rate"),
+        "is_interpolated",
+    ).orderBy("event_type", "d")
+
+
+OLAP_QUERIES["interpolate_daily_rates"] = interpolate_daily_rates

@@ -399,3 +399,48 @@ STREAM_QUERIES: dict[str, QueryFn] = {
     "streaming_dedup_events": streaming_dedup_events,
     "streaming_report_merge": streaming_report_merge,
 }
+
+
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization ON the streaming engine: the same native
+    ``session_window`` operator as the batch ``session_window_native``
+    query, run over the bounded tick replay with a watermark — the
+    operator the reference would need a stateful consumer for. Complete
+    mode re-emits the merged session set per micro-batch (bounded output:
+    one row per session), hash-checked against the SAME oracle as the
+    batch twin — the strongest engine-equivalence statement: batch and
+    streaming produce bit-identical sessions.
+
+    At production scale the mode flips to update/append with a real
+    lateness watermark and the memory sink becomes the merge writer;
+    session merging logic is identical (state keyed on user, windows
+    merged inside the aggregate).
+    """
+    sink = _sink_name("stream_sessions")
+    with _utc_session(spark):
+        ticks = _stream_events(spark, sf_dir).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        sess = (
+            ticks.withWatermark("ts", "1 second")
+            .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
+                F.col("sw.end").cast("timestamp_ntz").alias("session_end"),
+                "n_events",
+            )
+        )
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.table(sink).orderBy("user_id", "session_start")
+
+
+STREAM_QUERIES["streaming_sessionize"] = streaming_sessionize

@@ -21,6 +21,7 @@ sys.path.insert(0, ".")
 
 STREAMING = {
     "streaming_daily_avg",
+    "streaming_sessionize",
     "streaming_dedup_events",
     "streaming_report_merge",
     "streaming_sliding_avg",
@@ -52,7 +53,9 @@ BNLJ_OK = {
     "ann_lsh_multitable",
     "ivf_topk",
     "ivf_topk_nprobe",
+    "ivf_topk_kmeans",  # K-centroid broadcast per Lloyd round + probe rank
     "embedding_near_dups",
+    "tfidf_top_terms",  # 1-row corpus-size scalar broadcast
 }
 
 # Structurally-high exchange counts with a justification.
@@ -66,6 +69,13 @@ EXCHANGES_OK = {
     # derivation computed once; the count is stages, not amplification.
     "jaccard_near_dups",
     "embedding_near_dups",
+    # fixed-depth iterative quantizer: each Lloyd round is one bounded
+    # K-cell groupBy + one per-vector rank window; exchanges scale with
+    # the (constant) iteration count, never with data size.
+    "ivf_topk_kmeans",
+    # fixed pipeline depth: tf agg, df agg, token join, per-doc rank —
+    # four keyed shuffles regardless of corpus size.
+    "tfidf_top_terms",
 }
 
 
