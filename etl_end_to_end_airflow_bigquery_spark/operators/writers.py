@@ -83,11 +83,20 @@ def _commit_version(path: str, vdir: str, keep_versions: int) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp_ptr, os.path.join(path, _CURRENT_PTR))
+    # numeric sort on the sequence — lexicographic breaks once sequence
+    # digits differ (v_1000000 < v_999999 lexically), which would let a
+    # crash-orphaned high-seq dir outlive retention forever
     versions = sorted(
-        d for d in os.listdir(path)
-        if d.startswith("v_") and os.path.isdir(os.path.join(path, d))
+        (
+            d
+            for d in os.listdir(path)
+            if d.startswith("v_") and os.path.isdir(os.path.join(path, d))
+        ),
+        key=lambda d: int(d.split("_")[1]) if d.split("_")[1].isdigit() else -1,
     )
     for stale in versions[: max(0, len(versions) - max(1, keep_versions))]:
+        if stale == vname:
+            continue
         shutil.rmtree(os.path.join(path, stale), ignore_errors=True)
 
 
@@ -229,8 +238,22 @@ def scd2_apply(
     return kept.unionByName(closed).unionByName(opened.select(*target.columns))
 
 
+def _reject_versioned(path: str, op: str) -> None:
+    """Append-style writers mutate a directory in place — incompatible
+    with the versioned-commit layout (they would write outside the
+    ``_CURRENT`` snapshot and silently vanish from readers). Fail loudly
+    instead of losing data."""
+    if os.path.isfile(os.path.join(path, _CURRENT_PTR)):
+        raise ValueError(
+            f"{op}: {path!r} is a versioned table (has {_CURRENT_PTR}); "
+            "use merge_upsert on it, or a different path for append-mode "
+            "writes"
+        )
+
+
 def append(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
     """WRITE_APPEND load job (S3). Schema is whatever ``df`` declares."""
+    _reject_versioned(path, "append")
     writer = df.write.mode("append")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -350,6 +373,7 @@ def idempotent_append(
     keys: list[str],
 ) -> None:
     """Cross-batch idempotent append to a Parquet directory table (T4/J2)."""
+    _reject_versioned(target_path, "idempotent_append")
     if not os.path.exists(target_path):
         batch.dropDuplicates(keys).write.mode("overwrite").parquet(target_path)
         return

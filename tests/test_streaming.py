@@ -69,3 +69,24 @@ def test_streaming_daily_report_merge_sink(spark, tmp_path):
     q.awaitTermination(120)
     got2 = {str(r.date)[:10]: r.avg_rate for r in read_table(spark, rep).collect()}
     assert got2["2026-01-07"] == 7.0 and got2["2026-01-06"] == 5.0
+
+
+def test_gate_queries_leave_session_conf_untouched(spark):
+    """VERDICT r02 item 7: streaming gate queries must not leak session
+    conf — the UTC pin is scoped (restored on exit) and the legacy nanos
+    flag is only ever set for legacy nanos files (never on current µs
+    data)."""
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_stream import (
+        streaming_dedup_events,
+    )
+
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    nanos_before = spark.conf.get(
+        "spark.sql.legacy.parquet.nanosAsLong", None
+    )
+    streaming_dedup_events(spark, "/root/testdata/sf0.001").collect()
+    assert spark.conf.get("spark.sql.session.timeZone") == tz_before
+    assert (
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+        == nanos_before
+    )

@@ -98,6 +98,41 @@ def test_merge_versioned_migrates_plain_directory(spark, tmp_path, target):
     assert loose == []
 
 
+def test_merge_versioned_crash_recovery_orphan_swept(spark, tmp_path, target):
+    """A crash after writing a v_* snapshot but before flipping _CURRENT
+    leaves an orphan dir: readers keep the previous snapshot, the next
+    merge commits normally, and retention eventually sweeps the orphan."""
+    import os
+
+    path = str(tmp_path / "crash")
+    merge_upsert(spark, path, target, keys=["k"])
+    ptr_before = open(os.path.join(path, "_CURRENT")).read().strip()
+    # simulate the crash: a written-but-uncommitted snapshot appears
+    orphan = os.path.join(path, "v_999999_deadbeef")
+    target.write.mode("overwrite").parquet(orphan)
+    assert read_table(spark, path).count() == 3  # readers unaffected
+    assert open(os.path.join(path, "_CURRENT")).read().strip() == ptr_before
+    merge_upsert(spark, path, _frame(spark, [(9, "d9", 9.0)]), keys=["k"])
+    got = _sorted(read_table(spark, path))
+    assert len(got) == 4 and (9, "d9", 9.0) in got
+    # the orphan (highest seq) survives as one of the retained 2; a
+    # further commit pushes it out of the retention window
+    merge_upsert(spark, path, _frame(spark, [(10, "dA", 1.0)]), keys=["k"])
+    assert read_table(spark, path).count() == 5
+
+
+def test_append_writers_reject_versioned_tables(spark, tmp_path, target):
+    """append/idempotent_append into a versioned table would write
+    outside the _CURRENT snapshot (silently invisible to readers) —
+    they must raise instead."""
+    path = str(tmp_path / "vguard")
+    merge_upsert(spark, path, target, keys=["k"])
+    with pytest.raises(ValueError, match="versioned table"):
+        append(target, path)
+    with pytest.raises(ValueError, match="versioned table"):
+        idempotent_append(spark, path, target, keys=["k"])
+
+
 def test_merge_versioned_concurrent_reader_always_full_snapshot(
     spark, tmp_path, target
 ):
