@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "q5_local_supplier_volume",
     "q18_big_orders",
     "scd2_orders_status",
+    "curated_corpus_v2",
 ]
 
 

@@ -65,10 +65,33 @@ def _resolve_data_dir(path: str) -> str:
     return path
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
     """Read a table written by these writers, resolving the versioned
-    ``_CURRENT`` pointer when present (plain directories pass through)."""
-    return spark.read.parquet(_resolve_data_dir(path))
+    ``_CURRENT`` pointer when present (plain directories pass through).
+
+    ``version`` time-travels to a specific retained snapshot sequence
+    (the integer in the ``v_<seq>_<uuid>`` name) — the audit/debug read
+    every snapshotting table format offers. Only snapshots inside the
+    retention window exist; asking for a swept one raises with the
+    available sequence numbers.
+    """
+    if version is None:
+        return spark.read.parquet(_resolve_data_dir(path))
+    avail: dict[int, str] = {}
+    if os.path.isdir(path):
+        for d in os.listdir(path):
+            seq = d.split("_")[1] if d.startswith("v_") and d.count("_") >= 2 else ""
+            if seq.isdigit() and os.path.isdir(os.path.join(path, d)):
+                avail[int(seq)] = d
+    if version not in avail:
+        raise ValueError(
+            f"snapshot v_{version:06d} not present under {path!r}; retained "
+            f"sequences: {sorted(avail) or 'none'} (older snapshots are "
+            "swept by keep_versions retention)"
+        )
+    return spark.read.parquet(os.path.join(path, avail[version]))
 
 
 def _commit_version(path: str, vdir: str, keep_versions: int) -> None:

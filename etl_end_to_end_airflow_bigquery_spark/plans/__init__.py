@@ -74,7 +74,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "ivf_topk",
     "embedding_near_dups",
     "multimodal_meta",
-    "curated_corpus",
+    "curated_corpus_v2",
     "vocab_top_tokens",
     "multimodal_decode",
     "multimodal_resize",

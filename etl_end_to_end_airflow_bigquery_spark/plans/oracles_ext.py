@@ -939,3 +939,74 @@ EXT_ORACLES["tfidf_top_terms"] = f"""
     WHERE rn <= 3
     ORDER BY doc_id, rn
 """
+
+
+EXT_ORACLES["curated_corpus_v2"] = f"""
+    WITH RECURSIVE {_PAIRS_CTE}, cand AS (
+        SELECT DISTINCT doc_a, doc_b FROM pairs
+    ), joined AS (
+        SELECT c.doc_a, c.doc_b, sa.shingles AS sh_a, sb.shingles AS sh_b
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+    ), nd AS (
+        SELECT doc_a, doc_b FROM joined
+        WHERE ({_JACCARD_EXPR}) >= {NEAR_DUP_JACCARD}
+    ), edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM nd
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM nd
+    ), reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), comp AS (
+        SELECT a AS node, least(a, min(b)) AS component
+        FROM reach GROUP BY a
+    ), nonrep AS (
+        SELECT node AS doc_id FROM comp WHERE node <> component
+    ), s AS (
+        SELECT doc_id, text,
+               CAST(length(text) AS BIGINT) AS n_chars_calc,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(string_split(text, ' '),
+                   t -> list_contains({_dlist(STOPWORDS)}, t))) AS BIGINT)
+                   AS n_stopwords,
+               {_LANG_COUNTS}
+        FROM documents
+    ), p AS (
+        SELECT *,
+               {LANG_CASE_SQL} AS pred_lang,
+               ({QUALITY_SQL}) AS quality
+        FROM s
+    ), kept AS (
+        SELECT * FROM p
+        WHERE pred_lang = '{CORPUS_LANG}'
+          AND quality >= {CORPUS_MIN_QUALITY}
+          AND n_tokens >= {CORPUS_MIN_TOKENS}
+    ), uniq AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY md5(lower(text))
+                                  ORDER BY doc_id) AS rn
+        FROM kept
+    ), toksd AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), gd AS (
+        SELECT doc_id, list_distinct({_GRAMS}) AS grams
+        FROM toksd WHERE len(t) >= {DECON_K}
+    ), bench AS (
+        SELECT DISTINCT unnest(grams) AS gram FROM gd WHERE doc_id % 20 = 0
+    ), contaminated AS (
+        SELECT DISTINCT g.doc_id
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM gd
+              WHERE doc_id % 20 <> 0) g
+        JOIN bench b USING (gram)
+    )
+    SELECT doc_id, n_tokens, {_round('quality', 4)} AS quality_score
+    FROM uniq
+    WHERE rn = 1
+      AND doc_id % 20 <> 0
+      AND doc_id NOT IN (SELECT doc_id FROM nonrep)
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ORDER BY doc_id
+"""

@@ -724,3 +724,81 @@ EXT_QUERIES["decontaminate_ngrams"] = decontaminate_ngrams
 EXT_QUERIES["pack_training_sequences"] = pack_training_sequences
 EXT_QUERIES["repetition_ratio_docs"] = repetition_ratio_docs
 EXT_QUERIES["tfidf_top_terms"] = tfidf_top_terms
+
+
+def curated_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-data curation pipeline in one lazy plan —
+    the v2 capstone composing every corpus operator family:
+
+        quality score + language ID + length cut   (row-local, first)
+        exact dedup                                 (one fingerprint shuffle)
+        near-dup removal                            (MinHash-LSH → Jaccard
+                                                     verify → connected
+                                                     components; keep each
+                                                     cluster's min-doc_id
+                                                     representative)
+        benchmark decontamination                   (drop eval docs + any doc
+                                                     sharing an eval 5-gram)
+
+    Near-dup clusters are computed over the FULL corpus (a kept doc's
+    near-twin may sit below the quality cut; clustering the full corpus
+    keeps representatives stable under threshold changes) — at 100 TB
+    that pass is the LSH pipeline already verified standalone
+    (``minhash_pairs``/``jaccard_near_dups``/``dedup_clusters``); all
+    row-local cuts still run before the fingerprint shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # near-dup representatives (full corpus)
+    pairs = D.jaccard_verify(docs).filter(F.col("is_near_dup"))
+    comp = D.connected_components(pairs)
+    nonrep = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    # curation cuts + exact dedup (same stages as curated_corpus)
+    scored = (
+        text_stats(docs)
+        .withColumns({f"c_{lg}": marker_count(lg) for lg in LANG_MARKERS})
+        .withColumn("pred_lang", F.expr(LANG_CASE_SQL))
+        .withColumn("quality", F.expr(QUALITY_SQL))
+    )
+    kept = scored.filter(
+        (F.col("pred_lang") == CORPUS_LANG)
+        & (F.col("quality") >= CORPUS_MIN_QUALITY)
+        & (F.col("n_tokens") >= CORPUS_MIN_TOKENS)
+    )
+    w = Window.partitionBy(fingerprint()).orderBy("doc_id")
+    uniq = (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "n_tokens", "quality")
+    )
+    # decontamination vs the held-out eval set (every 20th doc)
+    grams = docs.filter(
+        F.expr(f"size(split(text, ' ')) >= {DECON_K}")
+    ).select(
+        "doc_id",
+        F.explode(F.expr(f"array_distinct({ngram_expr(DECON_K)})")).alias(
+            "gram"
+        ),
+    )
+    bench = grams.filter(F.col("doc_id") % 20 == 0).select("gram").distinct()
+    contaminated = (
+        grams.filter(F.col("doc_id") % 20 != 0)
+        .join(F.broadcast(bench), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        uniq.filter(F.col("doc_id") % 20 != 0)
+        .join(nonrep, "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "n_tokens",
+            round_half_up(F.col("quality"), 4).alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+EXT_QUERIES["curated_corpus_v2"] = curated_corpus_v2

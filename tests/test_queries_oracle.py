@@ -39,6 +39,26 @@ def test_every_query_has_an_oracle():
     assert set(QUERIES) == set(ORACLES)
 
 
+def test_gate_first_50_spans_operator_families():
+    """The driver verifies the FIRST 50 queries() entries in dict order;
+    this pins the curated ordering (plans/__init__._GATE_PRIORITY) so a
+    future registry edit can't silently push a whole operator family —
+    streaming, pandas-UDF, multimodal, OLAP, CDC — past the gate again
+    (VERDICT r02 top item)."""
+    names = list(QUERIES)[:50]
+    got = set(names)
+    assert sum(n.startswith("streaming") for n in names) >= 3
+    assert "grouped_stats_pandas" in got  # pandas-UDF surface
+    assert sum(n.startswith("multimodal") for n in names) >= 2
+    assert {"minhash_pairs", "jaccard_near_dups", "dedup_clusters"} <= got
+    assert {"cosine_topk", "ann_lsh_topk", "ivf_topk", "ivf_topk_kmeans"} <= got
+    assert {"q5_local_supplier_volume", "q18_big_orders"} <= got  # OLAP heavies
+    assert {"scd2_orders_status", "snapshot_diff_orders"} <= got  # CDC
+    assert {"merge_upsert_orders", "idempotent_append_orders"} <= got
+    assert "curated_corpus_v2" in got  # capstone
+    assert {"resample_daily_rates", "incremental_daily_state"} <= got
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0

@@ -121,6 +121,26 @@ def test_merge_versioned_crash_recovery_orphan_swept(spark, tmp_path, target):
     assert read_table(spark, path).count() == 5
 
 
+def test_read_table_time_travel(spark, tmp_path, target):
+    """read_table(version=N) reads a retained snapshot; swept snapshots
+    raise listing what is still available."""
+    path = str(tmp_path / "tt")
+    merge_upsert(spark, path, target, keys=["k"], keep_versions=2)      # v1: 3 rows
+    merge_upsert(
+        spark, path, _frame(spark, [(9, "d9", 9.0)]), keys=["k"],
+        keep_versions=2,
+    )                                                                   # v2: 4 rows
+    assert read_table(spark, path, version=1).count() == 3
+    assert read_table(spark, path, version=2).count() == 4
+    merge_upsert(
+        spark, path, _frame(spark, [(10, "dA", 1.0)]), keys=["k"],
+        keep_versions=2,
+    )                                                                   # v3 sweeps v1
+    with pytest.raises(ValueError, match="retained sequences"):
+        read_table(spark, path, version=1)
+    assert read_table(spark, path, version=3).count() == 5
+
+
 def test_append_writers_reject_versioned_tables(spark, tmp_path, target):
     """append/idempotent_append into a versioned table would write
     outside the _CURRENT snapshot (silently invisible to readers) —

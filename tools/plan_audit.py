@@ -76,6 +76,11 @@ EXCHANGES_OK = {
     # fixed pipeline depth: tf agg, df agg, token join, per-doc rank —
     # four keyed shuffles regardless of corpus size.
     "tfidf_top_terms",
+    # the v2 capstone composes the LSH near-dup pipeline (itself in this
+    # list as jaccard_near_dups) with the curation + decontamination
+    # stages; exchange count is the sum of its verified sub-pipelines,
+    # not data-size amplification.
+    "curated_corpus_v2",
 }
 
 
