@@ -606,3 +606,30 @@ OLAP_ORACLES["interpolate_daily_rates"] = f"""
     FROM ctx
     ORDER BY event_type, d
 """
+
+
+OLAP_ORACLES["regex_string_pack"] = """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 'data')) AS BIGINT) AS n_data,
+           regexp_extract(text, '[a-z]*a[a-z]*', 0) AS first_a_word,
+           regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled,
+           split_part(text, ' ', 3) AS third_token,
+           translate(text, 'af', 'xy') AS translated,
+           reverse(text) AS reversed_text,
+           lpad(CAST(doc_id AS VARCHAR), 6, '0') AS padded_id
+    FROM documents
+    ORDER BY doc_id
+"""
+
+OLAP_ORACLES["bitwise_function_pack"] = """
+    SELECT o_orderkey,
+           o_orderkey & 255 AS and_255,
+           o_orderkey | 4096 AS or_4096,
+           xor(o_orderkey, 23130) AS xor_5a5a,
+           o_orderkey << 3 AS shl_3,
+           o_orderkey >> 2 AS shr_2,
+           CAST(bit_count(o_orderkey) AS BIGINT) AS popcount,
+           (o_orderkey >> 3) & 1 AS bit_3
+    FROM orders
+    ORDER BY o_orderkey
+"""

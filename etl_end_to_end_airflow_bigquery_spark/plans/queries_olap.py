@@ -1040,3 +1040,47 @@ def interpolate_daily_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 OLAP_QUERIES["interpolate_daily_rates"] = interpolate_daily_rates
+
+
+def regex_string_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex + string surface in one gated pass: regexp count / extract /
+    replace, split_part, translate, reverse, lpad — the remaining §2.8
+    string functions. All row-local codegen'd projections.
+
+    Portability pins: ``regexp_extract`` takes explicit group 0 (Spark
+    defaults to capture group 1, DuckDB to the whole match) and patterns
+    stay in the RE2∩Java-regex common subset.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("data")).alias("n_data"),
+        F.regexp_extract("text", "[a-z]*a[a-z]*", 0).alias("first_a_word"),
+        F.regexp_replace("text", "[aeiou]", "_").alias("devoweled"),
+        F.expr("split_part(text, ' ', 3)").alias("third_token"),
+        F.translate("text", "af", "xy").alias("translated"),
+        F.reverse("text").alias("reversed_text"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("padded_id"),
+    ).orderBy("doc_id")
+
+
+def bitwise_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise surface (§2.8): AND/OR/XOR, shifts, popcount, bit probe —
+    the key-manipulation primitives behind shard routing and bloom-style
+    filters. Pure projections, exact in any engine."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    k = F.col("o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("and_255"),
+        k.bitwiseOR(F.lit(4096)).alias("or_4096"),
+        k.bitwiseXOR(F.lit(0x5A5A)).alias("xor_5a5a"),
+        F.shiftleft(k, 3).alias("shl_3"),
+        F.shiftright(k, 2).alias("shr_2"),
+        F.bit_count(k).cast("bigint").alias("popcount"),
+        F.expr("(o_orderkey >> 3) & 1").alias("bit_3"),
+    ).orderBy("o_orderkey")
+
+
+OLAP_QUERIES["regex_string_pack"] = regex_string_pack
+OLAP_QUERIES["bitwise_function_pack"] = bitwise_function_pack
