@@ -135,10 +135,15 @@ def resample_interpolate(
     Adds ``is_interpolated`` so consumers can tell observed from
     synthesized. Same scale shape as forward-fill (spine explode + one
     co-partitioned join) plus two ignore-nulls windows per key (previous
-    and next observation); the interpolation weight is an exact integer
-    day-ratio, so results are engine-portable. Grid points outside the
-    key's observed range never exist (the spine spans first→last
-    observation).
+    and next observation). The interpolation weight is a ratio of exact
+    integer epoch-microsecond differences — exact for ANY ``step``
+    (sub-day grids put neighbors on the same calendar day, where a
+    day-granular datediff would divide by zero); for whole-day grids the
+    double ratio rounds identically to the day-ratio, so oracles built
+    on datediff still match bit-for-bit. The denominator is strictly
+    positive on interpolated rows (prev/next are distinct observations).
+    Grid points outside the key's observed range never exist (the spine
+    spans first→last observation).
     """
     bounds = df.groupBy(key).agg(F.min(ts).alias("_lo"), F.max(ts).alias("_hi"))
     spine = bounds.select(
@@ -157,15 +162,20 @@ def resample_interpolate(
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     obs_ts = F.when(F.col(value).isNotNull(), F.col(ts))
-    prev_v = F.last(value, ignorenulls=True).over(w_past)
-    prev_t = F.last(obs_ts, ignorenulls=True).over(w_past)
-    next_v = F.first(value, ignorenulls=True).over(w_next)
-    next_t = F.first(obs_ts, ignorenulls=True).over(w_next)
-    frac = F.datediff(F.col(ts), prev_t).cast("double") / F.datediff(
-        next_t, prev_t
-    ).cast("double")
-    interp = prev_v + (next_v - prev_v) * frac
-    return joined.select(
+    staged = joined.withColumns(
+        {
+            "__prev_v": F.last(value, ignorenulls=True).over(w_past),
+            "__prev_t": F.last(obs_ts, ignorenulls=True).over(w_past),
+            "__next_v": F.first(value, ignorenulls=True).over(w_next),
+            "__next_t": F.first(obs_ts, ignorenulls=True).over(w_next),
+        }
+    )
+    frac = F.expr(
+        f"CAST(timestampdiff(MICROSECOND, __prev_t, {ts}) AS DOUBLE)"
+        " / CAST(timestampdiff(MICROSECOND, __prev_t, __next_t) AS DOUBLE)"
+    )
+    interp = F.col("__prev_v") + (F.col("__next_v") - F.col("__prev_v")) * frac
+    return staged.select(
         key,
         ts,
         F.when(F.col(value).isNotNull(), F.col(value))

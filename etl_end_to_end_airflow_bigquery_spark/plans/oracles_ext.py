@@ -902,13 +902,18 @@ EXT_ORACLES["repetition_ratio_docs"] = f"""
     ), g AS (
         SELECT doc_id, {_TRIGRAMS} AS grams
         FROM toks WHERE len(t) >= 3
+    ), occ AS (
+        SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram FROM g
+    ), cnt AS (
+        SELECT doc_id, n_grams, gram, COUNT(*) AS c
+        FROM occ GROUP BY doc_id, n_grams, gram
     )
     SELECT doc_id,
            {_round(
-               "CAST(list_max(list_transform(list_distinct(grams), "
-               "x -> len(list_filter(grams, y -> y = x)))) AS DOUBLE) "
-               "/ CAST(len(grams) AS DOUBLE)", 6)} AS rep_ratio
-    FROM g
+               "CAST(MAX(c) AS DOUBLE) / CAST(MAX(n_grams) AS DOUBLE)", 6
+           )} AS rep_ratio
+    FROM cnt
+    GROUP BY doc_id
     ORDER BY doc_id
 """
 

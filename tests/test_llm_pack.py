@@ -105,3 +105,20 @@ def test_interpolate_linear_hand_case(spark):
     assert got["2026-01-02"] == (2.0, True)
     assert got["2026-01-03"] == (3.0, True)
     assert got["2026-01-04"] == (4.0, False)
+
+
+def test_interpolate_subday_step(spark):
+    # neighbors land on the SAME calendar day — a day-granular datediff
+    # weight would divide by zero here; the epoch-µs weight is exact
+    df = spark.createDataFrame(
+        [("k", "2026-01-01 00:00:00", 10.0), ("k", "2026-01-01 18:00:00", 22.0)],
+        "k string, t string, v double",
+    ).select("k", F.col("t").cast("timestamp_ntz").alias("t"), "v")
+    got = {
+        str(r.t): (r.v, r.is_interpolated)
+        for r in resample_interpolate(df, "k", "t", "v", step="6 hours").collect()
+    }
+    assert got["2026-01-01 00:00:00"] == (10.0, False)
+    assert got["2026-01-01 06:00:00"] == (14.0, True)
+    assert got["2026-01-01 12:00:00"] == (18.0, True)
+    assert got["2026-01-01 18:00:00"] == (22.0, False)
