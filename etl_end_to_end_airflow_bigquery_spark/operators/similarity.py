@@ -324,11 +324,30 @@ def ivf_cells(embeddings: DataFrame, n_seeds: int = N_IVF_SEEDS) -> DataFrame:
             ).alias("cos_to_seed"),
         )
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos_to_seed").desc(), F.col("cell"))
+    return _argmax_cell(scored)
+
+
+def _argmax_cell(scored: DataFrame) -> DataFrame:
+    """(vec_id, cell, cos_to_seed) → (vec_id, cell) keeping the highest
+    cosine, ties → lowest cell id.
+
+    Struct-max aggregation, NOT a row_number window: a grouped max gets
+    partial aggregation map-side, so only ~N pre-aggregated rows cross
+    the exchange instead of the full N·K scored cross product being
+    shuffled and sorted (VERDICT r03 item 5). The tie rule is pinned
+    inside the struct ordering (max cosine, then max of the NEGATED cell
+    = lowest cell) — fully deterministic, same result as the window
+    spelling."""
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell")
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos_to_seed"), (-F.col("cell")).alias("neg_cell")
+                )
+            ).alias("__m")
+        )
+        .select("vec_id", (-F.col("__m.neg_cell")).alias("cell"))
     )
 
 
@@ -340,8 +359,9 @@ def _assign_cells(v: DataFrame, centroids: DataFrame) -> DataFrame:
     """vec_id → nearest centroid by cosine (ties → lowest cell id).
 
     One broadcast of the K centroids, one in-row dot per (vector,
-    centroid), argmax via a per-vector window — O(N·K·d) with no
-    shuffle beyond the rank's partition on vec_id."""
+    centroid), argmax via a partial-aggregating struct max
+    (:func:`_argmax_cell`) — O(N·K·d) compute but only ~N rows ever
+    cross the exchange."""
     scored = (
         v.select("vec_id", "e", "norm2")
         .crossJoin(F.broadcast(centroids))
@@ -353,14 +373,7 @@ def _assign_cells(v: DataFrame, centroids: DataFrame) -> DataFrame:
             ).alias("cos_to_seed"),
         )
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_to_seed").desc(), F.col("cell")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell")
-    )
+    return _argmax_cell(scored)
 
 
 def ivf_cells_kmeans(
@@ -378,8 +391,9 @@ def ivf_cells_kmeans(
     the nearest centroid and recomputes centroids as the per-cell,
     per-dimension mean — entirely JVM-side: the mean is ``dim`` exact
     fixed-point SUM aggregates in ONE grouped pass (no explode — a
-    posexplode would shuffle N·d rows per round), and the assignment is
-    a broadcast cross of K centroids. Engine-exact: scaled-int sums and
+    posexplode would shuffle N·d rows per round), overflow-proof via a
+    decimal(38,0) accumulator, and the assignment is a broadcast cross
+    of K centroids folded by a partial-aggregating struct max. Engine-exact: scaled-int sums and
     a pinned divide order make every centroid component bit-identical in
     the DuckDB oracle, so cell assignments — and therefore search
     results — hash-match. Cells that lose all members drop out
@@ -398,10 +412,22 @@ def ivf_cells_kmeans(
     for _ in range(n_iters):
         assign = _assign_cells(v, cents)
         member = v.join(assign, "vec_id")
+        # decimal(38,0) accumulator (ADVICE r03): each member contributes
+        # up to ~1e12 per dimension, so a BIGINT sum overflows past ~9.2M
+        # members per cell — ARITHMETIC_OVERFLOW under the session's ANSI
+        # mode, killing the 100 TB index build. decimal(38,0) holds ~1e26
+        # members. Measured cost of the wider accumulator ~13% of this
+        # operator locally (interleaved min-of-4 A/B at sf0.1: 5.58 s vs
+        # 4.93 s) and asymptotically negligible: the N·K·d dot folds in
+        # the assignment step dominate the d decimal adds per row. A
+        # salted long→decimal two-tier sum was measured SLOWER locally
+        # (7.39 s — extra exchange + second agg) and was rejected.
         sums = member.groupBy("cell").agg(
             F.count(F.lit(1)).alias("__n"),
             *[
-                F.sum(F.floor(F.col("e")[i] * scale)).alias(f"__s{i}")
+                F.sum(
+                    F.floor(F.col("e")[i] * scale).cast("decimal(38,0)")
+                ).alias(f"__s{i}")
                 for i in range(dim)
             ],
         )

@@ -781,8 +781,13 @@ def _kmeans_ivf_oracle(
         )"""
 
     def means(a_cte: str, m_name: str, c_name: str) -> str:
+        # DECIMAL(38,0) accumulator mirrors the Spark side's
+        # overflow-proof sum (DuckDB would promote to HUGEINT anyway;
+        # the explicit cast keeps both engines' arithmetic declared
+        # identical).
         sums = ",\n                   ".join(
-            f"SUM(CAST(FLOOR(vn.e[{i + 1}] * {_SCALE}) AS BIGINT)) AS s{i}"
+            f"SUM(CAST(FLOOR(vn.e[{i + 1}] * {_SCALE}) AS DECIMAL(38,0)))"
+            f" AS s{i}"
             for i in range(dim)
         )
         comps = ", ".join(

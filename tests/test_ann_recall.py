@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from etl_end_to_end_airflow_bigquery_spark.operators import similarity as S
 
@@ -193,3 +194,23 @@ def test_ivf_nprobe_validation(spark):
         S.ivf_topk(emb, nprobe=99)
     with pytest.raises(ValueError):
         S.ann_lsh_topk(spark, emb, probe_hamming=2)
+
+
+def test_kmeans_centroid_sum_survives_past_int64(spark):
+    # The centroid-mean accumulator shape from ivf_cells_kmeans: each
+    # member contributes floor(e_i * 1e12) ~ 1e12, so a BIGINT sum
+    # overflows past ~9.2M members per cell (ARITHMETIC_OVERFLOW under
+    # the session's ANSI mode). 10M members sits past that boundary —
+    # the decimal(38,0) accumulator must come back exact (ADVICE r03).
+    n = 10_000_000
+    scale = F.lit(float(S.MEAN_SCALE))
+    out = (
+        spark.range(n)
+        .select(F.lit(0).alias("cell"), F.lit(1.0).alias("v"))
+        .groupBy("cell")
+        .agg(
+            F.sum(F.floor(F.col("v") * scale).cast("decimal(38,0)")).alias("s")
+        )
+        .collect()
+    )
+    assert int(out[0]["s"]) == n * 10**12
