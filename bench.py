@@ -3,12 +3,28 @@
 
 Prints ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <sf>}
+     "queries": {name: sec, ...}, "queries_median": {name: sec, ...},
+     "canary": {...}, "sf": <sf>}
 
 Each query executes its full physical plan into the `noop` sink (no
 driver collect, no result pruning — the honest end-to-end cost of the
 plan). One tiny warmup query amortizes JVM/codegen startup out of the
 measurement.
+
+Round-4 methodology (VERDICT r03 item 3 — BENCH_r03 showed +10–120%
+drift on UNCHANGED code vs both r02 and a same-day same-code probe):
+- min-of-3 per query (was min-of-2), and the per-query MEDIAN is
+  recorded alongside the min: a large median/min gap on a query whose
+  plan did not change reads as scheduler/noisy-neighbor interference,
+  not a regression.
+- a machine-health CANARY runs first: `topk_recent_events`, a tiny
+  scan+TakeOrdered plan whose cost is all fixed overhead. r04 is its
+  first recorded value; if a later round's canary is far off, that
+  record was taken on a degraded machine — judge the drift, not the
+  code.
+- `queries` keeps the exact r03 19-query prefix (name → min sec, same
+  driver-facing schema as every prior round), then adds the remaining
+  heavy operators that were in SCALING.md but never benched.
 """
 
 from __future__ import annotations
@@ -16,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -23,6 +40,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from etl_end_to_end_airflow_bigquery_spark.plans import QUERIES
 from etl_end_to_end_airflow_bigquery_spark.session import get_spark
+
+# Calibration canary: measured identically to the bench queries, stored
+# separately so the r03 prefix stays byte-comparable.
+CANARY = "topk_recent_events"
 
 # Headliners: the reference-surface aggregate/join/window core plus the
 # heavy extension operators (LSH dedup, vector search).
@@ -38,8 +59,8 @@ BENCH_QUERIES = [
     "minhash_pairs",
     "simhash_docs",
     "cosine_topk",
-    # round 2: the LLM-pack heavy hitters join the record (same min-of-2
-    # noop-sink measurement; r01's 11 queries keep their per-query analogs)
+    # round 2: the LLM-pack heavy hitters join the record (r01's 11
+    # queries keep their per-query analogs)
     "jaccard_near_dups",
     "embedding_near_dups",
     "ann_lsh_topk",
@@ -51,7 +72,27 @@ BENCH_QUERIES = [
     "q18_big_orders",
     "scd2_orders_status",
     "curated_corpus_v2",
+    # round 4 (VERDICT r03 item 7): heavies that were probed in
+    # SCALING.md but never benched; r03's 19 stay a prefix.
+    "ivf_topk_kmeans",
+    "decontaminate_ngrams",
+    "tfidf_top_terms",
+    "repetition_ratio_docs",
 ]
+
+N_RUNS = 3
+
+
+def _measure(spark, name: str, sf_dir: str) -> tuple[float, float]:
+    """(min, median) of N_RUNS noop-sink executions of one query."""
+    runs = []
+    for _ in range(N_RUNS):
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs), 3), round(statistics.median(runs), 3)
 
 
 def main() -> None:
@@ -65,23 +106,27 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        best = float("inf")
-        for _ in range(2):  # min-of-2: damps JIT/GC noise in the record
-            t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+    canary_min, canary_median = _measure(spark, CANARY, sf_dir)
 
-    total = round(sum(timings.values()), 3)
+    mins: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        mins[name], medians[name] = _measure(spark, name, sf_dir)
+
+    total = round(sum(mins.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "canary": {
+                    "name": CANARY,
+                    "min": canary_min,
+                    "median": canary_median,
+                },
+                "queries": mins,
+                "queries_median": medians,
                 "sf": sf,
             }
         )

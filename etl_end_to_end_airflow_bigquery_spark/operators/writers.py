@@ -9,10 +9,12 @@ engine-level writers (SURVEY.md §2.1, §2.3, §7 step 2):
   WHEN MATCHED THEN UPDATE … WHEN NOT MATCHED THEN INSERT``
   (``dags/fx_pipeline_with_merge.py:90-103,173-189``; README.md:50-64).
   Plain Parquet has no row-level ops, so MERGE = full-outer join with
-  source-wins coalesce + atomic directory swap. At 100 TB you never
+  source-wins coalesce + an atomic snapshot commit. At 100 TB you never
   rewrite the whole table: when ``partition_col`` is given, only the
-  partitions present in the source batch are read, merged, and swapped
-  (partition-scoped rewrite); untouched partitions are never opened.
+  partitions present in the source batch are read and rewritten;
+  untouched partitions are carried into the new snapshot as hardlinks
+  (metadata-only, no data copy) — BigQuery MERGE atomicity
+  (``dags/fx_pipeline_with_merge.py:90-111``) without BigQuery.
 - **idempotent_append** — the check-then-insert guard
   (``dags/idempotent_fx_pipeline.py:73-87``), strengthened from the
   reference's all-or-nothing COUNT check to a per-row left-anti join
@@ -25,25 +27,38 @@ directory doesn't exist):
 
     table/
       _CURRENT              ← text pointer, atomically replaced
-      v_000001_<uuid>/…parquet
-      v_000002_<uuid>/…parquet
+      _COMMITS              ← append-only ledger of committed snapshots
+      _LOCK                 ← present only while a writer is active
+      v_000001_<uuid>/…parquet          (unpartitioned)
+      v_000002_<uuid>/day=d1/…parquet   (partitioned; untouched leaves
+                                         hardlink the previous snapshot)
 
-A commit writes a fresh ``v_*`` directory, then flips ``_CURRENT`` with
-``os.replace`` (atomic on POSIX; on an object store the pointer PUT is
-the commit). Readers resolve the pointer via :func:`read_table`; a
-reader that resolved the previous pointer keeps a fully-intact directory
-— the last ``keep_versions`` versions are retained (the Delta/Iceberg
-snapshot-retention trade: shrink it and a very slow reader can lose its
-snapshot to cleanup, exactly like VACUUM).
+A commit writes a fresh ``v_*`` directory, records it in ``_COMMITS``,
+then flips ``_CURRENT`` with ``os.replace`` (atomic on POSIX; on an
+object store the pointer PUT is the commit and "hardlink" becomes a
+manifest entry — the same reuse trick Iceberg/Delta manifests express).
+Readers resolve the pointer via :func:`read_table`; a reader that
+resolved the previous pointer keeps a fully-intact directory — the last
+``keep_versions`` **committed** versions are retained (the
+Delta/Iceberg snapshot-retention trade: shrink it and a very slow
+reader can lose its snapshot to cleanup, exactly like VACUUM).
+Retention counts only ledger-recorded snapshots, so a crash-orphaned
+``v_*`` dir (written, never committed) can never evict a genuine
+committed predecessor (ADVICE r03); orphans themselves are swept on the
+next commit.
 
-The partition-scoped merge path still uses per-leaf directory swaps —
-its contract is single-writer with no concurrent readers of the touched
-partitions (documented below); the versioned layout per leaf is the
-production upgrade when that contract is too weak.
+**Single-writer contract, enforced** (VERDICT r03 item 10): every
+mutating path form takes an ``O_EXCL`` lock file for the duration of
+the write; a second concurrent writer raises
+:class:`ConcurrentWriteError` instead of silently shadowing the first
+commit. A crashed writer leaves the lock behind — the error message
+names the holder pid so an operator can verify it is dead and remove
+the file (a production deployment would add lease expiry on top).
 """
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import uuid
@@ -52,17 +67,103 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _CURRENT_PTR = "_CURRENT"
+_LEDGER = "_COMMITS"
+_LOCK = "_LOCK"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A second writer attempted to mutate a table mid-write."""
+
+
+@contextlib.contextmanager
+def _write_lock(path: str):
+    """O_EXCL advisory lock scoped to one table directory.
+
+    Without it, two concurrent ``merge_upsert`` calls both read the same
+    base snapshot and both commit — last pointer wins and the first
+    commit is silently shadowed (lost update). O_CREAT|O_EXCL is atomic
+    on POSIX filesystems (and on object stores with if-none-match PUT).
+    """
+    os.makedirs(path, exist_ok=True)
+    lock = os.path.join(path, _LOCK)
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        try:
+            with open(lock, encoding="utf-8") as f:
+                holder = f.read().strip() or "?"
+        except OSError:
+            holder = "?"
+        raise ConcurrentWriteError(
+            f"another writer holds {lock!r} ({holder}); these writers are "
+            "single-writer per table. If the holder crashed, verify the "
+            "pid is dead and delete the lock file to recover."
+        ) from None
+    try:
+        os.write(fd, f"pid={os.getpid()}".encode())
+        os.close(fd)
+        yield
+    finally:
+        with contextlib.suppress(OSError):
+            os.remove(lock)
 
 
 def _resolve_data_dir(path: str) -> str:
     """Data directory a reader should scan: the ``_CURRENT``-pointed
     version for versioned tables, the path itself for plain directories
-    (append tables, driver testdata, partition-scoped merge targets)."""
+    (append tables, driver testdata, legacy layouts)."""
     ptr = os.path.join(path, _CURRENT_PTR)
     if os.path.isfile(ptr):
         with open(ptr, encoding="utf-8") as f:
             return os.path.join(path, f.read().strip())
     return path
+
+
+def _current_version_name(path: str) -> str | None:
+    ptr = os.path.join(path, _CURRENT_PTR)
+    if os.path.isfile(ptr):
+        with open(ptr, encoding="utf-8") as f:
+            return f.read().strip() or None
+    return None
+
+
+def _seq_of(vname: str) -> int:
+    part = vname.split("_")[1] if vname.count("_") >= 2 else ""
+    return int(part) if part.isdigit() else -1
+
+
+def _committed_versions(path: str) -> list[str]:
+    """Committed snapshot dir names, oldest → newest.
+
+    Source of truth is the ``_COMMITS`` ledger; the ``_CURRENT`` target
+    is always included (covers a crash between ledger append and pointer
+    flip on older layouts). Pre-ledger tables fall back to "every v_*
+    dir with sequence ≤ the current pointer's" — under the single-writer
+    contract any HIGHER sequence without a ledger entry is a crash
+    orphan, never a commit."""
+    ledger = os.path.join(path, _LEDGER)
+    cur = _current_version_name(path)
+    names: list[str] = []
+    if os.path.isfile(ledger):
+        with open(ledger, encoding="utf-8") as f:
+            for line in f:
+                n = line.strip()
+                if n and n not in names and os.path.isdir(os.path.join(path, n)):
+                    names.append(n)
+        if cur and cur not in names and os.path.isdir(os.path.join(path, cur)):
+            names.append(cur)
+        return names
+    if cur is None:
+        return []
+    cur_seq = _seq_of(cur)
+    dirs = [
+        d
+        for d in os.listdir(path)
+        if d.startswith("v_")
+        and os.path.isdir(os.path.join(path, d))
+        and 0 <= _seq_of(d) <= cur_seq
+    ]
+    return sorted(dirs, key=_seq_of)
 
 
 def read_table(
@@ -71,20 +172,19 @@ def read_table(
     """Read a table written by these writers, resolving the versioned
     ``_CURRENT`` pointer when present (plain directories pass through).
 
-    ``version`` time-travels to a specific retained snapshot sequence
-    (the integer in the ``v_<seq>_<uuid>`` name) — the audit/debug read
-    every snapshotting table format offers. Only snapshots inside the
-    retention window exist; asking for a swept one raises with the
-    available sequence numbers.
+    ``version`` time-travels to a specific retained **committed**
+    snapshot sequence (the integer in the ``v_<seq>_<uuid>`` name) — the
+    audit/debug read every snapshotting table format offers. Only
+    committed snapshots inside the retention window exist; asking for a
+    swept (or never-committed orphan) one raises with the available
+    sequence numbers.
     """
     if version is None:
         return spark.read.parquet(_resolve_data_dir(path))
     avail: dict[int, str] = {}
     if os.path.isdir(path):
-        for d in os.listdir(path):
-            seq = d.split("_")[1] if d.startswith("v_") and d.count("_") >= 2 else ""
-            if seq.isdigit() and os.path.isdir(os.path.join(path, d)):
-                avail[int(seq)] = d
+        for d in _committed_versions(path):
+            avail[_seq_of(d)] = d
     if version not in avail:
         raise ValueError(
             f"snapshot v_{version:06d} not present under {path!r}; retained "
@@ -95,32 +195,36 @@ def read_table(
 
 
 def _commit_version(path: str, vdir: str, keep_versions: int) -> None:
-    """Flip ``_CURRENT`` to ``vdir`` atomically, then drop versions older
-    than the newest ``keep_versions`` (never the one just committed or
-    its predecessor when keep_versions ≥ 2, so in-flight readers keep an
-    intact snapshot)."""
+    """Record ``vdir`` in the ledger, flip ``_CURRENT`` to it atomically,
+    then retain the newest ``keep_versions`` COMMITTED snapshots and
+    sweep everything else — including crash orphans, which (being absent
+    from the ledger) can never occupy a retention slot (ADVICE r03)."""
     vname = os.path.basename(vdir)
+    # 1. ledger append (before the flip: a crash in between leaves an
+    #    extra ledger entry, which merely over-retains — never a pointer
+    #    at an unrecorded snapshot)
+    with open(os.path.join(path, _LEDGER), "a", encoding="utf-8") as f:
+        f.write(vname + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    # 2. atomic pointer flip
     tmp_ptr = os.path.join(path, f".{_CURRENT_PTR}.{uuid.uuid4().hex[:8]}.tmp")
     with open(tmp_ptr, "w", encoding="utf-8") as f:
         f.write(vname)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp_ptr, os.path.join(path, _CURRENT_PTR))
-    # numeric sort on the sequence — lexicographic breaks once sequence
-    # digits differ (v_1000000 < v_999999 lexically), which would let a
-    # crash-orphaned high-seq dir outlive retention forever
-    versions = sorted(
-        (
-            d
-            for d in os.listdir(path)
-            if d.startswith("v_") and os.path.isdir(os.path.join(path, d))
-        ),
-        key=lambda d: int(d.split("_")[1]) if d.split("_")[1].isdigit() else -1,
-    )
-    for stale in versions[: max(0, len(versions) - max(1, keep_versions))]:
-        if stale == vname:
-            continue
-        shutil.rmtree(os.path.join(path, stale), ignore_errors=True)
+    # 3. retention over committed snapshots only (numeric seq order —
+    #    lexicographic breaks once sequence digits differ)
+    committed = sorted(_committed_versions(path), key=_seq_of)
+    keep = set(committed[-max(1, keep_versions):]) | {vname}
+    for d in os.listdir(path):
+        if (
+            d.startswith("v_")
+            and d not in keep
+            and os.path.isdir(os.path.join(path, d))
+        ):
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
 
 def _next_version_dir(path: str) -> str:
@@ -132,6 +236,23 @@ def _next_version_dir(path: str) -> str:
     ]
     seq = (max(seqs) + 1) if seqs else 1
     return os.path.join(path, f"v_{seq:06d}_{uuid.uuid4().hex[:8]}")
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Recreate ``src`` under ``dst`` with hardlinked files — O(#files)
+    metadata ops, zero data copy; snapshots share storage and
+    ``rmtree`` on one only drops link counts. Falls back to a real copy
+    when the filesystem refuses links (cross-device)."""
+    os.makedirs(dst, exist_ok=True)
+    for entry in os.listdir(src):
+        s, d = os.path.join(src, entry), os.path.join(dst, entry)
+        if os.path.isdir(s):
+            _link_tree(s, d)
+        else:
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
 
 
 def _validate_keys(df: DataFrame, keys: list[str]) -> None:
@@ -275,7 +396,10 @@ def _reject_versioned(path: str, op: str) -> None:
 
 
 def append(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
-    """WRITE_APPEND load job (S3). Schema is whatever ``df`` declares."""
+    """WRITE_APPEND load job (S3). Schema is whatever ``df`` declares.
+
+    Deliberately unlocked: concurrent appends are safe (each writes its
+    own files; BigQuery WRITE_APPEND has the same semantics)."""
     _reject_versioned(path, "append")
     writer = df.write.mode("append")
     if partition_by:
@@ -287,9 +411,9 @@ def _atomic_swap(tmp: str, dst: str) -> None:
     """Replace ``dst`` with ``tmp`` via two renames. NOT reader-safe:
     there is a window where ``dst`` does not exist, and a crash between
     the renames strands the ``.__old__`` dir — callers own a
-    single-writer/no-concurrent-reader contract (used for partition-leaf
-    swaps and plain-directory compaction; the versioned-commit layout is
-    the reader-safe path)."""
+    single-writer/no-concurrent-reader contract (used only for
+    plain-directory compaction; every merge path commits through the
+    reader-safe versioned layout)."""
     old = dst + f".__old__{uuid.uuid4().hex[:8]}"
     if os.path.exists(dst):
         os.rename(dst, old)
@@ -308,85 +432,136 @@ def merge_upsert(
 ) -> None:
     """MERGE a source batch into a Parquet directory table.
 
-    First write creates the table. Without ``partition_col`` the table
-    uses the versioned-commit layout (module docstring): each merge
-    writes a new ``v_*`` snapshot and atomically flips ``_CURRENT`` —
-    readers using :func:`read_table` always see a complete snapshot,
-    concurrent with any merge, and a crash mid-merge leaves the previous
-    snapshot current (orphaned ``v_*`` dirs are swept by later commits'
-    retention pass).
+    First write creates the table. Every merge — partitioned or not —
+    commits through the versioned layout (module docstring): write a new
+    ``v_*`` snapshot, record it in the ledger, atomically flip
+    ``_CURRENT``. Readers using :func:`read_table` always see a complete
+    snapshot, concurrent with any merge (reference semantic: MERGE is
+    atomic in BigQuery, ``dags/fx_pipeline_with_merge.py:90-111``); a
+    crash mid-merge leaves the previous snapshot current and the partial
+    ``v_*`` dir is swept by the next commit's retention pass.
 
     With ``partition_col`` (must be a key and the table's physical
-    partition column), only source-touched partitions are rewritten —
-    the 100 TB-safe path: read scope and write scope are both bounded by
-    the batch's partition footprint, not the table size. Contract:
-    **single writer, no concurrent readers of the touched partitions**
-    (each leaf directory is rename-swapped; untouched partitions are
-    always safe to read).
+    partition column), only source-touched partitions are read, merged,
+    and physically rewritten — the 100 TB-safe path: read scope and
+    write scope are both bounded by the batch's partition footprint, not
+    the table size. Untouched partitions enter the new snapshot as
+    hardlinked leaf directories (metadata-only; on an object store this
+    becomes manifest reuse). Leaf names are taken from what Spark
+    actually wrote — never reconstructed from collected values — so
+    URL-escaped renderings (':' → '%3A') cannot desynchronize.
+
+    Single-writer: concurrent merges on the same table raise
+    :class:`ConcurrentWriteError` (lost-update protection).
     """
     source = source.dropDuplicates(keys)
-    if partition_col is None:
-        vdir = _next_version_dir(target_path)
-        ptr_exists = os.path.isfile(os.path.join(target_path, _CURRENT_PTR))
-        # One-time migration of a pre-versioning plain directory: its
-        # loose top-level files are the current table. Read them by
-        # explicit file list (immune to the new v_* subdir appearing in
-        # a directory listing), then retire them after the commit.
-        legacy_files = (
-            []
-            if ptr_exists
-            else [
-                os.path.join(target_path, f)
-                for f in (
-                    os.listdir(target_path)
-                    if os.path.isdir(target_path)
-                    else []
-                )
-                if f.endswith(".parquet")
-            ]
-        )
-        if ptr_exists:
-            merged = merge_upsert_df(read_table(spark, target_path), source, keys)
-        elif legacy_files:
-            merged = merge_upsert_df(spark.read.parquet(*legacy_files), source, keys)
+    with _write_lock(target_path):
+        if partition_col is None:
+            _merge_unpartitioned(spark, target_path, source, keys, keep_versions)
         else:
-            merged = source
-        merged.write.mode("overwrite").parquet(vdir)
+            _merge_partitioned(
+                spark, target_path, source, keys, partition_col, keep_versions
+            )
+
+
+def _merge_unpartitioned(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    keys: list[str],
+    keep_versions: int,
+) -> None:
+    vdir = _next_version_dir(target_path)
+    ptr_exists = os.path.isfile(os.path.join(target_path, _CURRENT_PTR))
+    # One-time migration of a pre-versioning plain directory: its
+    # loose top-level files are the current table. Read them by
+    # explicit file list (immune to the new v_* subdir appearing in
+    # a directory listing), then retire them after the commit.
+    legacy_files = (
+        []
+        if ptr_exists
+        else [
+            os.path.join(target_path, f)
+            for f in (
+                os.listdir(target_path) if os.path.isdir(target_path) else []
+            )
+            if f.endswith(".parquet")
+        ]
+    )
+    if ptr_exists:
+        merged = merge_upsert_df(read_table(spark, target_path), source, keys)
+    elif legacy_files:
+        merged = merge_upsert_df(spark.read.parquet(*legacy_files), source, keys)
+    else:
+        merged = source
+    merged.write.mode("overwrite").parquet(vdir)
+    _commit_version(target_path, vdir, keep_versions)
+    for f in legacy_files:
+        with contextlib.suppress(OSError):
+            os.remove(f)
+
+
+def _merge_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    keys: list[str],
+    partition_col: str,
+    keep_versions: int,
+) -> None:
+    prefix = f"{partition_col}="
+    ptr_exists = os.path.isfile(os.path.join(target_path, _CURRENT_PTR))
+    legacy_leaves = (
+        []
+        if ptr_exists
+        else [
+            d
+            for d in (
+                os.listdir(target_path) if os.path.isdir(target_path) else []
+            )
+            if d.startswith(prefix)
+            and os.path.isdir(os.path.join(target_path, d))
+        ]
+    )
+    if not ptr_exists and not legacy_leaves:
+        # first write: a fresh partitioned snapshot
+        vdir = _next_version_dir(target_path)
+        source.write.mode("overwrite").partitionBy(partition_col).parquet(vdir)
         _commit_version(target_path, vdir, keep_versions)
-        for f in legacy_files:
-            try:
-                os.remove(f)
-            except OSError:
-                pass
         return
 
-    if not os.path.exists(target_path):
-        source.write.mode("overwrite").partitionBy(partition_col).parquet(
-            target_path
-        )
-        return
-
-    target = spark.read.parquet(target_path)
-
+    prev_dir = (
+        _resolve_data_dir(target_path) if ptr_exists else target_path
+    )
     # Partition-scoped rewrite: enumerate the batch's partitions (a small
     # driver-side list — one entry per touched day/key, not per row),
-    # merge only those partitions, then swap each directory.
+    # read + merge only those partitions (partition pruning bounds the
+    # scan), then snapshot: rewritten leaves from the merge, untouched
+    # leaves hardlinked from the previous snapshot.
     parts = [r[0] for r in source.select(partition_col).distinct().collect()]
+    target = spark.read.parquet(prev_dir)
     scoped_target = target.filter(F.col(partition_col).isin(parts))
     merged = merge_upsert_df(scoped_target, source, keys)
-    tmp = target_path + f".__tmp__{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
-    # Swap the leaf dirs Spark actually wrote rather than reconstructing
-    # their names from the collected values — Spark URL-escapes partition
-    # values (':' → '%3A') and renders timestamps with its own formatting,
-    # so a reconstructed name can miss the dir and silently drop the batch.
-    prefix = f"{partition_col}="
-    for leaf in os.listdir(tmp):
-        src_dir = os.path.join(tmp, leaf)
-        if not leaf.startswith(prefix) or not os.path.isdir(src_dir):
-            continue
-        _atomic_swap(src_dir, os.path.join(target_path, leaf))
-    shutil.rmtree(tmp, ignore_errors=True)
+    vdir = _next_version_dir(target_path)
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(vdir)
+    touched = {
+        d
+        for d in os.listdir(vdir)
+        if d.startswith(prefix) and os.path.isdir(os.path.join(vdir, d))
+    }
+    for leaf in os.listdir(prev_dir):
+        if (
+            leaf.startswith(prefix)
+            and leaf not in touched
+            and os.path.isdir(os.path.join(prev_dir, leaf))
+        ):
+            _link_tree(
+                os.path.join(prev_dir, leaf), os.path.join(vdir, leaf)
+            )
+    _commit_version(target_path, vdir, keep_versions)
+    # retire migrated legacy top-level leaves after the commit
+    for leaf in legacy_leaves:
+        shutil.rmtree(os.path.join(target_path, leaf), ignore_errors=True)
 
 
 def idempotent_append(
@@ -395,14 +570,30 @@ def idempotent_append(
     batch: DataFrame,
     keys: list[str],
 ) -> None:
-    """Cross-batch idempotent append to a Parquet directory table (T4/J2)."""
+    """Cross-batch idempotent append to a Parquet directory table (T4/J2).
+
+    Locked: two concurrent idempotent appends of overlapping batches
+    would both pass the anti-join and double-insert the same keys."""
     _reject_versioned(target_path, "idempotent_append")
-    if not os.path.exists(target_path):
-        batch.dropDuplicates(keys).write.mode("overwrite").parquet(target_path)
-        return
-    target = spark.read.parquet(target_path)
-    fresh = batch.dropDuplicates(keys).join(target, on=keys, how="left_anti")
-    fresh.select(*target.columns).write.mode("append").parquet(target_path)
+    is_new = not os.path.exists(target_path)  # before the lock mkdirs it
+    with _write_lock(target_path):
+        if is_new:
+            batch.dropDuplicates(keys).write.mode("overwrite").parquet(
+                target_path
+            )
+            return
+        target = spark.read.parquet(target_path)
+        fresh = batch.dropDuplicates(keys).join(target, on=keys, how="left_anti")
+        fresh.select(*target.columns).write.mode("append").parquet(target_path)
+
+
+def _tree_parquet_bytes(d: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(d):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
 
 
 def compact_parquet(
@@ -411,9 +602,8 @@ def compact_parquet(
     target_file_bytes: int = 128 * 1024 * 1024,
     shuffle: bool = False,
 ) -> int:
-    """Small-file compaction: rewrite a Parquet directory into
-    ceil(total_bytes / target) files and atomically swap it in. Returns
-    the output file count.
+    """Small-file compaction: rewrite a Parquet table into
+    ceil(total_bytes / target) files. Returns the output file count.
 
     The small-files problem is THE silent scale killer for append-heavy
     tables (a streaming sink or per-batch ``merge_upsert`` emitting
@@ -421,37 +611,100 @@ def compact_parquet(
     task-scheduling overhead). Default is ``coalesce`` — no shuffle,
     each output task concatenates whole input files; pass
     ``shuffle=True`` for an even-size rebalance when input files are
-    badly skewed. Partitioned tables: compact each partition directory
-    independently (this keeps the rewrite scoped exactly like
-    ``merge_upsert``'s partition path).
+    badly skewed.
+
+    **Partitioned tables are compacted per leaf** (VERDICT r03 item 9):
+    each ``col=value`` directory is sized and rewritten independently —
+    a skewed leaf with thousands of small files is fixed without
+    touching (or even reading) well-laid-out leaves, which are
+    hardlinked through unchanged. Matches ``merge_upsert``'s
+    partition-scoped write scope.
 
     Versioned tables (``_CURRENT`` pointer present) compact into a new
-    ``v_*`` snapshot + pointer flip — fully reader-safe; plain
-    directories fall back to the rename swap (single-writer contract).
+    ``v_*`` snapshot + ledger commit — fully reader-safe; plain
+    directories fall back to the rename swap (single-writer contract,
+    no concurrent readers).
 
-    File sizing uses ``os.path.getsize`` on ``file:`` URIs — correct for
-    local/NFS storage. On an object store, swap in the Hadoop
+    File sizing uses local file sizes — correct for local/NFS storage.
+    On an object store, swap in the Hadoop
     ``FileSystem.getContentSummary`` listing (or the store's inventory
-    API); ``inputFiles()`` still enumerates the right paths.
+    API); the directory walk enumerates the same paths.
     """
-    data_dir = _resolve_data_dir(path)
-    df = spark.read.parquet(data_dir)
-    total = 0
-    for f in df.inputFiles():
-        local = f.removeprefix("file:")
-        if os.path.exists(local):
-            total += os.path.getsize(local)
-    n = max(1, -(-total // target_file_bytes))
-    shaped = df.repartition(n) if shuffle else df.coalesce(n)
-    if data_dir != path:
-        vdir = _next_version_dir(path)
-        shaped.write.mode("overwrite").parquet(vdir)
-        _commit_version(path, vdir, keep_versions=2)
+    with _write_lock(path):
+        data_dir = _resolve_data_dir(path)
+        versioned = data_dir != path
+        leaves = (
+            [
+                d
+                for d in os.listdir(data_dir)
+                if "=" in d and os.path.isdir(os.path.join(data_dir, d))
+            ]
+            if os.path.isdir(data_dir)
+            else []
+        )
+        if leaves:
+            return _compact_partitioned(
+                spark, path, data_dir, sorted(leaves), target_file_bytes,
+                shuffle, versioned,
+            )
+        df = spark.read.parquet(data_dir)
+        n = max(1, -(-_tree_parquet_bytes(data_dir) // target_file_bytes))
+        shaped = df.repartition(n) if shuffle else df.coalesce(n)
+        if versioned:
+            vdir = _next_version_dir(path)
+            shaped.write.mode("overwrite").parquet(vdir)
+            _commit_version(path, vdir, keep_versions=2)
+            return n
+        tmp = path + f".__compact__{uuid.uuid4().hex[:8]}"
+        shaped.write.mode("overwrite").parquet(tmp)
+        _atomic_swap(tmp, path)
         return n
-    tmp = path + f".__compact__{uuid.uuid4().hex[:8]}"
-    shaped.write.mode("overwrite").parquet(tmp)
-    _atomic_swap(tmp, path)
-    return n
+
+
+def _compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    data_dir: str,
+    leaves: list[str],
+    target_file_bytes: int,
+    shuffle: bool,
+    versioned: bool,
+) -> int:
+    total_files = 0
+    if versioned:
+        vdir = _next_version_dir(path)
+        os.makedirs(vdir, exist_ok=True)
+        for leaf in leaves:
+            src = os.path.join(data_dir, leaf)
+            n_files = sum(
+                f.endswith(".parquet") for f in os.listdir(src)
+            )
+            n = max(1, -(-_tree_parquet_bytes(src) // target_file_bytes))
+            if n_files <= n:
+                # already compact: carry the leaf as hardlinks, no read
+                _link_tree(src, os.path.join(vdir, leaf))
+                total_files += n_files
+                continue
+            df = spark.read.parquet(src)  # partition col lives in the dir name
+            shaped = df.repartition(n) if shuffle else df.coalesce(n)
+            shaped.write.mode("overwrite").parquet(os.path.join(vdir, leaf))
+            total_files += n
+        _commit_version(path, vdir, keep_versions=2)
+        return total_files
+    for leaf in leaves:
+        src = os.path.join(data_dir, leaf)
+        n_files = sum(f.endswith(".parquet") for f in os.listdir(src))
+        n = max(1, -(-_tree_parquet_bytes(src) // target_file_bytes))
+        if n_files <= n:
+            total_files += n_files
+            continue
+        df = spark.read.parquet(src)
+        shaped = df.repartition(n) if shuffle else df.coalesce(n)
+        tmp = src + f".__compact__{uuid.uuid4().hex[:8]}"
+        shaped.write.mode("overwrite").parquet(tmp)
+        _atomic_swap(tmp, src)
+        total_files += n
+    return total_files
 
 
 def cluster_write(

@@ -99,15 +99,20 @@ def test_merge_versioned_migrates_plain_directory(spark, tmp_path, target):
 
 
 def test_merge_versioned_crash_recovery_orphan_swept(spark, tmp_path, target):
-    """A crash after writing a v_* snapshot but before flipping _CURRENT
-    leaves an orphan dir: readers keep the previous snapshot, the next
-    merge commits normally, and retention eventually sweeps the orphan."""
+    """A crash after writing a v_* snapshot but before committing leaves
+    an orphan dir: readers keep the previous snapshot, the next merge
+    commits normally and sweeps the orphan — and the orphan must NOT
+    occupy a retention slot (ADVICE r03: with keep_versions=2, the
+    genuine previous committed snapshot survives the commit that runs
+    right after the crash, so in-flight readers keep an intact
+    snapshot)."""
     import os
 
     path = str(tmp_path / "crash")
     merge_upsert(spark, path, target, keys=["k"])
     ptr_before = open(os.path.join(path, "_CURRENT")).read().strip()
-    # simulate the crash: a written-but-uncommitted snapshot appears
+    # simulate the crash: a written-but-uncommitted snapshot appears,
+    # with the highest sequence number
     orphan = os.path.join(path, "v_999999_deadbeef")
     target.write.mode("overwrite").parquet(orphan)
     assert read_table(spark, path).count() == 3  # readers unaffected
@@ -115,10 +120,10 @@ def test_merge_versioned_crash_recovery_orphan_swept(spark, tmp_path, target):
     merge_upsert(spark, path, _frame(spark, [(9, "d9", 9.0)]), keys=["k"])
     got = _sorted(read_table(spark, path))
     assert len(got) == 4 and (9, "d9", 9.0) in got
-    # the orphan (highest seq) survives as one of the retained 2; a
-    # further commit pushes it out of the retention window
-    merge_upsert(spark, path, _frame(spark, [(10, "dA", 1.0)]), keys=["k"])
-    assert read_table(spark, path).count() == 5
+    # orphan swept (it was never committed, so it cannot shadow history)
+    assert not os.path.isdir(orphan)
+    # the previous COMMITTED snapshot is still retained for slow readers
+    assert os.path.isdir(os.path.join(path, ptr_before))
 
 
 def test_read_table_time_travel(spark, tmp_path, target):
@@ -197,23 +202,61 @@ def test_merge_versioned_concurrent_reader_always_full_snapshot(
 
 
 def test_merge_upsert_partition_scoped(spark, tmp_path, target):
-    """Only source-touched partitions are rewritten; others untouched."""
+    """Touched partitions are rewritten; untouched leaves are carried
+    into the new snapshot as HARDLINKS of the previous snapshot's files
+    (same inode — metadata-only, zero data copy), and the commit is a
+    reader-safe pointer flip (VERDICT r03 item 4)."""
     import os
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        _resolve_data_dir,
+    )
 
     path = str(tmp_path / "p")
     merge_upsert(spark, path, target, keys=["k", "day"], partition_col="day")
-    d2_files = set(os.listdir(os.path.join(path, "day=d2")))
+    v1 = _resolve_data_dir(path)
+    assert v1 != path  # partitioned merges use the versioned layout too
+    d2_before = {
+        f: os.stat(os.path.join(v1, "day=d2", f)).st_ino
+        for f in os.listdir(os.path.join(v1, "day=d2"))
+        if f.endswith(".parquet")
+    }
     batch = _frame(spark, [(1, "d1", 100.0)])
     merge_upsert(spark, path, batch, keys=["k", "day"], partition_col="day")
-    assert set(os.listdir(os.path.join(path, "day=d2"))) == d2_files  # untouched
-    got = dict(((r.k, r.day), r.v) for r in spark.read.parquet(path).collect())
+    v2 = _resolve_data_dir(path)
+    assert v2 != v1
+    d2_after = {
+        f: os.stat(os.path.join(v2, "day=d2", f)).st_ino
+        for f in os.listdir(os.path.join(v2, "day=d2"))
+        if f.endswith(".parquet")
+    }
+    assert d2_after == d2_before  # untouched leaf: same files, same inodes
+    got = dict(((r.k, r.day), r.v) for r in read_table(spark, path).collect())
+    assert got[(1, "d1")] == 100.0 and got[(3, "d2")] == 3.0 and len(got) == 3
+
+
+def test_merge_upsert_partition_scoped_migrates_legacy_layout(
+    spark, tmp_path, target
+):
+    """A pre-versioning plain partitioned dir is absorbed: first merge
+    snapshots it (hardlinking untouched leaves), retires the top-level
+    leaf dirs, and readers see the merged table."""
+    import os
+
+    path = str(tmp_path / "pl")
+    target.write.mode("overwrite").partitionBy("day").parquet(path)
+    batch = _frame(spark, [(1, "d1", 100.0)])
+    merge_upsert(spark, path, batch, keys=["k", "day"], partition_col="day")
+    assert os.path.isfile(os.path.join(path, "_CURRENT"))
+    assert not os.path.isdir(os.path.join(path, "day=d1"))  # legacy retired
+    got = dict(((r.k, r.day), r.v) for r in read_table(spark, path).collect())
     assert got[(1, "d1")] == 100.0 and got[(3, "d2")] == 3.0 and len(got) == 3
 
 
 def test_merge_upsert_partition_scoped_timestamp_col(spark, tmp_path):
     """Partition values whose Spark dir rendering differs from str(py value)
-    (timestamps URL-escape ':' as %3A) must still merge — the swap walks
-    the leaf dirs Spark actually wrote, never reconstructed names."""
+    (timestamps URL-escape ':' as %3A) must still merge — the snapshot
+    carries the leaf dirs Spark actually wrote, never reconstructed names."""
     import datetime as dt
 
     rows = [
@@ -228,8 +271,73 @@ def test_merge_upsert_partition_scoped_timestamp_col(spark, tmp_path):
         [(1, dt.datetime(2026, 1, 5, 10, 30), 100.0)], schema
     )
     merge_upsert(spark, path, batch, keys=["k", "ts"], partition_col="ts")
-    got = {(r.k): r.v for r in spark.read.parquet(path).collect()}
+    got = {(r.k): r.v for r in read_table(spark, path).collect()}
     assert got[1] == 100.0 and got[2] == 2.0 and len(got) == 2
+
+
+def test_merge_partitioned_concurrent_reader_full_snapshot(
+    spark, tmp_path, target
+):
+    """Reader-safety on the PARTITIONED path (the 100 TB path — VERDICT
+    r03 item 4): a reader resolving _CURRENT mid-merge-storm always sees
+    a complete snapshot; counts only step through the commit sequence."""
+    import threading
+
+    path = str(tmp_path / "pcr")
+    merge_upsert(spark, path, target, keys=["k", "day"], partition_col="day")
+    errors: list[Exception] = []
+    counts: list[int] = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                counts.append(read_table(spark, path).count())
+            except Exception as e:  # noqa: BLE001 - the assertion target
+                errors.append(e)
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for i in range(5):
+            merge_upsert(
+                spark,
+                path,
+                _frame(spark, [(100 + i, "d1", float(i))]),
+                keys=["k", "day"],
+                partition_col="day",
+                keep_versions=20,  # park old snapshots for slow readers
+            )
+    finally:
+        stop.set()
+        t.join()
+    assert errors == []
+    assert counts, "reader never completed a read"
+    assert set(counts) <= {3 + i for i in range(6)}  # only full snapshots
+    assert counts == sorted(counts)  # snapshots observed in commit order
+
+
+def test_concurrent_merge_raises_instead_of_lost_update(
+    spark, tmp_path, target
+):
+    """Two writers on one table: the second raises ConcurrentWriteError
+    (VERDICT r03 item 10) instead of silently shadowing the first commit."""
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        ConcurrentWriteError,
+        _write_lock,
+    )
+
+    path = str(tmp_path / "lock")
+    merge_upsert(spark, path, target, keys=["k"])
+    with _write_lock(path):  # simulate an in-flight writer
+        with pytest.raises(ConcurrentWriteError, match="single-writer"):
+            merge_upsert(
+                spark, path, _frame(spark, [(9, "d9", 9.0)]), keys=["k"]
+            )
+    # lock released → the same merge now succeeds
+    merge_upsert(spark, path, _frame(spark, [(9, "d9", 9.0)]), keys=["k"])
+    assert read_table(spark, path).count() == 4
 
 
 def test_idempotent_append_file_rerun_safe(spark, tmp_path, target):
@@ -360,3 +468,79 @@ class TestClusterWrite:
             assert hi1 < lo2  # disjoint: a point predicate hits ONE file
         # data survives intact
         assert spark.read.parquet(path).count() == 100_000
+
+
+class TestPartitionedCompaction:
+    def test_plain_partitioned_compacts_only_skewed_leaf(self, spark, tmp_path):
+        """Per-leaf compaction (VERDICT r03 item 9): the fragmented leaf
+        is rewritten, the already-compact leaf is not even read."""
+        import glob
+        import os
+
+        from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+            compact_parquet,
+        )
+
+        path = str(tmp_path / "pp")
+        good = spark.range(0, 100).selectExpr("id", "'a' AS part")
+        good.coalesce(1).write.partitionBy("part").parquet(path)
+        skew = spark.range(100, 10_100).selectExpr("id", "'b' AS part")
+        skew.repartition(16).write.mode("append").partitionBy("part").parquet(path)
+
+        good_leaf = os.path.join(path, "part=a")
+        skew_leaf = os.path.join(path, "part=b")
+        good_before = {
+            f: os.stat(os.path.join(good_leaf, f)).st_ino
+            for f in os.listdir(good_leaf)
+            if f.endswith(".parquet")
+        }
+        assert len(glob.glob(skew_leaf + "/part-*.parquet")) == 16
+
+        compact_parquet(spark, path, target_file_bytes=1 << 30)
+
+        assert len(glob.glob(skew_leaf + "/part-*.parquet")) == 1
+        good_after = {
+            f: os.stat(os.path.join(good_leaf, f)).st_ino
+            for f in os.listdir(good_leaf)
+            if f.endswith(".parquet")
+        }
+        assert good_after == good_before  # untouched leaf: same files
+        got = sorted(r.id for r in spark.read.parquet(path).collect())
+        assert got == list(range(10_100))
+
+    def test_versioned_partitioned_compacts_into_new_snapshot(
+        self, spark, tmp_path
+    ):
+        """Compacting a versioned partitioned table is reader-safe: new
+        snapshot + pointer flip; compact leaves ride through as links."""
+        import glob
+        import os
+
+        from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+            _resolve_data_dir,
+            compact_parquet,
+            merge_upsert,
+            read_table,
+        )
+
+        path = str(tmp_path / "vp")
+        base = spark.createDataFrame(
+            [(i, "d1" if i % 2 else "d2", float(i)) for i in range(20)],
+            "k int, day string, v double",
+        )
+        # hand-build a fragmented committed snapshot (as an append-heavy
+        # writer would leave behind): 8-way repartition → multi-file leaves
+        vdir = os.path.join(path, "v_000001_fixture")
+        base.repartition(8).write.partitionBy("day").parquet(vdir)
+        with open(os.path.join(path, "_CURRENT"), "w") as f:
+            f.write("v_000001_fixture")
+        with open(os.path.join(path, "_COMMITS"), "w") as f:
+            f.write("v_000001_fixture\n")
+        v_before = _resolve_data_dir(path)
+        frag = len(glob.glob(v_before + "/day=d1/part-*.parquet"))
+        assert frag > 1
+        compact_parquet(spark, path, target_file_bytes=1 << 30)
+        v_after = _resolve_data_dir(path)
+        assert v_after != v_before  # reader-safe: a new committed snapshot
+        assert len(glob.glob(v_after + "/day=d1/part-*.parquet")) == 1 < frag
+        assert read_table(spark, path).count() == 20
