@@ -227,3 +227,60 @@ def pack_sequences(
             f"(__cum - n_tokens) div {budget} != (__cum - 1) div {budget}"
         ).alias("crosses_boundary"),
     )
+
+
+# --- PII scrubbing -------------------------------------------------------
+
+# (name, pattern, replacement). Patterns restrict themselves to the
+# regex intersection of Java (Spark) and RE2 (DuckDB): no backrefs, no
+# lookaround — \b, \d, classes, and bounded repetition mean the same
+# thing in both engines. The four types are mutually non-overlapping by
+# construction (phone is 3-3-4 digits, SSN 3-2-4; an IPv4 octet is at
+# most 3 digits so a 4-digit run can never terminate one), so redaction
+# order does not change the result.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+)
+
+
+def scrub_pii(df: DataFrame, text: str = "text") -> DataFrame:
+    """Redact emails / SSNs / phone numbers / IPv4 addresses and count
+    hits per type — the privacy pass every training-data pipeline runs
+    before anything leaves the raw zone.
+
+    Pure row-local ``regexp_count`` + chained ``regexp_replace``
+    projections: whole-stage-codegen'd, zero shuffle, linear in corpus
+    size. Counts are taken on the ORIGINAL text (a count of what was
+    there), then the replace chain rewrites the column in place.
+    """
+    counts = {
+        f"n_{name}": F.regexp_count(F.col(text), F.lit(pat)).cast("bigint")
+        for name, pat, _ in PII_PATTERNS
+    }
+    redacted = F.col(text)
+    for _, pat, repl in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, repl)
+    return df.withColumns({**counts, text: redacted})
+
+
+# --- quality classifier ---------------------------------------------------
+
+# Linear keep/drop classifier over the text_stats features. The logit is
+# squashed with the RATIONAL sigmoid x/(1+|x|) rather than the
+# exponential one: +,*,/,abs are IEEE-exact and identical in any engine,
+# while exp() may differ in the last ulp — poison for a value-hash gate.
+# Weights are deterministic stand-ins for a trained model's (a real
+# pipeline would load them from a table; the plan shape is identical).
+CLASSIFIER_Z_SQL = (
+    "(-1.5 + 2.0 * least(n_tokens / 100.0, 1.0)"
+    " - 3.0 * (n_stopwords / CAST(n_tokens AS DOUBLE))"
+    " + 1.0 * least(((n_chars_calc - (n_tokens - 1))"
+    " / CAST(n_tokens AS DOUBLE)) / 8.0, 1.0)"
+    " - 2.0 * (n_nonalpha / CAST(n_chars_calc AS DOUBLE)))"
+)
+CLASSIFIER_SCORE_SQL = (
+    f"0.5 * (1.0 + {CLASSIFIER_Z_SQL} / (1.0 + abs({CLASSIFIER_Z_SQL})))"
+)

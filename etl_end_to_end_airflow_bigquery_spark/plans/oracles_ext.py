@@ -1020,3 +1020,129 @@ EXT_ORACLES["curated_corpus_v2"] = f"""
       AND doc_id NOT IN (SELECT doc_id FROM contaminated)
     ORDER BY doc_id
 """
+
+
+# --- round-4 LLM-pipeline pack oracles ----------------------------------
+
+from ..operators.text import CLASSIFIER_SCORE_SQL, PII_PATTERNS  # noqa: E402
+from .queries_ext import (  # noqa: E402
+    BM25_B,
+    BM25_K1,
+    BM25_TERMS,
+    BM25_TOPK,
+    PII_DECOR_SQL,
+    SPAN_K,
+)
+
+_PII_COUNTS = ",\n               ".join(
+    f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+    for name, pat, _ in PII_PATTERNS
+)
+_PII_REDACT = "text"
+for _name, _pat, _repl in PII_PATTERNS:
+    _PII_REDACT = f"regexp_replace({_PII_REDACT}, '{_pat}', '{_repl}', 'g')"
+
+EXT_ORACLES["pii_scrub_docs"] = f"""
+    WITH decorated AS (
+        SELECT doc_id, {PII_DECOR_SQL} AS text FROM documents
+    )
+    SELECT doc_id,
+           {_PII_COUNTS},
+           md5({_PII_REDACT}) AS clean_hash
+    FROM decorated
+    ORDER BY doc_id
+"""
+
+EXT_ORACLES["quality_classifier_docs"] = f"""
+    WITH s AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_calc,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(string_split(text, ' '),
+                   t -> list_contains({_dlist(STOPWORDS)}, t))) AS BIGINT)
+                   AS n_stopwords,
+               CAST(length(regexp_replace(text, '[a-z ]', '', 'g'))
+                    AS BIGINT) AS n_nonalpha
+        FROM documents
+    )
+    SELECT doc_id,
+           {_round(CLASSIFIER_SCORE_SQL, 6)} AS quality_prob,
+           ({CLASSIFIER_SCORE_SQL}) >= 0.5 AS keep
+    FROM s
+    ORDER BY doc_id
+"""
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+# Mirrors the Spark expression tree exactly, including the constants the
+# Python layer folds before Catalyst sees them: (k1+1)=2.2, (1-b)=0.25.
+EXT_ORACLES["bm25_retrieval"] = f"""
+    WITH lens AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents
+    ), corpus AS (
+        SELECT count(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM lens
+    ), toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM toks WHERE token IN ({_BM25_TERMS_SQL})
+        GROUP BY doc_id, token
+    ), dfreq AS (
+        SELECT token, count(*) AS df FROM tf GROUP BY token
+    ), contrib AS (
+        SELECT tf.doc_id,
+               ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * (tf.tf * {BM25_K1 + 1.0!r})
+                   / (tf.tf + {BM25_K1!r} * ({1.0 - BM25_B!r}
+                      + {BM25_B!r} * l.dl / c.avgdl)) AS contrib
+        FROM tf
+        JOIN dfreq d USING (token)
+        JOIN lens l USING (doc_id), corpus c
+    ), scored AS (
+        SELECT doc_id,
+               CAST(SUM(CAST(FLOOR(contrib * 1000000000.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1000000000.0 AS score,
+               count(*) AS n_terms_hit
+        FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms_hit,
+           {_round('score', 6)} AS bm25,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+               AS rank
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT {BM25_TOPK}
+"""
+
+_SPAN_GRAM = (
+    f"list_transform(range(1, len(tk) - {SPAN_K - 2}), i -> md5("
+    + "concat_ws(' ', "
+    + ", ".join(f"tk[i+{j}]" for j in range(SPAN_K))
+    + ")))"
+)
+EXT_ORACLES["duplicate_spans_docs"] = f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS tk
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= {SPAN_K}
+    ), g AS (
+        SELECT doc_id, unnest(list_distinct({_SPAN_GRAM})) AS h FROM tok
+    ), gc AS (
+        SELECT h, count(*) AS n_docs_with_span FROM g GROUP BY h
+    ), per AS (
+        SELECT g.doc_id,
+               count(*) AS n_spans,
+               CAST(SUM(CASE WHEN gc.n_docs_with_span >= 2 THEN 1
+                        ELSE 0 END) AS BIGINT) AS n_shared_spans
+        FROM g JOIN gc USING (h)
+        GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_spans, n_shared_spans,
+           {_round('n_shared_spans / CAST(n_spans AS DOUBLE)', 6)}
+               AS shared_frac
+    FROM per
+    ORDER BY doc_id
+"""

@@ -17,13 +17,16 @@ from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators.relational import decimal_sum, round_half_up
 from ..operators.text import (
+    CLASSIFIER_SCORE_SQL,
     LANG_MARKERS,
     marker_count,
     fingerprint,
     ngram_expr,
     pack_sequences,
     repetition_ratio,
+    scrub_pii,
     text_stats,
+    token_count,
 )
 from .queries import QueryFn
 
@@ -802,3 +805,189 @@ def curated_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT_QUERIES["curated_corpus_v2"] = curated_corpus_v2
+
+
+# --- round-4 LLM-pipeline pack: PII / classifier / BM25 / span dedup ----
+
+# Deterministic PII decoration appended to each document before the
+# scrub — the synthetic corpus carries no PII, so the query plants one
+# instance of each type (keyed on doc_id) and then proves the scrubber
+# removes it. Shared verbatim with the oracle: identical string in both
+# engines, so counts and the redacted-text hash match exactly.
+PII_DECOR_SQL = (
+    "concat(text,"
+    " ' contact user', CAST(doc_id AS STRING), '@example.com',"
+    " ' tel 555-867-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'),"
+    " ' ssn 123-45-', lpad(CAST((doc_id + 13) % 10000 AS STRING), 4, '0'),"
+    " ' ip 10.0.', CAST(doc_id % 256 AS STRING), '.',"
+    " CAST((doc_id + 7) % 256 AS STRING))"
+)
+
+# BM25 retrieval tunables — shared with the oracle.
+BM25_TERMS = ("spark", "window", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+SPAN_K = 3  # word n-gram order for cross-document span sharing
+
+
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: plant one email/SSN/phone/IPv4 per
+    document (PII_DECOR_SQL — the synthetic corpus has none), count hits
+    per type, redact, and emit the md5 of the redacted text.
+
+    All row-local regexp projections (operators.text.scrub_pii):
+    codegen'd, zero shuffle, linear at any scale. The redacted hash is
+    the gate's proof that both engines rewrote the text identically.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(PII_DECOR_SQL).alias("text")
+    )
+    scrubbed = scrub_pii(docs)
+    return scrubbed.select(
+        "doc_id",
+        "n_email",
+        "n_ssn",
+        "n_phone",
+        "n_ipv4",
+        F.md5(F.col("text")).alias("clean_hash"),
+    ).orderBy("doc_id")
+
+
+def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear keep/drop quality classifier (the model-based filter step
+    of a curation pipeline) over the text_stats features, squashed with
+    the rational sigmoid x/(1+|x|) — exact IEEE arithmetic in any
+    engine, unlike exp() (operators.text.CLASSIFIER_SCORE_SQL).
+
+    Row-local projections only; the keep decision is made on the
+    unrounded score so the cut is identical in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    feats = text_stats(docs.select("doc_id", "text"))
+    score = F.expr(CLASSIFIER_SCORE_SQL)
+    return feats.select(
+        "doc_id",
+        round_half_up(score, 6).alias("quality_prob"),
+        (score >= 0.5).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed query (BM25_TERMS): the
+    classic sparse-retrieval scorer over the corpus.
+
+    Plan shape at 100 TB: one explode+groupBy for per-doc term
+    frequencies (only query terms survive the filter, so the shuffle
+    carries ≤ |terms| rows per doc), a broadcast of the per-term df and
+    the two corpus scalars (N, avgdl), and a TakeOrderedAndProject for
+    the top-k — no global sort, no driver loop. Per-term contributions
+    are summed with decimal_sum (order-insensitive fixed point), so the
+    score hash-matches the oracle despite float addition being
+    non-associative.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lens = docs.select("doc_id", token_count().alias("dl"))
+    corpus = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token").isin(*BM25_TERMS))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("__c"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        decimal_sum(F.col("__c"), 9).alias("__score"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    top = scored.orderBy(F.col("__score").desc(), F.col("doc_id")).limit(
+        BM25_TOPK
+    )
+    w = Window.orderBy(F.col("__score").desc(), F.col("doc_id"))
+    return top.select(
+        "doc_id",
+        "n_terms_hit",
+        round_half_up(F.col("__score"), 6).alias("bm25"),
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    ).orderBy("rank")
+
+
+def duplicate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span detection (the span-level analog
+    of exact dedup, after Lee et al.'s deduplication work):
+    fingerprint every distinct word SPAN_K-gram per document, count how
+    many documents share each fingerprint corpus-wide, and report each
+    document's shared-span fraction — the boilerplate/template signal a
+    curation pipeline cuts on.
+
+    Scale: only 16-byte md5 fingerprints ever shuffle (never gram
+    text); one exchange keyed on the fingerprint for the global
+    document count, one keyed on doc_id for the per-doc rollup. Both
+    aggregates partial-aggregate map-side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.filter(
+        F.expr(f"size(split(text, ' ')) >= {SPAN_K}")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform({ngram_expr(SPAN_K)},"
+                " g -> md5(g)))"
+            )
+        ).alias("h"),
+    )
+    global_counts = grams.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_docs_with_span")
+    )
+    return (
+        grams.join(global_counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                F.when(F.col("n_docs_with_span") >= 2, 1).otherwise(0)
+            ).cast("bigint").alias("n_shared_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_shared_spans",
+            round_half_up(
+                F.col("n_shared_spans") / F.col("n_spans").cast("double"), 6
+            ).alias("shared_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+EXT_QUERIES["pii_scrub_docs"] = pii_scrub_docs
+EXT_QUERIES["quality_classifier_docs"] = quality_classifier_docs
+EXT_QUERIES["bm25_retrieval"] = bm25_retrieval
+EXT_QUERIES["duplicate_spans_docs"] = duplicate_spans_docs

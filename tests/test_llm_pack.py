@@ -122,3 +122,110 @@ def test_interpolate_subday_step(spark):
     assert got["2026-01-01 06:00:00"] == (14.0, True)
     assert got["2026-01-01 12:00:00"] == (18.0, True)
     assert got["2026-01-01 18:00:00"] == (22.0, False)
+
+
+# --- round-4 pack: PII scrub / classifier / BM25 / duplicate spans ------
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from etl_end_to_end_airflow_bigquery_spark.operators.text import scrub_pii
+
+    rows = [
+        (1, "mail me at alice.smith+x@sub.example.org today"),
+        (2, "ssn 123-45-6789 tel 555-867-5309 host 192.168.0.1"),
+        (3, "no pii here at all"),
+        (4, "two mails a@b.co c@d.io and ip 10.0.0.255"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert (got[1].n_email, got[1].text) == (
+        1,
+        "mail me at [EMAIL] today",
+    )
+    assert (got[2].n_ssn, got[2].n_phone, got[2].n_ipv4) == (1, 1, 1)
+    assert got[2].text == "ssn [SSN] tel [PHONE] host [IP]"
+    assert (got[3].n_email, got[3].text) == (0, "no pii here at all")
+    assert (got[4].n_email, got[4].n_ipv4) == (2, 1)
+    assert got[4].text == "two mails [EMAIL] [EMAIL] and ip [IP]"
+
+
+def test_scrub_pii_types_disjoint(spark):
+    """An SSN is never double-redacted as a phone number and a phone
+    never as an IPv4 — the non-overlap claim in PII_PATTERNS."""
+    from etl_end_to_end_airflow_bigquery_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "123-45-6789 123-456-7890 1.2.3.4")], "doc_id long, text string"
+    )
+    (r,) = scrub_pii(df).collect()
+    assert r.text == "[SSN] [PHONE] [IP]"
+    assert (r.n_ssn, r.n_phone, r.n_ipv4) == (1, 1, 1)
+
+
+def test_quality_classifier_orders_obvious_cases(spark):
+    """Long informative prose must outscore stopword soup."""
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_ext import (
+        quality_classifier_docs,
+    )
+    import tempfile, os
+
+    rows = [
+        (0, " ".join(f"word{i} interesting" for i in range(60)), "en", "s", 0),
+        (1, " ".join(["the a the a"] * 20), "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r.doc_id: r for r in quality_classifier_docs(spark, d).collect()}
+    assert got[0].quality_prob > got[1].quality_prob
+    assert got[0].keep and not got[1].keep
+
+
+def test_bm25_ranks_term_dense_docs_first(spark):
+    import tempfile, os
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_ext import (
+        bm25_retrieval,
+    )
+
+    rows = [
+        (0, "spark window merge spark window merge", "en", "s", 0),
+        (1, "spark filler filler filler filler filler filler filler", "en", "s", 0),
+        (2, "nothing relevant here", "en", "s", 0),
+        (3, "window merge", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = bm25_retrieval(spark, d).collect()
+    assert [r.doc_id for r in out][0] == 0  # all three terms, dense
+    assert 2 not in {r.doc_id for r in out}  # no query term, no row
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+
+
+def test_duplicate_spans_flags_planted_boilerplate(spark):
+    import tempfile, os
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_ext import (
+        duplicate_spans_docs,
+    )
+
+    boiler = "subscribe to our newsletter now"
+    rows = [
+        (0, f"unique alpha beta gamma {boiler}", "en", "s", 0),
+        (1, f"different delta epsilon zeta {boiler}", "en", "s", 0),
+        (2, "totally fresh content with no overlap anywhere", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r.doc_id: r for r in duplicate_spans_docs(spark, d).collect()}
+    # the planted 5-word boilerplate yields 3 shared word-3-grams
+    assert got[0].n_shared_spans == 3
+    assert got[1].n_shared_spans == 3
+    assert got[2].n_shared_spans == 0
+    assert 0 < got[0].shared_frac < 1
