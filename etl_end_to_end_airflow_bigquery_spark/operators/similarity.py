@@ -593,3 +593,170 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "cell", "cosine", "rank")
     )
+
+
+# --- product quantization (PQ / ADC search) ------------------------------
+
+# Hyperparameters picked by a measured recall sweep on the synthetic
+# embeddings (iid noise — the worst case for any quantizer): finer
+# subspaces dominate everything else. (M, K, iters) → recall@3 vs exact
+# cosine at sf0.01: (8,16,1)=0.40, (16,32,2)=0.53, (32,16,1)=0.67,
+# (32,32,1)=0.67-0.73. 32 subspaces of 2 dims, 32 codes: 8× compression.
+PQ_M = 32                      # subspaces
+PQ_SUBDIM = EMB_DIM // PQ_M    # dims per subspace
+PQ_K = 32                      # codes per sub-codebook
+PQ_ITERS = 1                   # Lloyd refinement rounds per sub-quantizer
+ADC_SCALE = "1000000000.0"     # fixed-point scale for the ADC score sum
+
+
+def _subvectors(v: DataFrame) -> DataFrame:
+    """(vec_id, s, x, xn): each vector split into PQ_M contiguous
+    subvectors with exact squared subnorms. The posexplode is a narrow
+    transformation (no shuffle) — N·M rows exist only inside the stage
+    that consumes them."""
+    slices = F.array(
+        *[
+            F.slice(F.col("e"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+            for s in range(PQ_M)
+        ]
+    )
+    return (
+        v.select("vec_id", F.posexplode(slices).alias("s", "x"))
+        .withColumn("xn", F.expr(dot_fold("x", "x")))
+    )
+
+
+def _assign_codes(sv: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, s, code): nearest sub-codeword by exact L2 (ties →
+    lowest code). d² = ‖x‖² − 2·x·c + ‖c‖² from the exact fixed-point
+    dots, so the argmin is bit-identical in any engine; the argmin
+    itself is a partial-aggregating struct max (only ~N·M pre-aggregated
+    rows cross the exchange, never N·M·K)."""
+    d2 = F.col("xn") - 2.0 * F.expr(dot_fold("x", "ce")) + F.col("cn")
+    scored = sv.join(F.broadcast(cb), "s").select(
+        "vec_id", "s", "code", d2.alias("d2")
+    )
+    return (
+        scored.groupBy("vec_id", "s")
+        .agg(
+            F.max(
+                F.struct((-F.col("d2")).alias("neg_d2"),
+                         (-F.col("code")).alias("neg_code"))
+            ).alias("__m")
+        )
+        .select("vec_id", "s", (-F.col("__m.neg_code")).alias("code"))
+    )
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    n_codes: int = PQ_K,
+    n_iters: int = PQ_ITERS,
+) -> DataFrame:
+    """Train the PQ sub-codebooks: (s, code, ce, cn), one K-entry
+    codebook per subspace (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011).
+
+    Init = the subvectors of the first ``n_codes`` vectors by vec_id
+    (deterministic, mirroring ivf_cells_kmeans seeding), refined by
+    ``n_iters`` Lloyd rounds run for ALL subspaces at once: assignment
+    is one broadcast join + struct-max argmin keyed (vec_id, s); the
+    centroid update is ONE grouped pass keyed (s, code) with
+    PQ_SUBDIM exact fixed-point decimal sums — M sub-quantizers never
+    cost M separate shuffles. Codewords that lose all members drop out
+    deterministically in both engines.
+
+    At 100 TB the codebook is M·K rows (bounded), the training scans
+    are n_iters passes over the corpus, and every exchange carries only
+    partial-aggregated rows.
+    """
+    sv = _subvectors(_vectors(embeddings))
+    cb = sv.filter(F.col("vec_id") < n_codes).select(
+        "s",
+        F.col("vec_id").alias("code"),
+        F.col("x").alias("ce"),
+        F.col("xn").alias("cn"),
+    )
+    scale = F.lit(float(MEAN_SCALE))
+    for _ in range(n_iters):
+        assign = _assign_codes(sv, cb)
+        member = sv.join(assign, ["vec_id", "s"])
+        sums = member.groupBy("s", "code").agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(
+                    F.floor(F.col("x")[i] * scale).cast("decimal(38,0)")
+                ).alias(f"__s{i}")
+                for i in range(PQ_SUBDIM)
+            ],
+        )
+        cb = sums.select(
+            "s",
+            "code",
+            F.array(
+                *[
+                    F.col(f"__s{i}").cast("double") / scale / F.col("__n")
+                    for i in range(PQ_SUBDIM)
+                ]
+            ).alias("ce"),
+        ).withColumn("cn", F.expr(dot_fold("ce", "ce")))
+    return cb
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_pred: str = "vec_id < 5",
+    k: int = 3,
+    n_codes: int = PQ_K,
+    n_iters: int = PQ_ITERS,
+) -> DataFrame:
+    """PQ/ADC approximate top-k by inner product: (q_id, neighbor_id,
+    approx_dot, rank).
+
+    The compressed index is the code table (vec_id, s, code) — M small
+    ints per vector instead of EMB_DIM floats (here 8 codes for 64
+    floats: 32× compression at nbits=8). Search is asymmetric distance
+    computation: each query builds an M·K lookup table of exact
+    subspace dots against the codebook (bounded — broadcast), the
+    corpus code rows join it map-side, and the per-(q, vec) score is a
+    fixed-point SUM over the M looked-up entries — partial aggregation
+    makes the only exchange carry ≤ N·|Q| pre-aggregated rows. No
+    full-width vector is touched at search time; at 100 TB the scan
+    reads the code table (M bytes/vector), not the embeddings.
+
+    Ranking is by the ADC approximation of the raw inner product
+    (standard PQ practice; a production pipeline re-ranks the short
+    list with exact dots — composable here as cosine_topk over the
+    candidate ids).
+    """
+    v = _vectors(embeddings)
+    sv = _subvectors(v)
+    cb = pq_codebooks(embeddings, n_codes=n_codes, n_iters=n_iters)
+    codes = _assign_codes(sv, cb)
+    q = sv.filter(query_pred).select(
+        F.col("vec_id").alias("q_id"), "s", F.col("x").alias("qx")
+    )
+    lut = q.join(F.broadcast(cb), "s").select(
+        "q_id", "s", "code", F.expr(dot_fold("qx", "ce")).alias("val")
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("val") * F.lit(float(ADC_SCALE)) + 0.5)
+                ).cast("double")
+                / F.lit(float(ADC_SCALE))
+            ).alias("approx_dot")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("approx_dot").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "approx_dot", "rank")
+    )

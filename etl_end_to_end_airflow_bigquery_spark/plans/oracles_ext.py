@@ -1146,3 +1146,96 @@ EXT_ORACLES["duplicate_spans_docs"] = f"""
     FROM per
     ORDER BY doc_id
 """
+
+
+def _pq_oracle(
+    m: int = 32, subdim: int = 2, n_codes: int = 32, n_iters: int = 1
+) -> str:
+    """Generated oracle for ``pq_topk_adc``: per-subspace Lloyd rounds
+    unrolled as CTE layers, then ADC scoring — the same exact
+    fixed-point dots, scaled-int centroid means, and pinned tie rules
+    as ``similarity.pq_codebooks``/``pq_topk``, so codebooks, code
+    assignments, and ADC scores are bit-identical across engines."""
+
+    def assign(cb: str, name: str) -> str:
+        return f"""{name} AS (
+            SELECT vec_id, s, code FROM (
+                SELECT svn.vec_id, svn.s, c.code,
+                       row_number() OVER (PARTITION BY svn.vec_id, svn.s
+                           ORDER BY svn.xn - 2.0 * {_dot('svn.x', 'c.ce')}
+                               + c.cn, c.code) AS rn
+                FROM svn JOIN {cb} c ON svn.s = c.s
+            ) WHERE rn = 1
+        )"""
+
+    def means(a_cte: str, m_name: str, c_name: str) -> str:
+        sums = ",\n                   ".join(
+            f"SUM(CAST(FLOOR(svn.x[{i + 1}] * {_SCALE.replace('.0','')}.0)"
+            f" AS DECIMAL(38,0))) AS s{i}"
+            for i in range(subdim)
+        )
+        comps = ", ".join(
+            f"CAST(s{i} AS DOUBLE) / {_SCALE} / n" for i in range(subdim)
+        )
+        return f"""{m_name} AS (
+            SELECT a.s, a.code, COUNT(*) AS n,
+                   {sums}
+            FROM svn JOIN {a_cte} a USING (vec_id, s)
+            GROUP BY a.s, a.code
+        ), {c_name}_raw AS (
+            SELECT s, code, list_value({comps}) AS ce FROM {m_name}
+        ), {c_name} AS (
+            SELECT s, code, ce, {_dot('ce', 'ce')} AS cn FROM {c_name}_raw
+        )"""
+
+    rounds = []
+    prev = "cb0"
+    for r in range(1, n_iters + 1):
+        rounds.append(assign(prev, f"pa{r}"))
+        rounds.append(means(f"pa{r}", f"pm{r}", f"cb{r}"))
+        prev = f"cb{r}"
+    body = ",\n        ".join(rounds)
+    adc = "1000000000.0"
+    return f"""
+        WITH {_VECTOR_CTE.strip()}, sv AS (
+            SELECT vec_id, ss.s AS s,
+                   list_slice(e, ss.s * {subdim} + 1,
+                              ss.s * {subdim} + {subdim}) AS x
+            FROM vn, (SELECT unnest(range(0, {m})) AS s) ss
+        ), svn AS (
+            SELECT vec_id, s, x, {_dot('x', 'x')} AS xn FROM sv
+        ), cb0 AS (
+            SELECT s, vec_id AS code, x AS ce, xn AS cn
+            FROM svn WHERE vec_id < {n_codes}
+        ),
+        {body},
+        {assign(prev, 'codes')},
+        q AS (
+            SELECT vec_id AS q_id, s, x AS qx FROM svn
+            WHERE {ANN_QUERY_PRED}
+        ), lut AS (
+            SELECT q.q_id, c.s, c.code, {_dot('q.qx', 'c.ce')} AS val
+            FROM q JOIN {prev} c ON q.s = c.s
+        ), scored AS (
+            SELECT l.q_id, k.vec_id,
+                   CAST(SUM(CAST(FLOOR(l.val * {adc} + 0.5) AS BIGINT))
+                        AS DOUBLE) / {adc} AS approx
+            FROM codes k
+            JOIN lut l ON k.s = l.s AND k.code = l.code
+            WHERE k.vec_id <> l.q_id
+            GROUP BY l.q_id, k.vec_id
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY approx DESC, vec_id) AS rnk
+            FROM scored
+        )
+        SELECT q_id, vec_id AS neighbor_id,
+               {_round('approx', 6)} AS approx_dot,
+               CAST(rnk AS BIGINT) AS rank
+        FROM ranked
+        WHERE rnk <= {ANN_K}
+        ORDER BY q_id, rnk
+    """
+
+
+EXT_ORACLES["pq_topk_adc"] = _pq_oracle()

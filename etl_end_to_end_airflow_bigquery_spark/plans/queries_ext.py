@@ -991,3 +991,21 @@ EXT_QUERIES["pii_scrub_docs"] = pii_scrub_docs
 EXT_QUERIES["quality_classifier_docs"] = quality_classifier_docs
 EXT_QUERIES["bm25_retrieval"] = bm25_retrieval
 EXT_QUERIES["duplicate_spans_docs"] = duplicate_spans_docs
+
+
+def pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (PQ/ADC): Lloyd-trained sub-codebooks,
+    32×-compressed code table, asymmetric-distance top-k by inner
+    product. See operators.similarity.pq_topk for the 100 TB story
+    (search reads M bytes/vector, never the embeddings)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.pq_topk(emb, query_pred=ANN_QUERY_PRED, k=ANN_K)
+    return out.select(
+        "q_id",
+        "neighbor_id",
+        round_half_up(F.col("approx_dot"), 6).alias("approx_dot"),
+        "rank",
+    ).orderBy("q_id", "rank")
+
+
+EXT_QUERIES["pq_topk_adc"] = pq_topk_adc

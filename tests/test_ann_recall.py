@@ -214,3 +214,35 @@ def test_kmeans_centroid_sum_survives_past_int64(spark):
         .collect()
     )
     assert int(out[0]["s"]) == n * 10**12
+
+
+def test_pq_adc_recall(spark, clustered, cluster_truth):
+    """PQ/ADC on planted clusters: quantization error is tiny relative
+    to inter-cluster distances, so ADC must retrieve cluster siblings.
+    The random-corpus case (iid noise, the quantizer's worst case) is
+    pinned looser — the measured sweep that chose (M=32, K=32) is in
+    operators/similarity.py."""
+    approx = _neighbors(S.pq_topk(clustered, query_pred=PRED, k=K))
+    rec = _recall(approx, cluster_truth)
+    assert rec >= 0.8, f"PQ recall@{K} on clusters = {rec:.3f} < 0.8"
+
+
+def test_pq_adc_recall_random_corpus(spark):
+    from etl_end_to_end_airflow_bigquery_spark.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    truth = _neighbors(S.cosine_topk(emb, query_pred="vec_id < 5", k=3))
+    approx = _neighbors(S.pq_topk(emb, query_pred="vec_id < 5", k=3))
+    rec = _recall(approx, truth)
+    assert rec >= 0.5, f"PQ recall@3 on random corpus = {rec:.3f} < 0.5"
+
+
+def test_pq_codebook_shape_and_code_range(spark, clustered):
+    cb = S.pq_codebooks(clustered)
+    rows = cb.collect()
+    assert {r.s for r in rows} == set(range(S.PQ_M))
+    assert all(0 <= r.code < S.PQ_K for r in rows)
+    assert all(len(r.ce) == S.PQ_SUBDIM for r in rows)
+    codes = S._assign_codes(S._subvectors(S._vectors(clustered)), cb)
+    n = clustered.count()
+    assert codes.count() == n * S.PQ_M  # every vector fully encoded
