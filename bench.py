@@ -78,6 +78,10 @@ BENCH_QUERIES = [
     "decontaminate_ngrams",
     "tfidf_top_terms",
     "repetition_ratio_docs",
+    # round 4 additions: PQ/ADC vector search and the BM25 retrieval
+    # scorer; everything above stays a prefix.
+    "pq_topk_adc",
+    "bm25_retrieval",
 ]
 
 N_RUNS = 3
