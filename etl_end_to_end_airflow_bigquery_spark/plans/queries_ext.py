@@ -895,14 +895,25 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dl").cast("double") / F.count(F.lit(1))
         ).alias("avgdl"),
     )
+    # dl rides along as a group key (functionally dependent on doc_id),
+    # so no join back to a lengths table is ever needed.
     toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
+        "doc_id",
+        token_count().alias("dl"),
+        F.explode(F.split("text", " ")).alias("token"),
     ).filter(F.col("token").isin(*BM25_TERMS))
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the df aggregate and the score join; without a
+    # materialization point the lazy plan tokenizes and shuffles the
+    # corpus twice (verified in the AQE final plan — no stage reuse
+    # fires across the two branches). localCheckpoint pins the bounded
+    # posting aggregate (≤ N·|terms| rows — tiny next to the corpus) so
+    # the expensive scan+explode runs exactly once.
+    tf = toks.groupBy("doc_id", "dl", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=False)
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     contrib = (
         tf.join(F.broadcast(dfreq), "token")
-        .join(lens, "doc_id")
         .crossJoin(F.broadcast(corpus))
         .select(
             "doc_id",

@@ -56,6 +56,7 @@ BNLJ_OK = {
     "ivf_topk_kmeans",  # K-centroid broadcast per Lloyd round + probe rank
     "embedding_near_dups",
     "tfidf_top_terms",  # 1-row corpus-size scalar broadcast
+    "bm25_retrieval",  # 1-row (N, avgdl) corpus-stats scalar broadcast
 }
 
 # Structurally-high exchange counts with a justification.
@@ -76,6 +77,11 @@ EXCHANGES_OK = {
     # fixed pipeline depth: tf agg, df agg, token join, per-doc rank —
     # four keyed shuffles regardless of corpus size.
     "tfidf_top_terms",
+    # same fixed depth as tfidf (tf agg, df agg, score agg, top-k rank);
+    # the tf posting aggregate is localCheckpoint-pinned so the corpus
+    # tokenize/shuffle runs once — the remaining count is pipeline
+    # stages, never data-size amplification.
+    "bm25_retrieval",
     # the v2 capstone composes the LSH near-dup pipeline (itself in this
     # list as jaccard_near_dups) with the curation + decontamination
     # stages; exchange count is the sum of its verified sub-pipelines,
