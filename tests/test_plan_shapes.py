@@ -155,3 +155,38 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# --- round-4 operators ---------------------------------------------------
+
+
+def test_pii_scrub_prunes_to_two_columns_no_shuffle(spark):
+    plan = _formatted(spark, "pii_scrub_docs")
+    read = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "doc_id" in read and "text" in read and "lang" not in read
+    # row-local projection chain: the only exchange is the output sort
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_bm25_single_corpus_scan_and_take_ordered(spark):
+    df = QUERIES["bm25_retrieval"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the tf posting frame is checkpoint-pinned: documents scanned once
+    # for tf (plus the bounded 1-row corpus-stats scalar)
+    assert plan.count("FileScan parquet") <= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_duplicate_spans_shuffles_hashes_not_text(spark):
+    plan = _formatted(spark, "duplicate_spans_docs")
+    # both aggregates partial-aggregate map-side
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_no_cartesian_and_partial_aggs(spark):
+    plan = _formatted(spark, "pq_topk_adc")
+    assert "CartesianProduct" not in plan
+    # codebook/LUT sides broadcast; score sum partial-aggregates
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan or "partial_max" in plan
