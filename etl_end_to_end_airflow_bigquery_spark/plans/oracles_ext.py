@@ -1239,3 +1239,28 @@ def _pq_oracle(
 
 
 EXT_ORACLES["pq_topk_adc"] = _pq_oracle()
+
+EXT_ORACLES["unigram_logprob_docs"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), counts AS (
+        SELECT token, count(*) AS cnt FROM toks GROUP BY token
+    ), totals AS (
+        SELECT SUM(cnt) AS t_tokens, count(*) AS v_size FROM counts
+    ), logp AS (
+        SELECT token,
+               ln((cnt + 1.0) / CAST(t_tokens + v_size AS DOUBLE)) AS logp
+        FROM counts, totals
+    ), per AS (
+        SELECT t.doc_id,
+               count(*) AS n_tokens,
+               CAST(SUM(CAST(FLOOR(l.logp * 1000000000.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1000000000.0 / count(*) AS mean_raw
+        FROM toks t JOIN logp l USING (token)
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, {_round('mean_raw', 6)} AS mean_logprob
+    FROM per
+    ORDER BY doc_id
+"""

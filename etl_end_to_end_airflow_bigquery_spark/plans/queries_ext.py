@@ -1020,3 +1020,55 @@ def pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT_QUERIES["pq_topk_adc"] = pq_topk_adc
+
+
+def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document — the statistical
+    language-model quality filter (the kenlm-perplexity step of a
+    curation pipeline, with the corpus itself as the LM). Add-one
+    smoothing: logp(t) = ln((count(t)+1)/(T+V)).
+
+    Plan at 100 TB: one explode+groupBy builds the unigram table (one
+    shuffle keyed on token, partial-aggregated); the per-doc pass joins
+    tokens to that table — the probe side has exactly one row per
+    distinct token, so the join never amplifies and a skewed hot token
+    is just a popular probe key. T and V ride as a 1-row scalar
+    broadcast. The per-doc mean is a fixed-point decimal sum (doc token
+    order varies with partitioning; integer accumulation makes the sum
+    order-insensitive), so scores hash-match the oracle exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("t_tokens"),
+        F.count(F.lit(1)).alias("v_size"),
+    )
+    logp = counts.crossJoin(F.broadcast(totals)).select(
+        "token",
+        F.log(
+            (F.col("cnt") + 1.0)
+            / (F.col("t_tokens") + F.col("v_size")).cast("double")
+        ).alias("logp"),
+    )
+    return (
+        toks.join(logp, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                decimal_sum(F.col("logp"), 9) / F.count(F.lit(1))
+            ).alias("__mean"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            round_half_up(F.col("__mean"), 6).alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+EXT_QUERIES["unigram_logprob_docs"] = unigram_logprob_docs

@@ -126,3 +126,67 @@ def test_split_is_a_partition(spark, keys):
     small = {r.doc_id for r in hash_sample(df, "doc_id", 0.1, salt="s").collect()}
     large = {r.doc_id for r in hash_sample(df, "doc_id", 0.3, salt="s").collect()}
     assert small <= large
+
+
+# --- round-4 text operators ----------------------------------------------
+
+_pii_free_text = st.text(
+    alphabet="abcdefghij ", min_size=0, max_size=60
+)
+
+
+@given(texts=st.lists(_pii_free_text, min_size=1, max_size=8))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_scrub_pii_idempotent_and_conservative(spark, texts):
+    """Scrubbing twice = scrubbing once, and PII-free text (letters and
+    spaces only — no digits, no @) passes through byte-identical."""
+    from etl_end_to_end_airflow_bigquery_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = scrub_pii(df)
+    twice = scrub_pii(once.select("doc_id", "text"))
+    got_once = {r.doc_id: r.text for r in once.collect()}
+    got_twice = {r.doc_id: r.text for r in twice.collect()}
+    assert got_once == got_twice
+    assert got_once == {i: t for i, t in enumerate(texts)}
+    assert all(
+        r.n_email == r.n_ssn == r.n_phone == r.n_ipv4 == 0
+        for r in once.collect()
+    )
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=5, max_size=40),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_duplicate_spans_bounds(spark, texts):
+    """0 ≤ n_shared ≤ n_spans, and a doc duplicated verbatim shares
+    every span."""
+    import os, tempfile
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_ext import (
+        duplicate_spans_docs,
+    )
+
+    rows = [(i, t, "en", "s", 0) for i, t in enumerate(texts)]
+    # plant an exact duplicate of doc 0 (if it has ≥3 tokens)
+    rows.append((len(texts), texts[0], "en", "s", 0))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r.doc_id: r for r in duplicate_spans_docs(spark, d).collect()}
+    for r in got.values():
+        assert 0 <= r.n_shared_spans <= r.n_spans
+        assert 0.0 <= r.shared_frac <= 1.0
+    if 0 in got:  # doc 0 had ≥3 tokens → its twin shares everything
+        assert got[0].n_shared_spans == got[0].n_spans
+        assert got[0].shared_frac == 1.0

@@ -57,6 +57,7 @@ BNLJ_OK = {
     "embedding_near_dups",
     "tfidf_top_terms",  # 1-row corpus-size scalar broadcast
     "bm25_retrieval",  # 1-row (N, avgdl) corpus-stats scalar broadcast
+    "unigram_logprob_docs",  # 1-row (T, V) LM-normalizer scalar broadcast
 }
 
 # Structurally-high exchange counts with a justification.
