@@ -736,3 +736,32 @@ def cluster_write(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    order_by: str,
+) -> None:
+    """Export as sharded newline-delimited JSON — the interchange layout
+    a training run consumes (one .json file per shard, rows in a
+    deterministic order within and across shards).
+
+    ``repartitionByRange(order_by)`` + ``sortWithinPartitions`` gives a
+    total order split into contiguous shards: shard boundaries come from
+    Spark's reservoir sample of the key (one extra pass at planning),
+    and every re-run of the same frame produces the same row→shard map.
+    At 100 TB pick n_shards so each shard lands near the training
+    loader's preferred file size; the write itself is the standard
+    one-range-exchange clustered-output cost, no driver involvement.
+
+    Round-trips through sources.files.read_jsonl (same engine-portable
+    JSON lines encoding the streaming ingest path already consumes).
+    """
+    (
+        df.repartitionByRange(n_shards, F.col(order_by))
+        .sortWithinPartitions(order_by)
+        .write.mode("overwrite")
+        .json(path)
+    )

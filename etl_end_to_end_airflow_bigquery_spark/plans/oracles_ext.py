@@ -1264,3 +1264,76 @@ EXT_ORACLES["unigram_logprob_docs"] = f"""
     FROM per
     ORDER BY doc_id
 """
+
+from .queries_ext import (  # noqa: E402
+    CORPUS_V3_MAX_SHARED,
+    CORPUS_V3_MIN_LOGPROB,
+)
+
+EXT_ORACLES["curated_corpus_v3"] = f"""
+    WITH clean AS (
+        SELECT doc_id, {_PII_REDACT} AS text FROM documents
+    ), s AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_calc,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(string_split(text, ' '),
+                   t -> list_contains({_dlist(STOPWORDS)}, t))) AS BIGINT)
+                   AS n_stopwords,
+               CAST(length(regexp_replace(text, '[a-z ]', '', 'g'))
+                    AS BIGINT) AS n_nonalpha
+        FROM clean
+    ), cls AS (
+        SELECT doc_id, ({CLASSIFIER_SCORE_SQL}) AS qp FROM s
+    ), toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM clean
+    ), counts AS (
+        SELECT token, count(*) AS cnt FROM toks GROUP BY token
+    ), totals AS (
+        SELECT SUM(cnt) AS t_tokens, count(*) AS v_size FROM counts
+    ), logp AS (
+        SELECT token,
+               ln((cnt + 1.0) / CAST(t_tokens + v_size AS DOUBLE)) AS logp
+        FROM counts, totals
+    ), lm AS (
+        SELECT t.doc_id,
+               CAST(SUM(CAST(FLOOR(l.logp * 1000000000.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1000000000.0 / count(*) AS mlp
+        FROM toks t JOIN logp l USING (token)
+        GROUP BY t.doc_id
+    ), tok2 AS (
+        SELECT doc_id, string_split(text, ' ') AS tk
+        FROM clean
+        WHERE len(string_split(text, ' ')) >= {SPAN_K}
+    ), g AS (
+        SELECT doc_id, unnest(list_distinct({_SPAN_GRAM})) AS h FROM tok2
+    ), gc AS (
+        SELECT h, count(*) AS nd FROM g GROUP BY h
+    ), spans AS (
+        SELECT g.doc_id,
+               SUM(CASE WHEN gc.nd >= 2 THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE) AS frac
+        FROM g JOIN gc USING (h)
+        GROUP BY g.doc_id
+    ), kept AS (
+        SELECT cls.doc_id, cls.qp, lm.mlp, spans.frac
+        FROM cls
+        JOIN lm USING (doc_id)
+        JOIN spans USING (doc_id)
+        WHERE cls.qp >= 0.5
+          AND lm.mlp >= {CORPUS_V3_MIN_LOGPROB!r}
+          AND spans.frac <= {CORPUS_V3_MAX_SHARED!r}
+    ), uniq AS (
+        SELECT k.*,
+               row_number() OVER (PARTITION BY md5(lower(c.text))
+                                  ORDER BY k.doc_id) AS rn
+        FROM kept k JOIN clean c USING (doc_id)
+    )
+    SELECT doc_id,
+           {_round('qp', 6)} AS quality_prob,
+           {_round('mlp', 6)} AS mean_logprob,
+           {_round('frac', 6)} AS shared_frac
+    FROM uniq
+    WHERE rn = 1
+    ORDER BY doc_id
+"""

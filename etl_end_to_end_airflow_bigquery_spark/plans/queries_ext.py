@@ -1072,3 +1072,103 @@ def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT_QUERIES["unigram_logprob_docs"] = unigram_logprob_docs
+
+
+# v3 capstone cuts — shared with the oracle generator.
+CORPUS_V3_MIN_LOGPROB = -3.404
+CORPUS_V3_MAX_SHARED = 0.83
+
+
+def curated_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 curation capstone — the modern model-filtered pipeline,
+    one lazy plan: PII scrub → linear quality classifier → unigram-LM
+    score → duplicate-span cut → exact dedup keep-first.
+
+    Composition of the individually-gated round-4 operators (each cut
+    uses the UNROUNDED score, identical bit-for-bit in both engines, so
+    the survivor set is exact). Multi-signal curation inherently scans
+    the corpus once per signal family (stats projection, unigram
+    explode, 3-gram explode) — at 100 TB the scrubbed corpus would be a
+    materialized clean-zone table; the per-signal plans are exactly the
+    gated ones."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clean = scrub_pii(docs).select("doc_id", "text")
+
+    feats = text_stats(clean)
+    cls = feats.select(
+        "doc_id", F.expr(CLASSIFIER_SCORE_SQL).alias("__qp")
+    )
+
+    toks = clean.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("t_tokens"), F.count(F.lit(1)).alias("v_size")
+    )
+    logp = counts.crossJoin(F.broadcast(totals)).select(
+        "token",
+        F.log(
+            (F.col("cnt") + 1.0)
+            / (F.col("t_tokens") + F.col("v_size")).cast("double")
+        ).alias("logp"),
+    )
+    lm = (
+        toks.join(logp, "token")
+        .groupBy("doc_id")
+        .agg(
+            (decimal_sum(F.col("logp"), 9) / F.count(F.lit(1))).alias("__mlp")
+        )
+    )
+
+    grams = clean.filter(
+        F.expr(f"size(split(text, ' ')) >= {SPAN_K}")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform({ngram_expr(SPAN_K)},"
+                " g -> md5(g)))"
+            )
+        ).alias("h"),
+    )
+    gcounts = grams.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    spans = (
+        grams.join(gcounts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("__nspans"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("__nshared"),
+        )
+        .select(
+            "doc_id",
+            (
+                F.col("__nshared") / F.col("__nspans").cast("double")
+            ).alias("__frac"),
+        )
+    )
+
+    kept = (
+        cls.join(lm, "doc_id")
+        .join(spans, "doc_id")
+        .filter(
+            (F.col("__qp") >= 0.5)
+            & (F.col("__mlp") >= CORPUS_V3_MIN_LOGPROB)
+            & (F.col("__frac") <= CORPUS_V3_MAX_SHARED)
+        )
+    )
+    w = Window.partitionBy(fingerprint()).orderBy("doc_id")
+    uniq = (
+        clean.join(kept, "doc_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return uniq.select(
+        "doc_id",
+        round_half_up(F.col("__qp"), 6).alias("quality_prob"),
+        round_half_up(F.col("__mlp"), 6).alias("mean_logprob"),
+        round_half_up(F.col("__frac"), 6).alias("shared_frac"),
+    ).orderBy("doc_id")
+
+
+EXT_QUERIES["curated_corpus_v3"] = curated_corpus_v3

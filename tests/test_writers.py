@@ -544,3 +544,34 @@ class TestPartitionedCompaction:
         assert v_after != v_before  # reader-safe: a new committed snapshot
         assert len(glob.glob(v_after + "/day=d1/part-*.parquet")) == 1 < frag
         assert read_table(spark, path).count() == 20
+
+
+def test_write_jsonl_shards_roundtrip(spark, tmp_path):
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        write_jsonl_shards,
+    )
+    from etl_end_to_end_airflow_bigquery_spark.sources.files import read_jsonl
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id").cast("string")).alias("text"),
+    )
+    out = str(tmp_path / "shards")
+    write_jsonl_shards(df, out, n_shards=4, order_by="doc_id")
+
+    import glob
+    parts = glob.glob(out + "/part-*")
+    assert len(parts) == 4  # one file per shard
+
+    valid, rejected = read_jsonl(spark, out, "doc_id long, text string")
+    got = sorted((r.doc_id, r.text) for r in valid.collect())
+    assert got == [(i, f"text {i}") for i in range(100)]
+    assert rejected.count() == 0
+    valid.unpersist()
+
+    # determinism: same frame → byte-identical shard contents
+    out2 = str(tmp_path / "shards2")
+    write_jsonl_shards(df, out2, n_shards=4, order_by="doc_id")
+    def slurp(d):
+        return sorted(open(p).read() for p in glob.glob(d + "/part-*"))
+    assert slurp(out) == slurp(out2)

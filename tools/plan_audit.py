@@ -58,6 +58,7 @@ BNLJ_OK = {
     "tfidf_top_terms",  # 1-row corpus-size scalar broadcast
     "bm25_retrieval",  # 1-row (N, avgdl) corpus-stats scalar broadcast
     "unigram_logprob_docs",  # 1-row (T, V) LM-normalizer scalar broadcast
+    "curated_corpus_v3",  # same 1-row LM-normalizer broadcast as unigram
 }
 
 # Structurally-high exchange counts with a justification.
@@ -88,6 +89,11 @@ EXCHANGES_OK = {
     # stages; exchange count is the sum of its verified sub-pipelines,
     # not data-size amplification.
     "curated_corpus_v2",
+    # the v3 capstone composes the four round-4 signal pipelines
+    # (classifier, unigram LM, duplicate spans — each in this list or
+    # under 6 exchanges alone) + the dedup window; fixed pipeline
+    # depth, not data-size amplification.
+    "curated_corpus_v3",
 }
 
 
