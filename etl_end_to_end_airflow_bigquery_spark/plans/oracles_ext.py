@@ -1337,3 +1337,110 @@ EXT_ORACLES["curated_corpus_v3"] = f"""
     WHERE rn = 1
     ORDER BY doc_id
 """
+
+EXT_ORACLES["mix_sources_tokens"] = f"""
+    WITH docs AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        FROM documents
+    ), per_source AS (
+        SELECT source, count(*) AS n_docs, SUM(n_toks) AS n_tokens
+        FROM docs GROUP BY source
+    ), totals AS (
+        SELECT SUM(n_tokens) AS total_tokens, count(*) AS n_sources
+        FROM per_source
+    ), rates AS (
+        SELECT source, n_docs, n_tokens,
+               least(1.0, (CAST(total_tokens AS DOUBLE) / n_sources)
+                          / CAST(n_tokens AS DOUBLE)) AS keep_prob
+        FROM per_source, totals
+    ), kept AS (
+        SELECT d.source, count(*) AS n_kept, SUM(d.n_toks) AS kept_tokens
+        FROM docs d JOIN rates r USING (source)
+        WHERE CAST(concat('0x', substr(md5(concat('mix|',
+                  CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000
+              < r.keep_prob * 10000.0
+        GROUP BY d.source
+    )
+    SELECT r.source, r.n_docs, r.n_tokens,
+           {_round('r.keep_prob', 6)} AS keep_prob,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(k.kept_tokens, 0) AS kept_tokens
+    FROM rates r LEFT JOIN kept k USING (source)
+    ORDER BY r.source
+"""
+
+from .queries_ext import EMB_SIM_THRESHOLD  # noqa: E402
+
+
+def _semantic_dedup_oracle(
+    n_seeds: int = 8, n_iters: int = 2, dim: int = 64
+) -> str:
+    """Generated oracle for ``semantic_dedup_kmeans``: the same unrolled
+    Lloyd rounds as ``_kmeans_ivf_oracle`` (identical assignment tie
+    rules and fixed-point centroid means), then within-cell pairwise
+    cosine above the shared threshold."""
+
+    def assign(cte_c: str, name: str) -> str:
+        return f"""{name} AS (
+            SELECT vec_id, cell FROM (
+                SELECT vn.vec_id, c.cell,
+                       row_number() OVER (PARTITION BY vn.vec_id
+                           ORDER BY {_dot('vn.e', 'c.ce')}
+                               / (sqrt(vn.norm2) * sqrt(c.cn)) DESC,
+                               c.cell) AS rn
+                FROM vn, {cte_c} c
+            ) WHERE rn = 1
+        )"""
+
+    def means(a_cte: str, m_name: str, c_name: str) -> str:
+        sums = ",\n                   ".join(
+            f"SUM(CAST(FLOOR(vn.e[{i + 1}] * {_SCALE}) AS DECIMAL(38,0)))"
+            f" AS s{i}"
+            for i in range(dim)
+        )
+        comps = ", ".join(
+            f"CAST(s{i} AS DOUBLE) / {_SCALE} / n" for i in range(dim)
+        )
+        return f"""{m_name} AS (
+            SELECT a.cell, COUNT(*) AS n,
+                   {sums}
+            FROM vn JOIN {a_cte} a USING (vec_id) GROUP BY a.cell
+        ), {c_name}_raw AS (
+            SELECT cell, list_value({comps}) AS ce FROM {m_name}
+        ), {c_name} AS (
+            SELECT cell, ce, {_dot('ce', 'ce')} AS cn FROM {c_name}_raw
+        )"""
+
+    rounds = []
+    prev = "c0"
+    for r in range(1, n_iters + 1):
+        rounds.append(assign(prev, f"a{r}"))
+        rounds.append(means(f"a{r}", f"m{r}", f"c{r}"))
+        prev = f"c{r}"
+    body = ",\n        ".join(rounds)
+    return f"""
+        WITH {_VECTOR_CTE.strip()}, c0 AS (
+            SELECT vec_id AS cell, e AS ce, norm2 AS cn
+            FROM vn WHERE vec_id < {n_seeds}
+        ),
+        {body},
+        {assign(prev, 'cells')},
+        vc AS (
+            SELECT vn.vec_id, vn.e, vn.norm2, c.cell
+            FROM vn JOIN cells c USING (vec_id)
+        ), pairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell,
+                   {_dot('a.e', 'b.e')} / (sqrt(a.norm2) * sqrt(b.norm2))
+                       AS cos_raw
+            FROM vc a JOIN vc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, cell,
+               {_round('cos_raw', 6)} AS cosine
+        FROM pairs
+        WHERE cos_raw >= {EMB_SIM_THRESHOLD!r}
+        ORDER BY vec_a, vec_b
+    """
+
+
+EXT_ORACLES["semantic_dedup_kmeans"] = _semantic_dedup_oracle()

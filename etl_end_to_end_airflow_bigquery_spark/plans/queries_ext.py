@@ -1172,3 +1172,124 @@ def curated_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT_QUERIES["curated_corpus_v3"] = curated_corpus_v3
+
+
+def mix_sources_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source mixing — re-weight a multi-source corpus to an equal
+    per-source token budget (the data-mixology step of a training run:
+    target proportions per source, realized by deterministic hash
+    sampling, so the mix is reproducible on any rebuild).
+
+    keep_prob(source) = min(1, target_tokens / source_tokens) with
+    target = total/n_sources; a doc survives iff its md5 bucket falls
+    under keep_prob — the same engine-portable bucket primitive as
+    hash_sample. Plan: one grouped pass for per-source token totals, a
+    1-row scalar broadcast of (total, n_sources), and a row-local
+    bucket test — the doc-level pass shuffles once on source for the
+    kept-count rollup.
+    """
+    from ..operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count().alias("n_toks")
+    )
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+    )
+    totals = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    rates = per_source.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.least(
+            F.lit(1.0),
+            (
+                F.col("total_tokens").cast("double") / F.col("n_sources")
+            )
+            / F.col("n_tokens").cast("double"),
+        ).alias("__keep_prob"),
+    ).localCheckpoint(eager=False)  # bounded: one row per source; feeds
+    # both the doc-level filter and the output join — pinning it stops
+    # the per-source aggregation subtree running twice
+    kept = (
+        docs.join(F.broadcast(rates.select("source", "__keep_prob")), "source")
+        .filter(
+            hash_bucket("doc_id", salt="mix")
+            < F.col("__keep_prob") * 10000.0
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_toks").alias("kept_tokens"),
+        )
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            round_half_up(F.col("__keep_prob"), 6).alias("keep_prob"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+EXT_QUERIES["mix_sources_tokens"] = mix_sources_tokens
+
+
+def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: cluster the
+    embeddings with the deterministic Lloyd quantizer, then compare
+    pairs ONLY within a cluster (cosine ≥ EMB_SIM_THRESHOLD, a < b).
+    The k-means twin of ``embedding_near_dups`` (which buckets by LSH):
+    candidate generation cost is Σ|cell|² instead of n², and the
+    cluster structure is the one the IVF index already maintains.
+
+    Scale: one self-join keyed on the bounded cell id; within-cell
+    pairing is quadratic in cell size only (the quantizer's balance is
+    the tuning knob, same as every SemDeDup deployment)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells, _ = S.ivf_cells_kmeans(emb)
+    v = S._vectors(emb).join(cells, "vec_id")
+    a = v.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("ea"),
+        F.col("norm2").alias("na"),
+        "cell",
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+        F.col("norm2").alias("nb"),
+        "cell",
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            "cell",
+            (
+                F.expr(S.dot_fold("ea", "eb"))
+                / (F.sqrt("na") * F.sqrt("nb"))
+            ).alias("__cos"),
+        )
+        .filter(F.col("__cos") >= EMB_SIM_THRESHOLD)
+    )
+    return pairs.select(
+        "vec_a",
+        "vec_b",
+        "cell",
+        round_half_up(F.col("__cos"), 6).alias("cosine"),
+    ).orderBy("vec_a", "vec_b")
+
+
+EXT_QUERIES["semantic_dedup_kmeans"] = semantic_dedup_kmeans

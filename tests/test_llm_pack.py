@@ -229,3 +229,40 @@ def test_duplicate_spans_flags_planted_boilerplate(spark):
     assert got[1].n_shared_spans == 3
     assert got[2].n_shared_spans == 0
     assert 0 < got[0].shared_frac < 1
+
+
+def test_mix_sources_hits_token_budget(spark):
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_ext import (
+        mix_sources_tokens,
+    )
+
+    rows = mix_sources_tokens(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    total = sum(r.n_tokens for r in rows)
+    target = total / len(rows)
+    for r in rows:
+        assert 0.0 < r.keep_prob <= 1.0
+        assert r.n_kept <= r.n_docs
+        assert r.kept_tokens <= r.n_tokens
+        if r.keep_prob == 1.0:  # under-budget source: keep everything
+            assert (r.n_kept, r.kept_tokens) == (r.n_docs, r.n_tokens)
+        else:  # sampled source: realized tokens near the uniform target
+            # (25 docs/source at sf0.01 → real sampling noise; a tiny
+            # source can even keep everything at keep_prob 0.97)
+            assert abs(r.kept_tokens - target) / target < 0.75
+
+
+def test_semantic_dedup_pairs_well_formed(spark):
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_ext import (
+        EMB_SIM_THRESHOLD,
+        semantic_dedup_kmeans,
+    )
+
+    rows = semantic_dedup_kmeans(spark, "/root/testdata/sf0.01").collect()
+    assert rows  # threshold is calibrated to produce real survivors
+    seen = set()
+    for r in rows:
+        assert r.vec_a < r.vec_b
+        assert r.cosine >= round(EMB_SIM_THRESHOLD, 6)
+        assert (r.vec_a, r.vec_b) not in seen
+        seen.add((r.vec_a, r.vec_b))

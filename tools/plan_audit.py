@@ -59,6 +59,8 @@ BNLJ_OK = {
     "bm25_retrieval",  # 1-row (N, avgdl) corpus-stats scalar broadcast
     "unigram_logprob_docs",  # 1-row (T, V) LM-normalizer scalar broadcast
     "curated_corpus_v3",  # same 1-row LM-normalizer broadcast as unigram
+    "mix_sources_tokens",  # 1-row (total, n_sources) scalar broadcast
+    "semantic_dedup_kmeans",  # K-centroid broadcast per Lloyd round
 }
 
 # Structurally-high exchange counts with a justification.
@@ -94,6 +96,13 @@ EXCHANGES_OK = {
     # under 6 exchanges alone) + the dedup window; fixed pipeline
     # depth, not data-size amplification.
     "curated_corpus_v3",
+    # fixed-depth Lloyd quantizer (exempted above as ivf_topk_kmeans)
+    # + one cell-keyed self-join; exchanges scale with the constant
+    # iteration count.
+    "semantic_dedup_kmeans",
+    # two inherent corpus passes (per-source totals, then the bucket
+    # cut) + the bounded checkpointed rates table; fixed depth.
+    "mix_sources_tokens",
 }
 
 
