@@ -78,10 +78,12 @@ BENCH_QUERIES = [
     "decontaminate_ngrams",
     "tfidf_top_terms",
     "repetition_ratio_docs",
-    # round 4 additions: PQ/ADC vector search and the BM25 retrieval
-    # scorer; everything above stays a prefix.
+    # round 4 additions: PQ/ADC vector search, the BM25 retrieval
+    # scorer, and the round-4 curation capstone; everything above stays
+    # a prefix.
     "pq_topk_adc",
     "bm25_retrieval",
+    "curated_corpus_v3",
 ]
 
 N_RUNS = 3
