@@ -685,8 +685,16 @@ def pq_codebooks(
     same bounded-state pattern (and rationale) as ivf_cells_kmeans:
     unrolled Lloyd lineage grows exponentially in n_iters.
     """
-    spark = embeddings.sparkSession
     sv = _subvectors(_vectors(embeddings))
+    return _pq_train(embeddings.sparkSession, sv, n_codes, n_iters)
+
+
+def _pq_train(
+    spark, sv: DataFrame, n_codes: int, n_iters: int
+) -> DataFrame:
+    """The Lloyd loop of :func:`pq_codebooks`, over any prepared
+    subvector frame (vec_id, s, x, xn) — also trains the RESIDUAL
+    sub-quantizers of :func:`ivfpq_topk`."""
     cb = sv.filter(F.col("vec_id") < n_codes).select(
         "s",
         F.col("vec_id").alias("code"),
@@ -776,4 +784,141 @@ def pq_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "approx_dot", "rank")
+    )
+
+
+# --- IVF-PQ: coarse cells + PQ-coded residuals (the FAISS IVFPQ layout) --
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_pred: str = "vec_id < 5",
+    k: int = 3,
+    n_seeds: int = N_IVF_SEEDS,
+    kmeans_iters: int = KMEANS_ITERS,
+    n_codes: int = PQ_K,
+    pq_iters: int = PQ_ITERS,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-PQ approximate top-k by inner product: the canonical
+    100 TB vector index (Jégou et al. 2011; the FAISS ``IVFPQ``
+    layout). The coarse Lloyd quantizer partitions the corpus into
+    cells; each vector stores only its cell id + M sub-codes of its
+    RESIDUAL (x − centroid); search probes the ``nprobe`` nearest
+    cells and scores candidates as q·x ≈ q·c + Σₛ LUT[s, code_s],
+    where the lookup table holds exact dots of the query's per-cell
+    residual against the residual codebook.
+
+    Decomposition is exact: q·x = q·c + q·r with r = x − c, and the
+    only approximation is r → its codeword — the standard IVFPQ error
+    model. Every arithmetic step (centroid means, residual subtract,
+    dots, the ADC sum) is the engine-exact fixed-point machinery the
+    component operators already gate, so the full index hash-matches
+    the DuckDB oracle.
+
+    Scale: the stored index is cell id + M codes per vector (here
+    8 + 32 bytes vs 256 B of floats); search touches only the probed
+    cells' code rows, the LUT is Q·nprobe·M·K rows (bounded —
+    broadcast), and the score aggregation partial-aggregates to
+    ≤ |probed candidates| rows before its exchange.
+    """
+    if nprobe < 1 or nprobe > n_seeds:
+        raise ValueError("nprobe must be in 1..n_seeds")
+    spark = embeddings.sparkSession
+    v = _vectors(embeddings)
+    cells, cents = ivf_cells_kmeans(embeddings, n_seeds, kmeans_iters)
+
+    # residual frame: r = x − centroid(cell), re-keyed as the 'e' column
+    # so the PQ subvector machinery applies unchanged
+    member = v.join(cells, "vec_id").join(F.broadcast(cents), "cell")
+    res = member.select(
+        "vec_id",
+        F.expr("zip_with(e, ce, (a, b) -> a - b)").alias("e"),
+    )
+    rsv = _subvectors(res)
+    cb = _pq_train(spark, rsv, n_codes, pq_iters)
+    codes = _assign_codes(rsv, cb).join(cells, "vec_id")
+
+    # probe ranking: nprobe nearest centroids per query by cosine
+    # (identical to ivf_topk_kmeans's probe stage)
+    q = v.filter(query_pred).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.col("norm2").alias("qn"),
+    )
+    qs = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "q_id",
+            "qe",
+            "cell",
+            (
+                F.expr(dot_fold("qe", "ce")) / (F.sqrt("qn") * F.sqrt("cn"))
+            ).alias("cos_to_seed"),
+        )
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("cos_to_seed").desc(), F.col("cell")
+    )
+    qp = (
+        qs.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("q_id", "qe", "cell")
+    )
+
+    # per probed cell: the q·c term and the query residual's subvectors
+    qr = qp.join(F.broadcast(cents), "cell").select(
+        "q_id",
+        "cell",
+        F.expr(dot_fold("qe", "ce")).alias("qdotc"),
+        F.expr("zip_with(qe, ce, (a, b) -> a - b)").alias("e"),
+    )
+    slices = F.array(
+        *[
+            F.slice(F.col("e"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+            for s in range(PQ_M)
+        ]
+    )
+    qsv = qr.select(
+        "q_id", "cell", "qdotc", F.posexplode(slices).alias("s", "qx")
+    )
+    lut = qsv.join(F.broadcast(cb), "s").select(
+        "q_id", "cell", "qdotc", "s", "code",
+        F.expr(dot_fold("qx", "ce")).alias("val"),
+    )
+
+    scored = (
+        codes.join(F.broadcast(lut), ["cell", "s", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id", "cell")
+        .agg(
+            F.max("qdotc").alias("__qdotc"),  # constant within the group
+            (
+                F.sum(
+                    F.floor(F.col("val") * F.lit(float(ADC_SCALE)) + 0.5)
+                ).cast("double")
+                / F.lit(float(ADC_SCALE))
+            ).alias("__adc"),
+        )
+        .select(
+            "q_id",
+            "vec_id",
+            "cell",
+            (F.col("__qdotc") + F.col("__adc")).alias("approx_ip"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("approx_ip").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            "approx_ip",
+            "rank",
+        )
     )

@@ -1444,3 +1444,177 @@ def _semantic_dedup_oracle(
 
 
 EXT_ORACLES["semantic_dedup_kmeans"] = _semantic_dedup_oracle()
+
+
+def _ivfpq_oracle(
+    n_seeds: int = 8,
+    kmeans_iters: int = 2,
+    dim: int = 64,
+    m: int = 32,
+    subdim: int = 2,
+    n_codes: int = 32,
+    pq_iters: int = 1,
+    nprobe: int = 2,
+) -> str:
+    """Generated oracle for ``ivfpq_topk_adc``: the kmeans-cell rounds
+    (as in ``_kmeans_ivf_oracle``), residual computation against the
+    final centroids, the residual PQ rounds (as in ``_pq_oracle``), and
+    ADC probe scoring q·c + Σ LUT — every stage the same fixed-point
+    arithmetic and pinned tie rules as the Spark side."""
+
+    def kassign(cte_c: str, name: str) -> str:
+        return f"""{name} AS (
+            SELECT vec_id, cell FROM (
+                SELECT vn.vec_id, c.cell,
+                       row_number() OVER (PARTITION BY vn.vec_id
+                           ORDER BY {_dot('vn.e', 'c.ce')}
+                               / (sqrt(vn.norm2) * sqrt(c.cn)) DESC,
+                               c.cell) AS rn
+                FROM vn, {cte_c} c
+            ) WHERE rn = 1
+        )"""
+
+    def kmeans(a_cte: str, m_name: str, c_name: str) -> str:
+        sums = ",\n                   ".join(
+            f"SUM(CAST(FLOOR(vn.e[{i + 1}] * {_SCALE}) AS DECIMAL(38,0)))"
+            f" AS s{i}"
+            for i in range(dim)
+        )
+        comps = ", ".join(
+            f"CAST(s{i} AS DOUBLE) / {_SCALE} / n" for i in range(dim)
+        )
+        return f"""{m_name} AS (
+            SELECT a.cell, COUNT(*) AS n,
+                   {sums}
+            FROM vn JOIN {a_cte} a USING (vec_id) GROUP BY a.cell
+        ), {c_name}_raw AS (
+            SELECT cell, list_value({comps}) AS ce FROM {m_name}
+        ), {c_name} AS (
+            SELECT cell, ce, {_dot('ce', 'ce')} AS cn FROM {c_name}_raw
+        )"""
+
+    def passign(cb: str, name: str) -> str:
+        return f"""{name} AS (
+            SELECT vec_id, s, code FROM (
+                SELECT rsvn.vec_id, rsvn.s, c.code,
+                       row_number() OVER (PARTITION BY rsvn.vec_id, rsvn.s
+                           ORDER BY rsvn.xn - 2.0 * {_dot('rsvn.x', 'c.ce')}
+                               + c.cn, c.code) AS rn
+                FROM rsvn JOIN {cb} c ON rsvn.s = c.s
+            ) WHERE rn = 1
+        )"""
+
+    def pmeans(a_cte: str, m_name: str, c_name: str) -> str:
+        sums = ",\n                   ".join(
+            f"SUM(CAST(FLOOR(rsvn.x[{i + 1}] * {_SCALE}) AS DECIMAL(38,0)))"
+            f" AS s{i}"
+            for i in range(subdim)
+        )
+        comps = ", ".join(
+            f"CAST(s{i} AS DOUBLE) / {_SCALE} / n" for i in range(subdim)
+        )
+        return f"""{m_name} AS (
+            SELECT a.s, a.code, COUNT(*) AS n,
+                   {sums}
+            FROM rsvn JOIN {a_cte} a USING (vec_id, s)
+            GROUP BY a.s, a.code
+        ), {c_name}_raw AS (
+            SELECT s, code, list_value({comps}) AS ce FROM {m_name}
+        ), {c_name} AS (
+            SELECT s, code, ce, {_dot('ce', 'ce')} AS cn FROM {c_name}_raw
+        )"""
+
+    krounds = []
+    kprev = "c0"
+    for r in range(1, kmeans_iters + 1):
+        krounds.append(kassign(kprev, f"a{r}"))
+        krounds.append(kmeans(f"a{r}", f"m{r}", f"c{r}"))
+        kprev = f"c{r}"
+    prounds = []
+    pprev = "pcb0"
+    for r in range(1, pq_iters + 1):
+        prounds.append(passign(pprev, f"pa{r}"))
+        prounds.append(pmeans(f"pa{r}", f"pm{r}", f"pcb{r}"))
+        pprev = f"pcb{r}"
+    kbody = ",\n        ".join(krounds)
+    pbody = ",\n        ".join(prounds)
+    sub = f"(SELECT unnest(range(0, {m})) AS s)"
+    residual = f"list_transform(range(1, {dim} + 1), i -> "
+    adc = "1000000000.0"
+    return f"""
+        WITH {_VECTOR_CTE.strip()}, c0 AS (
+            SELECT vec_id AS cell, e AS ce, norm2 AS cn
+            FROM vn WHERE vec_id < {n_seeds}
+        ),
+        {kbody},
+        {kassign(kprev, 'cells')},
+        resv AS (
+            SELECT vn.vec_id, cl.cell,
+                   {residual}vn.e[i] - c.ce[i]) AS e
+            FROM vn
+            JOIN cells cl USING (vec_id)
+            JOIN {kprev} c ON cl.cell = c.cell
+        ), rsv AS (
+            SELECT vec_id, ss.s AS s,
+                   list_slice(e, ss.s * {subdim} + 1,
+                              ss.s * {subdim} + {subdim}) AS x
+            FROM resv, {sub} ss
+        ), rsvn AS (
+            SELECT vec_id, s, x, {_dot('x', 'x')} AS xn FROM rsv
+        ), pcb0 AS (
+            SELECT s, vec_id AS code, x AS ce, xn AS cn
+            FROM rsvn WHERE vec_id < {n_codes}
+        ),
+        {pbody},
+        {passign(pprev, 'codes')},
+        kc AS (
+            SELECT k.vec_id, k.s, k.code, cl.cell
+            FROM codes k JOIN cells cl USING (vec_id)
+        ), qp AS (
+            SELECT q_id, qe, cell FROM (
+                SELECT vn.vec_id AS q_id, vn.e AS qe, c.cell,
+                       row_number() OVER (PARTITION BY vn.vec_id
+                           ORDER BY {_dot('vn.e', 'c.ce')}
+                               / (sqrt(vn.norm2) * sqrt(c.cn)) DESC,
+                               c.cell) AS rn
+                FROM vn, {kprev} c WHERE {ANN_QUERY_PRED}
+            ) WHERE rn <= {nprobe}
+        ), qr AS (
+            SELECT qp.q_id, qp.cell,
+                   {_dot('qp.qe', 'c.ce')} AS qdotc,
+                   {residual}qp.qe[i] - c.ce[i]) AS e
+            FROM qp JOIN {kprev} c USING (cell)
+        ), qsv AS (
+            SELECT q_id, cell, qdotc, ss.s AS s,
+                   list_slice(e, ss.s * {subdim} + 1,
+                              ss.s * {subdim} + {subdim}) AS qx
+            FROM qr, {sub} ss
+        ), lut AS (
+            SELECT q.q_id, q.cell, q.qdotc, c.s, c.code,
+                   {_dot('q.qx', 'c.ce')} AS val
+            FROM qsv q JOIN {pprev} c ON q.s = c.s
+        ), scored AS (
+            SELECT l.q_id, kc.vec_id, kc.cell,
+                   MAX(l.qdotc)
+                   + CAST(SUM(CAST(FLOOR(l.val * {adc} + 0.5) AS BIGINT))
+                          AS DOUBLE) / {adc} AS approx
+            FROM kc
+            JOIN lut l ON kc.cell = l.cell AND kc.s = l.s
+                      AND kc.code = l.code
+            WHERE kc.vec_id <> l.q_id
+            GROUP BY l.q_id, kc.vec_id, kc.cell
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY approx DESC, vec_id) AS rnk
+            FROM scored
+        )
+        SELECT q_id, vec_id AS neighbor_id, cell,
+               {_round('approx', 6)} AS approx_ip,
+               CAST(rnk AS BIGINT) AS rank
+        FROM ranked
+        WHERE rnk <= {ANN_K}
+        ORDER BY q_id, rnk
+    """
+
+
+EXT_ORACLES["ivfpq_topk_adc"] = _ivfpq_oracle()

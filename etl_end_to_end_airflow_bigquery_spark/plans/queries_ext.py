@@ -1293,3 +1293,21 @@ def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT_QUERIES["semantic_dedup_kmeans"] = semantic_dedup_kmeans
+
+
+def ivfpq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: coarse k-means cells + PQ-coded residuals + ADC probe
+    search — the canonical production vector index (FAISS IVFPQ
+    layout). See operators.similarity.ivfpq_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.ivfpq_topk(emb, query_pred=ANN_QUERY_PRED, k=ANN_K)
+    return out.select(
+        "q_id",
+        "neighbor_id",
+        "cell",
+        round_half_up(F.col("approx_ip"), 6).alias("approx_ip"),
+        "rank",
+    ).orderBy("q_id", "rank")
+
+
+EXT_QUERIES["ivfpq_topk_adc"] = ivfpq_topk_adc

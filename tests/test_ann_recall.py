@@ -246,3 +246,26 @@ def test_pq_codebook_shape_and_code_range(spark, clustered):
     codes = S._assign_codes(S._subvectors(S._vectors(clustered)), cb)
     n = clustered.count()
     assert codes.count() == n * S.PQ_M  # every vector fully encoded
+
+
+def test_ivfpq_recall_on_clustered(spark, clustered, cluster_truth):
+    """IVF-PQ on planted clusters: the probed cells contain the true
+    cluster siblings and residual quantization error is small relative
+    to inter-cluster gaps."""
+    approx = _neighbors(S.ivfpq_topk(clustered, query_pred=PRED, k=K))
+    rec = _recall(approx, cluster_truth)
+    assert rec >= 0.6, f"IVF-PQ recall@{K} on clusters = {rec:.3f} < 0.6"
+
+
+def test_ivfpq_well_formed_on_random_corpus(spark):
+    from etl_end_to_end_airflow_bigquery_spark.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = S.ivfpq_topk(emb, query_pred="vec_id < 5", k=3).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, []).append(r)
+        assert r.neighbor_id != r.q_id
+    assert set(per_q) == set(range(5))
+    for q, rs in per_q.items():
+        assert [r.rank for r in sorted(rs, key=lambda r: r.rank)] == [1, 2, 3]

@@ -61,6 +61,7 @@ BNLJ_OK = {
     "curated_corpus_v3",  # same 1-row LM-normalizer broadcast as unigram
     "mix_sources_tokens",  # 1-row (total, n_sources) scalar broadcast
     "semantic_dedup_kmeans",  # K-centroid broadcast per Lloyd round
+    "ivfpq_topk_adc",  # K-centroid + M*K-codebook broadcasts + probe rank
 }
 
 # Structurally-high exchange counts with a justification.
@@ -103,6 +104,10 @@ EXCHANGES_OK = {
     # two inherent corpus passes (per-source totals, then the bucket
     # cut) + the bounded checkpointed rates table; fixed depth.
     "mix_sources_tokens",
+    # coarse quantizer (exempted as ivf_topk_kmeans) + residual PQ
+    # round + ADC aggregation; exchanges scale with the constant
+    # iteration counts, never with data size.
+    "ivfpq_topk_adc",
 }
 
 
