@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "pq_topk_adc",
     "bm25_retrieval",
     "curated_corpus_v3",
+    "ivfpq_topk_adc",
 ]
 
 N_RUNS = 3
