@@ -922,3 +922,148 @@ def ivfpq_topk(
             "rank",
         )
     )
+
+
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_seeds: int = N_IVF_SEEDS,
+    kmeans_iters: int = KMEANS_ITERS,
+    n_codes: int = PQ_K,
+    pq_iters: int = PQ_ITERS,
+) -> None:
+    """Materialize the IVF-PQ index: train once, search many — the
+    production shape (ivfpq_topk rebuilds per call, which is the right
+    thing for an oracle-gated query but not for a serving path).
+
+    Layout under ``path``:
+      centroids/   (cell, ce, cn)            — K rows
+      codebooks/   (s, code, ce, cn)         — M·K rows
+      codes/       cell=<c>/ (vec_id, s, code) — PARTITIONED BY cell,
+                   so a search's probed cells prune to their own leaf
+                   dirs at planning time: at 100 TB an nprobe=2 search
+                   reads 2/K of the code table and nothing else.
+
+    Doubles round-trip parquet bit-exactly, so a search over the stored
+    index returns byte-identical results to the in-line operator
+    (asserted in tests).
+    """
+    spark = embeddings.sparkSession
+    v = _vectors(embeddings)
+    cells, cents = ivf_cells_kmeans(embeddings, n_seeds, kmeans_iters)
+    member = v.join(cells, "vec_id").join(F.broadcast(cents), "cell")
+    res = member.select(
+        "vec_id", F.expr("zip_with(e, ce, (a, b) -> a - b)").alias("e")
+    )
+    rsv = _subvectors(res)
+    cb = _pq_train(spark, rsv, n_codes, pq_iters)
+    codes = _assign_codes(rsv, cb).join(cells, "vec_id")
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    cb.write.mode("overwrite").parquet(f"{path}/codebooks")
+    codes.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/codes"
+    )
+
+
+def search_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    embeddings: DataFrame,
+    query_pred: str = "vec_id < 5",
+    k: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """ADC probe search over a stored IVF-PQ index (build_ivfpq_index).
+
+    The centroid and codebook tables are bounded → broadcast; the code
+    table is read WITH the probed-cell predicate, which Spark turns
+    into partition pruning on the ``cell=`` leaf dirs — the scan
+    touches nprobe/K of the index. Arithmetic is identical to
+    ivfpq_topk, so results match the in-line operator exactly.
+    """
+    cents = spark.read.parquet(f"{path}/centroids")
+    cb = spark.read.parquet(f"{path}/codebooks")
+    codes = spark.read.parquet(f"{path}/codes")
+
+    v = _vectors(embeddings)
+    q = v.filter(query_pred).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.col("norm2").alias("qn"),
+    )
+    qs = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "q_id",
+            "qe",
+            "cell",
+            (
+                F.expr(dot_fold("qe", "ce")) / (F.sqrt("qn") * F.sqrt("cn"))
+            ).alias("cos_to_seed"),
+        )
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("cos_to_seed").desc(), F.col("cell")
+    )
+    qp = (
+        qs.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("q_id", "qe", "cell")
+    )
+    qr = qp.join(F.broadcast(cents), "cell").select(
+        "q_id",
+        "cell",
+        F.expr(dot_fold("qe", "ce")).alias("qdotc"),
+        F.expr("zip_with(qe, ce, (a, b) -> a - b)").alias("e"),
+    )
+    slices = F.array(
+        *[
+            F.slice(F.col("e"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+            for s in range(PQ_M)
+        ]
+    )
+    qsv = qr.select(
+        "q_id", "cell", "qdotc", F.posexplode(slices).alias("s", "qx")
+    )
+    lut = qsv.join(F.broadcast(cb), "s").select(
+        "q_id", "cell", "qdotc", "s", "code",
+        F.expr(dot_fold("qx", "ce")).alias("val"),
+    )
+    # probed-cell predicate reaches the partitioned scan (pruned leaves)
+    probed = [r.cell for r in qp.select("cell").distinct().collect()]
+    scored = (
+        codes.filter(F.col("cell").isin(probed))
+        .join(F.broadcast(lut), ["cell", "s", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id", "cell")
+        .agg(
+            F.max("qdotc").alias("__qdotc"),
+            (
+                F.sum(
+                    F.floor(F.col("val") * F.lit(float(ADC_SCALE)) + 0.5)
+                ).cast("double")
+                / F.lit(float(ADC_SCALE))
+            ).alias("__adc"),
+        )
+        .select(
+            "q_id",
+            "vec_id",
+            "cell",
+            (F.col("__qdotc") + F.col("__adc")).alias("approx_ip"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("approx_ip").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            "approx_ip",
+            "rank",
+        )
+    )

@@ -269,3 +269,22 @@ def test_ivfpq_well_formed_on_random_corpus(spark):
     assert set(per_q) == set(range(5))
     for q, rs in per_q.items():
         assert [r.rank for r in sorted(rs, key=lambda r: r.rank)] == [1, 2, 3]
+
+
+def test_ivfpq_index_persist_matches_inline(spark, tmp_path):
+    """Stored-index search == in-line operator, byte for byte — and the
+    probed-cell read prunes to the cell= partition leaves."""
+    from etl_end_to_end_airflow_bigquery_spark.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "ivfpq")
+    S.build_ivfpq_index(emb, idx)
+
+    inline = sorted(map(tuple, S.ivfpq_topk(emb, "vec_id < 5", 3).collect()))
+    stored_df = S.search_ivfpq_index(spark, idx, emb, "vec_id < 5", 3)
+    stored = sorted(map(tuple, stored_df.collect()))
+    assert inline == stored
+
+    plan = stored_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:80]
