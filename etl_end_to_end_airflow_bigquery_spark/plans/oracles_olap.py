@@ -401,6 +401,26 @@ OLAP_ORACLES: dict[str, str] = {
         FROM t
         ORDER BY doc_id
     """,
+    "map_function_pack": """
+        WITH t AS (
+            SELECT doc_id, list_distinct(string_split(text, ' ')) AS dk
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(dk) AS BIGINT) AS n_keys,
+               list_sort(dk)[1] AS first_key,
+               CAST(len(list_sort(dk)[1]) AS BIGINT) AS first_key_len,
+               CAST(len(list_filter(dk, x -> len(x) > 4)) AS BIGINT)
+                   AS n_long_keys,
+               CAST(list_sum(list_transform(dk, x -> len(x))) AS BIGINT)
+                   AS sum_lens,
+               CAST(list_sum(list_transform(dk, x -> len(x) * len(x)))
+                    AS BIGINT) AS sum_sq_lens,
+               list_contains(dk, 'the') AS has_the,
+               CAST(len(dk) + 1 AS BIGINT) AS n_keys_plus_one
+        FROM t
+        ORDER BY doc_id
+    """,
     "incremental_daily_state": f"""
         SELECT CAST(ts AS DATE) AS report_date,
                event_type,

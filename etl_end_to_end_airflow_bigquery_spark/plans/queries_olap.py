@@ -1084,3 +1084,49 @@ def bitwise_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 OLAP_QUERIES["regex_string_pack"] = regex_string_pack
 OLAP_QUERIES["bitwise_function_pack"] = bitwise_function_pack
+
+
+def map_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed function surface: build a token→length map per document
+    (map_from_arrays over the distinct tokens) and exercise
+    map_keys/map_values, element_at, map_filter, transform_values,
+    map_contains_key, map_concat — all JVM-side lambdas in one
+    projection, zero shuffle. The oracle computes the same SCALARS via
+    DuckDB list functions (map results never cross engines — only the
+    derived values do, sidestepping map-ordering divergence)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.expr("array_distinct(split(text, ' '))").alias("dk"),
+    ).select(
+        "doc_id",
+        "dk",
+        F.expr("map_from_arrays(dk, transform(dk, x -> length(x)))").alias(
+            "m"
+        ),
+    )
+    return t.select(
+        "doc_id",
+        F.expr("size(m)").cast("bigint").alias("n_keys"),
+        F.expr("element_at(array_sort(map_keys(m)), 1)").alias("first_key"),
+        F.expr("element_at(m, element_at(array_sort(map_keys(m)), 1))")
+        .cast("bigint")
+        .alias("first_key_len"),
+        F.expr("size(map_filter(m, (k, v) -> v > 4))")
+        .cast("bigint")
+        .alias("n_long_keys"),
+        F.expr("aggregate(map_values(m), 0L, (a, v) -> a + v)")
+        .cast("bigint")
+        .alias("sum_lens"),
+        F.expr("aggregate(map_values(transform_values(m, (k, v) -> v * v)),"
+               " 0L, (a, v) -> a + v)")
+        .cast("bigint")
+        .alias("sum_sq_lens"),
+        F.expr("map_contains_key(m, 'the')").alias("has_the"),
+        F.expr("size(map_concat(m, map('__sentinel', -1)))")
+        .cast("bigint")
+        .alias("n_keys_plus_one"),
+    ).orderBy("doc_id")
+
+
+OLAP_QUERIES["map_function_pack"] = map_function_pack
