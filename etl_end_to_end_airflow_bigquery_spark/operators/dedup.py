@@ -344,3 +344,76 @@ def simhash(docs: DataFrame) -> DataFrame:
                                     ELSE cast(0 as bigint) END))
     """
     return docs.select("doc_id", F.expr(fold).alias("simhash"))
+
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 3
+PR_SCALE = 1e12  # fixed-point scale for the per-target contribution sum
+
+
+def pagerank(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    n_iters: int = PAGERANK_ITERS,
+    damping: float = PAGERANK_DAMPING,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected pair list →
+    (node, degree, rank): the centrality of each document inside its
+    near-dup neighborhood (high rank = the hub copy a keep-the-best
+    policy prefers over min-doc-id).
+
+    Same iterative pattern as :func:`connected_components` — each round
+    is one edge-keyed shuffle (contribution = rank/degree along every
+    edge) plus a grouped sum; ``localCheckpoint`` truncates the lineage
+    per round. Undirected graphs have no dangling nodes (every node in
+    the pair list has degree ≥ 1), so the update is exactly
+    r' = (1−d)/N + d·Σ_incoming r/deg. The contribution sum is
+    fixed-point (scaled-int — order- and partitioning-independent), and
+    every constant is evaluated identically in the oracle, so ranks are
+    bit-exact across engines after any number of rounds.
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = e.select(F.col("a").alias("node")).distinct()
+    n = nodes.agg(F.count(F.lit(1)).alias("n"))
+    deg = e.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    ranks = nodes.crossJoin(F.broadcast(n)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    base = F.lit(1.0 - damping) / F.col("n")
+    for _ in range(n_iters):
+        contrib = (
+            e.join(ranks, e.a == ranks.node)
+            .join(deg, ranks.node == deg.node)
+            .select(
+                F.col("b").alias("__to"),
+                (F.col("rank") / F.col("deg")).alias("__c"),
+            )
+        )
+        summed = contrib.groupBy("__to").agg(
+            (
+                F.sum(F.floor(F.col("__c") * F.lit(PR_SCALE) + 0.5)).cast(
+                    "double"
+                )
+                / F.lit(PR_SCALE)
+            ).alias("__sum")
+        )
+        ranks = (
+            summed.crossJoin(F.broadcast(n))
+            .select(
+                F.col("__to").alias("node"),
+                (base + F.lit(damping) * F.col("__sum")).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        ranks.join(deg, "node")
+        .select("node", "deg", "rank")
+    )

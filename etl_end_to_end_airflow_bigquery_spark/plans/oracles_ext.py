@@ -1618,3 +1618,66 @@ def _ivfpq_oracle(
 
 
 EXT_ORACLES["ivfpq_topk_adc"] = _ivfpq_oracle()
+
+from ..operators.dedup import (  # noqa: E402
+    PAGERANK_DAMPING,
+    PAGERANK_ITERS,
+)
+
+
+def _pagerank_oracle(
+    n_iters: int = PAGERANK_ITERS, damping: float = PAGERANK_DAMPING
+) -> str:
+    """Generated oracle for ``pagerank_dedup_graph``: the verified
+    near-dup pair CTE (same as jaccard_near_dups), then the PageRank
+    rounds unrolled — identical constants (repr-exact literals),
+    fixed-point contribution sums, pinned divide order."""
+    base = f"{1.0 - damping!r} / n.n"
+    rounds = []
+    prev = "r0"
+    for i in range(1, n_iters + 1):
+        rounds.append(f"""r{i} AS (
+            SELECT e.b AS node,
+                   {base} + {damping!r} * (
+                       CAST(SUM(CAST(FLOOR(r.rank / d.deg * 1000000000000.0
+                                           + 0.5) AS BIGINT)) AS DOUBLE)
+                       / 1000000000000.0) AS rank
+            FROM e
+            JOIN {prev} r ON e.a = r.node
+            JOIN deg d ON e.a = d.node, n
+            GROUP BY e.b, n.n
+        )""")
+        prev = f"r{i}"
+    body = ",\n        ".join(rounds)
+    return f"""
+        WITH {_PAIRS_CTE}, cand AS (
+            SELECT DISTINCT doc_a, doc_b FROM pairs
+        ), joined AS (
+            SELECT c.doc_a, c.doc_b, sa.shingles AS sh_a, sb.shingles AS sh_b
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b
+        ), nd AS (
+            SELECT doc_a, doc_b FROM joined
+            WHERE ({_JACCARD_EXPR}) >= {NEAR_DUP_JACCARD}
+        ), e AS (
+            SELECT doc_a AS a, doc_b AS b FROM nd
+            UNION
+            SELECT doc_b AS a, doc_a AS b FROM nd
+        ), nodes AS (
+            SELECT DISTINCT a AS node FROM e
+        ), n AS (
+            SELECT count(*) AS n FROM nodes
+        ), deg AS (
+            SELECT a AS node, count(*) AS deg FROM e GROUP BY a
+        ), r0 AS (
+            SELECT node, 1.0 / n.n AS rank FROM nodes, n
+        ),
+        {body}
+        SELECT r.node, d.deg, {_round('r.rank', 9)} AS rank
+        FROM {prev} r JOIN deg d USING (node)
+        ORDER BY r.node
+    """
+
+
+EXT_ORACLES["pagerank_dedup_graph"] = _pagerank_oracle()

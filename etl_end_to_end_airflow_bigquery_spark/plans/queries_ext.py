@@ -1311,3 +1311,24 @@ def ivfpq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT_QUERIES["ivfpq_topk_adc"] = ivfpq_topk_adc
+
+
+def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the verified near-dup graph: rank
+    the hub copy of each duplicate neighborhood (a keep-the-best dedup
+    policy's tiebreaker). Iterative edge-keyed shuffles with exact
+    fixed-point contribution sums — see operators.dedup.pagerank."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_verify(docs).filter(F.col("is_near_dup"))
+    return (
+        D.pagerank(pairs)
+        .select(
+            "node",
+            "deg",
+            round_half_up(F.col("rank"), 9).alias("rank"),
+        )
+        .orderBy("node")
+    )
+
+
+EXT_QUERIES["pagerank_dedup_graph"] = pagerank_dedup_graph

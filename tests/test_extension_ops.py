@@ -232,3 +232,25 @@ class TestUdtf:
         got = [(r.id, r.piece_idx, r.piece) for r in out]
         assert got == [
             (1, 0, "a b"), (1, 1, "c d"), (1, 2, "e"), (2, 0, "x y")]
+
+
+def test_pagerank_laws_on_known_graph(spark):
+    """Star graph: the hub must outrank every leaf; ranks positive; on
+    a regular (complete) graph all ranks equal."""
+    from etl_end_to_end_airflow_bigquery_spark.operators.dedup import pagerank
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "doc_a long, doc_b long"
+    )
+    got = {r.node: r for r in pagerank(star).collect()}
+    assert got[0].deg == 5
+    assert all(got[0].rank > got[i].rank for i in range(1, 6))
+    assert all(r.rank > 0 for r in got.values())
+    leaf_ranks = {round(got[i].rank, 12) for i in range(1, 6)}
+    assert len(leaf_ranks) == 1  # symmetric leaves tie exactly
+
+    tri = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2)], "doc_a long, doc_b long"
+    )
+    ranks = {r.rank for r in pagerank(tri).collect()}
+    assert len(ranks) == 1  # regular graph → uniform stationary ranks
