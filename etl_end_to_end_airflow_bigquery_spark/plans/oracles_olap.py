@@ -421,6 +421,53 @@ OLAP_ORACLES: dict[str, str] = {
         FROM t
         ORDER BY doc_id
     """,
+    "json_function_pack": """
+        WITH doc AS (
+            SELECT event_id,
+                   concat('{"meta": ', props, ', "tags": [',
+                          CAST(event_id % 5 AS STRING), ', ',
+                          CAST(event_id % 7 AS STRING), '], "type": "',
+                          event_type, '"}') AS j
+            FROM events
+        )
+        SELECT event_id,
+               CAST(json_extract_string(j, '$.meta.k') AS BIGINT) AS meta_k,
+               json_extract_string(j, '$.type') AS type_path,
+               CAST(json_array_length(json_extract(j, '$.tags')) AS BIGINT)
+                   AS n_tags,
+               CAST(json_extract_string(j, '$.tags[1]') AS BIGINT)
+                   AS second_tag,
+               CAST(json_extract_string(j, '$.meta.k') AS BIGINT) AS typed_k
+        FROM doc
+        ORDER BY event_id
+    """,
+    "dq_expectations_orders": """
+        SELECT 'duplicate_orderkey' AS check,
+               CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+                   AS n_violations,
+               count(*) AS n_checked
+        FROM orders
+        UNION ALL
+        SELECT 'nonpositive_totalprice',
+               CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               count(*)
+        FROM orders
+        UNION ALL
+        SELECT 'null_custkey',
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               count(*)
+        FROM orders
+        UNION ALL
+        SELECT 'orphan_custkey',
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey)),
+               count(*)
+        FROM orders
+        ORDER BY "check"
+    """,
     "incremental_daily_state": f"""
         SELECT CAST(ts AS DATE) AS report_date,
                event_type,

@@ -1130,3 +1130,87 @@ def map_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 OLAP_QUERIES["map_function_pack"] = map_function_pack
+
+
+def json_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path/array/struct surface: build a nested JSON document
+    deterministically from event columns (both engines concat the same
+    string), then extract through every API — get_json_object paths,
+    json_array_length, and a typed from_json struct access. Row-local,
+    codegen'd; the oracle mirrors with DuckDB's json_extract family."""
+    from ..sources.events import load_events
+
+    ev = load_events(spark, sf_dir)
+    j = F.expr(
+        "concat('{\"meta\": ', props, ', \"tags\": [',"
+        " CAST(event_id % 5 AS STRING), ', ',"
+        " CAST(event_id % 7 AS STRING), '], \"type\": \"',"
+        " event_type, '\"}')"
+    )
+    doc = ev.select("event_id", j.alias("j"))
+    return doc.select(
+        "event_id",
+        F.get_json_object("j", "$.meta.k").cast("bigint").alias("meta_k"),
+        F.get_json_object("j", "$.type").alias("type_path"),
+        F.expr("json_array_length(get_json_object(j, '$.tags'))")
+        .cast("bigint")
+        .alias("n_tags"),
+        F.expr("get_json_object(j, '$.tags[1]')")
+        .cast("bigint")
+        .alias("second_tag"),
+        F.expr(
+            "from_json(j, 'meta struct<k: bigint>, type string').meta.k"
+        ).alias("typed_k"),
+    ).orderBy("event_id")
+
+
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation report over orders — the validation
+    step the reference delegates to BigQuery load-job schema checks,
+    made explicit: null keys, non-positive amounts, duplicate primary
+    keys, and referential orphans vs customer. Each expectation is one
+    aggregate (the orphan check a broadcast anti-join); the report is
+    their 1-row union — bounded output at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    n = F.count(F.lit(1))
+
+    # the three column expectations fold into ONE aggregate pass over
+    # orders (unpivoted via stack); only the referential check needs a
+    # second scan (the anti-join)
+    base = orders.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_custkey"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nonpositive_totalprice"),
+        (n - F.countDistinct("o_orderkey")).cast("bigint").alias(
+            "duplicate_orderkey"
+        ),
+        n.alias("__n"),
+    ).localCheckpoint(eager=False)  # 1 row; reused by three branches
+    melted = base.selectExpr(
+        "stack(3,"
+        " 'duplicate_orderkey', duplicate_orderkey,"
+        " 'nonpositive_totalprice', nonpositive_totalprice,"
+        " 'null_custkey', null_custkey) AS (check, n_violations)",
+        "__n AS n_checked",
+    )
+    orphans = (
+        orders.join(
+            F.broadcast(customer),
+            orders.o_custkey == customer.c_custkey,
+            "left_anti",
+        )
+        .agg(
+            F.lit("orphan_custkey").alias("check"),
+            F.count(F.lit(1)).alias("n_violations"),
+        )
+        .crossJoin(F.broadcast(base.select(F.col("__n").alias("n_checked"))))
+    )
+    return melted.unionByName(orphans).orderBy("check")
+
+
+OLAP_QUERIES["json_function_pack"] = json_function_pack
+OLAP_QUERIES["dq_expectations_orders"] = dq_expectations_orders

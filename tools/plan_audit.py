@@ -62,6 +62,7 @@ BNLJ_OK = {
     "mix_sources_tokens",  # 1-row (total, n_sources) scalar broadcast
     "semantic_dedup_kmeans",  # K-centroid broadcast per Lloyd round
     "ivfpq_topk_adc",  # K-centroid + M*K-codebook broadcasts + probe rank
+    "dq_expectations_orders",  # 1-row totals frame joined to the report
 }
 
 # Structurally-high exchange counts with a justification.
