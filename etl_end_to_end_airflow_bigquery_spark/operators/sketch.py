@@ -1,0 +1,145 @@
+"""Probabilistic sketches, engine-exact: count-min and HyperLogLog.
+
+Sketches are usually treated as "approximate ⇒ unverifiable", but both
+structures here are PURE FUNCTIONS of the data once the hash functions
+are fixed: md5-derived positions/ranks, integer counter sums, and a
+register sum whose terms are exact powers of two (64 terms spanning
+< 53 bits of exponent — IEEE-exact and order-independent). The DuckDB
+oracle rebuilds the identical sketch, so estimates — not just bounds —
+hash-match across engines.
+
+Scale story: a sketch is the canonical 100 TB aggregation shape — the
+full pass reduces map-side to a bounded state (d·w counters / m
+registers) regardless of input size, then merges by + / max, both
+associative. The groupBy plans here partial-aggregate exactly that way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+CMS_DEPTH = 4      # hash rows
+CMS_WIDTH = 256    # counters per row
+HLL_M = 64         # registers
+# alpha(m=64): the standard HLL bias constant 0.7213/(1+1.079/m)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 64.0)
+
+
+def _bucket(col: str, salt: str, mod: int) -> Column:
+    """First 32 md5 bits of 'salt|value' mod ``mod`` (the same portable
+    primitive as sampling.hash_bucket)."""
+    return (
+        F.expr(
+            f"conv(substring(md5(concat('{salt}|', CAST({col} AS STRING))),"
+            " 1, 8), 16, 10)"
+        ).cast("bigint")
+        % mod
+    )
+
+
+def cms_table(
+    items: DataFrame, col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """Count-min sketch of an item column → (r, pos, cnt): depth rows of
+    width counters, each counting the items hashing there. One explode
+    by depth (a constant), one grouped sum — the shuffle carries at most
+    d·w pre-aggregated rows per partition."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"), _bucket(col, f"cms{r}", width).alias("pos")
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        items.select(F.explode(rows).alias("rp"))
+        .groupBy(F.col("rp.r").alias("r"), F.col("rp.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimates(
+    items: DataFrame,
+    col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(item, n_exact, cms_estimate): the min-over-rows point estimate
+    for every distinct item, next to its exact count. The sketch never
+    underestimates (estimate ≥ exact, asserted in tests); collisions
+    show up as overestimates bounded by 2N/width per row."""
+    sketch = cms_table(items, col, depth, width)
+    exact = items.groupBy(col).agg(F.count(F.lit(1)).alias("n_exact"))
+    probes = exact.select(
+        col,
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _bucket(col, f"cms{r}", width).alias("pos"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rp"),
+    ).select(col, "n_exact", F.col("rp.r").alias("r"), F.col("rp.pos").alias("pos"))
+    return (
+        probes.join(F.broadcast(sketch), ["r", "pos"])
+        .groupBy(col, "n_exact")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+
+
+def hll_estimate(
+    items: DataFrame, col: str, group: str, m: int = HLL_M
+) -> DataFrame:
+    """Raw HyperLogLog distinct-count estimate per ``group`` →
+    (group, n_exact, hll_estimate): m max-rank registers from md5 bits,
+    estimate = α·m²/Σ2^−M_j (no small/large-range correction — the raw
+    deterministic estimator, so both engines compute the identical
+    number; n_exact rides along for the error column).
+
+    The register sum's 64 terms are exact powers of two spanning < 53
+    exponent bits, so double addition is exact and order-independent —
+    no fixed-point machinery needed.
+    """
+    reg = _bucket(col, "hllreg", m)
+    # rank: position of the first 1-bit of a 32-bit md5 slice (+1);
+    # an all-zero slice caps at 33. bin() drops leading zeros in both
+    # engines, so rank = 33 - length(bin(x)) for x > 0.
+    rank_src = F.expr(
+        f"conv(substring(md5(concat('hllrank|', CAST({col} AS STRING))),"
+        " 9, 8), 16, 10)"
+    ).cast("bigint")
+    ranked = items.select(
+        group,
+        reg.alias("reg"),
+        F.when(rank_src == 0, F.lit(33))
+        .otherwise(F.lit(33) - F.length(F.expr(
+            f"bin(CAST(conv(substring(md5(concat('hllrank|',"
+            f" CAST({col} AS STRING))), 9, 8), 16, 10) AS BIGINT))"
+        )))
+        .cast("bigint")
+        .alias("rank"),
+    )
+    registers = ranked.groupBy(group, "reg").agg(F.max("rank").alias("mx"))
+    # every group carries m registers conceptually; absent registers
+    # contribute 2^0 = 1 — add (m - present) ones to the sum
+    sums = registers.groupBy(group).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("__s"),
+        F.count(F.lit(1)).alias("__present"),
+    )
+    est = sums.select(
+        group,
+        (
+            F.lit(HLL_ALPHA * m * m)
+            / (F.col("__s") + (F.lit(m) - F.col("__present")))
+        ).alias("hll_estimate"),
+    )
+    exact = items.groupBy(group).agg(
+        F.countDistinct(col).alias("n_exact")
+    )
+    return exact.join(est, group)

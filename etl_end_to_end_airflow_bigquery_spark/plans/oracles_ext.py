@@ -1681,3 +1681,80 @@ def _pagerank_oracle(
 
 
 EXT_ORACLES["pagerank_dedup_graph"] = _pagerank_oracle()
+
+from ..operators.sketch import (  # noqa: E402
+    CMS_DEPTH,
+    CMS_WIDTH,
+    HLL_ALPHA,
+    HLL_M,
+)
+
+_CMS_POS = "CAST(concat('0x', substr(md5(concat('cms{r}|', token)), 1, 8)) AS BIGINT) % " + str(CMS_WIDTH)
+_CMS_ROWS = "\n            UNION ALL\n".join(
+    f"            SELECT token, {r} AS r, "
+    + _CMS_POS.replace("{r}", str(r))
+    + " AS pos FROM toks"
+    for r in range(CMS_DEPTH)
+)
+
+EXT_ORACLES["cms_heavy_hitters"] = f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), rp AS (
+{_CMS_ROWS}
+    ), sketch AS (
+        SELECT r, pos, count(*) AS cnt FROM rp GROUP BY r, pos
+    ), exact AS (
+        SELECT token, count(*) AS n_exact FROM toks GROUP BY token
+    ), probes AS (
+        SELECT DISTINCT e.token, e.n_exact, p.r, p.pos
+        FROM exact e JOIN rp p USING (token)
+    ), est AS (
+        SELECT p.token, p.n_exact, MIN(s.cnt) AS cms_estimate
+        FROM probes p JOIN sketch s USING (r, pos)
+        GROUP BY p.token, p.n_exact
+    )
+    SELECT token, n_exact, cms_estimate
+    FROM est
+    ORDER BY n_exact DESC, token
+    LIMIT 20
+"""
+
+EXT_ORACLES["hll_distinct_users"] = f"""
+    WITH ranked AS (
+        SELECT event_type,
+               CAST(concat('0x', substr(md5(concat('hllreg|',
+                   CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % {HLL_M}
+                   AS reg,
+               CASE WHEN CAST(concat('0x', substr(md5(concat('hllrank|',
+                        CAST(user_id AS VARCHAR))), 9, 8)) AS BIGINT) = 0
+                    THEN 33
+                    ELSE 33 - length(bin(CAST(concat('0x',
+                        substr(md5(concat('hllrank|',
+                        CAST(user_id AS VARCHAR))), 9, 8)) AS BIGINT)))
+               END AS rank
+        FROM events
+    ), registers AS (
+        SELECT event_type, reg, MAX(rank) AS mx
+        FROM ranked GROUP BY event_type, reg
+    ), sums AS (
+        SELECT event_type,
+               SUM(pow(2.0, -mx)) AS s,
+               count(*) AS present
+        FROM registers GROUP BY event_type
+    ), est AS (
+        SELECT event_type,
+               {HLL_ALPHA * HLL_M * HLL_M!r}
+                   / (s + ({HLL_M} - present)) AS hll_estimate
+        FROM sums
+    ), exact AS (
+        SELECT event_type, count(DISTINCT user_id) AS n_exact
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, e.n_exact,
+           {_round('x.hll_estimate', 4)} AS hll_estimate,
+           {_round('(x.hll_estimate - e.n_exact) / CAST(e.n_exact AS DOUBLE)', 4)}
+               AS rel_error
+    FROM exact e JOIN est x USING (event_type)
+    ORDER BY e.event_type
+"""

@@ -1332,3 +1332,51 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT_QUERIES["pagerank_dedup_graph"] = pagerank_dedup_graph
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters: the exact top-20 tokens next to
+    their sketch point estimates — the bounded-state frequency
+    structure a 100 TB pipeline uses when exact per-item counts don't
+    fit (operators.sketch; estimates are deterministic md5 functions of
+    the data, so they hash-match the oracle exactly, not just within
+    error bounds)."""
+    from ..operators.sketch import cms_estimates
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    est = cms_estimates(toks, "token")
+    return (
+        est.orderBy(F.col("n_exact").desc(), F.col("token"))
+        .limit(20)
+        .select("token", "n_exact", "cms_estimate")
+    )
+
+
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw HyperLogLog distinct-user estimate per event type, next to
+    the exact count and relative error — the mergeable bounded-state
+    COUNT(DISTINCT) every 100 TB pipeline replaces the exact shuffle
+    with (operators.sketch; the register sum is IEEE-exact, so the
+    estimate itself cross-checks)."""
+    from ..operators.sketch import hll_estimate
+    from ..sources.events import load_events
+
+    ev = load_events(spark, sf_dir)
+    out = hll_estimate(ev, "user_id", "event_type")
+    return out.select(
+        "event_type",
+        "n_exact",
+        round_half_up(F.col("hll_estimate"), 4).alias("hll_estimate"),
+        round_half_up(
+            (F.col("hll_estimate") - F.col("n_exact"))
+            / F.col("n_exact").cast("double"),
+            4,
+        ).alias("rel_error"),
+    ).orderBy("event_type")
+
+
+EXT_QUERIES["cms_heavy_hitters"] = cms_heavy_hitters
+EXT_QUERIES["hll_distinct_users"] = hll_distinct_users

@@ -109,6 +109,10 @@ EXCHANGES_OK = {
     # round + ADC aggregation; exchanges scale with the constant
     # iteration counts, never with data size.
     "ivfpq_topk_adc",
+    # demo query reports sketch estimate NEXT TO the exact distinct
+    # count: the exact branch's expand+shuffle exists only for the
+    # side-by-side; the sketch itself is two bounded-state aggregates.
+    "hll_distinct_users",
 }
 
 
