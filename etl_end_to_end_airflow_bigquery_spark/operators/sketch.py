@@ -143,3 +143,50 @@ def hll_estimate(
         F.countDistinct(col).alias("n_exact")
     )
     return exact.join(est, group)
+
+
+BLOOM_K = 3        # hash functions
+BLOOM_BITS = 4096  # bitset size (64 longs)
+
+
+def bloom_bitmask(
+    keys: DataFrame, col: str, k: int = BLOOM_K, bits: int = BLOOM_BITS
+) -> list[int]:
+    """Build a Bloom filter over a (small) key set as a list of
+    ``bits/64`` longs — the literal bitmask shape Spark's own runtime
+    bloom-join pushes into scans. The build collects ONLY the distinct
+    bit positions (bounded by ``bits`` rows regardless of key count);
+    the probe side then needs no join at all.
+    """
+    pos_col = F.explode(
+        F.array(*[_bucket(col, f"bloom{i}", bits) for i in range(k)])
+    ).alias("pos")
+    positions = {r.pos for r in keys.select(pos_col).distinct().collect()}
+    words = [0] * (bits // 64)
+    for p in positions:
+        words[p // 64] |= 1 << (p % 64)
+    # Python ints are unbounded; fold to signed 64-bit for LongType
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_probe(
+    col: str, mask: list[int], k: int = BLOOM_K, bits: int = BLOOM_BITS
+) -> Column:
+    """Row-local membership test against a bloom_bitmask: true iff all
+    ``k`` positions are set. Pure bitwise arithmetic on a literal array
+    — codegen'd, zero shuffle, zero join (the semi-join reduction that
+    prunes a 100 TB probe side before the real join)."""
+    arr = "array(" + ", ".join(f"{w}L" for w in mask) + ")"
+    conds = []
+    for i in range(k):
+        pos = (
+            f"(CAST(conv(substring(md5(concat('bloom{i}|',"
+            f" CAST({col} AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            f" % {bits})"
+        )
+        conds.append(
+            f"((shiftright(element_at({arr},"
+            f" CAST({pos} div 64 AS INT) + 1),"
+            f" CAST({pos} % 64 AS INT)) & 1) = 1)"
+        )
+    return F.expr(" AND ".join(conds))

@@ -1758,3 +1758,85 @@ EXT_ORACLES["hll_distinct_users"] = f"""
     FROM exact e JOIN est x USING (event_type)
     ORDER BY e.event_type
 """
+
+from ..operators.sketch import BLOOM_BITS, BLOOM_K  # noqa: E402
+
+_BLOOM_POS = (
+    "(CAST(concat('0x', substr(md5(concat('bloom{i}|',"
+    " CAST({col} AS VARCHAR))), 1, 8)) AS BIGINT) % " + str(BLOOM_BITS) + ")"
+)
+_BSET_UNION = "\n            UNION\n".join(
+    "            SELECT DISTINCT "
+    + _BLOOM_POS.format(i=i, col="c_custkey")
+    + " AS pos FROM keys"
+    for i in range(BLOOM_K)
+)
+_PROBE_PASS = " AND ".join(
+    _BLOOM_POS.format(i=i, col="o.o_custkey") + " IN (SELECT pos FROM bset)"
+    for i in range(BLOOM_K)
+)
+
+EXT_ORACLES["bloom_join_prune"] = f"""
+    WITH keys AS (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), bset AS (
+{_BSET_UNION}
+    ), flagged AS (
+        SELECT o.o_custkey,
+               ({_PROBE_PASS}) AS pass,
+               o.o_custkey IN (SELECT c_custkey FROM keys) AS istrue
+        FROM orders o
+    )
+    SELECT count(*) AS n_orders,
+           CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bloom_pass,
+           CAST(SUM(CASE WHEN istrue THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_match,
+           CAST(SUM(CASE WHEN pass AND NOT istrue THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positive,
+           {_round(
+               "SUM(CASE WHEN pass AND NOT istrue THEN 1 ELSE 0 END)"
+               " / CAST(count(*) - SUM(CASE WHEN istrue THEN 1 ELSE 0 END)"
+               " AS DOUBLE)", 6)} AS fp_rate
+    FROM flagged
+"""
+
+EXT_ORACLES["leakage_safe_split"] = f"""
+    WITH RECURSIVE {_PAIRS_CTE}, cand AS (
+        SELECT DISTINCT doc_a, doc_b FROM pairs
+    ), joined AS (
+        SELECT c.doc_a, c.doc_b, sa.shingles AS sh_a, sb.shingles AS sh_b
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+    ), nd AS (
+        SELECT doc_a, doc_b FROM joined
+        WHERE ({_JACCARD_EXPR}) >= {NEAR_DUP_JACCARD}
+    ), edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM nd
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM nd
+    ), reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), comp AS (
+        SELECT a AS node, least(a, min(b)) AS component
+        FROM reach GROUP BY a
+    ), labeled AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ), bucketed AS (
+        SELECT doc_id, component,
+               CAST(concat('0x', substr(md5(concat('v1|',
+                   CAST(component AS VARCHAR))), 1, 8)) AS BIGINT) % 10000
+                   AS b
+        FROM labeled
+    )
+    SELECT doc_id, component,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM bucketed
+    ORDER BY doc_id
+"""

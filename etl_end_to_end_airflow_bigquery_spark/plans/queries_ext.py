@@ -1380,3 +1380,88 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXT_QUERIES["cms_heavy_hitters"] = cms_heavy_hitters
 EXT_QUERIES["hll_distinct_users"] = hll_distinct_users
+
+
+def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction: build a 4096-bit bitmask over
+    the BUILDING-segment customer keys (bounded — it collects bit
+    POSITIONS, never keys), probe every order row-locally, and report
+    the pruning quality vs the exact semi-join. At 100 TB this is the
+    scan-side filter that keeps non-matching fact rows off the join
+    exchange entirely (the hand-rolled twin of Spark's runtime bloom
+    join, here engine-exact so the oracle can rebuild it)."""
+    from ..operators.sketch import bloom_bitmask, bloom_probe
+
+    cust = load_table(spark, sf_dir, "customer")
+    keys = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey")
+    )
+    mask = bloom_bitmask(keys, "c_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+    flagged = orders.select(
+        "o_custkey",
+        bloom_probe("o_custkey", mask).alias("__pass"),
+    ).join(
+        F.broadcast(keys.withColumn("__true", F.lit(True))),
+        orders.o_custkey == keys.c_custkey,
+        "left",
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("__pass"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bloom_pass"),
+        F.sum(F.when(F.col("__true"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_true_match"),
+        F.sum(
+            F.when(F.col("__pass") & F.col("__true").isNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_false_positive"),
+    ).select(
+        "n_orders",
+        "n_bloom_pass",
+        "n_true_match",
+        "n_false_positive",
+        round_half_up(
+            F.col("n_false_positive")
+            / (F.col("n_orders") - F.col("n_true_match")).cast("double"),
+            6,
+        ).alias("fp_rate"),
+    )
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment that can never leak near-duplicates
+    across splits: documents are keyed by their near-dup COMPONENT (the
+    connected-components label; singletons key by themselves) and the
+    hash split is drawn on the component — every member of a duplicate
+    cluster lands in the same split by construction. The correctness
+    property naive per-doc splitting violates silently.
+    """
+    from ..operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_verify(docs).filter(F.col("is_near_dup"))
+    comp = D.connected_components(pairs)
+    labeled = (
+        docs.select("doc_id")
+        .join(comp, docs.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias(
+                "component"
+            ),
+        )
+    )
+    out = hash_split(
+        labeled,
+        key="component",
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return out.select("doc_id", "component", "split").orderBy("doc_id")
+
+
+EXT_QUERIES["bloom_join_prune"] = bloom_join_prune
+EXT_QUERIES["leakage_safe_split"] = leakage_safe_split

@@ -308,3 +308,39 @@ def test_hll_accuracy_and_merge_by_max(spark):
     half2 = df.filter("uid >= 250")
     (u,) = hll_estimate(half1.union(half2), "uid", "g").collect()
     assert u.hll_estimate == row.hll_estimate
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """The property naive per-doc splitting violates: every near-dup
+    cluster must land in exactly one split."""
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_ext import (
+        leakage_safe_split,
+    )
+
+    rows = leakage_safe_split(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 500
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_comp.values())
+    # all three splits are realized and roughly proportioned
+    sizes = {}
+    for r in rows:
+        sizes[r.split] = sizes.get(r.split, 0) + 1
+    assert set(sizes) == {"train", "val", "test"}
+    assert sizes["train"] > sizes["val"] and sizes["train"] > sizes["test"]
+
+
+def test_bloom_has_no_false_negatives(spark):
+    from etl_end_to_end_airflow_bigquery_spark.operators.sketch import (
+        bloom_bitmask,
+        bloom_probe,
+    )
+    from pyspark.sql import functions as F
+
+    keys = spark.range(0, 300, 3).select(F.col("id").alias("k"))
+    mask = bloom_bitmask(keys, "k")
+    probe = spark.range(400).select(F.col("id").alias("k"))
+    out = {r.k: r.hit for r in probe.select(
+        "k", bloom_probe("k", mask).alias("hit")).collect()}
+    assert all(out[k] for k in range(0, 300, 3))  # no false negatives
