@@ -1455,6 +1455,7 @@ def _ivfpq_oracle(
     n_codes: int = 32,
     pq_iters: int = 1,
     nprobe: int = 2,
+    k: int | None = None,
 ) -> str:
     """Generated oracle for ``ivfpq_topk_adc``: the kmeans-cell rounds
     (as in ``_kmeans_ivf_oracle``), residual computation against the
@@ -1612,7 +1613,7 @@ def _ivfpq_oracle(
                {_round('approx', 6)} AS approx_ip,
                CAST(rnk AS BIGINT) AS rank
         FROM ranked
-        WHERE rnk <= {ANN_K}
+        WHERE rnk <= {k if k is not None else ANN_K}
         ORDER BY q_id, rnk
     """
 
@@ -1840,3 +1841,37 @@ EXT_ORACLES["leakage_safe_split"] = f"""
     FROM bucketed
     ORDER BY doc_id
 """
+
+from .queries_ext import RERANK_FANOUT  # noqa: E402
+
+
+def _ivfpq_rerank_oracle() -> str:
+    """Generated oracle for ``ivfpq_rerank_topk``: the full IVF-PQ
+    statement (widened to k·RERANK_FANOUT candidates) as a subquery,
+    then exact cosine re-scoring of just those candidates."""
+    inner = _ivfpq_oracle(k=ANN_K * RERANK_FANOUT)
+    return f"""
+        WITH {_VECTOR_CTE.strip()}, cand AS (
+            SELECT q_id, neighbor_id FROM ({inner})
+        ), rescored AS (
+            SELECT c.q_id, c.neighbor_id,
+                   {_dot('qv.e', 'nv.e')} / (sqrt(qv.norm2) * sqrt(nv.norm2))
+                       AS cos_raw
+            FROM cand c
+            JOIN vn qv ON qv.vec_id = c.q_id
+            JOIN vn nv ON nv.vec_id = c.neighbor_id
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos_raw DESC, neighbor_id) AS rnk
+            FROM rescored
+        )
+        SELECT q_id, neighbor_id,
+               {_round('cos_raw', 6)} AS cosine,
+               CAST(rnk AS BIGINT) AS rank
+        FROM ranked
+        WHERE rnk <= {ANN_K}
+        ORDER BY q_id, rnk
+    """
+
+
+EXT_ORACLES["ivfpq_rerank_topk"] = _ivfpq_rerank_oracle()

@@ -1465,3 +1465,61 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXT_QUERIES["bloom_join_prune"] = bloom_join_prune
 EXT_QUERIES["leakage_safe_split"] = leakage_safe_split
+
+
+RERANK_FANOUT = 3  # candidate multiplier before the exact re-rank
+
+
+def ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — the standard production shape: the IVF-PQ
+    index proposes k·RERANK_FANOUT candidates per query (compressed
+    codes only), then ONLY those candidates are re-scored with exact
+    cosine against the full vectors. At 100 TB the expensive exact pass
+    touches k·fanout rows per query instead of the corpus; the
+    approximate pass never touches a full-width vector at all."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = S.ivfpq_topk(
+        emb, query_pred=ANN_QUERY_PRED, k=ANN_K * RERANK_FANOUT
+    ).select("q_id", "neighbor_id")
+    v = S._vectors(emb)
+    q = v.filter(ANN_QUERY_PRED).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.col("norm2").alias("qn"),
+    )
+    scored = (
+        cand.join(F.broadcast(q), "q_id")
+        .join(
+            v.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("e").alias("ne"),
+                F.col("norm2").alias("nn"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "q_id",
+            "neighbor_id",
+            (
+                F.expr(S.dot_fold("qe", "ne"))
+                / (F.sqrt("qn") * F.sqrt("nn"))
+            ).alias("__cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= ANN_K)
+        .select(
+            "q_id",
+            "neighbor_id",
+            round_half_up(F.col("__cos"), 6).alias("cosine"),
+            "rank",
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
+EXT_QUERIES["ivfpq_rerank_topk"] = ivfpq_rerank_topk

@@ -288,3 +288,52 @@ def test_ivfpq_index_persist_matches_inline(spark, tmp_path):
     plan = stored_df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "cell" in plan.split("PartitionFilters", 1)[1][:80]
+
+
+def test_rerank_recall_at_least_raw_ivfpq(spark, clustered, cluster_truth):
+    """Exact re-scoring of a wider candidate set can only help: the
+    two-stage recall must be >= the raw IVF-PQ recall on clusters."""
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_ext import (
+        RERANK_FANOUT,
+    )
+
+    raw = _recall(
+        _neighbors(S.ivfpq_topk(clustered, query_pred=PRED, k=K)),
+        cluster_truth,
+    )
+    cand = S.ivfpq_topk(clustered, query_pred=PRED, k=K * RERANK_FANOUT)
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    v = S._vectors(clustered)
+    q = v.filter(PRED).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.col("norm2").alias("qn"),
+    )
+    rescored = (
+        cand.select("q_id", "neighbor_id")
+        .join(F.broadcast(q), "q_id")
+        .join(
+            v.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("e").alias("ne"),
+                F.col("norm2").alias("nn"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "q_id",
+            "neighbor_id",
+            (
+                F.expr(S.dot_fold("qe", "ne")) / (F.sqrt("qn") * F.sqrt("nn"))
+            ).alias("c"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("c").desc(), "neighbor_id")
+    top = rescored.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= K
+    )
+    reranked = _recall(_neighbors(top.select("q_id", "neighbor_id")), cluster_truth)
+    assert reranked >= raw
+    assert reranked >= 0.6
