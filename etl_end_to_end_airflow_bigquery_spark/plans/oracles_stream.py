@@ -73,3 +73,24 @@ STREAM_ORACLES: dict[str, str] = {
     # to the same table as the batch flagship — same oracle again
     "streaming_report_merge": ORACLES["daily_avg_report"],
 }
+
+from ..operators.sketch import CMS_DEPTH, CMS_WIDTH  # noqa: E402
+
+_SCMS_ROWS = "\n        UNION ALL\n".join(
+    f"        SELECT {r} AS r,"
+    " CAST(concat('0x', substr(md5(concat('cms" + str(r) + "|',"
+    " CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % "
+    + str(CMS_WIDTH)
+    + " AS pos FROM events"
+    for r in range(CMS_DEPTH)
+)
+
+STREAM_ORACLES["streaming_cms_counts"] = f"""
+    WITH rp AS (
+{_SCMS_ROWS}
+    )
+    SELECT r, pos, count(*) AS cnt
+    FROM rp
+    GROUP BY r, pos
+    ORDER BY r, pos
+"""

@@ -444,3 +444,49 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_QUERIES["streaming_sessionize"] = streaming_sessionize
+
+
+def streaming_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch maintenance: the count-min counter table of the
+    event user_id stream, kept up to date by the streaming engine —
+    the bounded-state structure a 100 TB stream summarizes cardinality
+    into (d·w counters total, regardless of stream length; complete
+    mode over bounded replay here, foreachBatch-merged counters in
+    production). Hash-checked against the same batch CMS the oracle
+    builds."""
+    from ..operators.sketch import CMS_DEPTH, CMS_WIDTH
+
+    sink = _sink_name("stream_cms")
+    ticks = _stream_events(spark, sf_dir)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (
+                    F.expr(
+                        f"conv(substring(md5(concat('cms{r}|',"
+                        " CAST(user_id AS STRING))), 1, 8), 16, 10)"
+                    ).cast("bigint")
+                    % CMS_WIDTH
+                ).alias("pos"),
+            )
+            for r in range(CMS_DEPTH)
+        ]
+    )
+    agg = (
+        ticks.select(F.explode(rows).alias("rp"))
+        .groupBy(F.col("rp.r").alias("r"), F.col("rp.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).orderBy("r", "pos")
+
+
+STREAM_QUERIES["streaming_cms_counts"] = streaming_cms_counts

@@ -27,6 +27,7 @@ STREAMING = {
     "streaming_sliding_avg",
     "streaming_segment_counts",
     "streaming_view_purchase_join",
+    "streaming_cms_counts",
 }
 
 # Arrow-batched Python stages that are the documented design (multimodal
