@@ -64,6 +64,7 @@ BNLJ_OK = {
     "semantic_dedup_kmeans",  # K-centroid broadcast per Lloyd round
     "ivfpq_topk_adc",  # K-centroid + M*K-codebook broadcasts + probe rank
     "dq_expectations_orders",  # 1-row totals frame joined to the report
+    "ivfpq_rerank_topk",  # same bounded broadcasts as ivfpq_topk_adc
 }
 
 # Structurally-high exchange counts with a justification.
@@ -114,6 +115,10 @@ EXCHANGES_OK = {
     # count: the exact branch's expand+shuffle exists only for the
     # side-by-side; the sketch itself is two bounded-state aggregates.
     "hll_distinct_users",
+    # the two-stage retrieval composes the full IVF-PQ build (exempted
+    # as ivfpq_topk_adc) + a bounded k*fanout re-rank join; fixed
+    # pipeline depth.
+    "ivfpq_rerank_topk",
 }
 
 
