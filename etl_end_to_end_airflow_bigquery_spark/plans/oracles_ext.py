@@ -1875,3 +1875,68 @@ def _ivfpq_rerank_oracle() -> str:
 
 
 EXT_ORACLES["ivfpq_rerank_topk"] = _ivfpq_rerank_oracle()
+
+from .queries_ext import PHRASE  # noqa: E402
+
+EXT_ORACLES["phrase_search_docs"] = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), hits AS (
+        SELECT doc_id,
+               list_filter(range(1, len(tk)),
+                   i -> tk[i] = '{PHRASE[0]}' AND tk[i+1] = '{PHRASE[1]}')
+                   AS idx
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(len(idx) AS BIGINT) AS n_occurrences,
+           CAST(idx[1] - 1 AS BIGINT) AS first_pos
+    FROM hits
+    WHERE len(idx) > 0
+    ORDER BY doc_id
+"""
+
+from .queries_ext import BACKOFF  # noqa: E402
+
+EXT_ORACLES["bigram_logprob_docs"] = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), bigrams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk)),
+                   i -> concat(tk[i], ' ', tk[i+1]))) AS bg
+        FROM t WHERE len(tk) >= 2
+    ), train_bg AS (
+        SELECT bg, count(*) AS c_bg FROM bigrams
+        WHERE doc_id % 2 = 0 GROUP BY bg
+    ), toks AS (
+        SELECT doc_id, unnest(tk) AS token FROM t
+    ), train_uni AS (
+        SELECT token, count(*) AS c_uni FROM toks
+        WHERE doc_id % 2 = 0 GROUP BY token
+    ), totals AS (
+        SELECT SUM(c_uni) AS t_tokens, count(*) AS v_size FROM train_uni
+    ), scored AS (
+        SELECT b.doc_id,
+               ln(CASE WHEN tb.c_bg IS NOT NULL AND u1.c_uni IS NOT NULL
+                       THEN tb.c_bg / CAST(u1.c_uni AS DOUBLE)
+                       ELSE {BACKOFF!r} * (COALESCE(u2.c_uni, 0) + 1.0)
+                            / CAST(tt.t_tokens + tt.v_size AS DOUBLE)
+                  END) AS lp
+        FROM bigrams b
+        LEFT JOIN train_bg tb USING (bg)
+        LEFT JOIN train_uni u1 ON u1.token = string_split(b.bg, ' ')[1]
+        LEFT JOIN train_uni u2 ON u2.token = string_split(b.bg, ' ')[2]
+        CROSS JOIN totals tt
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           {_round(
+               "CAST(SUM(CAST(FLOOR(lp * 1000000000.0 + 0.5) AS BIGINT))"
+               " AS DOUBLE) / 1000000000.0 / count(*)", 6)}
+               AS mean_logprob,
+           doc_id % 2 = 1 AS held_out
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""

@@ -1523,3 +1523,127 @@ def ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT_QUERIES["ivfpq_rerank_topk"] = ivfpq_rerank_topk
+
+
+PHRASE = ("data", "value")  # the fixed search phrase, shared w/ oracle
+
+
+def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search through a positional inverted index: posting lists
+    (doc_id, token, pos) for the two phrase terms, joined on adjacent
+    positions — the retrieval-infrastructure primitive (the index is
+    built inline here; at 100 TB it is a stored table partitioned by
+    token, so a phrase query reads two posting lists, not the corpus).
+
+    The oracle recomputes matches directly from the token arrays —
+    index mechanics validated against ground truth, not against a copy
+    of themselves.
+    """
+    a, b = PHRASE
+    docs = load_table(spark, sf_dir, "documents")
+    postings = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "token"),
+    ).filter(F.col("token").isin(a, b))
+    pa = postings.filter(F.col("token") == a).select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    pb = postings.filter(F.col("token") == b).select(
+        "doc_id", F.col("pos").alias("pb")
+    )
+    hits = pa.join(pb, "doc_id").filter(F.col("pb") == F.col("pa") + 1)
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("pa").cast("bigint").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+EXT_QUERIES["phrase_search_docs"] = phrase_search_docs
+
+
+BACKOFF = 0.4  # stupid-backoff weight, shared with the oracle
+
+
+def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language model with stupid backoff, trained on the even
+    doc_ids and scoring every document — the held-out half genuinely
+    exercises the backoff path (training on the full corpus would make
+    'unseen bigram' dead code in the gate).
+
+    p(w2|w1) = c(w1,w2)/c(w1) when the bigram was seen in training,
+    else BACKOFF · (c(w2)+1)/(T+V). Plan: two grouped count tables
+    (bigram, unigram — both shuffled once on their key), a probe join
+    per scored bigram (one row per key, non-amplifying), and the
+    fixed-point per-doc mean of ln p. Cross-engine exact: rational
+    arithmetic + ln on identical doubles + order-insensitive sums.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bigrams = docs.filter(F.expr("size(split(text, ' ')) >= 2")).select(
+        "doc_id",
+        F.explode(F.expr(ngram_expr(2))).alias("bg"),
+    )
+    train_bg = (
+        bigrams.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_bg"))
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    train_uni = (
+        toks.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c_uni"))
+    )
+    totals = train_uni.agg(
+        F.sum("c_uni").alias("t_tokens"), F.count(F.lit(1)).alias("v_size")
+    )
+    scored = (
+        bigrams.withColumn("w1", F.expr("split(bg, ' ')[0]"))
+        .withColumn("w2", F.expr("split(bg, ' ')[1]"))
+        .join(F.broadcast(train_bg), "bg", "left")
+        .join(
+            F.broadcast(train_uni.select(F.col("token").alias("w1"),
+                                         F.col("c_uni").alias("c_w1"))),
+            "w1",
+            "left",
+        )
+        .join(
+            F.broadcast(train_uni.select(F.col("token").alias("w2"),
+                                         F.col("c_uni").alias("c_w2"))),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.log(
+                F.when(
+                    F.col("c_bg").isNotNull() & F.col("c_w1").isNotNull(),
+                    F.col("c_bg") / F.col("c_w1").cast("double"),
+                ).otherwise(
+                    BACKOFF
+                    * (F.coalesce(F.col("c_w2"), F.lit(0)) + 1.0)
+                    / (F.col("t_tokens") + F.col("v_size")).cast("double")
+                )
+            ).alias("__lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            round_half_up(
+                decimal_sum(F.col("__lp"), 9) / F.count(F.lit(1)), 6
+            ).alias("mean_logprob"),
+        )
+        .withColumn("held_out", F.col("doc_id") % 2 == 1)
+        .orderBy("doc_id")
+    )
+
+
+EXT_QUERIES["bigram_logprob_docs"] = bigram_logprob_docs

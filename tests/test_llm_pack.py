@@ -266,3 +266,45 @@ def test_semantic_dedup_pairs_well_formed(spark):
         assert r.cosine >= round(EMB_SIM_THRESHOLD, 6)
         assert (r.vec_a, r.vec_b) not in seen
         seen.add((r.vec_a, r.vec_b))
+
+
+def test_bigram_lm_held_out_scores_worse(spark):
+    """Held-out docs contain unseen bigrams → backoff fires → their
+    mean log-prob distribution must sit below the training docs'."""
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_ext import (
+        bigram_logprob_docs,
+    )
+
+    rows = bigram_logprob_docs(spark, "/root/testdata/sf0.01").collect()
+    train = [r.mean_logprob for r in rows if not r.held_out]
+    held = [r.mean_logprob for r in rows if r.held_out]
+    assert train and held
+    assert sum(train) / len(train) > sum(held) / len(held)
+
+
+def test_phrase_search_matches_string_scan(spark):
+    """The positional-index path must agree with a direct token scan."""
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_ext import (
+        PHRASE,
+        phrase_search_docs,
+    )
+    from etl_end_to_end_airflow_bigquery_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    got = {r.doc_id: r.n_occurrences
+           for r in phrase_search_docs(spark, sf).collect()}
+    docs = load_table(spark, sf, "documents")
+    direct = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id",
+            F.expr(
+                "size(filter(sequence(0, size(split(text,' ')) - 2),"
+                f" i -> split(text,' ')[i] = '{PHRASE[0]}'"
+                f" AND split(text,' ')[i+1] = '{PHRASE[1]}'))"
+            ).alias("n"),
+        ).collect()
+        if r.n > 0
+    }
+    assert got == direct

@@ -60,6 +60,7 @@ BNLJ_OK = {
     "bm25_retrieval",  # 1-row (N, avgdl) corpus-stats scalar broadcast
     "unigram_logprob_docs",  # 1-row (T, V) LM-normalizer scalar broadcast
     "curated_corpus_v3",  # same 1-row LM-normalizer broadcast as unigram
+    "bigram_logprob_docs",  # 1-row (T, V) LM-normalizer scalar broadcast
     "mix_sources_tokens",  # 1-row (total, n_sources) scalar broadcast
     "semantic_dedup_kmeans",  # K-centroid broadcast per Lloyd round
     "ivfpq_topk_adc",  # K-centroid + M*K-codebook broadcasts + probe rank
@@ -119,6 +120,10 @@ EXCHANGES_OK = {
     # as ivfpq_topk_adc) + a bounded k*fanout re-rank join; fixed
     # pipeline depth.
     "ivfpq_rerank_topk",
+    # two count-table builds (bigram, unigram) + three probe joins +
+    # the per-doc mean: fixed LM-pipeline depth, never data-size
+    # amplification.
+    "bigram_logprob_docs",
 }
 
 
