@@ -1067,3 +1067,25 @@ def search_ivfpq_index(
             "rank",
         )
     )
+
+
+def add_to_ivfpq_index(
+    spark: SparkSession, path: str, new_embeddings: DataFrame
+) -> None:
+    """Incremental index maintenance: encode NEW vectors against the
+    STORED quantizers (centroids + sub-codebooks are read back, never
+    retrained — the standard IVFPQ add path: retraining is a scheduled
+    rebuild, adds are cheap) and append their code rows to the
+    partitioned code table. Append is per-cell leaf-dir parquet append —
+    bounded by the new batch, never touching existing files.
+    """
+    cents = spark.read.parquet(f"{path}/centroids")
+    cb = spark.read.parquet(f"{path}/codebooks")
+    v = _vectors(new_embeddings)
+    cells = _assign_cells(v, cents)
+    member = v.join(cells, "vec_id").join(F.broadcast(cents), "cell")
+    res = member.select(
+        "vec_id", F.expr("zip_with(e, ce, (a, b) -> a - b)").alias("e")
+    )
+    codes = _assign_codes(_subvectors(res), cb).join(cells, "vec_id")
+    codes.write.mode("append").partitionBy("cell").parquet(f"{path}/codes")

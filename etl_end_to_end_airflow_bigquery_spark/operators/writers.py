@@ -765,3 +765,33 @@ def write_jsonl_shards(
         .write.mode("overwrite")
         .json(path)
     )
+
+
+def delete_rows(
+    spark: SparkSession,
+    target_path: str,
+    predicate: str,
+    keep_versions: int = 2,
+) -> int:
+    """Subject deletion (the GDPR right-to-be-forgotten write): rewrite
+    the table WITHOUT the rows matching ``predicate``, committed through
+    the same versioned layout as merge_upsert — readers always see a
+    complete snapshot, a crash leaves the previous snapshot current, and
+    the retention sweep eventually removes the old snapshots that still
+    contain the subject (keep_versions bounds how long deleted data
+    remains time-travelable; set 1 for immediate physical removal at
+    the next commit). Returns the number of rows deleted.
+
+    Single-writer via the same lock as every other writer. At 100 TB
+    pair this with a partition predicate so the rewrite is bounded by
+    the partitions the subject can live in.
+    """
+    with _write_lock(target_path):
+        cur = read_table(spark, target_path)
+        n_before = cur.count()
+        kept = cur.filter(f"NOT ({predicate})")
+        vdir = _next_version_dir(target_path)
+        kept.write.mode("overwrite").parquet(vdir)
+        n_after = spark.read.parquet(vdir).count()
+        _commit_version(target_path, vdir, keep_versions)
+        return n_before - n_after

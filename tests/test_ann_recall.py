@@ -337,3 +337,29 @@ def test_rerank_recall_at_least_raw_ivfpq(spark, clustered, cluster_truth):
     reranked = _recall(_neighbors(top.select("q_id", "neighbor_id")), cluster_truth)
     assert reranked >= raw
     assert reranked >= 0.6
+
+
+def test_ivfpq_index_add_without_retraining(spark, tmp_path, clustered):
+    """Vectors added to a stored index are immediately searchable, the
+    quantizers are untouched, and search still finds the added
+    vectors' true siblings."""
+    import pyarrow.parquet as pq
+
+    idx = str(tmp_path / "ivfpq_inc")
+    first = clustered.filter("vec_id < 400")
+    rest = clustered.filter("vec_id >= 400")
+    S.build_ivfpq_index(first, idx)
+    before = pq.read_table(f"{idx}/centroids").to_pylist()
+    S.add_to_ivfpq_index(spark, idx, rest)
+    after = pq.read_table(f"{idx}/centroids").to_pylist()
+    assert before == after  # no retraining on add
+
+    codes = spark.read.parquet(f"{idx}/codes")
+    n = clustered.count()
+    assert codes.select("vec_id").distinct().count() == n
+
+    # a query unseen at build time retrieves its cluster siblings
+    got = S.search_ivfpq_index(spark, idx, clustered, "vec_id = 401", k=4)
+    neigh = {r.neighbor_id for r in got.collect()}
+    siblings = {m * 100 + 1 for m in range(5)} - {401}
+    assert neigh & siblings

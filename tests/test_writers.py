@@ -575,3 +575,36 @@ def test_write_jsonl_shards_roundtrip(spark, tmp_path):
     def slurp(d):
         return sorted(open(p).read() for p in glob.glob(d + "/part-*"))
     assert slurp(out) == slurp(out2)
+
+
+def test_delete_rows_versioned_and_complete(spark, tmp_path):
+    """GDPR subject delete: the subject vanishes from the current
+    snapshot, the commit is versioned (readers keep a complete
+    snapshot), and keep_versions=1 physically removes the old data."""
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        delete_rows,
+        merge_upsert,
+        read_table,
+    )
+
+    path = str(tmp_path / "events_t")
+    df = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 10).alias("user_id"),
+        (F.col("id") * 1.5).alias("value"),
+    )
+    merge_upsert(spark, path, df, keys=["event_id"])
+
+    n = delete_rows(spark, path, "user_id = 7", keep_versions=1)
+    assert n == 10
+    back = read_table(spark, path)
+    assert back.count() == 90
+    assert back.filter("user_id = 7").count() == 0
+    # keep_versions=1: no retained snapshot still contains the subject
+    import glob, os
+    vdirs = [d for d in glob.glob(os.path.join(path, "v_*")) if os.path.isdir(d)]
+    for d in vdirs:
+        assert spark.read.parquet(d).filter("user_id = 7").count() == 0
+
+    # idempotent: deleting again removes nothing
+    assert delete_rows(spark, path, "user_id = 7") == 0
