@@ -1940,3 +1940,51 @@ EXT_ORACLES["bigram_logprob_docs"] = f"""
     GROUP BY doc_id
     ORDER BY doc_id
 """
+
+from .queries_ext import HYBRID_QVEC, HYBRID_TOPK, RRF_K  # noqa: E402
+
+
+def _hybrid_rrf_oracle() -> str:
+    """Generated oracle for ``hybrid_rrf_retrieval``: the full BM25
+    statement as the sparse leg, a single-query brute-force cosine
+    top-k as the dense leg, fused with 1/(k+rank) rational arithmetic."""
+    return f"""
+        WITH {_VECTOR_CTE.strip()}, sparse AS (
+            SELECT doc_id, rank AS r_sparse
+            FROM ({EXT_ORACLES['bm25_retrieval']})
+        ), q AS (
+            SELECT e AS qe, norm2 AS qn FROM vn
+            WHERE vec_id = {HYBRID_QVEC}
+        ), dense AS (
+            SELECT vec_id AS doc_id, rnk AS r_dense FROM (
+                SELECT vn.vec_id,
+                       row_number() OVER (ORDER BY
+                           {_dot('q.qe', 'vn.e')}
+                               / (sqrt(q.qn) * sqrt(vn.norm2)) DESC,
+                           vn.vec_id) AS rnk
+                FROM vn, q WHERE vn.vec_id <> {HYBRID_QVEC}
+            ) WHERE rnk <= {HYBRID_TOPK}
+        ), fused AS (
+            SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+                   s.r_sparse, d.r_dense,
+                   (CASE WHEN s.r_sparse IS NOT NULL
+                         THEN 1.0 / (s.r_sparse + {float(RRF_K)!r})
+                         ELSE 0.0 END
+                    + CASE WHEN d.r_dense IS NOT NULL
+                           THEN 1.0 / (d.r_dense + {float(RRF_K)!r})
+                           ELSE 0.0 END) AS rrf
+            FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+        )
+        SELECT doc_id,
+               COALESCE(r_sparse, 0) AS r_sparse,
+               COALESCE(r_dense, 0) AS r_dense,
+               {_round('rrf', 9)} AS rrf_score,
+               CAST(row_number() OVER (ORDER BY rrf DESC, doc_id)
+                    AS BIGINT) AS rank
+        FROM fused
+        ORDER BY rank
+        LIMIT {HYBRID_TOPK}
+    """
+
+
+EXT_ORACLES["hybrid_rrf_retrieval"] = _hybrid_rrf_oracle()

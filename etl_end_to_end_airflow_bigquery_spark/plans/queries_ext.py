@@ -1647,3 +1647,60 @@ def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT_QUERIES["bigram_logprob_docs"] = bigram_logprob_docs
+
+
+RRF_K = 60       # the standard reciprocal-rank-fusion constant
+HYBRID_TOPK = 10
+HYBRID_QVEC = 0  # the dense query vector (vec_id aligns with doc_id in
+                 # the synthetic corpus — the usual doc↔embedding link)
+
+
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the BM25 (sparse)
+    top-k and the cosine (dense) top-k are fused as
+    Σ 1/(RRF_K + rank) — the standard score-free combiner (Cormack et
+    al.). Pure rational arithmetic on two bounded ranked lists, so the
+    fusion is engine-exact; each leg is the already-gated operator.
+    """
+    sparse = bm25_retrieval(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("r_sparse")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    dense_raw = S.cosine_topk(
+        emb, query_pred=f"vec_id = {HYBRID_QVEC}", k=HYBRID_TOPK
+    )
+    dense = dense_raw.select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("r_dense"),
+    )
+    fused = sparse.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce(F.col("r_sparse"), F.lit(0)).alias("r_sparse"),
+        F.coalesce(F.col("r_dense"), F.lit(0)).alias("r_dense"),
+        (
+            F.when(
+                F.col("r_sparse").isNotNull(),
+                1.0 / (F.col("r_sparse") + F.lit(float(RRF_K))),
+            ).otherwise(F.lit(0.0))
+            + F.when(
+                F.col("r_dense").isNotNull(),
+                1.0 / (F.col("r_dense") + F.lit(float(RRF_K))),
+            ).otherwise(F.lit(0.0))
+        ).alias("__rrf"),
+    )
+    w = Window.orderBy(F.col("__rrf").desc(), F.col("doc_id"))
+    return (
+        fused.orderBy(F.col("__rrf").desc(), F.col("doc_id"))
+        .limit(HYBRID_TOPK)
+        .select(
+            "doc_id",
+            "r_sparse",
+            "r_dense",
+            round_half_up(F.col("__rrf"), 9).alias("rrf_score"),
+            F.row_number().over(w).cast("bigint").alias("rank"),
+        )
+        .orderBy("rank")
+    )
+
+
+EXT_QUERIES["hybrid_rrf_retrieval"] = hybrid_rrf_retrieval

@@ -308,3 +308,23 @@ def test_phrase_search_matches_string_scan(spark):
         if r.n > 0
     }
     assert got == direct
+
+
+def test_hybrid_rrf_fuses_both_legs(spark):
+    """A doc ranked by both legs must outscore a doc ranked by only one
+    at equal single-leg rank, and every output row carries at least one
+    real leg rank."""
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_ext import (
+        hybrid_rrf_retrieval,
+    )
+
+    rows = hybrid_rrf_retrieval(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 10
+    assert [r.rank for r in rows] == list(range(1, 11))
+    assert all(r.r_sparse > 0 or r.r_dense > 0 for r in rows)
+    both = [r for r in rows if r.r_sparse > 0 and r.r_dense > 0]
+    single = [r for r in rows if (r.r_sparse > 0) != (r.r_dense > 0)]
+    if both and single:
+        assert max(r.rrf_score for r in both) > min(
+            r.rrf_score for r in single
+        )

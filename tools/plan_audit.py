@@ -66,6 +66,7 @@ BNLJ_OK = {
     "ivfpq_topk_adc",  # K-centroid + M*K-codebook broadcasts + probe rank
     "dq_expectations_orders",  # 1-row totals frame joined to the report
     "ivfpq_rerank_topk",  # same bounded broadcasts as ivfpq_topk_adc
+    "hybrid_rrf_retrieval",  # 1-row dense query vector broadcast cross
 }
 
 # Structurally-high exchange counts with a justification.
@@ -124,6 +125,9 @@ EXCHANGES_OK = {
     # the per-doc mean: fixed LM-pipeline depth, never data-size
     # amplification.
     "bigram_logprob_docs",
+    # composes the full BM25 leg (exempted above) with a single-query
+    # dense leg and a 10-row fusion join; fixed pipeline depth.
+    "hybrid_rrf_retrieval",
 }
 
 
