@@ -468,6 +468,24 @@ OLAP_ORACLES: dict[str, str] = {
         FROM orders
         ORDER BY "check"
     """,
+    "url_function_pack": """
+        WITH u AS (
+            SELECT o_orderkey,
+                   concat('https://shop', CAST(o_custkey % 10 AS STRING),
+                          '.example.com/order/',
+                          CAST(o_orderkey AS STRING),
+                          '?p=', replace(o_orderpriority, ' ', '_')) AS u
+            FROM orders
+        )
+        SELECT o_orderkey,
+               regexp_extract(u, '^([a-z]+)://', 1) AS protocol,
+               regexp_extract(u, '^[a-z]+://([^/?]+)', 1) AS host,
+               regexp_extract(u, '^[a-z]+://[^/?]+(/[^?]*)', 1) AS path,
+               regexp_extract(u, '\?(.*)$', 1) AS query,
+               regexp_extract(u, '[?&]p=([^&]*)', 1) AS priority_param
+        FROM u
+        ORDER BY o_orderkey
+    """,
     "incremental_daily_state": f"""
         SELECT CAST(ts AS DATE) AS report_date,
                event_type,

@@ -1214,3 +1214,30 @@ def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 OLAP_QUERIES["json_function_pack"] = json_function_pack
 OLAP_QUERIES["dq_expectations_orders"] = dq_expectations_orders
+
+
+def url_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing surface: deterministic URLs built from order columns
+    (both engines concat the same string), decomposed with Spark's
+    parse_url (PROTOCOL/HOST/PATH/QUERY + a query parameter) — the
+    oracle mirrors each part with anchored regexps. Row-local,
+    codegen'd; the shape of every clickstream/log pipeline's first
+    projection."""
+    orders = load_table(spark, sf_dir, "orders")
+    url = F.expr(
+        "concat('https://shop', CAST(o_custkey % 10 AS STRING),"
+        " '.example.com/order/', CAST(o_orderkey AS STRING),"
+        " '?p=', replace(o_orderpriority, ' ', '_'))"
+    )
+    u = orders.select("o_orderkey", url.alias("u"))
+    return u.select(
+        "o_orderkey",
+        F.parse_url("u", F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url("u", F.lit("HOST")).alias("host"),
+        F.parse_url("u", F.lit("PATH")).alias("path"),
+        F.parse_url("u", F.lit("QUERY")).alias("query"),
+        F.parse_url("u", F.lit("QUERY"), F.lit("p")).alias("priority_param"),
+    ).orderBy("o_orderkey")
+
+
+OLAP_QUERIES["url_function_pack"] = url_function_pack
