@@ -261,7 +261,12 @@ def _validate_keys(df: DataFrame, keys: list[str]) -> None:
         raise ValueError(f"key columns missing from frame: {missing}")
 
 
-def merge_upsert_df(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+def merge_upsert_df(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    evolve_schema: bool = False,
+) -> DataFrame:
     """MERGE semantics as a pure transform: source wins on key match.
 
     Equi-join on the composite key (J1); matched rows take every source
@@ -271,9 +276,22 @@ def merge_upsert_df(target: DataFrame, source: DataFrame, keys: list[str]) -> Da
     target schema. The join is a plain full-outer equi-join — Catalyst
     broadcasts the source side when it is small (the reference's batches
     are 1 row/currency), and AQE handles skew at scale.
+
+    Columns present only in the SOURCE are rejected by default (a typo'd
+    batch column must not vanish silently); pass ``evolve_schema=True``
+    to widen the result instead — new columns append after the target
+    schema, NULL for rows the batch didn't touch (the lakehouse
+    add-column evolution path).
     """
     _validate_keys(target, keys)
     _validate_keys(source, keys)
+    extra = [c for c in source.columns if c not in target.columns]
+    if extra and not evolve_schema:
+        raise ValueError(
+            f"source columns {extra} are not in the target schema; pass "
+            "evolve_schema=True to add them (NULL-backfilled), or drop "
+            "them from the batch"
+        )
     t = target.alias("t")
     s = source.alias("s")
     cond = None
@@ -292,6 +310,12 @@ def merge_upsert_df(target: DataFrame, source: DataFrame, keys: list[str]) -> Da
             )
         else:
             cols.append(F.col(f"t.{name}").alias(name))
+    for name in extra:
+        cols.append(
+            F.when(matched, F.col(f"s.{name}"))
+            .otherwise(F.lit(None))
+            .alias(name)
+        )
     return t.join(s, cond, "full_outer").select(*cols)
 
 

@@ -608,3 +608,40 @@ def test_delete_rows_versioned_and_complete(spark, tmp_path):
 
     # idempotent: deleting again removes nothing
     assert delete_rows(spark, path, "user_id = 7") == 0
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """New source columns: rejected loudly by default, NULL-backfilled
+    widening with evolve_schema=True, and the evolved table round-trips
+    through the versioned writer."""
+    import pytest
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        merge_upsert,
+        merge_upsert_df,
+        read_table,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    )
+    batch = spark.createDataFrame(
+        [(2, "B", 9.5), (3, "c", 7.0)], "k long, v string, score double"
+    )
+    with pytest.raises(ValueError, match="score"):
+        merge_upsert_df(target, batch, ["k"])
+
+    got = {
+        r.k: (r.v, r.score)
+        for r in merge_upsert_df(
+            target, batch, ["k"], evolve_schema=True
+        ).collect()
+    }
+    assert got == {1: ("a", None), 2: ("B", 9.5), 3: ("c", 7.0)}
+
+    # the path writer inherits the contract: default merge of an
+    # evolving batch raises; the table is untouched
+    path = str(tmp_path / "t")
+    merge_upsert(spark, path, target, keys=["k"])
+    with pytest.raises(ValueError, match="score"):
+        merge_upsert(spark, path, batch, keys=["k"])
+    assert read_table(spark, path).columns == ["k", "v"]
