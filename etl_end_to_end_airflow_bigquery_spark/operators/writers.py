@@ -819,3 +819,55 @@ def delete_rows(
         n_after = spark.read.parquet(vdir).count()
         _commit_version(target_path, vdir, keep_versions)
         return n_before - n_after
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Z-order clustered write: interleave the bits of two (min/max
+    normalized) numeric columns into one Morton key, range-partition and
+    sort on it — every parquet file then carries TIGHT min/max bounds on
+    BOTH columns, so predicates on either one (or both) skip row groups
+    at scan time. The multi-column generalization of
+    :func:`cluster_write`'s 1-D zone maps (same layout Delta/Iceberg's
+    OPTIMIZE ZORDER produces).
+
+    The only driver-side data is the 1-row min/max aggregate used to
+    normalize each column to ``bits`` levels; the interleave itself is a
+    row-local bitwise projection (codegen'd), and the write pays the
+    standard one-range-exchange clustering cost.
+    """
+    mm = df.agg(
+        F.min(col_a).alias("a_lo"),
+        F.max(col_a).alias("a_hi"),
+        F.min(col_b).alias("b_lo"),
+        F.max(col_b).alias("b_hi"),
+    ).collect()[0]
+    lvl = (1 << bits) - 1
+
+    def _norm(col: str, lo, hi) -> str:
+        span = float(hi - lo) if hi != lo else 1.0
+        return (
+            f"CAST(floor((CAST({col} AS DOUBLE) - {float(lo)!r})"
+            f" / {span!r} * {lvl}) AS BIGINT)"
+        )
+
+    na = _norm(col_a, mm.a_lo, mm.a_hi)
+    nb = _norm(col_b, mm.b_lo, mm.b_hi)
+    interleave = " + ".join(
+        f"(shiftleft((shiftright({na}, {i}) & 1), {2 * i})"
+        f" + shiftleft((shiftright({nb}, {i}) & 1), {2 * i + 1}))"
+        for i in range(bits)
+    )
+    shaped = (
+        df.withColumn("__z", F.expr(interleave))
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    shaped.write.mode("overwrite").parquet(path)

@@ -645,3 +645,48 @@ def test_merge_schema_evolution(spark, tmp_path):
     with pytest.raises(ValueError, match="score"):
         merge_upsert(spark, path, batch, keys=["k"])
     assert read_table(spark, path).columns == ["k", "v"]
+
+
+def test_zorder_bounds_both_columns(spark, tmp_path):
+    """Z-order vs 1-D clustering on a uniform 2-D grid: the 1-D layout
+    leaves the second column's per-file range at ~full span; the Morton
+    layout tightens BOTH columns' per-file ranges."""
+    import glob
+    import pyarrow.parquet as pq
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        cluster_write,
+        zorder_write,
+    )
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(64) for y in range(64)], "x long, y long"
+    )
+
+    def mean_norm_range(path, col):
+        spans = []
+        for f in glob.glob(path + "/part-*.parquet"):
+            md = pq.read_metadata(f)
+            lo = min(md.row_group(i).column(
+                md.schema.names.index(col)).statistics.min
+                for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(
+                md.schema.names.index(col)).statistics.max
+                for i in range(md.num_row_groups))
+            spans.append((hi - lo) / 63.0)
+        return sum(spans) / len(spans)
+
+    oned = str(tmp_path / "oned")
+    cluster_write(grid, oned, cluster_by=["x"], n_files=16)
+    zord = str(tmp_path / "zord")
+    zorder_write(grid, zord, "x", "y", n_files=16)
+
+    assert mean_norm_range(oned, "y") > 0.9   # 1-D layout: y unbounded
+    assert mean_norm_range(zord, "x") < 0.6   # z-order bounds both
+    assert mean_norm_range(zord, "y") < 0.6
+
+    # the layout is a reordering, never a mutation
+    back = spark.read.parquet(zord)
+    assert back.count() == 64 * 64
+    assert back.select(F.sum("x"), F.sum("y")).collect()[0] == (
+        grid.select(F.sum("x"), F.sum("y")).collect()[0]
+    )
