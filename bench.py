@@ -85,6 +85,10 @@ BENCH_QUERIES = [
     "bm25_retrieval",
     "curated_corpus_v3",
     "ivfpq_topk_adc",
+    # round 5 (VERDICT r04 item 6): the last two SCALING.md heavies that
+    # had no bench record; r04's 27 stay a prefix.
+    "semantic_dedup_kmeans",
+    "pagerank_dedup_graph",
 ]
 
 N_RUNS = 3

@@ -293,12 +293,21 @@ def merge_upsert_df(
             "them from the batch"
         )
     t = target.alias("t")
-    s = source.alias("s")
+    # Source presence is marked with a sentinel column, NOT by probing
+    # key nullability (ADVICE r04): the join supports NULL key values
+    # via eqNullSafe, so a source row with NULL in the first key is
+    # still a real update/insert — `s.key IS NOT NULL` would silently
+    # drop its values. After the full outer join the sentinel is NULL
+    # exactly on target-only rows.
+    sentinel = "__merge_src_present"
+    if sentinel in target.columns or sentinel in source.columns:
+        raise ValueError(f"column name {sentinel!r} is reserved by merge")
+    s = source.withColumn(sentinel, F.lit(True)).alias("s")
     cond = None
     for k in keys:
         c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
         cond = c if cond is None else (cond & c)
-    matched = F.col(f"s.{keys[0]}").isNotNull()
+    matched = F.col(f"s.{sentinel}").isNotNull()
     cols = []
     for name in target.columns:
         if name in keys:
@@ -847,7 +856,21 @@ def zorder_write(
         F.max(col_a).alias("a_hi"),
         F.min(col_b).alias("b_lo"),
         F.max(col_b).alias("b_hi"),
+        (F.count(F.lit(1)) - F.count(col_a)).alias("a_nulls"),
+        (F.count(F.lit(1)) - F.count(col_b)).alias("b_nulls"),
     ).collect()[0]
+    # Cluster columns must be numeric and non-NULL (ADVICE r04): an
+    # all-NULL column has no min/max to normalize against, and NULL in
+    # either column would NULL the Morton key and silently lump those
+    # rows into one unbounded range partition with no skipping benefit.
+    # Reject loudly — checked inside the same one-row aggregate the
+    # normalization already pays for, so validation costs no extra scan.
+    if mm.a_nulls or mm.b_nulls:
+        bad = col_a if mm.a_nulls else col_b
+        raise ValueError(
+            f"zorder_write: cluster column {bad!r} contains NULLs; "
+            "filter or impute them before clustering"
+        )
     lvl = (1 << bits) - 1
 
     def _norm(col: str, lo, hi) -> str:

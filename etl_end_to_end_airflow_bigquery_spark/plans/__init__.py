@@ -21,13 +21,14 @@ The gate is now two explicit tiers:
    UDF), streaming, grouped pandas UDF, SCD2.
 2. ``_GATE_ROTATION`` — the remaining slots up to 50, filled each round
    with names that have NEVER had a green driver row in any prior
-   round's CORRECTNESS file. Round 4: the four remaining streaming
-   queries, the round-3 LLM-pipeline additions (decontamination,
-   packing, repetition ratio, TF-IDF, interpolation), multiprobe /
-   multitable / nprobe ANN, eight TPC-H-shaped OLAP queries, the
-   regex/bitwise function packs, sampling/split/chunking, the window
-   function pack, and EWMA. Never-yet-gated names still waiting:
-   see ``rotation_candidates()`` — rotate them in next round.
+   round's CORRECTNESS file. Round 5 (VERDICT r04 items 1/3/7): the
+   IVF-PQ family, the retrieval/LM pack (BM25, RRF hybrid, phrase
+   search, unigram/bigram LM), ``curated_corpus_v3``, semantic dedup,
+   PII scrub, PageRank-over-dup-graph, leakage-safe split, source
+   mixing, duplicate spans, the four sketches (CMS, HLL, bloom,
+   streaming CMS), and nine function packs. 15 never-gated names
+   remain after this round — see ``rotation_candidates()``; rotate
+   them in round 6.
 
 Membership invariants are enforced with explicit raises (not bare
 ``assert`` — stripped under ``python -O``, ADVICE r03): every name
@@ -44,11 +45,24 @@ from .queries_stream import STREAM_QUERIES
 from .oracles_stream import STREAM_ORACLES
 
 # Names with a green driver row in some prior round (union of
-# CORRECTNESS_r01–r03). Used to pick rotation slots and asserted against
+# CORRECTNESS_r01–r04). Used to pick rotation slots and asserted against
 # by tests/test_queries_oracle.py — append, don't rewrite, when a new
 # round's CORRECTNESS file lands.
-GATED_THROUGH_R03: frozenset[str] = frozenset(
+GATED_THROUGH_R04: frozenset[str] = frozenset(
     {
+        # round-4 rotation rows (CORRECTNESS_r04, all green)
+        "ann_lsh_multiprobe", "ann_lsh_multitable", "bitwise_function_pack",
+        "chunk_documents", "dataset_split", "decontaminate_ngrams",
+        "ewma_daily_rates", "hash_sample_docs", "interpolate_daily_rates",
+        "ivf_topk_nprobe", "pack_training_sequences", "q10_returned_revenue",
+        "q13_order_distribution", "q14_promo_share", "q15_top_supplier",
+        "q19_or_pushdown", "q22_idle_customers", "q7_volume_shipping",
+        "q8_market_share", "regex_string_pack", "repetition_ratio_docs",
+        "stratified_sample_docs", "streaming_segment_counts",
+        "streaming_sessionize", "streaming_sliding_avg",
+        "streaming_view_purchase_join", "tfidf_top_terms",
+        "window_function_pack",
+        # rounds 1–3
         "daily_avg_report", "topk_recent_events", "count_guard_inlist",
         "json_map_explode", "latest_event_per_key",
         "window_topk_per_customer", "setops_intersect",
@@ -106,41 +120,39 @@ _GATE_ANCHORS: tuple[str, ...] = (
 )
 
 _GATE_ROTATION: tuple[str, ...] = (
-    # streaming: the four never-gated stream queries (VERDICT r03 item 8)
-    "streaming_sliding_avg",
-    "streaming_segment_counts",
-    "streaming_view_purchase_join",
-    "streaming_sessionize",
-    # round-3 LLM-pipeline additions
-    "decontaminate_ngrams",
-    "pack_training_sequences",
-    "repetition_ratio_docs",
-    "tfidf_top_terms",
-    "interpolate_daily_rates",
-    # ANN variants
-    "ann_lsh_multiprobe",
-    "ann_lsh_multitable",
-    "ivf_topk_nprobe",
-    # OLAP sweep
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_revenue",
-    "q13_order_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q19_or_pushdown",
-    "q22_idle_customers",
-    # round-3 function packs
-    "regex_string_pack",
-    "bitwise_function_pack",
-    # sampling / layout / chunking
-    "hash_sample_docs",
-    "stratified_sample_docs",
-    "dataset_split",
-    "chunk_documents",
-    # window pack + time series
-    "window_function_pack",
-    "ewma_daily_rates",
+    # IVF-PQ family (VERDICT r04 item 1; also the perf-weak entry, item 2)
+    "ivfpq_topk_adc",
+    "pq_topk_adc",
+    "ivfpq_rerank_topk",
+    # retrieval / language-model pack
+    "bm25_retrieval",
+    "hybrid_rrf_retrieval",
+    "phrase_search_docs",
+    "unigram_logprob_docs",
+    "bigram_logprob_docs",
+    # round-4 LLM-pipeline additions
+    "curated_corpus_v3",
+    "semantic_dedup_kmeans",
+    "pii_scrub_docs",
+    "pagerank_dedup_graph",
+    "leakage_safe_split",
+    "mix_sources_tokens",
+    "duplicate_spans_docs",
+    # sketches (incl. the last never-gated streaming query, item 3)
+    "cms_heavy_hitters",
+    "hll_distinct_users",
+    "bloom_join_prune",
+    "streaming_cms_counts",
+    # function packs
+    "url_function_pack",
+    "map_function_pack",
+    "json_function_pack",
+    "array_function_pack",
+    "null_function_pack",
+    "try_function_pack",
+    "datetime_function_pack",
+    "string_function_pack2",
+    "stats_pack",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = _GATE_ANCHORS + _GATE_ROTATION
@@ -163,7 +175,7 @@ if len(_GATE_PRIORITY) != 50:
     raise RuntimeError(
         f"gate priority list must be exactly 50 names, got {len(_GATE_PRIORITY)}"
     )
-_stale = [n for n in _GATE_ROTATION if n in GATED_THROUGH_R03]
+_stale = [n for n in _GATE_ROTATION if n in GATED_THROUGH_R04]
 if _stale:
     raise RuntimeError(
         f"rotation slots must hold never-gated names, got: {_stale}"
@@ -173,7 +185,7 @@ if _stale:
 def rotation_candidates() -> list[str]:
     """Registered queries that have never had a driver row and are not
     in the current gate — the pool for next round's rotation slots."""
-    gated = set(_GATE_PRIORITY) | GATED_THROUGH_R03
+    gated = set(_GATE_PRIORITY) | GATED_THROUGH_R04
     return [n for n in _ALL_QUERIES if n not in gated]
 
 
@@ -189,4 +201,4 @@ ORACLES = {
     n: ORACLES[n] for n in list(QUERIES) if n in ORACLES
 } | {n: s for n, s in ORACLES.items() if n not in QUERIES}
 
-__all__ = ["QUERIES", "ORACLES", "GATED_THROUGH_R03", "rotation_candidates"]
+__all__ = ["QUERIES", "ORACLES", "GATED_THROUGH_R04", "rotation_candidates"]

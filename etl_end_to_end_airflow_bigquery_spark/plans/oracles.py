@@ -277,6 +277,35 @@ ORACLES: dict[str, str] = {
         FROM target t
         FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
     """,
+    "merge_sql_orders": f"""
+        WITH target AS (
+            SELECT * FROM orders WHERE o_orderkey % 3 <> 0
+        ), source AS (
+            SELECT o_orderkey, o_custkey,
+                   'M' AS o_orderstatus,
+                   {_round('o_totalprice * 1.1', 2)} AS o_totalprice,
+                   o_orderdate, '0-STAGED' AS o_orderpriority
+            FROM orders WHERE o_orderkey % 2 = 0
+        )
+        SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+               CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_custkey
+                    ELSE s.o_custkey END AS o_custkey,
+               CASE WHEN t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+                         THEN s.o_orderstatus
+                    WHEN t.o_orderkey IS NULL THEN s.o_orderstatus
+                    ELSE t.o_orderstatus END AS o_orderstatus,
+               CASE WHEN t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+                         THEN s.o_totalprice
+                    WHEN t.o_orderkey IS NULL THEN s.o_totalprice
+                    ELSE t.o_totalprice END AS o_totalprice,
+               CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_orderdate
+                    ELSE s.o_orderdate END AS o_orderdate,
+               CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_orderpriority
+                    ELSE s.o_orderpriority END AS o_orderpriority
+        FROM target t
+        FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+        ORDER BY o_orderkey
+    """,
     "idempotent_append_orders": """
         WITH target AS (
             SELECT * FROM orders WHERE o_orderkey % 3 <> 0

@@ -93,6 +93,22 @@ _PAIRS_CTE = f"""
 
 _SCALE = "1000000000000.0"
 
+# Quantizer training-sample predicate — mirrors
+# similarity._train_sample (deterministic md5 bucket of vec_id), so
+# Lloyd refinement sees the identical training rows in both engines.
+from ..operators.similarity import (  # noqa: E402
+    TRAIN_FRACTION as _TRAIN_FRACTION,
+    TRAIN_SALT as _TRAIN_SALT,
+    _TRAIN_BUCKETS,
+)
+
+_TRAIN_CUTOFF = int(round(_TRAIN_FRACTION * _TRAIN_BUCKETS))
+_TRAIN_PRED = (
+    f"CAST(concat('0x', substr(md5(concat('{_TRAIN_SALT}|', "
+    f"CAST(vec_id AS VARCHAR))), 1, 8)) AS BIGINT) "
+    f"% {_TRAIN_BUCKETS} < {_TRAIN_CUTOFF}"
+)
+
 
 def _dot(a: str, b: str) -> str:
     """Exact scaled-integer dot product — mirrors similarity.dot_fold:
@@ -765,18 +781,22 @@ def _kmeans_ivf_oracle(
     exact fixed-point means — the same scaled-int BIGINT arithmetic and
     pinned divide order as ``similarity.ivf_cells_kmeans``, so centroid
     components (and therefore cells and search results) are
-    bit-identical across engines."""
+    bit-identical across engines. Lloyd rounds read only the ``vns``
+    training sample (similarity._train_sample's md5-bucket predicate);
+    the final assignment and search read the full corpus."""
 
-    def assign(cte_c: str, name: str, pred: str | None = None) -> str:
+    def assign(
+        cte_c: str, name: str, pred: str | None = None, src: str = "vn"
+    ) -> str:
         where = f"WHERE {pred}" if pred else ""
         return f"""{name} AS (
             SELECT vec_id, cell FROM (
-                SELECT vn.vec_id, c.cell,
-                       row_number() OVER (PARTITION BY vn.vec_id
-                           ORDER BY {_dot('vn.e', 'c.ce')}
-                               / (sqrt(vn.norm2) * sqrt(c.cn)) DESC,
+                SELECT {src}.vec_id, c.cell,
+                       row_number() OVER (PARTITION BY {src}.vec_id
+                           ORDER BY {_dot(f'{src}.e', 'c.ce')}
+                               / (sqrt({src}.norm2) * sqrt(c.cn)) DESC,
                                c.cell) AS rn
-                FROM vn, {cte_c} c {where}
+                FROM {src}, {cte_c} c {where}
             ) WHERE rn = 1
         )"""
 
@@ -786,7 +806,7 @@ def _kmeans_ivf_oracle(
         # the explicit cast keeps both engines' arithmetic declared
         # identical).
         sums = ",\n                   ".join(
-            f"SUM(CAST(FLOOR(vn.e[{i + 1}] * {_SCALE}) AS DECIMAL(38,0)))"
+            f"SUM(CAST(FLOOR(vns.e[{i + 1}] * {_SCALE}) AS DECIMAL(38,0)))"
             f" AS s{i}"
             for i in range(dim)
         )
@@ -796,7 +816,7 @@ def _kmeans_ivf_oracle(
         return f"""{m_name} AS (
             SELECT a.cell, COUNT(*) AS n,
                    {sums}
-            FROM vn JOIN {a_cte} a USING (vec_id) GROUP BY a.cell
+            FROM vns JOIN {a_cte} a USING (vec_id) GROUP BY a.cell
         ), {c_name}_raw AS (
             SELECT cell, list_value({comps}) AS ce FROM {m_name}
         ), {c_name} AS (
@@ -806,12 +826,14 @@ def _kmeans_ivf_oracle(
     rounds = []
     prev = "c0"
     for r in range(1, n_iters + 1):
-        rounds.append(assign(prev, f"a{r}"))
+        rounds.append(assign(prev, f"a{r}", src="vns"))
         rounds.append(means(f"a{r}", f"m{r}", f"c{r}"))
         prev = f"c{r}"
     body = ",\n        ".join(rounds)
     return f"""
-        WITH {_VECTOR_CTE.strip()}, c0 AS (
+        WITH {_VECTOR_CTE.strip()}, vns AS (
+            SELECT * FROM vn WHERE {_TRAIN_PRED}
+        ), c0 AS (
             SELECT vec_id AS cell, e AS ce, norm2 AS cn
             FROM vn WHERE vec_id < {n_seeds}
         ),
@@ -1155,22 +1177,24 @@ def _pq_oracle(
     unrolled as CTE layers, then ADC scoring — the same exact
     fixed-point dots, scaled-int centroid means, and pinned tie rules
     as ``similarity.pq_codebooks``/``pq_topk``, so codebooks, code
-    assignments, and ADC scores are bit-identical across engines."""
+    assignments, and ADC scores are bit-identical across engines.
+    Lloyd rounds read only the ``svns`` training sample; the final
+    code assignment and search read the full corpus."""
 
-    def assign(cb: str, name: str) -> str:
+    def assign(cb: str, name: str, src: str = "svn") -> str:
         return f"""{name} AS (
             SELECT vec_id, s, code FROM (
-                SELECT svn.vec_id, svn.s, c.code,
-                       row_number() OVER (PARTITION BY svn.vec_id, svn.s
-                           ORDER BY svn.xn - 2.0 * {_dot('svn.x', 'c.ce')}
+                SELECT {src}.vec_id, {src}.s, c.code,
+                       row_number() OVER (PARTITION BY {src}.vec_id, {src}.s
+                           ORDER BY {src}.xn - 2.0 * {_dot(f'{src}.x', 'c.ce')}
                                + c.cn, c.code) AS rn
-                FROM svn JOIN {cb} c ON svn.s = c.s
+                FROM {src} JOIN {cb} c ON {src}.s = c.s
             ) WHERE rn = 1
         )"""
 
     def means(a_cte: str, m_name: str, c_name: str) -> str:
         sums = ",\n                   ".join(
-            f"SUM(CAST(FLOOR(svn.x[{i + 1}] * {_SCALE.replace('.0','')}.0)"
+            f"SUM(CAST(FLOOR(svns.x[{i + 1}] * {_SCALE.replace('.0','')}.0)"
             f" AS DECIMAL(38,0))) AS s{i}"
             for i in range(subdim)
         )
@@ -1180,7 +1204,7 @@ def _pq_oracle(
         return f"""{m_name} AS (
             SELECT a.s, a.code, COUNT(*) AS n,
                    {sums}
-            FROM svn JOIN {a_cte} a USING (vec_id, s)
+            FROM svns JOIN {a_cte} a USING (vec_id, s)
             GROUP BY a.s, a.code
         ), {c_name}_raw AS (
             SELECT s, code, list_value({comps}) AS ce FROM {m_name}
@@ -1191,7 +1215,7 @@ def _pq_oracle(
     rounds = []
     prev = "cb0"
     for r in range(1, n_iters + 1):
-        rounds.append(assign(prev, f"pa{r}"))
+        rounds.append(assign(prev, f"pa{r}", src="svns"))
         rounds.append(means(f"pa{r}", f"pm{r}", f"cb{r}"))
         prev = f"cb{r}"
     body = ",\n        ".join(rounds)
@@ -1204,6 +1228,8 @@ def _pq_oracle(
             FROM vn, (SELECT unnest(range(0, {m})) AS s) ss
         ), svn AS (
             SELECT vec_id, s, x, {_dot('x', 'x')} AS xn FROM sv
+        ), svns AS (
+            SELECT * FROM svn WHERE {_TRAIN_PRED}
         ), cb0 AS (
             SELECT s, vec_id AS code, x AS ce, xn AS cn
             FROM svn WHERE vec_id < {n_codes}
@@ -1378,24 +1404,25 @@ def _semantic_dedup_oracle(
 ) -> str:
     """Generated oracle for ``semantic_dedup_kmeans``: the same unrolled
     Lloyd rounds as ``_kmeans_ivf_oracle`` (identical assignment tie
-    rules and fixed-point centroid means), then within-cell pairwise
-    cosine above the shared threshold."""
+    rules and fixed-point centroid means, including the ``vns``
+    training-sample restriction of the Lloyd rounds), then within-cell
+    pairwise cosine above the shared threshold."""
 
-    def assign(cte_c: str, name: str) -> str:
+    def assign(cte_c: str, name: str, src: str = "vn") -> str:
         return f"""{name} AS (
             SELECT vec_id, cell FROM (
-                SELECT vn.vec_id, c.cell,
-                       row_number() OVER (PARTITION BY vn.vec_id
-                           ORDER BY {_dot('vn.e', 'c.ce')}
-                               / (sqrt(vn.norm2) * sqrt(c.cn)) DESC,
+                SELECT {src}.vec_id, c.cell,
+                       row_number() OVER (PARTITION BY {src}.vec_id
+                           ORDER BY {_dot(f'{src}.e', 'c.ce')}
+                               / (sqrt({src}.norm2) * sqrt(c.cn)) DESC,
                                c.cell) AS rn
-                FROM vn, {cte_c} c
+                FROM {src}, {cte_c} c
             ) WHERE rn = 1
         )"""
 
     def means(a_cte: str, m_name: str, c_name: str) -> str:
         sums = ",\n                   ".join(
-            f"SUM(CAST(FLOOR(vn.e[{i + 1}] * {_SCALE}) AS DECIMAL(38,0)))"
+            f"SUM(CAST(FLOOR(vns.e[{i + 1}] * {_SCALE}) AS DECIMAL(38,0)))"
             f" AS s{i}"
             for i in range(dim)
         )
@@ -1405,7 +1432,7 @@ def _semantic_dedup_oracle(
         return f"""{m_name} AS (
             SELECT a.cell, COUNT(*) AS n,
                    {sums}
-            FROM vn JOIN {a_cte} a USING (vec_id) GROUP BY a.cell
+            FROM vns JOIN {a_cte} a USING (vec_id) GROUP BY a.cell
         ), {c_name}_raw AS (
             SELECT cell, list_value({comps}) AS ce FROM {m_name}
         ), {c_name} AS (
@@ -1415,12 +1442,14 @@ def _semantic_dedup_oracle(
     rounds = []
     prev = "c0"
     for r in range(1, n_iters + 1):
-        rounds.append(assign(prev, f"a{r}"))
+        rounds.append(assign(prev, f"a{r}", src="vns"))
         rounds.append(means(f"a{r}", f"m{r}", f"c{r}"))
         prev = f"c{r}"
     body = ",\n        ".join(rounds)
     return f"""
-        WITH {_VECTOR_CTE.strip()}, c0 AS (
+        WITH {_VECTOR_CTE.strip()}, vns AS (
+            SELECT * FROM vn WHERE {_TRAIN_PRED}
+        ), c0 AS (
             SELECT vec_id AS cell, e AS ce, norm2 AS cn
             FROM vn WHERE vec_id < {n_seeds}
         ),
@@ -1461,23 +1490,25 @@ def _ivfpq_oracle(
     (as in ``_kmeans_ivf_oracle``), residual computation against the
     final centroids, the residual PQ rounds (as in ``_pq_oracle``), and
     ADC probe scoring q·c + Σ LUT — every stage the same fixed-point
-    arithmetic and pinned tie rules as the Spark side."""
+    arithmetic and pinned tie rules as the Spark side, including the
+    training-sample restriction (``vns`` / ``rsvns``) of both Lloyd
+    loops; assignment, encoding, and search read the full corpus."""
 
-    def kassign(cte_c: str, name: str) -> str:
+    def kassign(cte_c: str, name: str, src: str = "vn") -> str:
         return f"""{name} AS (
             SELECT vec_id, cell FROM (
-                SELECT vn.vec_id, c.cell,
-                       row_number() OVER (PARTITION BY vn.vec_id
-                           ORDER BY {_dot('vn.e', 'c.ce')}
-                               / (sqrt(vn.norm2) * sqrt(c.cn)) DESC,
+                SELECT {src}.vec_id, c.cell,
+                       row_number() OVER (PARTITION BY {src}.vec_id
+                           ORDER BY {_dot(f'{src}.e', 'c.ce')}
+                               / (sqrt({src}.norm2) * sqrt(c.cn)) DESC,
                                c.cell) AS rn
-                FROM vn, {cte_c} c
+                FROM {src}, {cte_c} c
             ) WHERE rn = 1
         )"""
 
     def kmeans(a_cte: str, m_name: str, c_name: str) -> str:
         sums = ",\n                   ".join(
-            f"SUM(CAST(FLOOR(vn.e[{i + 1}] * {_SCALE}) AS DECIMAL(38,0)))"
+            f"SUM(CAST(FLOOR(vns.e[{i + 1}] * {_SCALE}) AS DECIMAL(38,0)))"
             f" AS s{i}"
             for i in range(dim)
         )
@@ -1487,27 +1518,27 @@ def _ivfpq_oracle(
         return f"""{m_name} AS (
             SELECT a.cell, COUNT(*) AS n,
                    {sums}
-            FROM vn JOIN {a_cte} a USING (vec_id) GROUP BY a.cell
+            FROM vns JOIN {a_cte} a USING (vec_id) GROUP BY a.cell
         ), {c_name}_raw AS (
             SELECT cell, list_value({comps}) AS ce FROM {m_name}
         ), {c_name} AS (
             SELECT cell, ce, {_dot('ce', 'ce')} AS cn FROM {c_name}_raw
         )"""
 
-    def passign(cb: str, name: str) -> str:
+    def passign(cb: str, name: str, src: str = "rsvn") -> str:
         return f"""{name} AS (
             SELECT vec_id, s, code FROM (
-                SELECT rsvn.vec_id, rsvn.s, c.code,
-                       row_number() OVER (PARTITION BY rsvn.vec_id, rsvn.s
-                           ORDER BY rsvn.xn - 2.0 * {_dot('rsvn.x', 'c.ce')}
+                SELECT {src}.vec_id, {src}.s, c.code,
+                       row_number() OVER (PARTITION BY {src}.vec_id, {src}.s
+                           ORDER BY {src}.xn - 2.0 * {_dot(f'{src}.x', 'c.ce')}
                                + c.cn, c.code) AS rn
-                FROM rsvn JOIN {cb} c ON rsvn.s = c.s
+                FROM {src} JOIN {cb} c ON {src}.s = c.s
             ) WHERE rn = 1
         )"""
 
     def pmeans(a_cte: str, m_name: str, c_name: str) -> str:
         sums = ",\n                   ".join(
-            f"SUM(CAST(FLOOR(rsvn.x[{i + 1}] * {_SCALE}) AS DECIMAL(38,0)))"
+            f"SUM(CAST(FLOOR(rsvns.x[{i + 1}] * {_SCALE}) AS DECIMAL(38,0)))"
             f" AS s{i}"
             for i in range(subdim)
         )
@@ -1517,7 +1548,7 @@ def _ivfpq_oracle(
         return f"""{m_name} AS (
             SELECT a.s, a.code, COUNT(*) AS n,
                    {sums}
-            FROM rsvn JOIN {a_cte} a USING (vec_id, s)
+            FROM rsvns JOIN {a_cte} a USING (vec_id, s)
             GROUP BY a.s, a.code
         ), {c_name}_raw AS (
             SELECT s, code, list_value({comps}) AS ce FROM {m_name}
@@ -1528,13 +1559,13 @@ def _ivfpq_oracle(
     krounds = []
     kprev = "c0"
     for r in range(1, kmeans_iters + 1):
-        krounds.append(kassign(kprev, f"a{r}"))
+        krounds.append(kassign(kprev, f"a{r}", src="vns"))
         krounds.append(kmeans(f"a{r}", f"m{r}", f"c{r}"))
         kprev = f"c{r}"
     prounds = []
     pprev = "pcb0"
     for r in range(1, pq_iters + 1):
-        prounds.append(passign(pprev, f"pa{r}"))
+        prounds.append(passign(pprev, f"pa{r}", src="rsvns"))
         prounds.append(pmeans(f"pa{r}", f"pm{r}", f"pcb{r}"))
         pprev = f"pcb{r}"
     kbody = ",\n        ".join(krounds)
@@ -1543,7 +1574,9 @@ def _ivfpq_oracle(
     residual = f"list_transform(range(1, {dim} + 1), i -> "
     adc = "1000000000.0"
     return f"""
-        WITH {_VECTOR_CTE.strip()}, c0 AS (
+        WITH {_VECTOR_CTE.strip()}, vns AS (
+            SELECT * FROM vn WHERE {_TRAIN_PRED}
+        ), c0 AS (
             SELECT vec_id AS cell, e AS ce, norm2 AS cn
             FROM vn WHERE vec_id < {n_seeds}
         ),
@@ -1562,6 +1595,8 @@ def _ivfpq_oracle(
             FROM resv, {sub} ss
         ), rsvn AS (
             SELECT vec_id, s, x, {_dot('x', 'x')} AS xn FROM rsv
+        ), rsvns AS (
+            SELECT * FROM rsvn WHERE {_TRAIN_PRED}
         ), pcb0 AS (
             SELECT s, vec_id AS code, x AS ce, xn AS cn
             FROM rsvn WHERE vec_id < {n_codes}

@@ -468,7 +468,7 @@ OLAP_ORACLES: dict[str, str] = {
         FROM orders
         ORDER BY "check"
     """,
-    "url_function_pack": """
+    "url_function_pack": r"""
         WITH u AS (
             SELECT o_orderkey,
                    concat('https://shop', CAST(o_custkey % 10 AS STRING),

@@ -461,6 +461,48 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert_df(target, source, keys=["o_orderkey"])
 
 
+def merge_sql_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 via the reference's literal MERGE *spelling*
+    (``dags/fx_pipeline_with_merge.py:90-103``): the same statement text
+    a BigQuery user runs, parsed by operators.merge_sql and lowered onto
+    the sentinel-tracked full-outer merge plan. The UPDATE SET names a
+    SUBSET of columns (o_orderstatus, o_totalprice), so matched rows
+    keep their other target values — semantics merge_upsert_df alone
+    doesn't spell.
+    """
+    from ..operators.merge_sql import merge_into
+
+    orders = load_table(spark, sf_dir, "orders")
+    orders.filter(F.col("o_orderkey") % 3 != 0).createOrReplaceTempView(
+        "merge_sql_target"
+    )
+    (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("o_totalprice", round_half_up(F.col("o_totalprice") * 1.1, 2))
+        .withColumn("o_orderstatus", F.lit("M"))
+        .withColumn("o_orderpriority", F.lit("0-STAGED"))
+        .createOrReplaceTempView("merge_sql_staging")
+    )
+    merged = merge_into(
+        spark,
+        """
+        MERGE `merge_sql_target` T
+        USING `merge_sql_staging` S
+        ON T.o_orderkey = S.o_orderkey
+        WHEN MATCHED THEN
+            UPDATE SET
+                T.o_orderstatus = S.o_orderstatus,
+                T.o_totalprice = S.o_totalprice
+        WHEN NOT MATCHED THEN
+            INSERT (o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                    o_orderdate, o_orderpriority)
+            VALUES (S.o_orderkey, S.o_custkey, S.o_orderstatus,
+                    S.o_totalprice, S.o_orderdate, S.o_orderpriority)
+        """,
+    )
+    return merged.orderBy("o_orderkey")
+
+
 def idempotent_append_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 — check-then-insert (``dags/idempotent_fx_pipeline.py:73-87``)
     strengthened to per-row left-anti: only keys absent from the target
@@ -802,6 +844,7 @@ QUERIES: dict[str, QueryFn] = {
     "cube_counts": cube_counts,
     "pivot_event_counts": pivot_event_counts,
     "merge_upsert_orders": merge_upsert_orders,
+    "merge_sql_orders": merge_sql_orders,
     "idempotent_append_orders": idempotent_append_orders,
     "sessionize_events": sessionize_events,
     "session_window_native": session_window_native,

@@ -1257,7 +1257,9 @@ def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tuning knob, same as every SemDeDup deployment)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cells, _ = S.ivf_cells_kmeans(emb)
-    v = S._vectors(emb).join(cells, "vec_id")
+    # Both sides of the within-cell self-join reference the clustered
+    # frame — persist it so the coarse assignment runs once, not twice.
+    v = S._vectors(emb).join(cells, "vec_id").persist()
     a = v.select(
         F.col("vec_id").alias("vec_a"),
         F.col("e").alias("ea"),

@@ -1123,7 +1123,12 @@ def map_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_sq_lens"),
         F.expr("map_contains_key(m, 'the')").alias("has_the"),
-        F.expr("size(map_concat(m, map('__sentinel', -1)))")
+        # size(m) + 1, not map_concat(m, map('__sentinel', -1)): under
+        # spark.sql.mapKeyDedupPolicy=EXCEPTION (the default) a document
+        # containing the literal sentinel token would make map_concat
+        # throw — a data-dependent crash the oracle doesn't share
+        # (ADVICE r04). Plain arithmetic has no such key collision.
+        (F.expr("size(m)") + F.lit(1))
         .cast("bigint")
         .alias("n_keys_plus_one"),
     ).orderBy("doc_id")

@@ -1,0 +1,110 @@
+"""MERGE INTO SQL front (operators.merge_sql): the reference's literal
+statement text (``dags/fx_pipeline_with_merge.py:90-103``) lowered onto
+the sentinel-tracked full-outer merge plan."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_end_to_end_airflow_bigquery_spark.operators.merge_sql import (
+    MergeSpec,
+    merge_into,
+    parse_merge,
+)
+
+REFERENCE_SHAPE = """
+    MERGE `fx_rates` T
+    USING `fx_staging` S
+    ON T.date = S.date
+       AND T.from_cur = S.from_cur
+       AND T.to_cur = S.to_cur
+    WHEN MATCHED THEN
+        UPDATE SET
+            T.rate = S.rate,
+            T.timestamp = S.timestamp
+    WHEN NOT MATCHED THEN
+        INSERT (date, from_cur, to_cur, rate, timestamp)
+        VALUES (S.date, S.from_cur, S.to_cur, S.rate, S.timestamp)
+"""
+
+
+def test_parse_reference_statement():
+    spec = parse_merge(REFERENCE_SHAPE)
+    assert spec == MergeSpec(
+        target="fx_rates",
+        source="fx_staging",
+        keys=("date", "from_cur", "to_cur"),
+        update_cols=("rate", "timestamp"),
+        insert_cols=("date", "from_cur", "to_cur", "rate", "timestamp"),
+    )
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "SELECT 1",
+        # non-identity update expression
+        "MERGE a T USING b S ON T.k = S.k WHEN MATCHED THEN UPDATE SET "
+        "T.v = S.v + 1 WHEN NOT MATCHED THEN INSERT (k) VALUES (S.k)",
+        # ON clause comparing different columns
+        "MERGE a T USING b S ON T.k = S.j WHEN MATCHED THEN UPDATE SET "
+        "T.v = S.v WHEN NOT MATCHED THEN INSERT (k) VALUES (S.k)",
+        # INSERT values out of order vs the column list
+        "MERGE a T USING b S ON T.k = S.k WHEN MATCHED THEN UPDATE SET "
+        "T.v = S.v WHEN NOT MATCHED THEN INSERT (k, v) VALUES (S.v, S.k)",
+    ],
+)
+def test_parse_rejects_unsupported(bad):
+    with pytest.raises(ValueError):
+        parse_merge(bad)
+
+
+def test_merge_into_subset_update_and_insert(spark):
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k int, status string, v double"
+    ).createOrReplaceTempView("msql_t")
+    spark.createDataFrame(
+        [(2, "B", 99.0), (3, "c", 30.0)], "k int, status string, v double"
+    ).createOrReplaceTempView("msql_s")
+    got = {
+        r.k: (r.status, r.v)
+        for r in merge_into(
+            spark,
+            "MERGE INTO msql_t T USING msql_s S ON T.k = S.k "
+            "WHEN MATCHED THEN UPDATE SET T.status = S.status "
+            "WHEN NOT MATCHED THEN INSERT (k, status, v) "
+            "VALUES (S.k, S.status, S.v)",
+        ).collect()
+    }
+    # matched row: only status updated, v kept from the target
+    assert got == {1: ("a", 10.0), 2: ("B", 20.0), 3: ("c", 30.0)}
+    # MERGE mutates the table: the view now resolves to the merged frame
+    assert spark.table("msql_t").count() == 3
+
+
+def test_merge_into_insert_subset_nulls_unlisted(spark):
+    spark.createDataFrame([(1, "a", 10.0)], "k int, s string, v double"
+                          ).createOrReplaceTempView("msql_t2")
+    spark.createDataFrame([(2, "b", 20.0)], "k int, s string, v double"
+                          ).createOrReplaceTempView("msql_s2")
+    rows = merge_into(
+        spark,
+        "MERGE msql_t2 T USING msql_s2 S ON T.k = S.k "
+        "WHEN MATCHED THEN UPDATE SET T.v = S.v "
+        "WHEN NOT MATCHED THEN INSERT (k, s) VALUES (S.k, S.s)",
+    ).collect()
+    by_k = {r.k: (r.s, r.v) for r in rows}
+    assert by_k == {1: ("a", 10.0), 2: ("b", None)}
+
+
+def test_merge_into_validates_columns(spark):
+    spark.createDataFrame([(1,)], "k int").createOrReplaceTempView("msql_t3")
+    spark.createDataFrame([(1, 2)], "k int, z int"
+                          ).createOrReplaceTempView("msql_s3")
+    with pytest.raises(ValueError, match="not in target schema"):
+        merge_into(
+            spark,
+            "MERGE msql_t3 T USING msql_s3 S ON T.k = S.k "
+            "WHEN MATCHED THEN UPDATE SET T.k = S.k "
+            "WHEN NOT MATCHED THEN INSERT (k, z) VALUES (S.k, S.z)",
+        )

@@ -52,7 +52,7 @@ def test_gate_first_50_spans_families_and_rotates():
        re-verifying the same 50 forever.
     """
     from etl_end_to_end_airflow_bigquery_spark.plans import (
-        GATED_THROUGH_R03,
+        GATED_THROUGH_R04,
         _GATE_ANCHORS,
     )
 
@@ -68,7 +68,7 @@ def test_gate_first_50_spans_families_and_rotates():
     assert {"merge_upsert_orders", "idempotent_append_orders"} <= got
     assert "scd2_orders_status" in got                       # SCD2/CDC
     # rotation: a meaningful share of the gate must be first-ever names
-    fresh = [n for n in names if n not in GATED_THROUGH_R03]
+    fresh = [n for n in names if n not in GATED_THROUGH_R04]
     assert len(fresh) >= 25, (
         f"only {len(fresh)} never-gated names in the 50-row gate; "
         "rotate rotation slots to queries without a prior driver row"
@@ -76,17 +76,17 @@ def test_gate_first_50_spans_families_and_rotates():
 
 
 def test_gated_history_matches_correctness_files():
-    """GATED_THROUGH_R03 is the rotation's ground truth — pin it to the
+    """GATED_THROUGH_R04 is the rotation's ground truth — pin it to the
     actual driver artifacts so it can't drift."""
     import json
 
     root = Path(__file__).resolve().parent.parent
     u: set[str] = set()
-    for p in sorted(root.glob("CORRECTNESS_r0[1-3].json")):
+    for p in sorted(root.glob("CORRECTNESS_r0[1-4].json")):
         u |= set(json.load(open(p)))
-    from etl_end_to_end_airflow_bigquery_spark.plans import GATED_THROUGH_R03
+    from etl_end_to_end_airflow_bigquery_spark.plans import GATED_THROUGH_R04
 
-    assert GATED_THROUGH_R03 == frozenset(u)
+    assert GATED_THROUGH_R04 == frozenset(u)
 
 
 def test_entry_smoke(spark):

@@ -46,6 +46,30 @@ def test_merge_upsert_df_composite_key(spark, target):
     assert len(merge_upsert_df(target, source, keys=["k", "day"]).collect()) == 4
 
 
+def test_merge_upsert_df_null_key_update_and_insert(spark):
+    """ADVICE r04 (medium): eqNullSafe supports NULL key values, so a
+    source row with NULL in the first key must still win on match and
+    carry its values on insert — presence is tracked via a sentinel,
+    not key nullability."""
+    target = _frame(spark, [(None, "d1", 1.0), (2, "d1", 2.0)])
+    source = _frame(spark, [(None, "d1", 10.0), (None, "d9", 90.0)])
+    got = {tuple(r) for r in merge_upsert_df(target, source, keys=["k", "day"]).collect()}
+    assert got == {(None, "d1", 10.0), (None, "d9", 90.0), (2, "d1", 2.0)}
+
+
+def test_merge_upsert_df_null_key_evolved_column_kept(spark):
+    """The schema-evolution path must NULL-backfill only rows the batch
+    did NOT touch — a NULL-keyed source row's new-column value sticks."""
+    target = _frame(spark, [(None, "d1", 1.0)])
+    source = spark.createDataFrame(
+        [(None, "d1", 10.0, "fresh")], "k int, day string, v double, note string"
+    )
+    rows = merge_upsert_df(
+        target, source, keys=["k", "day"], evolve_schema=True
+    ).collect()
+    assert [(r.k, r.day, r.v, r.note) for r in rows] == [(None, "d1", 10.0, "fresh")]
+
+
 def test_idempotent_append_df_skips_existing_keys(spark, target):
     batch = _frame(spark, [(3, "dX", 30.0), (5, "d3", 5.0), (5, "d3", 5.0)])
     got = _sorted(idempotent_append_df(target, batch, keys=["k"]))
@@ -645,6 +669,27 @@ def test_merge_schema_evolution(spark, tmp_path):
     with pytest.raises(ValueError, match="score"):
         merge_upsert(spark, path, batch, keys=["k"])
     assert read_table(spark, path).columns == ["k", "v"]
+
+
+def test_zorder_rejects_null_cluster_values(spark, tmp_path):
+    """ADVICE r04: NULL in a cluster column would NULL the Morton key
+    (one unbounded range partition, no skipping) and an all-NULL column
+    crashed on float(None) — both must reject loudly instead."""
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        zorder_write,
+    )
+
+    some_null = spark.createDataFrame(
+        [(1, 1), (2, None), (3, 3)], "x long, y long"
+    )
+    with pytest.raises(ValueError, match="'y' contains NULLs"):
+        zorder_write(some_null, str(tmp_path / "z1"), "x", "y")
+
+    all_null = spark.createDataFrame(
+        [(1, None), (2, None)], "x long, y long"
+    )
+    with pytest.raises(ValueError, match="'y' contains NULLs"):
+        zorder_write(all_null, str(tmp_path / "z2"), "x", "y")
 
 
 def test_zorder_bounds_both_columns(spark, tmp_path):
