@@ -377,7 +377,14 @@ def scd2_apply(
 
     cur = target.filter(F.col(flag_col))
     b = batch.dropDuplicates(keys).alias("b")
-    c = cur.alias("c")
+    # Current-row presence via sentinel, not key nullability (same
+    # ADVICE-r04 fix as merge_upsert_df): the join below is eqNullSafe,
+    # so a NULL key value is a real match — probing `c.key IS NULL`
+    # would misread a matched NULL-keyed row as brand-new.
+    sentinel = "__scd2_cur_present"
+    if sentinel in target.columns or sentinel in batch.columns:
+        raise ValueError(f"column name {sentinel!r} is reserved by scd2_apply")
+    c = cur.withColumn(sentinel, F.lit(True)).alias("c")
     on = [F.col(f"b.{k}").eqNullSafe(F.col(f"c.{k}")) for k in keys]
     cond = on[0]
     for x in on[1:]:
@@ -387,7 +394,7 @@ def scd2_apply(
         d = ~F.col(f"b.{a}").eqNullSafe(F.col(f"c.{a}"))
         diff = d if diff is None else (diff | d)
     joined = b.join(c, cond, "left")
-    is_new = F.col(f"c.{keys[0]}").isNull()
+    is_new = F.col(f"c.{sentinel}").isNull()
     changed = joined.filter(is_new | diff).select(
         *[F.col(f"b.{k}").alias(k) for k in keys],
         *[F.col(f"b.{a}").alias(a) for a in attrs],
@@ -401,9 +408,21 @@ def scd2_apply(
         F.lit(True).alias(flag_col),
     )
     # target splits in one pass: superseded current rows get closed,
-    # everything else (history + unchanged current) passes through
-    closing_keys = changed.select(*keys).withColumn("__close", F.lit(1))
-    marked = target.join(F.broadcast(closing_keys), keys, "left")
+    # everything else (history + unchanged current) passes through.
+    # The closing join must be eqNullSafe too — a name-list join is
+    # null-UNSAFE, so a NULL-keyed superseded row would never close and
+    # the table would carry two current versions of that key.
+    closing_keys = (
+        changed.select(*keys).withColumn("__close", F.lit(1)).alias("ck")
+    )
+    tgt = target.alias("tg")
+    close_cond = None
+    for k in keys:
+        x = F.col(f"tg.{k}").eqNullSafe(F.col(f"ck.{k}"))
+        close_cond = x if close_cond is None else (close_cond & x)
+    marked = tgt.join(F.broadcast(closing_keys), close_cond, "left").select(
+        *[F.col(f"tg.{col}") for col in target.columns], F.col("ck.__close")
+    )
     superseded = F.col(flag_col) & F.col("__close").isNotNull()
     kept = marked.filter(~superseded).drop("__close")
     closed = (

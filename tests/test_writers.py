@@ -413,6 +413,30 @@ def test_scd2_apply_versions_changes_and_inserts(spark):
     assert all(r["count"] == 1 for r in cur)
 
 
+def test_scd2_apply_null_key_closes_and_versions(spark):
+    """ADVICE-r04 pattern applied to SCD2: a NULL key value is a real
+    key under eqNullSafe — its changed current row must close, and the
+    one-current-per-key invariant must hold for the NULL key too."""
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import scd2_apply
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    target = _scd_frame(
+        spark, [(None, "a", t0, None, True), (2, "b", t0, None, True)]
+    )
+    batch = spark.createDataFrame([(None, "a2")], "k int, v string")
+    out = scd2_apply(target, batch, keys=["k"], effective_ts="2026-02-01 00:00:00")
+    rows = {(r.k, r.v): r for r in out.collect()}
+    assert len(rows) == 3
+    assert rows[(None, "a")].is_current is False
+    assert rows[(None, "a")].valid_to == dt.datetime(2026, 2, 1)
+    assert rows[(None, "a2")].is_current is True
+    assert rows[(2, "b")].is_current is True
+    # re-applying the same batch is still a no-op for the NULL key
+    again = scd2_apply(out, batch, keys=["k"], effective_ts="2026-03-01 00:00:00")
+    assert again.count() == 3
+
+
 def test_scd2_apply_is_idempotent(spark):
     from etl_end_to_end_airflow_bigquery_spark.operators.writers import scd2_apply
     import datetime as dt

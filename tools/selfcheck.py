@@ -63,10 +63,16 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = sorted(only - set(queries))
+    if unknown:
+        print(f"FAIL unknown query names requested: {unknown}")
+        return 1
+    checked = []
     failed = []
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        checked.append(name)
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -103,7 +109,8 @@ def main() -> int:
         else:
             print(f"OK   {name} ({len(sv)} rows, {time.time()-t0:.1f}s)")
 
-    print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    suffix = f" (partial run over {checked})" if only else ""
+    print(f"\n{len(failed)} failures" + (f": {failed}" if failed else "") + suffix)
     return 1 if failed else 0
 
 
