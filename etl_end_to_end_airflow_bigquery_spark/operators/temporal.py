@@ -183,3 +183,72 @@ def resample_interpolate(
         .alias(value),
         F.col(value).isNull().alias("is_interpolated"),
     )
+
+
+def range_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    lo: str,
+    hi: str,
+    point: str,
+    bin_width_s: int = 120,
+) -> DataFrame:
+    """Bin-bucketed interval join: every (interval, point) pair with
+    ``lo <= point <= hi`` (closed bounds), with NO equi-key required.
+
+    Spark's optimizer spells a pure range predicate as
+    BroadcastNestedLoopJoin (all-pairs when neither side fits in a
+    broadcast) — dead at scale. This is the published time-bin
+    technique instead (the same trick behind Databricks' range-join
+    hint): quantize time into fixed bins of ``bin_width``, replicate
+    each interval once per bin it covers (JVM-side ``sequence`` +
+    ``explode`` — ceil(len/W)+1 rows, ≤2 when W ≥ the longest
+    interval), tag each point with its single containing bin, then
+    hash-join on the bin and re-check the exact predicate as a
+    residual. Each qualifying pair meets in exactly one bin (the
+    point's own), so no post-join dedup is needed.
+
+    Cost at 100 TB: one hash exchange of each side on ``__bin`` + a
+    residual filter — the cross-product never exists. Bin collision
+    density (rows per bin) is the knob: pick ``bin_width_s`` near the
+    longest interval length. Empty intervals (``lo > hi``) match
+    nothing and are dropped up front (also keeps ``sequence`` from
+    generating a descending range).
+
+    Bin ids are exact bigint floor-division on ``unix_micros`` — no
+    double rounding, correct for pre-1970 (negative-microsecond)
+    timestamps too.
+
+    Column names must be disjoint between the two inputs (rename
+    before calling) — verified loudly here rather than silently
+    suffixed.
+    """
+    overlap = set(intervals.columns) & set(points.columns)
+    if overlap:
+        raise ValueError(
+            f"range_join inputs share column names {sorted(overlap)}; "
+            "rename one side before joining"
+        )
+    if bin_width_s <= 0:
+        raise ValueError(f"bin_width_s must be positive, got {bin_width_s}")
+    w_us = f"{int(bin_width_s) * 1_000_000}L"
+
+    def _bin(col: str) -> str:
+        # exact floor division for bigints (div truncates toward zero;
+        # correct it for negative dividends so pre-epoch bins are right)
+        us = f"unix_micros({col})"
+        return (
+            f"(({us} div {w_us}) - (CASE WHEN {us} % {w_us} < 0"
+            " THEN 1 ELSE 0 END))"
+        )
+
+    iv = intervals.filter(F.col(lo) <= F.col(hi)).withColumn(
+        "__bin",
+        F.explode(F.expr(f"sequence({_bin(lo)}, {_bin(hi)})")),
+    )
+    pt = points.withColumn("__bin", F.expr(_bin(point)))
+    return (
+        iv.join(pt, "__bin")
+        .filter((F.col(lo) <= F.col(point)) & (F.col(point) <= F.col(hi)))
+        .drop("__bin")
+    )

@@ -16,6 +16,7 @@ embeddings`` before running these.
 from __future__ import annotations
 
 from .queries import (
+    BURST_HALF_WINDOW_S,
     EVENT_TYPES,
     GUARD_EVENT_DATE,
     GUARD_EVENT_TYPE,
@@ -397,6 +398,19 @@ ORACLES: dict[str, str] = {
          AND v.ts >= p.ts - INTERVAL 1 HOUR
         GROUP BY p.event_id, p.user_id
         ORDER BY p.event_id
+    """,
+    "burst_events_window": f"""
+        SELECT a.event_id AS event_id,
+               count(CASE WHEN b.event_id <> a.event_id THEN 1 END)
+                   AS n_nearby,
+               {_dsum("CASE WHEN b.event_id <> a.event_id THEN b.value ELSE 0.0 END")}
+                   AS nearby_value
+        FROM events a
+        JOIN events b
+          ON b.ts >= a.ts - INTERVAL {BURST_HALF_WINDOW_S} SECOND
+         AND b.ts <= a.ts + INTERVAL {BURST_HALF_WINDOW_S} SECOND
+        GROUP BY a.event_id
+        ORDER BY event_id
     """,
     "reorder_gap_by_segment": f"""
         WITH g AS (

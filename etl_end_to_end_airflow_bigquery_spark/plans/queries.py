@@ -32,7 +32,7 @@ from ..operators.relational import (
     round_half_up,
 )
 from ..operators.skew import salted_count_sum
-from ..operators.temporal import asof_join
+from ..operators.temporal import asof_join, range_join
 from ..operators.writers import idempotent_append_df, merge_upsert_df
 from ..sources.events import load_events
 
@@ -641,6 +641,65 @@ def views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BURST_HALF_WINDOW_S = 60  # ±60 s global concurrency window
+
+
+def burst_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range self-join (NO equi-key): for each event, how many
+    events — of any user — landed within ±60 s, and their total value.
+    The burst/concurrency primitive (fraud spikes, load bursts,
+    co-occurrence features for training data).
+
+    Unlike ``views_before_purchase`` there is no equality column to
+    hash on, so Spark's native plan for the raw predicate is
+    BroadcastNestedLoopJoin — all-pairs once both sides outgrow a
+    broadcast. ``temporal.range_join`` bins time into 2-minute buckets
+    (= the full window length, so each interval spans ≤2 bins),
+    replicates intervals per covered bin JVM-side, and hash-joins on
+    the bin with the exact ±60 s residual re-checked after — the
+    cross-product never exists, and the plan is one exchange per side
+    on ``__bin`` at any scale.
+
+    Every event matches itself (closed bounds), so the inner join
+    preserves all events; self is excluded from the aggregates by
+    ``b_id <> a_id``.
+    """
+    ev = load_events(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    half = f"INTERVAL {BURST_HALF_WINDOW_S} SECONDS"
+    intervals = ev.select(
+        F.col("event_id").alias("a_id"),
+        (F.col("ts") - F.expr(half)).alias("lo"),
+        (F.col("ts") + F.expr(half)).alias("hi"),
+    )
+    points = ev.select(
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+        F.col("value").alias("b_value"),
+    )
+    pairs = range_join(
+        intervals,
+        points,
+        "lo",
+        "hi",
+        "b_ts",
+        bin_width_s=2 * BURST_HALF_WINDOW_S,
+    )
+    other = F.col("b_id") != F.col("a_id")
+    return (
+        pairs.groupBy("a_id")
+        .agg(
+            F.count(F.when(other, F.lit(1))).alias("n_nearby"),
+            decimal_sum(
+                F.when(other, F.col("b_value")).otherwise(F.lit(0.0))
+            ).alias("nearby_value"),
+        )
+        .select(F.col("a_id").alias("event_id"), "n_nearby", "nearby_value")
+        .orderBy("event_id")
+    )
+
+
 # --- window analytics: lag deltas + running totals (§2.5 extension) ------
 
 
@@ -850,6 +909,7 @@ QUERIES: dict[str, QueryFn] = {
     "session_window_native": session_window_native,
     "asof_attribution": asof_attribution,
     "views_before_purchase": views_before_purchase,
+    "burst_events_window": burst_events_window,
     "reorder_gap_by_segment": reorder_gap_by_segment,
     "cumulative_monthly_revenue": cumulative_monthly_revenue,
     "order_priority_exists": order_priority_exists,

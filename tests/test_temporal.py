@@ -152,3 +152,87 @@ class TestResampleFfill:
         out = resample_ffill(df, "k", "t", ["v"], step="2 hours")
         vals = [r.v for r in out.orderBy("t").collect()]
         assert vals == [1.0, 1.0, 1.0, 7.0]
+
+
+# --- range_join (bin-bucketed interval join, no equi-key) ----------------
+
+
+def test_range_join_bounds_and_edges(spark):
+    from etl_end_to_end_airflow_bigquery_spark.operators.temporal import (
+        range_join,
+    )
+
+    iv = spark.createDataFrame(
+        [("a", _t("2024-01-01 00:00:00"), _t("2024-01-01 00:02:00")),
+         ("b", _t("2024-01-01 00:05:00"), _t("2024-01-01 00:05:30")),
+         # pre-epoch: negative unix_micros exercises the floor-div fix
+         ("pre", _t("1969-12-31 23:58:00"), _t("1969-12-31 23:59:30")),
+         # empty interval must match nothing (and not crash sequence())
+         ("empty", _t("2024-01-02 00:00:00"), _t("2024-01-01 00:00:00"))],
+        "iv_id string, lo timestamp, hi timestamp",
+    )
+    pt = spark.createDataFrame(
+        [("p1", _t("2024-01-01 00:01:00")),
+         ("p2", _t("2024-01-01 00:02:00")),   # == hi: closed bound matches
+         ("p3", _t("2024-01-01 00:04:59")),   # just outside b
+         ("p4", _t("2024-01-01 00:05:10")),
+         ("p5", _t("1969-12-31 23:58:30"))],
+        "pt_id string, p timestamp",
+    )
+    got = sorted(
+        (r.iv_id, r.pt_id)
+        for r in range_join(iv, pt, "lo", "hi", "p", bin_width_s=120)
+        .collect()
+    )
+    assert got == [("a", "p1"), ("a", "p2"), ("b", "p4"), ("pre", "p5")]
+
+
+def test_range_join_matches_naive_on_events(spark):
+    """Property: bin-bucketed plan == naive cross-filter on real data,
+    for a bin width both larger and smaller than the interval length
+    (multi-bin replication path)."""
+    from etl_end_to_end_airflow_bigquery_spark.operators.temporal import (
+        range_join,
+    )
+
+    ev = load_events(spark, SF).limit(300).cache()
+    iv = ev.select(
+        F.col("event_id").alias("a_id"),
+        (F.col("ts").cast("timestamp") - F.expr("INTERVAL 90 SECONDS"))
+        .alias("lo"),
+        (F.col("ts").cast("timestamp") + F.expr("INTERVAL 90 SECONDS"))
+        .alias("hi"),
+    )
+    pt = ev.select(
+        F.col("event_id").alias("b_id"),
+        F.col("ts").cast("timestamp").alias("b_ts"),
+    )
+    naive = sorted(
+        (r.a_id, r.b_id)
+        for r in iv.crossJoin(pt)
+        .filter((F.col("lo") <= F.col("b_ts")) & (F.col("b_ts") <= F.col("hi")))
+        .collect()
+    )
+    for width in (180, 45):  # one bin covers all; intervals span 5+ bins
+        got = sorted(
+            (r.a_id, r.b_id)
+            for r in range_join(iv, pt, "lo", "hi", "b_ts", bin_width_s=width)
+            .collect()
+        )
+        assert got == naive, f"bin_width_s={width}"
+
+
+def test_range_join_rejects_column_overlap(spark):
+    import pytest as _pytest
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.temporal import (
+        range_join,
+    )
+
+    df = spark.range(1).select(
+        F.current_timestamp().alias("lo"),
+        F.current_timestamp().alias("hi"),
+        F.current_timestamp().alias("p"),
+    )
+    with _pytest.raises(ValueError, match="share column names"):
+        range_join(df, df.select("p"), "lo", "hi", "p")
