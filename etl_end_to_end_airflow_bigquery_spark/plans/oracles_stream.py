@@ -94,3 +94,13 @@ STREAM_ORACLES["streaming_cms_counts"] = f"""
     GROUP BY r, pos
     ORDER BY r, pos
 """
+
+STREAM_ORACLES["streaming_burst_pairs"] = """
+    SELECT a.event_id AS a_id, b.event_id AS b_id
+    FROM events a
+    JOIN events b
+      ON b.ts >= a.ts - INTERVAL 60 SECOND
+     AND b.ts <= a.ts + INTERVAL 60 SECOND
+     AND a.event_id <> b.event_id
+    ORDER BY a_id, b_id
+"""

@@ -490,3 +490,80 @@ def streaming_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_QUERIES["streaming_cms_counts"] = streaming_cms_counts
+
+
+def streaming_burst_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream PURE-RANGE join (no equi-key) via the same time-bin
+    bucketing as ``temporal.range_join``: every event pair within ±60 s,
+    matched *in flight*.
+
+    Spark's streaming joiner keys its state store on the equality
+    columns of the join condition; a raw range-only predicate would
+    leave it no key at all (per-batch cross-product against the whole
+    state buffer). Bucketing fixes that inside the engine's own model:
+    the interval side explodes each ±60 s window into the 2-minute bins
+    it covers (≤2 rows, a stateless projection that preserves the
+    watermark), the point side tags its single containing bin, and the
+    join condition becomes bin-equality + the exact time residual — so
+    state is keyed and pruned per bin, and the event-time bounds let
+    the watermark evict it. Same state-size property as the built-in
+    equi+range join (``streaming_view_purchase_join``), extended to a
+    predicate the engine has no native key for.
+
+    Self-join of one bounded-replay file stream; append mode emits each
+    qualifying (a, b) pair once; the batch dual is
+    ``burst_events_window`` (aggregated), the oracle checks the raw
+    pair set. Bin ids skip the negative-microsecond floor correction —
+    the event feed is post-epoch by schema (2024 ticks).
+    """
+    sink = _sink_name("stream_burst")
+    with _utc_session(spark):
+        ticks = _stream_events(spark, sf_dir).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        # bin width = full window length (120 s) => each interval spans
+        # at most 2 bins, each point lives in exactly 1
+        a = (
+            ticks.select(
+                F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts")
+            )
+            .withWatermark("a_ts", "31 days")
+            .withColumn(
+                "a_bin",
+                F.explode(
+                    F.expr(
+                        "sequence("
+                        "unix_micros(a_ts - INTERVAL 60 SECONDS) div 120000000,"
+                        "unix_micros(a_ts + INTERVAL 60 SECONDS) div 120000000)"
+                    )
+                ),
+            )
+        )
+        b = (
+            ticks.select(
+                F.col("event_id").alias("b_id"), F.col("ts").alias("b_ts")
+            )
+            .withWatermark("b_ts", "31 days")
+            .withColumn("b_bin", F.expr("unix_micros(b_ts) div 120000000"))
+        )
+        joined = a.join(
+            b,
+            F.expr(
+                "a_bin = b_bin"
+                " AND b_ts >= a_ts - INTERVAL 60 SECONDS"
+                " AND b_ts <= a_ts + INTERVAL 60 SECONDS"
+                " AND a_id != b_id"
+            ),
+        ).select("a_id", "b_id")
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.table(sink).orderBy("a_id", "b_id")
+
+
+STREAM_QUERIES["streaming_burst_pairs"] = streaming_burst_pairs

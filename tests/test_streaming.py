@@ -90,3 +90,37 @@ def test_gate_queries_leave_session_conf_untouched(spark):
         spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         == nanos_before
     )
+
+
+def test_streaming_burst_pairs_matches_batch(spark):
+    """The bin-bucketed pure-range stream-stream join must emit exactly
+    the pair set the batch plan finds (±60 s, closed bounds, self
+    excluded)."""
+    from pyspark.sql import functions as F
+
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_stream import (
+        streaming_burst_pairs,
+    )
+    from etl_end_to_end_airflow_bigquery_spark.sources.events import (
+        load_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r.a_id, r.b_id) for r in streaming_burst_pairs(spark, sf).collect()
+    )
+    ev = load_events(spark, sf).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    a = ev.select(F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts"))
+    b = ev.select(F.col("event_id").alias("b_id"), F.col("ts").alias("b_ts"))
+    want = sorted(
+        (r.a_id, r.b_id)
+        for r in a.join(
+            b,
+            (F.col("b_ts") >= F.col("a_ts") - F.expr("INTERVAL 60 SECONDS"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 60 SECONDS"))
+            & (F.col("a_id") != F.col("b_id")),
+        ).collect()
+    )
+    assert got == want and len(got) > 0
