@@ -89,6 +89,9 @@ BENCH_QUERIES = [
     # had no bench record; r04's 27 stay a prefix.
     "semantic_dedup_kmeans",
     "pagerank_dedup_graph",
+    # round 5 addition: the bin-bucketed pure-range self-join (new
+    # operator this round); r05's 29 stay a prefix.
+    "burst_events_window",
 ]
 
 N_RUNS = 3

@@ -191,7 +191,7 @@ def range_join(
     lo: str,
     hi: str,
     point: str,
-    bin_width_s: int = 120,
+    bin_width_s: int | None = 120,
 ) -> DataFrame:
     """Bin-bucketed interval join: every (interval, point) pair with
     ``lo <= point <= hi`` (closed bounds), with NO equi-key required.
@@ -222,6 +222,15 @@ def range_join(
     Column names must be disjoint between the two inputs (rename
     before calling) — verified loudly here rather than silently
     suffixed.
+
+    ``bin_width_s=None`` derives the width from the data: one bounded
+    aggregate computes ``max(hi - lo)`` (a single scalar to the driver,
+    same class as the writers' min/max collects) and the width becomes
+    that maximum rounded up to a whole second — the replication-minimal
+    choice (every interval spans ≤2 bins). Pass an explicit width when
+    the interval length is known statically (no extra job) or when a
+    few long outlier intervals would otherwise stretch the bins and
+    pile unrelated points into each bucket.
     """
     overlap = set(intervals.columns) & set(points.columns)
     if overlap:
@@ -229,6 +238,18 @@ def range_join(
             f"range_join inputs share column names {sorted(overlap)}; "
             "rename one side before joining"
         )
+    if bin_width_s is None:
+        longest = intervals.agg(
+            F.max(
+                F.unix_micros(F.col(hi)) - F.unix_micros(F.col(lo))
+            ).alias("m")
+        ).collect()[0]["m"]
+        if longest is None:
+            raise ValueError(
+                "range_join(bin_width_s=None) on an empty intervals frame"
+                " — pass an explicit bin width"
+            )
+        bin_width_s = max(1, -(-max(longest, 0) // 1_000_000))
     if bin_width_s <= 0:
         raise ValueError(f"bin_width_s must be positive, got {bin_width_s}")
     w_us = f"{int(bin_width_s) * 1_000_000}L"

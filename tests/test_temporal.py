@@ -236,3 +236,32 @@ def test_range_join_rejects_column_overlap(spark):
     )
     with _pytest.raises(ValueError, match="share column names"):
         range_join(df, df.select("p"), "lo", "hi", "p")
+
+
+def test_range_join_auto_bin_width(spark):
+    """bin_width_s=None derives the width from max(hi-lo) and must give
+    the same pairs as an explicit width."""
+    import pytest as _pytest
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.temporal import (
+        range_join,
+    )
+
+    iv = spark.createDataFrame(
+        [("a", _t("2024-01-01 00:00:00"), _t("2024-01-01 00:02:00")),
+         ("b", _t("2024-01-01 00:05:00"), _t("2024-01-01 00:05:30"))],
+        "iv_id string, lo timestamp, hi timestamp",
+    )
+    pt = spark.createDataFrame(
+        [("p1", _t("2024-01-01 00:01:00")), ("p2", _t("2024-01-01 00:05:10"))],
+        "pt_id string, p timestamp",
+    )
+    auto = sorted(
+        (r.iv_id, r.pt_id)
+        for r in range_join(iv, pt, "lo", "hi", "p", bin_width_s=None)
+        .collect()
+    )
+    assert auto == [("a", "p1"), ("b", "p2")]
+    empty = iv.filter("iv_id = 'nope'")
+    with _pytest.raises(ValueError, match="empty intervals frame"):
+        range_join(empty, pt, "lo", "hi", "p", bin_width_s=None)
