@@ -126,3 +126,80 @@ def table_diff(
         .filter(F.col("change_type").isNotNull())
         .select(*keys, "change_type", "_old", "_new")
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_by: list[str],
+    value: str,
+    out: str = "running",
+) -> DataFrame:
+    """Row-level running sum over a GLOBAL order — without the
+    single-partition trap.
+
+    ``sum().over(Window.orderBy(...))`` with no partitionBy collapses
+    the whole input into ONE task (Spark even warns); every existing
+    running total in this repo dodges that by windowing post-aggregate
+    frames that are small by construction. This operator is for when
+    the running sum must be computed at row grain: the classic
+    distributed prefix-sum.
+
+    Plan: range-repartition on the order columns (so partition i holds
+    a contiguous, sorted-disjoint slice), compute each partition's
+    local prefix sums with a per-partition window (parallel — the
+    window partitions on the physical partition id), then lift local to
+    global by adding the exclusive prefix of the per-partition totals —
+    a #partitions-row frame, computed on the driver and broadcast back.
+    Driver state is bounded by the partition count, never the data.
+
+    The ranged frame is persisted (MEMORY_AND_DISK) across the two
+    passes: range-partitioner boundaries come from sampling, so the
+    totals pass and the output pass MUST see the same physical
+    partitioning — recomputing the exchange could re-sample different
+    boundaries and mis-align the offsets. Same bounded-barrier class as
+    the quantizer-training materializations in ``similarity.py``.
+    The cache lives until the session's LRU evicts it (disk-spillable,
+    so eviction is safe); long-lived sessions running many cumsum
+    passes should materialize the result and unpersist.
+
+    ``order_by`` must be a global total order for a deterministic
+    per-row result; with ties, row-level assignments within a tie group
+    are arbitrary but the multiset of running values in the group is
+    not (the same values are summed in some order), so aggregates over
+    the running column (max per bucket, final total) stay
+    deterministic. Ascending order only — encode descending keys by
+    negating the column before calling.
+
+    ``value`` should be integer-typed (or exact decimal): the whole
+    point of the two-phase sum is associativity, which doubles lack.
+    """
+    from pyspark import StorageLevel
+
+    ranged = (
+        df.repartitionByRange(*[F.col(c) for c in order_by])
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("__local", F.sum(value).over(w))
+    totals = sorted(
+        (r["__pid"], r["__tot"])
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(value).alias("__tot"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for pid, tot in totals:
+        offsets.append((pid, acc))
+        acc += tot or 0
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "__pid int, __offset bigint")
+    return (
+        local.join(F.broadcast(off_df), "__pid")
+        .withColumn(out, (F.col("__local") + F.col("__offset")).cast("bigint"))
+        .drop("__pid", "__local", "__offset")
+    )

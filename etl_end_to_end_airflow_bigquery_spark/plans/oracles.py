@@ -412,6 +412,42 @@ ORACLES: dict[str, str] = {
         GROUP BY a.event_id
         ORDER BY event_id
     """,
+    "session_concurrency_daily": f"""
+        WITH e AS (
+            SELECT event_id, user_id, ts, epoch_us(ts) AS ts_us FROM events
+        ), f AS (
+            SELECT *,
+                   CASE WHEN ts_us - lag(ts_us) OVER
+                        (PARTITION BY user_id ORDER BY ts_us, event_id)
+                        > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session
+            FROM e
+        ), s AS (
+            SELECT *,
+                   CAST(sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM f
+        ), sess AS (
+            SELECT user_id, session_id,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM s GROUP BY user_id, session_id
+        ), deltas AS (
+            SELECT session_start AS ts, 1 AS delta FROM sess
+            UNION ALL
+            SELECT session_end AS ts, -1 AS delta FROM sess
+        ), sweep AS (
+            SELECT ts,
+                   CAST(sum(delta) OVER (
+                       ORDER BY epoch_us(ts), -delta
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS active
+            FROM deltas
+        )
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               max(active) AS peak_concurrent
+        FROM sweep
+        GROUP BY day
+        ORDER BY day
+    """,
     "reorder_gap_by_segment": f"""
         WITH g AS (
             SELECT o_custkey,

@@ -28,6 +28,7 @@ from ..io import load_table
 from ..operators.relational import (
     decimal_avg,
     decimal_sum,
+    global_cumsum,
     latest_per_key,
     round_half_up,
 )
@@ -700,6 +701,52 @@ def burst_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day, by sweep-line over the session
+    intervals: +1 at each session start, −1 at each end, global running
+    sum, max per day. The interval-overlap AGGREGATE dual of
+    ``burst_events_window``'s pairwise join — counting overlaps needs no
+    pair ever materialized, O(n log n) total.
+
+    The running sum here is at event-row grain over ONE global order —
+    the exact case where ``Window.orderBy`` with no partition collapses
+    to a single task. ``relational.global_cumsum`` is the distributed
+    form: range-repartition on the order key, per-partition prefix
+    sums, then add the exclusive prefix of per-partition totals
+    (#partitions rows through the driver, broadcast back).
+
+    Tie rule pinned in both engines: at equal timestamps, starts sort
+    before ends (``neg_delta`` ascending), so a session ending exactly
+    when another starts counts both as concurrent (closed intervals) —
+    and a single-event session (start == end) registers. Row-level
+    running values within a tie group are order-arbitrary, but the
+    daily MAX aggregates the group's value multiset, which is
+    deterministic.
+    """
+    sessions = sessionize_events(spark, sf_dir)
+    starts = sessions.select(
+        F.col("session_start").alias("ts"), F.lit(1).alias("delta")
+    )
+    ends = sessions.select(
+        F.col("session_end").alias("ts"), F.lit(-1).alias("delta")
+    )
+    deltas = (
+        starts.unionByName(ends)
+        .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+        .withColumn("neg_delta", -F.col("delta"))
+    )
+    swept = global_cumsum(
+        deltas, ["ts_us", "neg_delta"], "delta", out="active"
+    )
+    return (
+        swept.groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.max("active").alias("peak_concurrent"))
+        .orderBy("day")
+    )
+
+
 # --- window analytics: lag deltas + running totals (§2.5 extension) ------
 
 
@@ -910,6 +957,7 @@ QUERIES: dict[str, QueryFn] = {
     "asof_attribution": asof_attribution,
     "views_before_purchase": views_before_purchase,
     "burst_events_window": burst_events_window,
+    "session_concurrency_daily": session_concurrency_daily,
     "reorder_gap_by_segment": reorder_gap_by_segment,
     "cumulative_monthly_revenue": cumulative_monthly_revenue,
     "order_priority_exists": order_priority_exists,

@@ -70,3 +70,40 @@ class TestTableDiff:
         new = spark.createDataFrame([(1, None)], "k int, v string")
         rows = table_diff(old, new, ["k"]).collect()
         assert [r.change_type for r in rows] == ["update"]
+
+
+def test_global_cumsum_matches_single_partition_window(spark):
+    """Distributed prefix sum == the (non-scalable) global window, on a
+    unique key with mixed-sign values, and the result is NOT computed in
+    one partition."""
+    from pyspark.sql import Window
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.relational import (
+        global_cumsum,
+    )
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") * 37 % 20000).alias("k"),
+        ((F.col("id") % 7) - 3).cast("bigint").alias("v"),
+    )
+    got = global_cumsum(df, ["k"], "v", out="run")
+    w = Window.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.withColumn("run", F.sum("v").over(w))
+    mism = (
+        got.alias("g")
+        .join(want.alias("w"), "k")
+        .filter("g.run <> w.run")
+        .count()
+    )
+    assert mism == 0
+    # the window must be keyed (per-partition prefix sums), never the
+    # single-task global Window.orderBy form; AQE may coalesce the tiny
+    # OUTPUT to 1 partition, so assert on the plan, not partition count
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    window_lines = [
+        ln for ln in plan.splitlines() if "Window " in ln and "sum(" in ln
+    ]
+    assert window_lines and all("__pid" in ln for ln in window_lines), plan
