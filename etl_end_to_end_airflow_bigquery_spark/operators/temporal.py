@@ -273,3 +273,68 @@ def range_join(
         .filter((F.col(lo) <= F.col(point)) & (F.col(point) <= F.col(hi)))
         .drop("__bin")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bin_width_s: int = 120,
+) -> DataFrame:
+    """Interval × interval overlap join (closed bounds: pairs where
+    ``l_lo <= r_hi AND r_lo <= l_hi``), no equi-key — the two-sided
+    sibling of ``range_join``.
+
+    Both sides replicate across the time bins they cover, the join is
+    bin-equality + the exact overlap residual, and each qualifying pair
+    is emitted EXACTLY once without any post-join dedup: two
+    overlapping intervals share a timestamp, hence share that
+    timestamp's bin, and the first shared bin is always
+    ``max(bin(l_lo), bin(r_lo))`` (integer ranges intersect starting at
+    the larger lower bound) — the guard keeps only that bin's match.
+    Dedup-free matters at scale: a distinct on the pair key would be a
+    second full shuffle of the join output.
+
+    Replication factor per row is ceil(len/W)+1 bins; pick
+    ``bin_width_s`` near the longest interval. Empty intervals
+    (``lo > hi``) are dropped on both sides. Same exact bigint bin
+    math as ``range_join`` (pre-epoch safe).
+    """
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            f"interval_overlap_join inputs share column names "
+            f"{sorted(overlap)}; rename one side before joining"
+        )
+    if bin_width_s <= 0:
+        raise ValueError(f"bin_width_s must be positive, got {bin_width_s}")
+    w_us = f"{int(bin_width_s) * 1_000_000}L"
+
+    def _bin(col: str) -> str:
+        us = f"unix_micros({col})"
+        return (
+            f"(({us} div {w_us}) - (CASE WHEN {us} % {w_us} < 0"
+            " THEN 1 ELSE 0 END))"
+        )
+
+    lt = left.filter(F.col(l_lo) <= F.col(l_hi)).withColumn(
+        "__bin", F.explode(F.expr(f"sequence({_bin(l_lo)}, {_bin(l_hi)})"))
+    )
+    rt = right.filter(F.col(r_lo) <= F.col(r_hi)).withColumn(
+        "__rbin", F.explode(F.expr(f"sequence({_bin(r_lo)}, {_bin(r_hi)})"))
+    )
+    first_shared = F.greatest(
+        F.expr(_bin(l_lo)), F.expr(_bin(r_lo))
+    )
+    return (
+        lt.join(rt, F.col("__bin") == F.col("__rbin"))
+        .filter(
+            (F.col(l_lo) <= F.col(r_hi))
+            & (F.col(r_lo) <= F.col(l_hi))
+            & (F.col("__bin") == first_shared)
+        )
+        .drop("__bin", "__rbin")
+    )

@@ -448,6 +448,39 @@ ORACLES: dict[str, str] = {
         GROUP BY day
         ORDER BY day
     """,
+    "overlapping_sessions": f"""
+        WITH e AS (
+            SELECT event_id, user_id, ts, epoch_us(ts) AS ts_us FROM events
+        ), f AS (
+            SELECT *,
+                   CASE WHEN ts_us - lag(ts_us) OVER
+                        (PARTITION BY user_id ORDER BY ts_us, event_id)
+                        > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session
+            FROM e
+        ), s AS (
+            SELECT *,
+                   CAST(sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM f
+        ), sess AS (
+            SELECT user_id, session_id,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM s GROUP BY user_id, session_id
+            HAVING count(*) >= 2
+        )
+        SELECT a.user_id AS u1, a.session_id AS s1,
+               b.user_id AS u2, b.session_id AS s2,
+               epoch_us(least(a.session_end, b.session_end))
+                 - epoch_us(greatest(a.session_start, b.session_start))
+                 AS overlap_us
+        FROM sess a
+        JOIN sess b
+          ON a.user_id < b.user_id
+         AND a.session_start <= b.session_end
+         AND b.session_start <= a.session_end
+        ORDER BY u1, s1, u2, s2
+    """,
     "reorder_gap_by_segment": f"""
         WITH g AS (
             SELECT o_custkey,

@@ -33,7 +33,7 @@ from ..operators.relational import (
     round_half_up,
 )
 from ..operators.skew import salted_count_sum
-from ..operators.temporal import asof_join, range_join
+from ..operators.temporal import asof_join, interval_overlap_join, range_join
 from ..operators.writers import idempotent_append_df, merge_upsert_df
 from ..sources.events import load_events
 
@@ -747,6 +747,51 @@ def session_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def overlapping_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent session PAIRS across users, via the two-sided
+    interval-overlap join: which multi-event sessions were active at
+    the same time, and for how long. Completes the range-join family —
+    point-in-interval (``burst_events_window``), overlap COUNT
+    (``session_concurrency_daily``), and here the overlap pairs
+    themselves.
+
+    ``temporal.interval_overlap_join`` replicates both interval sets
+    across 30-minute time bins and emits each overlapping pair exactly
+    once (lowest-shared-bin guard — no post-join distinct, which would
+    be a second shuffle of the join output). ``u1 < u2`` both
+    de-symmetrizes pairs and drops self-pairs; same-user sessions never
+    overlap by construction (gap-based sessionization separates them by
+    more than the gap). Overlap duration is an exact integer µs
+    difference of closed-bound endpoints.
+    """
+    sess = sessionize_events(spark, sf_dir).filter(F.col("n_events") >= 2)
+    left = sess.select(
+        F.col("user_id").alias("u1"),
+        F.col("session_id").alias("s1"),
+        F.col("session_start").cast("timestamp").alias("a_lo"),
+        F.col("session_end").cast("timestamp").alias("a_hi"),
+    )
+    right = sess.select(
+        F.col("user_id").alias("u2"),
+        F.col("session_id").alias("s2"),
+        F.col("session_start").cast("timestamp").alias("b_lo"),
+        F.col("session_end").cast("timestamp").alias("b_hi"),
+    )
+    pairs = interval_overlap_join(
+        left, right, "a_lo", "a_hi", "b_lo", "b_hi", bin_width_s=1800
+    ).filter(F.col("u1") < F.col("u2"))
+    return pairs.select(
+        "u1",
+        "s1",
+        "u2",
+        "s2",
+        (
+            F.unix_micros(F.least("a_hi", "b_hi"))
+            - F.unix_micros(F.greatest("a_lo", "b_lo"))
+        ).alias("overlap_us"),
+    ).orderBy("u1", "s1", "u2", "s2")
+
+
 # --- window analytics: lag deltas + running totals (§2.5 extension) ------
 
 
@@ -958,6 +1003,7 @@ QUERIES: dict[str, QueryFn] = {
     "views_before_purchase": views_before_purchase,
     "burst_events_window": burst_events_window,
     "session_concurrency_daily": session_concurrency_daily,
+    "overlapping_sessions": overlapping_sessions,
     "reorder_gap_by_segment": reorder_gap_by_segment,
     "cumulative_monthly_revenue": cumulative_monthly_revenue,
     "order_priority_exists": order_priority_exists,

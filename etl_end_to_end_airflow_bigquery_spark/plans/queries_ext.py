@@ -31,13 +31,23 @@ from ..operators.text import (
 from .queries import QueryFn
 
 # Shared scoring formulas — interpreted by Spark's F.expr AND embedded
-# verbatim in the DuckDB oracle (identical IEEE evaluation order).
+# verbatim in the DuckDB oracle. A single int/int division is IEEE
+# correctly-rounded identically in both engines; a CHAIN of double (or
+# worse, decimal-literal) ops is not — the engines' literal typing and
+# promotion rules differ by an ulp, which flipped a 4-dp rounding on one
+# sf0.1 document. So every shared score is spelled as ONE exact-integer
+# rational with ONE final double division.
 STOP_RATIO_SQL = "n_stopwords / CAST(n_tokens AS DOUBLE)"
 AVG_TOK_SQL = "(n_chars_calc - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE)"
-QUALITY_SQL = (
-    f"0.4 * least(n_tokens / 100.0, 1.0) + 0.4 * (1.0 - ({STOP_RATIO_SQL})) "
-    f"+ 0.2 * least(({AVG_TOK_SQL}) / 8.0, 1.0)"
+# quality = 0.4·min(nt/100, 1) + 0.4·(1 − ns/nt) + 0.2·min(avg_tok/8, 1)
+# over the common denominator 1000·nt — numerator and denominator are
+# exact BIGINT expressions, then one division:
+QUALITY_NUM_SQL = (
+    "(4 * least(n_tokens, 100) * n_tokens"
+    " + 400 * (n_tokens - n_stopwords)"
+    " + 25 * least(n_chars_calc - n_tokens + 1, 8 * n_tokens))"
 )
+QUALITY_SQL = f"(CAST({QUALITY_NUM_SQL} AS DOUBLE) / (1000 * n_tokens))"
 # Marker-vote language classifier — shared verbatim with the oracle.
 LANG_CASE_SQL = """
         CASE

@@ -265,3 +265,36 @@ def test_range_join_auto_bin_width(spark):
     empty = iv.filter("iv_id = 'nope'")
     with _pytest.raises(ValueError, match="empty intervals frame"):
         range_join(empty, pt, "lo", "hi", "p", bin_width_s=None)
+
+
+def test_interval_overlap_join_emits_each_pair_once(spark):
+    """Two-sided overlap join == naive cross-filter, including long
+    intervals spanning many bins (the once-only lowest-shared-bin guard
+    is what's under test), touching endpoints (closed bounds), and
+    disjoint intervals."""
+    from etl_end_to_end_airflow_bigquery_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [("a", _t("2024-01-01 00:00:00"), _t("2024-01-01 03:00:00")),
+         ("b", _t("2024-01-01 01:00:00"), _t("2024-01-01 01:00:30")),
+         ("c", _t("2024-01-01 05:00:00"), _t("2024-01-01 05:10:00"))],
+        "l_id string, a_lo timestamp, a_hi timestamp",
+    )
+    right = spark.createDataFrame(
+        [("x", _t("2024-01-01 00:30:00"), _t("2024-01-01 02:00:00")),
+         # touches a's end exactly: closed bounds must match
+         ("y", _t("2024-01-01 03:00:00"), _t("2024-01-01 04:00:00")),
+         ("z", _t("2024-01-01 04:30:00"), _t("2024-01-01 04:59:59"))],
+        "r_id string, b_lo timestamp, b_hi timestamp",
+    )
+    for width in (120, 3600):
+        got = sorted(
+            (r.l_id, r.r_id)
+            for r in interval_overlap_join(
+                left, right, "a_lo", "a_hi", "b_lo", "b_hi",
+                bin_width_s=width,
+            ).collect()
+        )
+        assert got == [("a", "x"), ("a", "y"), ("b", "x")], (width, got)
