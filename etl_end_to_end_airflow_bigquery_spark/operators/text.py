@@ -274,13 +274,30 @@ def scrub_pii(df: DataFrame, text: str = "text") -> DataFrame:
 # while exp() may differ in the last ulp — poison for a value-hash gate.
 # Weights are deterministic stand-ins for a trained model's (a real
 # pipeline would load them from a table; the plan shape is identical).
+#
+# The logit itself is an exact-BIGINT rational over the common
+# denominator 200·nt·nc — a CHAIN of double/decimal-literal ops is
+# parsed with different promotion rules by Spark vs DuckDB and can
+# differ by an ulp, which flips the keep decision for a document whose
+# logit is exactly 0 (two such docs exist at sf0.1). With one final
+# double division, z is correctly-rounded identically everywhere, and
+# the keep cut (score ≥ ½ ⇔ z ≥ 0 ⇔ numerator ≥ 0) is decidable in
+# exact integer arithmetic.
+#   z = −1.5 + 2·min(nt/100, 1) − 3·ns/nt + min(avg_tok/8, 1) − 2·na/nc
+CLASSIFIER_ZNUM_SQL = (
+    "(4 * least(n_tokens, 100) * n_tokens * n_chars_calc"
+    " - 300 * n_tokens * n_chars_calc"
+    " - 600 * n_stopwords * n_chars_calc"
+    " + 25 * least(n_chars_calc - n_tokens + 1, 8 * n_tokens)"
+    " * n_chars_calc"
+    " - 400 * n_nonalpha * n_tokens)"
+)
 CLASSIFIER_Z_SQL = (
-    "(-1.5 + 2.0 * least(n_tokens / 100.0, 1.0)"
-    " - 3.0 * (n_stopwords / CAST(n_tokens AS DOUBLE))"
-    " + 1.0 * least(((n_chars_calc - (n_tokens - 1))"
-    " / CAST(n_tokens AS DOUBLE)) / 8.0, 1.0)"
-    " - 2.0 * (n_nonalpha / CAST(n_chars_calc AS DOUBLE)))"
+    f"(CAST({CLASSIFIER_ZNUM_SQL} AS DOUBLE)"
+    " / (200 * n_tokens * n_chars_calc))"
 )
 CLASSIFIER_SCORE_SQL = (
     f"0.5 * (1.0 + {CLASSIFIER_Z_SQL} / (1.0 + abs({CLASSIFIER_Z_SQL})))"
 )
+# keep ⇔ score ≥ 0.5 ⇔ z ≥ 0, decided exactly on the integer numerator
+CLASSIFIER_KEEP_SQL = f"({CLASSIFIER_ZNUM_SQL} >= 0)"

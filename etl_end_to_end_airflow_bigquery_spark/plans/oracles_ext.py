@@ -1046,7 +1046,7 @@ EXT_ORACLES["curated_corpus_v2"] = f"""
 
 # --- round-4 LLM-pipeline pack oracles ----------------------------------
 
-from ..operators.text import CLASSIFIER_SCORE_SQL, PII_PATTERNS  # noqa: E402
+from ..operators.text import CLASSIFIER_KEEP_SQL, CLASSIFIER_SCORE_SQL, PII_PATTERNS  # noqa: E402
 from .queries_ext import (  # noqa: E402
     BM25_B,
     BM25_K1,
@@ -1089,7 +1089,7 @@ EXT_ORACLES["quality_classifier_docs"] = f"""
     )
     SELECT doc_id,
            {_round(CLASSIFIER_SCORE_SQL, 6)} AS quality_prob,
-           ({CLASSIFIER_SCORE_SQL}) >= 0.5 AS keep
+           {CLASSIFIER_KEEP_SQL} AS keep
     FROM s
     ORDER BY doc_id
 """

@@ -17,6 +17,7 @@ from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators.relational import decimal_sum, round_half_up
 from ..operators.text import (
+    CLASSIFIER_KEEP_SQL,
     CLASSIFIER_SCORE_SQL,
     LANG_MARKERS,
     marker_count,
@@ -880,7 +881,10 @@ def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id",
         round_half_up(score, 6).alias("quality_prob"),
-        (score >= 0.5).alias("keep"),
+        # score >= 0.5 <=> logit >= 0, decided on the exact integer
+        # numerator — a double comparison at the cut flips per-engine
+        # for documents whose logit is exactly 0
+        F.expr(CLASSIFIER_KEEP_SQL).alias("keep"),
     ).orderBy("doc_id")
 
 
