@@ -1139,12 +1139,16 @@ EXT_ORACLES["bm25_retrieval"] = f"""
     LIMIT {BM25_TOPK}
 """
 
-_SPAN_GRAM = (
-    f"list_transform(range(1, len(tk) - {SPAN_K - 2}), i -> md5("
-    + "concat_ws(' ', "
-    + ", ".join(f"tk[i+{j}]" for j in range(SPAN_K))
-    + ")))"
-)
+def _span_gram(k: int) -> str:
+    return (
+        f"list_transform(range(1, len(tk) - {k - 2}), i -> md5("
+        + "concat_ws(' ', "
+        + ", ".join(f"tk[i+{j}]" for j in range(k))
+        + ")))"
+    )
+
+
+_SPAN_GRAM = _span_gram(SPAN_K)
 EXT_ORACLES["duplicate_spans_docs"] = f"""
     WITH tok AS (
         SELECT doc_id, string_split(text, ' ') AS tk
@@ -1294,6 +1298,7 @@ EXT_ORACLES["unigram_logprob_docs"] = f"""
 from .queries_ext import (  # noqa: E402
     CORPUS_V3_MAX_SHARED,
     CORPUS_V3_MIN_LOGPROB,
+    V3_SPAN_K,
 )
 
 EXT_ORACLES["curated_corpus_v3"] = f"""
@@ -1310,7 +1315,8 @@ EXT_ORACLES["curated_corpus_v3"] = f"""
                     AS BIGINT) AS n_nonalpha
         FROM clean
     ), cls AS (
-        SELECT doc_id, ({CLASSIFIER_SCORE_SQL}) AS qp FROM s
+        SELECT doc_id, ({CLASSIFIER_SCORE_SQL}) AS qp,
+               {CLASSIFIER_KEEP_SQL} AS keep FROM s
     ), toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM clean
     ), counts AS (
@@ -1330,9 +1336,10 @@ EXT_ORACLES["curated_corpus_v3"] = f"""
     ), tok2 AS (
         SELECT doc_id, string_split(text, ' ') AS tk
         FROM clean
-        WHERE len(string_split(text, ' ')) >= {SPAN_K}
+        WHERE len(string_split(text, ' ')) >= {V3_SPAN_K}
     ), g AS (
-        SELECT doc_id, unnest(list_distinct({_SPAN_GRAM})) AS h FROM tok2
+        SELECT doc_id, unnest(list_distinct({_span_gram(V3_SPAN_K)})) AS h
+        FROM tok2
     ), gc AS (
         SELECT h, count(*) AS nd FROM g GROUP BY h
     ), spans AS (
@@ -1346,7 +1353,7 @@ EXT_ORACLES["curated_corpus_v3"] = f"""
         FROM cls
         JOIN lm USING (doc_id)
         JOIN spans USING (doc_id)
-        WHERE cls.qp >= 0.5
+        WHERE cls.keep
           AND lm.mlp >= {CORPUS_V3_MIN_LOGPROB!r}
           AND spans.frac <= {CORPUS_V3_MAX_SHARED!r}
     ), uniq AS (

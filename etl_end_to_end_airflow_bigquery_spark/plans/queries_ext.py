@@ -1091,6 +1091,14 @@ EXT_QUERIES["unigram_logprob_docs"] = unigram_logprob_docs
 # v3 capstone cuts — shared with the oracle generator.
 CORPUS_V3_MIN_LOGPROB = -3.404
 CORPUS_V3_MAX_SHARED = 0.83
+# The capstone's span ceiling uses 5-grams, not the 3-grams of the
+# diagnostic duplicate_spans_docs query: 3-gram sharing SATURATES as the
+# corpus grows (at sf0.1 every doc's every 3-gram collides somewhere, so
+# frac == 1.0 for all docs and any ceiling empties the corpus), while
+# 5-gram sharing stays bimodal at every probed sf — near-zero for
+# organic docs, ~0.99 for the generator's planted near-duplicates.
+# Real curation pipelines use 8-13-gram spans for the same reason.
+V3_SPAN_K = 5
 
 
 def curated_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1110,7 +1118,10 @@ def curated_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     feats = text_stats(clean)
     cls = feats.select(
-        "doc_id", F.expr(CLASSIFIER_SCORE_SQL).alias("__qp")
+        "doc_id",
+        F.expr(CLASSIFIER_SCORE_SQL).alias("__qp"),
+        # exact integer keep decision (zero-logit docs tie at qp == 0.5)
+        F.expr(CLASSIFIER_KEEP_SQL).alias("__keep"),
     )
 
     toks = clean.select(
@@ -1136,12 +1147,12 @@ def curated_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     grams = clean.filter(
-        F.expr(f"size(split(text, ' ')) >= {SPAN_K}")
+        F.expr(f"size(split(text, ' ')) >= {V3_SPAN_K}")
     ).select(
         "doc_id",
         F.explode(
             F.expr(
-                f"array_distinct(transform({ngram_expr(SPAN_K)},"
+                f"array_distinct(transform({ngram_expr(V3_SPAN_K)},"
                 " g -> md5(g)))"
             )
         ).alias("h"),
@@ -1166,7 +1177,7 @@ def curated_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         cls.join(lm, "doc_id")
         .join(spans, "doc_id")
         .filter(
-            (F.col("__qp") >= 0.5)
+            F.col("__keep")
             & (F.col("__mlp") >= CORPUS_V3_MIN_LOGPROB)
             & (F.col("__frac") <= CORPUS_V3_MAX_SHARED)
         )
