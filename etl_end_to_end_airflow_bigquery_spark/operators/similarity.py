@@ -1163,3 +1163,65 @@ def add_to_ivfpq_index(
     )
     codes = _assign_codes(_subvectors(res), cb).join(cells, "vec_id")
     codes.write.mode("append").partitionBy("cell").parquet(f"{path}/codes")
+
+
+KNN_K = 5  # neighbors per vector in the k-NN graph
+
+
+def knn_join(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    k: int = KNN_K,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """k-NN GRAPH: the top-k most-cosine-similar same-LSH-bucket
+    neighbors for EVERY vector — the all-vectors generalization of
+    ``ann_lsh_topk``, and the primitive under SemDeDup-style dedup,
+    near-dup clustering, and graph-based retrieval indexes.
+
+    The scale shape differs from the few-queries ANN path on purpose:
+    there the query set broadcasts; here every vector is a query, so
+    the candidate stage is a bucket-keyed SELF-join (each vector lives
+    in exactly one hyperplane-sign bucket → no candidate dedup), the
+    same shape as ``embedding_near_dups``. Cost tracks Σ|bucket|², i.e.
+    ~2^-P of all-pairs, with the bucket as the shuffle key; the per-q
+    top-k window then keys on q_id. All candidates of a given q share
+    q's bucket, so no row crosses buckets between the two stages.
+
+    Exactness: cosine uses the fixed-point ``dot_fold`` (engine-exact),
+    ranking ties break on neighbor id — a total order, so the graph is
+    deterministic and oracle-comparable. Vectors whose bucket has fewer
+    than k others return fewer edges (no padding).
+    """
+    v = _vectors(embeddings)
+    vb = (
+        v.join(lsh_buckets(spark, embeddings, dim=dim), "vec_id")
+        .select("vec_id", "e", "norm2", "bucket")
+        .repartition("bucket")
+    )
+    q = vb.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.col("norm2").alias("qn"),
+    )
+    scored = (
+        q.join(vb, "bucket")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                F.expr(dot_fold("qe", "e"))
+                / (F.sqrt("qn") * F.sqrt("norm2"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+    )

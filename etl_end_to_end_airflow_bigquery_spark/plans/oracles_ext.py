@@ -2030,3 +2030,40 @@ def _hybrid_rrf_oracle() -> str:
 
 
 EXT_ORACLES["hybrid_rrf_retrieval"] = _hybrid_rrf_oracle()
+
+from ..operators.similarity import KNN_K  # noqa: E402
+
+EXT_ORACLES["knn_graph"] = f"""
+    WITH {_VECTOR_CTE.strip()}, pl AS (
+        SELECT * FROM (VALUES
+        {_PLANES_VALUES}
+        ) AS t(plane_idx, w)
+    ), pdots AS (
+        SELECT vn.vec_id, pl.plane_idx, {_dot('vn.e', 'pl.w')} AS dot
+        FROM vn, pl
+    ), buckets AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN dot >= 0
+                    THEN (CAST(1 AS BIGINT) << plane_idx) ELSE 0 END)
+                    AS BIGINT) AS bucket
+        FROM pdots GROUP BY vec_id
+    ), vb AS (
+        SELECT vn.vec_id, vn.e, vn.norm2, b.bucket
+        FROM vn JOIN buckets b USING (vec_id)
+    ), scored AS (
+        SELECT q.vec_id AS q_id, vb.vec_id,
+               {_dot('q.e', 'vb.e')} / (sqrt(q.norm2) * sqrt(vb.norm2))
+                   AS cosine_raw
+        FROM vb q JOIN vb ON q.bucket = vb.bucket AND vb.vec_id <> q.vec_id
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cosine_raw DESC, vec_id) AS rnk
+        FROM scored
+    )
+    SELECT q_id, vec_id AS neighbor_id,
+           {_round('cosine_raw', 6)} AS cosine,
+           CAST(rnk AS BIGINT) AS rank
+    FROM ranked
+    WHERE rnk <= {KNN_K}
+    ORDER BY q_id, rnk
+"""

@@ -217,6 +217,22 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rank")
 
 
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph over ALL vectors (operators.similarity.knn_join): the
+    SemDeDup / near-dup-cluster / graph-index primitive. Unlike the
+    few-queries ANN path (broadcast query set), every vector is a query
+    — the candidate stage is the bucket-keyed self-join, so the plan
+    scales with Σ|bucket|², not n²."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = S.knn_join(spark, emb, k=S.KNN_K)
+    return res.select(
+        "q_id",
+        "neighbor_id",
+        round_half_up(F.col("cosine"), 6).alias("cosine"),
+        "rank",
+    ).orderBy("q_id", "rank")
+
+
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned ANN (nearest-seed coarse quantizer): top-k within
     the query's cell — the third ANN strategy next to brute force and
@@ -600,6 +616,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "lang_id_heuristic": lang_id_heuristic,
     "cosine_topk": cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "knn_graph": knn_graph,
     "ivf_topk": ivf_topk,
     "embedding_near_dups": embedding_near_dups,
     "label_centroids": label_centroids,

