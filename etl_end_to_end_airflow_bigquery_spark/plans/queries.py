@@ -724,14 +724,25 @@ def session_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic.
     """
     sessions = sessionize_events(spark, sf_dir)
-    starts = sessions.select(
-        F.col("session_start").alias("ts"), F.lit(1).alias("delta")
-    )
-    ends = sessions.select(
-        F.col("session_end").alias("ts"), F.lit(-1).alias("delta")
-    )
+    # one explode, not a union of two selects — a union would duplicate
+    # the whole sessionize subtree in the plan (two scans, two session
+    # shuffles); the explode emits both deltas from a single pass
     deltas = (
-        starts.unionByName(ends)
+        sessions.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("session_start").alias("ts"),
+                        F.lit(1).alias("delta"),
+                    ),
+                    F.struct(
+                        F.col("session_end").alias("ts"),
+                        F.lit(-1).alias("delta"),
+                    ),
+                )
+            ).alias("d")
+        )
+        .select("d.ts", "d.delta")
         .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
         .withColumn("neg_delta", -F.col("delta"))
     )

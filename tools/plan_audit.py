@@ -56,6 +56,7 @@ BNLJ_OK = {
     "ivf_topk_nprobe",
     "ivf_topk_kmeans",  # K-centroid broadcast per Lloyd round + probe rank
     "embedding_near_dups",
+    "knn_graph",  # same 8-row hyperplane broadcast as ann_lsh_topk
     "tfidf_top_terms",  # 1-row corpus-size scalar broadcast
     "bm25_retrieval",  # 1-row (N, avgdl) corpus-stats scalar broadcast
     "unigram_logprob_docs",  # 1-row (T, V) LM-normalizer scalar broadcast
@@ -109,6 +110,19 @@ EXCHANGES_OK = {
     # two inherent corpus passes (per-source totals, then the bucket
     # cut) + the bounded checkpointed rates table; fixed depth.
     "mix_sources_tokens",
+    # bucket-keyed self-join for the all-vectors k-NN graph: the
+    # bucketed-vectors frame feeds both join sides through ONE
+    # ReusedExchange (the explicit repartition barrier, asserted in the
+    # audit row's reused column); the printed count is the candidate
+    # pipeline's two branches, not data-size amplification.
+    "knn_graph",
+    # the subtree ABOVE global_cumsum's persist point (sessionize +
+    # range repartition) prints in both the per-partition-window branch
+    # and the partition-totals branch of the STATIC plan, but the
+    # persist (required for range-boundary consistency — see
+    # relational.global_cumsum) executes it once; the deduplicated
+    # depth is ~4 keyed shuffles, fixed.
+    "session_concurrency_daily",
     # coarse quantizer (exempted as ivf_topk_kmeans) + residual PQ
     # round + ADC aggregation; exchanges scale with the constant
     # iteration counts, never with data size.
