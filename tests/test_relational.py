@@ -107,3 +107,34 @@ def test_global_cumsum_matches_single_partition_window(spark):
         ln for ln in plan.splitlines() if "Window " in ln and "sum(" in ln
     ]
     assert window_lines and all("__pid" in ln for ln in window_lines), plan
+
+
+def test_global_cumsum_partitioning_invariant(spark):
+    """The running sums must be identical under different partition
+    counts (the whole point of the exact two-phase design), including
+    values large enough that a careless int accumulator would overflow
+    32 bits."""
+    from etl_end_to_end_airflow_bigquery_spark.operators.relational import (
+        global_cumsum,
+    )
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") * 131 % 5000).alias("k"),
+        (F.col("id") % 97 * (1 << 40)).cast("bigint").alias("v"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    try:
+        for n in ("3", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            got = sorted(
+                (r.k, r.run)
+                for r in global_cumsum(df, ["k"], "v", out="run").collect()
+            )
+            results.append(got)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert results[0] == results[1]
+    assert results[0][-1][1] == sum(
+        i % 97 * (1 << 40) for i in range(5000)
+    )
