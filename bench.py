@@ -89,9 +89,11 @@ BENCH_QUERIES = [
     # had no bench record; r04's 27 stay a prefix.
     "semantic_dedup_kmeans",
     "pagerank_dedup_graph",
-    # round 5 addition: the bin-bucketed pure-range self-join (new
-    # operator this round); r05's 29 stay a prefix.
+    # round 5 additions: the bin-bucketed pure-range self-join and the
+    # all-vectors k-NN graph (new operators this round); everything
+    # above stays a prefix.
     "burst_events_window",
+    "knn_graph",
 ]
 
 N_RUNS = 3
