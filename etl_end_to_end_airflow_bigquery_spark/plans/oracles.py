@@ -481,6 +481,29 @@ ORACLES: dict[str, str] = {
          AND b.session_start <= a.session_end
         ORDER BY u1, s1, u2, s2
     """,
+    "ohlc_daily": """
+        WITH e AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   event_type, ts, event_id, value
+            FROM events
+        ), r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY day, event_type
+                       ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (PARTITION BY day, event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM e
+        )
+        SELECT day, event_type,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close,
+               count(*) AS n_ticks
+        FROM r
+        GROUP BY day, event_type
+        ORDER BY day, event_type
+    """,
     "reorder_gap_by_segment": f"""
         WITH g AS (
             SELECT o_custkey,

@@ -803,6 +803,47 @@ def overlapping_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("u1", "s1", "u2", "s2")
 
 
+def ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars per series — THE canonical FX/market report the
+    reference's tick table exists to feed: open (first tick of the
+    day), high, low, close (last tick), tick count. `events` stands in
+    for the FX tick table as everywhere else ((ts, event_type, value) ≈
+    (date, pair, rate), FIXTURES.md §C).
+
+    Exactness is free: every output is a RAW tick value (no arithmetic
+    chain), picked by deterministic (ts, event_id)-ordered windows —
+    identical doubles in any engine. Plan: one hash exchange on
+    (day, type) serves both row_number windows AND the final grouped
+    aggregate (same keys), so the whole report is a single-shuffle
+    pass at any scale.
+    """
+    ev = load_events(spark, sf_dir).select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+    )
+    asc = Window.partitionBy("day", "event_type").orderBy("ts", "event_id")
+    desc = Window.partitionBy("day", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    flagged = ev.withColumn(
+        "rn_a", F.row_number().over(asc)
+    ).withColumn("rn_d", F.row_number().over(desc))
+    return (
+        flagged.groupBy("day", "event_type")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
 # --- window analytics: lag deltas + running totals (§2.5 extension) ------
 
 
@@ -1015,6 +1056,7 @@ QUERIES: dict[str, QueryFn] = {
     "burst_events_window": burst_events_window,
     "session_concurrency_daily": session_concurrency_daily,
     "overlapping_sessions": overlapping_sessions,
+    "ohlc_daily": ohlc_daily,
     "reorder_gap_by_segment": reorder_gap_by_segment,
     "cumulative_monthly_revenue": cumulative_monthly_revenue,
     "order_priority_exists": order_priority_exists,
