@@ -504,6 +504,42 @@ ORACLES: dict[str, str] = {
         GROUP BY day, event_type
         ORDER BY day, event_type
     """,
+    "daily_returns_volatility": f"""
+        WITH e AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   event_type, ts, event_id, value
+            FROM events
+        ), r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY day, event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM e
+        ), closes AS (
+            SELECT day, event_type, value AS close FROM r WHERE rn_d = 1
+        ), rets AS (
+            SELECT event_type,
+                   close / lag(close) OVER (PARTITION BY event_type
+                       ORDER BY day) - CAST(1.0 AS DOUBLE) AS ret
+            FROM closes
+        ), moments AS (
+            SELECT event_type,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(CAST(floor(ret * 1000000000000.0 + 0.5)
+                       AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS sr,
+                   CAST(sum(CAST(floor(ret * ret * 1000000000000.0 + 0.5)
+                       AS BIGINT)) AS DOUBLE) / 1000000000000.0 AS sr2
+            FROM rets
+            WHERE ret IS NOT NULL
+            GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_days,
+               {_round("sr / n", 8)} AS mean_ret,
+               {_round("sqrt((sr2 - sr * sr / n) / (n - CAST(1.0 AS DOUBLE)))", 8)}
+                   AS volatility
+        FROM moments
+        ORDER BY event_type
+    """,
     "reorder_gap_by_segment": f"""
         WITH g AS (
             SELECT o_custkey,

@@ -844,6 +844,57 @@ def ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def daily_returns_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series daily close-to-close returns and their volatility —
+    the FX risk report built on the OHLC close series: r_d = close_d /
+    close_{d-1} − 1, then mean and sample stddev of r per series.
+
+    Scale shape: the tick scan reduces to one row per (day, series)
+    first (the OHLC close pick — a single hash shuffle at any scale);
+    the lag window and the moment sums then run on the tiny aggregated
+    frame (days × series rows). Exactness: closes are raw tick doubles;
+    the return is two correctly-rounded IEEE ops on identical inputs
+    (identical everywhere); Σr and Σr² accumulate as scaled integers
+    (decimal_sum) so the closed-form variance is partitioning- and
+    engine-independent; sqrt is correctly rounded. Single-event days
+    chain like any other day (lag just looks back one DAY ROW).
+    """
+    ev = load_events(spark, sf_dir).select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+    )
+    desc = Window.partitionBy("day", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    closes = (
+        ev.withColumn("rn_d", F.row_number().over(desc))
+        .filter(F.col("rn_d") == 1)
+        .select("day", "event_type", F.col("value").alias("close"))
+    )
+    series = Window.partitionBy("event_type").orderBy("day")
+    rets = closes.withColumn(
+        "r", F.col("close") / F.lag("close").over(series) - F.lit(1.0)
+    ).filter(F.col("r").isNotNull())
+    agg = rets.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        decimal_sum(F.col("r"), 12).alias("__sr"),
+        decimal_sum(F.col("r") * F.col("r"), 12).alias("__sr2"),
+    )
+    mean_r = F.col("__sr") / F.col("__n")
+    var_r = (
+        F.col("__sr2") - F.col("__sr") * F.col("__sr") / F.col("__n")
+    ) / (F.col("__n") - F.lit(1.0))
+    return agg.select(
+        "event_type",
+        F.col("__n").cast("bigint").alias("n_days"),
+        round_half_up(mean_r, 8).alias("mean_ret"),
+        round_half_up(F.sqrt(var_r), 8).alias("volatility"),
+    ).orderBy("event_type")
+
+
 # --- window analytics: lag deltas + running totals (§2.5 extension) ------
 
 
@@ -1057,6 +1108,7 @@ QUERIES: dict[str, QueryFn] = {
     "session_concurrency_daily": session_concurrency_daily,
     "overlapping_sessions": overlapping_sessions,
     "ohlc_daily": ohlc_daily,
+    "daily_returns_volatility": daily_returns_volatility,
     "reorder_gap_by_segment": reorder_gap_by_segment,
     "cumulative_monthly_revenue": cumulative_monthly_revenue,
     "order_priority_exists": order_priority_exists,
