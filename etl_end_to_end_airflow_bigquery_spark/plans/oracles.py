@@ -540,6 +540,36 @@ ORACLES: dict[str, str] = {
         FROM moments
         ORDER BY event_type
     """,
+    "max_drawdown_series": f"""
+        WITH e AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   event_type, ts, event_id, value
+            FROM events
+        ), r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY day, event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM e
+        ), closes AS (
+            SELECT day, event_type, value AS close FROM r WHERE rn_d = 1
+        ), dd AS (
+            SELECT day, event_type,
+                   close / max(close) OVER (PARTITION BY event_type
+                       ORDER BY day ROWS UNBOUNDED PRECEDING)
+                     - CAST(1.0 AS DOUBLE) AS drawdown
+            FROM closes
+        ), worst AS (
+            SELECT event_type, min(drawdown) AS mdd FROM dd
+            GROUP BY event_type
+        )
+        SELECT dd.event_type,
+               {_round("min(dd.drawdown)", 8)} AS max_drawdown,
+               min(dd.day) AS trough_day
+        FROM dd JOIN worst ON dd.event_type = worst.event_type
+                          AND dd.drawdown = worst.mdd
+        GROUP BY dd.event_type
+        ORDER BY dd.event_type
+    """,
     "reorder_gap_by_segment": f"""
         WITH g AS (
             SELECT o_custkey,

@@ -895,6 +895,59 @@ def daily_returns_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def max_drawdown_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per series — the classic path-dependent risk
+    measure: the deepest close-below-running-peak dip, with the day it
+    bottomed. Same scale shape as the other OHLC derivatives: the tick
+    scan collapses to one close per (day, series) in one shuffle, and
+    the path logic (running max + argmin) runs on the tiny per-series
+    day frame, partitioned by series — never a global window.
+
+    Exactness: drawdown = close/peak − 1 is two correctly-rounded IEEE
+    ops on raw tick doubles; the argmin day pins ties by earliest day
+    (min day among rows attaining the minimum drawdown), identical in
+    both engines.
+    """
+    ev = load_events(spark, sf_dir).select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+    )
+    desc = Window.partitionBy("day", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    closes = (
+        ev.withColumn("rn_d", F.row_number().over(desc))
+        .filter(F.col("rn_d") == 1)
+        .select("day", "event_type", F.col("value").alias("close"))
+    )
+    path = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dd = closes.withColumn(
+        "drawdown", F.col("close") / F.max("close").over(path) - F.lit(1.0)
+    )
+    worst = dd.groupBy("event_type").agg(
+        F.min("drawdown").alias("__mdd")
+    )
+    bottomed = (
+        dd.join(worst, "event_type")
+        .filter(F.col("drawdown") == F.col("__mdd"))
+        .groupBy("event_type")
+        .agg(
+            F.min("day").alias("trough_day"),
+            F.min("drawdown").alias("__m"),
+        )
+    )
+    return bottomed.select(
+        "event_type",
+        round_half_up(F.col("__m"), 8).alias("max_drawdown"),
+        "trough_day",
+    ).orderBy("event_type")
+
+
 # --- window analytics: lag deltas + running totals (§2.5 extension) ------
 
 
@@ -1109,6 +1162,7 @@ QUERIES: dict[str, QueryFn] = {
     "overlapping_sessions": overlapping_sessions,
     "ohlc_daily": ohlc_daily,
     "daily_returns_volatility": daily_returns_volatility,
+    "max_drawdown_series": max_drawdown_series,
     "reorder_gap_by_segment": reorder_gap_by_segment,
     "cumulative_monthly_revenue": cumulative_monthly_revenue,
     "order_priority_exists": order_priority_exists,
