@@ -929,11 +929,13 @@ def max_drawdown_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd = closes.withColumn(
         "drawdown", F.col("close") / F.max("close").over(path) - F.lit(1.0)
     )
-    worst = dd.groupBy("event_type").agg(
-        F.min("drawdown").alias("__mdd")
-    )
+    # argmin without a join-back: the whole-partition min window runs on
+    # the SAME event_type hash partitioning as the running-peak window
+    # and the final groupBy, so the entire path logic is zero extra
+    # exchanges after the closes shuffle
+    whole = Window.partitionBy("event_type")
     bottomed = (
-        dd.join(worst, "event_type")
+        dd.withColumn("__mdd", F.min("drawdown").over(whole))
         .filter(F.col("drawdown") == F.col("__mdd"))
         .groupBy("event_type")
         .agg(
