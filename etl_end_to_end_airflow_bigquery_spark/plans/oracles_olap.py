@@ -718,3 +718,18 @@ OLAP_ORACLES["bitwise_function_pack"] = """
     FROM orders
     ORDER BY o_orderkey
 """
+
+OLAP_ORACLES["variant_function_pack"] = """
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+           max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+           count(CASE WHEN CAST(props->>'$.k' AS BIGINT) IS NULL
+                 THEN 1 END) AS n_k_null,
+           count(CASE WHEN CAST(props->>'$.nope' AS BIGINT) IS NULL
+                 THEN 1 END) AS n_missing_null
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""

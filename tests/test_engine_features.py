@@ -76,3 +76,28 @@ class TestStreamingObservability:
         assert prog["numInputRows"] == 1000
         assert prog["sink"]["description"].startswith("MemorySink")
         assert prog["stateOperators"][0]["numRowsTotal"] == 7
+
+
+def test_variant_type_surface(spark):
+    """Spark 4 VARIANT: parse_json -> binary variant, schema inference,
+    typed extraction, missing-path NULL (not error), and try_parse_json
+    NULL on malformed input."""
+    df = spark.createDataFrame(
+        [('{"k": 7, "s": "x"}',), ('{"k": 9}',), ("not json",)],
+        "j string",
+    )
+    good = df.filter(F.col("j").startswith("{")).select(
+        F.parse_json("j").alias("v")
+    )
+    rows = good.select(
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
+        F.expr("variant_get(v, '$.s', 'string')").alias("s"),
+        F.expr("variant_get(v, '$.missing', 'bigint')").alias("m"),
+        F.expr("schema_of_variant(v)").alias("sch"),
+    ).collect()
+    assert [r.k for r in rows] == [7, 9]
+    assert [r.s for r in rows] == ["x", None]
+    assert all(r.m is None for r in rows)
+    assert rows[0].sch == "OBJECT<k: BIGINT, s: STRING>"
+    bad = df.select(F.try_parse_json("j").alias("v")).collect()
+    assert [b.v is None for b in bad] == [False, False, True]
