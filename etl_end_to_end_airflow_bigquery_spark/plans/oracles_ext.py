@@ -2067,3 +2067,6 @@ EXT_ORACLES["knn_graph"] = f"""
     WHERE rnk <= {KNN_K}
     ORDER BY q_id, rnk
 """
+
+# the UDTF twin is semantics-identical to the JVM chunker: same oracle.
+EXT_ORACLES["chunk_documents_udtf"] = EXT_ORACLES["chunk_documents"]

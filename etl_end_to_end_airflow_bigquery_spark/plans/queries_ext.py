@@ -9,6 +9,8 @@ formula strings for scoring heuristics, portable floor-based rounding.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1748,3 +1750,58 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT_QUERIES["hybrid_rrf_retrieval"] = hybrid_rrf_retrieval
+
+
+def chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.10 Spark-4 Python UDTF surface: context-window chunking as
+    a user-defined TABLE function (one input row → many output rows from
+    Python), semantics identical to the JVM-side ``chunk_documents`` —
+    it shares that query's oracle verbatim, so the gate proves the
+    Python table-function path hash-equal to the Catalyst plan.
+
+    Arrow-batched (``useArrow=True``): rows stream through the Python
+    worker in Arrow batches, not pickled one at a time. Still the slow
+    path vs the JVM chunker — this exists to cover the API surface
+    (UDTFs are how users package custom fan-out logic the built-ins
+    can't express); production chunking stays on ``text.chunk_tokens``.
+    """
+    from pyspark.sql.functions import udtf
+
+    chunk_size, overlap = CHUNK_SIZE, CHUNK_OVERLAP
+
+    @udtf(
+        returnType=(
+            "doc_id bigint, chunk_idx bigint, chunk_hash string,"
+            " n_chunk_tokens bigint"
+        ),
+        useArrow=True,
+    )
+    class ChunkDoc:
+        def eval(self, doc_id, text):  # noqa: ANN001 — UDTF protocol
+            import hashlib
+
+            toks = text.split(" ")
+            stride = chunk_size - overlap
+            last_start = max(len(toks) - 1, 0)
+            for i, start in enumerate(range(0, last_start + 1, stride)):
+                piece = " ".join(toks[start : start + chunk_size])
+                yield (
+                    doc_id,
+                    i,
+                    hashlib.md5(piece.encode("utf-8")).hexdigest(),
+                    min(chunk_size, len(toks) - start),
+                )
+
+    name = f"chunk_doc_{uuid.uuid4().hex[:12]}"
+    spark.udtf.register(name, ChunkDoc)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    view = f"docs_{uuid.uuid4().hex[:12]}"
+    docs.createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT c.doc_id, c.chunk_idx, c.chunk_hash, c.n_chunk_tokens"
+        f" FROM {view} d, LATERAL {name}(d.doc_id, d.text) c"
+        f" ORDER BY c.doc_id, c.chunk_idx"
+    )
+
+
+EXT_QUERIES["chunk_documents_udtf"] = chunk_documents_udtf

@@ -39,6 +39,9 @@ ARROW_OK = {
     "multimodal_meta",
     "frame_sample_assets",
     "grouped_stats_pandas",
+    # §2.10 Spark-4 Python UDTF surface demo (Arrow-batched table
+    # function, oracle-equal to the JVM chunker by design)
+    "chunk_documents_udtf",
 }
 
 # Queries whose BroadcastNestedLoopJoin builds a ≤-handful-of-rows side —
