@@ -733,3 +733,7 @@ OLAP_ORACLES["variant_function_pack"] = """
     GROUP BY event_type
     ORDER BY event_type
 """
+
+from .queries_olap import STREAK_RCTE_SQL  # noqa: E402
+
+OLAP_ORACLES["order_streaks_rcte"] = STREAK_RCTE_SQL.format(orders="orders")

@@ -1281,3 +1281,67 @@ def variant_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 OLAP_QUERIES["variant_function_pack"] = variant_function_pack
+
+
+# Shared verbatim with the DuckDB oracle: streak edges via a lead()
+# window, then WITH RECURSIVE chain-walk. Integer/date comparisons only
+# — no float divergence surface.
+STREAK_RCTE_SQL = """
+    WITH RECURSIVE seq AS (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               lead(o_orderkey) OVER w AS next_key,
+               lead(o_orderdate) OVER w AS next_date
+        FROM {orders}
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    ), edges AS (
+        SELECT o_custkey, o_orderkey AS src, next_key AS dst
+        FROM seq
+        WHERE next_key IS NOT NULL
+          AND next_date <= o_orderdate + INTERVAL 30 DAY
+    ), heads AS (
+        SELECT s.o_custkey, s.o_orderkey
+        FROM seq s
+        LEFT JOIN edges e ON s.o_orderkey = e.dst
+        WHERE e.dst IS NULL
+    ), chains AS (
+        SELECT o_custkey, o_orderkey, CAST(1 AS BIGINT) AS len
+        FROM heads
+        UNION ALL
+        SELECT c.o_custkey, e.dst, c.len + 1
+        FROM chains c JOIN edges e ON c.o_orderkey = e.src
+    )
+    SELECT o_custkey,
+           max(len) AS longest_streak,
+           count(*) AS n_chain_rows
+    FROM chains
+    GROUP BY o_custkey
+    HAVING max(len) >= 3
+    ORDER BY o_custkey
+"""
+
+
+def order_streaks_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase streaks via a RECURSIVE CTE (Spark 4's
+    ``WITH RECURSIVE``): chains of consecutive same-customer orders
+    each ≤ 30 days after the previous, walked from the streak heads
+    (orders with no qualifying predecessor) — the linear-recursion
+    shape (hierarchy walks, reachability) that had no SQL spelling on
+    Spark before 4.0.
+
+    The statement text is shared VERBATIM with the DuckDB oracle (only
+    the table name interpolates), and every compared value is an
+    integer or date — the recursion must unfold identically step for
+    step in both engines for the hash to match. Recursion depth is the
+    longest streak (data-bounded, ~tens), well under the engine's
+    recursion limit; each iteration is one keyed join, so the plan
+    scales like iterative PageRank (fixed small number of shuffles),
+    not like a cross-product.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_rcte_v"
+    )
+    return spark.sql(STREAK_RCTE_SQL.format(orders="orders_rcte_v"))
+
+
+OLAP_QUERIES["order_streaks_rcte"] = order_streaks_rcte
