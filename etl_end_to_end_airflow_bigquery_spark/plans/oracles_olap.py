@@ -737,3 +737,19 @@ OLAP_ORACLES["variant_function_pack"] = """
 from .queries_olap import STREAK_RCTE_SQL  # noqa: E402
 
 OLAP_ORACLES["order_streaks_rcte"] = STREAK_RCTE_SQL.format(orders="orders")
+
+OLAP_ORACLES["sql_udf_pack"] = """
+    SELECT l_returnflag,
+           CASE WHEN l_quantity < 10 THEN 'low'
+                WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS band,
+           count(*) AS n_items,
+           CAST(sum(CAST(floor(l_extendedprice
+               * (CAST(1.0 AS DOUBLE) - l_discount)
+               * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
+               AS revenue
+    FROM lineitem
+    GROUP BY l_returnflag,
+             CASE WHEN l_quantity < 10 THEN 'low'
+                  WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END
+    ORDER BY l_returnflag, band
+"""

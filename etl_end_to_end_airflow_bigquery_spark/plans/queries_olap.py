@@ -1345,3 +1345,43 @@ def order_streaks_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 OLAP_QUERIES["order_streaks_rcte"] = order_streaks_rcte
+
+
+def sql_udf_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scalar UDFs (``CREATE TEMPORARY FUNCTION … RETURN
+    expr``): reusable business expressions defined IN SQL — no Python
+    worker, no JVM jar; the body inlines into the plan at analysis time
+    so whole-stage codegen sees plain expressions (zero runtime cost vs
+    writing the formula inline). Two functions a reporting team would
+    actually share: discounted revenue and a quantity banding. The
+    oracle computes the same inlined expressions (DuckDB's macro syntax
+    differs; the surface under test is Spark's).
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_udf_v"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE,"
+        " d DOUBLE) RETURNS DOUBLE RETURN p * (CAST(1.0 AS DOUBLE) - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION qty_band(q DOUBLE)"
+        " RETURNS STRING RETURN CASE WHEN q < 10 THEN 'low'"
+        " WHEN q < 30 THEN 'mid' ELSE 'high' END"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               qty_band(l_quantity) AS band,
+               count(*) AS n_items,
+               CAST(sum(CAST(floor(disc_price(l_extendedprice, l_discount)
+                   * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
+                   AS revenue
+        FROM lineitem_udf_v
+        GROUP BY l_returnflag, qty_band(l_quantity)
+        ORDER BY l_returnflag, band
+        """
+    )
+
+
+OLAP_QUERIES["sql_udf_pack"] = sql_udf_pack
