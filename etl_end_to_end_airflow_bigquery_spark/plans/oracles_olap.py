@@ -753,3 +753,16 @@ OLAP_ORACLES["sql_udf_pack"] = """
                   WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END
     ORDER BY l_returnflag, band
 """
+
+OLAP_ORACLES["parameterized_sql_pack"] = """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+               AS DOUBLE) / 100.0 AS total_price
+    FROM orders
+    WHERE o_orderdate >= '1996-01-01'
+      AND o_orderdate < '1997-01-01'
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""

@@ -1385,3 +1385,39 @@ def sql_udf_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 OLAP_QUERIES["sql_udf_pack"] = sql_udf_pack
+
+
+def parameterized_sql_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 parameterized SQL (``spark.sql(query, args=...)``):
+    named parameter markers bound server-side — the injection-safe way
+    to template the reference's date/priority-guard queries instead of
+    f-string splicing. Parameters reach Catalyst as literals, so
+    pushdown/pruning work exactly as with inline constants; the oracle
+    inlines the same values.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_param_v"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                   AS DOUBLE) / 100.0 AS total_price
+        FROM orders_param_v
+        WHERE o_orderdate >= :lo
+          AND o_orderdate < :hi
+          AND o_orderpriority IN (:p1, :p2)
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """,
+        args={
+            "lo": "1996-01-01",
+            "hi": "1997-01-01",
+            "p1": "1-URGENT",
+            "p2": "2-HIGH",
+        },
+    )
+
+
+OLAP_QUERIES["parameterized_sql_pack"] = parameterized_sql_pack
