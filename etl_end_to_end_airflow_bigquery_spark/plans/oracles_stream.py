@@ -104,3 +104,9 @@ STREAM_ORACLES["streaming_burst_pairs"] = """
      AND a.event_id <> b.event_id
     ORDER BY a_id, b_id
 """
+
+# argmin/argmax by (ts, event_id) == the batch row_number spelling:
+# streaming OHLC shares the batch oracle verbatim.
+from .oracles import ORACLES as _CORE  # noqa: E402
+
+STREAM_ORACLES["streaming_ohlc_daily"] = _CORE["ohlc_daily"]

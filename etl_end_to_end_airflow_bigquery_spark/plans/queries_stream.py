@@ -567,3 +567,49 @@ def streaming_burst_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_QUERIES["streaming_burst_pairs"] = streaming_burst_pairs
+
+
+def streaming_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily OHLC market report computed BY the streaming engine —
+    the production shape of the reference's periodic report job: ticks
+    stream in, the day's bar updates in place. ``min_by/max_by`` on a
+    (ts, event_id) struct pick open/close declaratively (the streaming
+    engine cannot run the batch twin's row_number windows, but the
+    argmin/argmax aggregate is the same deterministic selection — and
+    it shares ``ohlc_daily``'s oracle verbatim, so the gate proves the
+    equivalence). Complete mode over bounded replay; at production
+    scale the memory sink becomes the foreachBatch merge writer.
+    """
+    sink = _sink_name("stream_ohlc")
+    with _utc_session(spark):
+        ticks = _stream_events(spark, sf_dir).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        key = F.struct(F.col("ts"), F.col("event_id"))
+        bars = (
+            ticks.groupBy(
+                F.date_trunc("day", "ts").cast("date").alias("day"),
+                "event_type",
+            )
+            .agg(
+                F.min_by("value", key).alias("open"),
+                F.max("value").alias("high"),
+                F.min("value").alias("low"),
+                F.max_by("value", key).alias("close"),
+                F.count(F.lit(1)).alias("n_ticks"),
+            )
+        )
+        q = (
+            bars.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.table(sink).select(
+        "day", "event_type", "open", "high", "low", "close", "n_ticks"
+    ).orderBy("day", "event_type")
+
+
+STREAM_QUERIES["streaming_ohlc_daily"] = streaming_ohlc_daily
