@@ -101,3 +101,21 @@ def test_variant_type_surface(spark):
     assert rows[0].sch == "OBJECT<k: BIGINT, s: STRING>"
     bad = df.select(F.try_parse_json("j").alias("v")).collect()
     assert [b.v is None for b in bad] == [False, False, True]
+
+
+def test_observation_metrics(spark):
+    """Spark Observation API: named metrics collected as a side effect
+    of the action — the zero-extra-pass way a production pipeline
+    reports row counts / sums for data-quality monitoring (vs running
+    a second aggregate job)."""
+    from pyspark.sql import Observation
+
+    obs = Observation("ingest_metrics")
+    df = spark.range(0, 1000).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("id").alias("id_sum"),
+    )
+    assert df.filter("id % 2 = 0").count() == 500  # the one action
+    got = obs.get
+    assert got["n_rows"] == 1000 and got["id_sum"] == 499500
