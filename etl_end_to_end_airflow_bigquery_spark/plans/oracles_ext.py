@@ -2070,3 +2070,8 @@ EXT_ORACLES["knn_graph"] = f"""
 
 # the UDTF twin is semantics-identical to the JVM chunker: same oracle.
 EXT_ORACLES["chunk_documents_udtf"] = EXT_ORACLES["chunk_documents"]
+
+# cogroup+merge_asof must equal the as-of operator: same oracle.
+from .oracles import ORACLES as _CORE_FOR_COGROUP  # noqa: E402
+
+EXT_ORACLES["cogroup_asof_pandas"] = _CORE_FOR_COGROUP["asof_attribution"]

@@ -1805,3 +1805,83 @@ def chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT_QUERIES["chunk_documents_udtf"] = chunk_documents_udtf
+
+
+def cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last §2.10 Python-API member: COGROUPED applyInPandas —
+    two frames grouped on the same key meet in one pandas function per
+    key. The demo is the canonical one (Spark's own docs use it):
+    per-user ``pd.merge_asof`` of purchases against views, i.e. the
+    as-of join computed by the pandas path. It must return EXACTLY what
+    ``temporal.asof_join`` returns — the query shares
+    ``asof_attribution``'s oracle verbatim, so the gate proves the
+    cogroup path equivalent to the union-scan operator (ties included:
+    views sort by (ts, view_id) and merge_asof backward takes the last,
+    = the operator's struct-greatest rule).
+
+    Scale shape: one hash exchange per side on user_id (identical to
+    the operator), then Arrow-batched pandas per key — no key ever
+    holds more than its own rows. The slow path vs the JVM window plan,
+    kept for when per-key logic genuinely needs pandas (irregular
+    resampling, scipy calls).
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "view_id", "view_ts"]
+            )
+        left = left.sort_values(["ts", "event_id"])
+        right = right.sort_values(["view_ts", "view_id"])
+        out = pd.merge_asof(
+            left,
+            right.drop(columns=["user_id"]),
+            left_on="ts",
+            right_on="view_ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        out["view_id"] = out["view_id"].astype("Int64")
+        return out[["event_id", "user_id", "view_id", "view_ts"]]
+
+    matched = (
+        purchases.groupBy("user_id")
+        .cogroup(views.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            schema=(
+                "event_id long, user_id long, view_id long,"
+                " view_ts timestamp"
+            ),
+        )
+    )
+    joined = matched.join(
+        purchases.select("event_id", "ts"), "event_id"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "view_id",
+        (
+            F.unix_micros("ts") - F.unix_micros("view_ts")
+        ).alias("lag_us"),
+    ).orderBy("event_id")
+
+
+EXT_QUERIES["cogroup_asof_pandas"] = cogroup_asof_pandas
