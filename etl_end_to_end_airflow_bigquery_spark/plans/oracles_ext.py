@@ -1383,20 +1383,29 @@ EXT_ORACLES["mix_sources_tokens"] = f"""
         SELECT SUM(n_tokens) AS total_tokens, count(*) AS n_sources
         FROM per_source
     ), rates AS (
+        -- exact-integer mirror of the Spark side (VERDICT r05): the
+        -- keep cut is cross-multiplied over HUGEINT, and keep_prob is
+        -- the integer half-up micro-round (num*2e6 + den) // (2*den)
+        -- followed by one final double division by 1e6
         SELECT source, n_docs, n_tokens,
-               least(1.0, (CAST(total_tokens AS DOUBLE) / n_sources)
-                          / CAST(n_tokens AS DOUBLE)) AS keep_prob
+               CAST(n_sources AS HUGEINT) * n_tokens AS den,
+               CAST(total_tokens AS HUGEINT) AS tot,
+               (least(CAST(total_tokens AS HUGEINT),
+                      CAST(n_sources AS HUGEINT) * n_tokens) * 2000000
+                + CAST(n_sources AS HUGEINT) * n_tokens)
+               // (2 * CAST(n_sources AS HUGEINT) * n_tokens) AS kp_micro
         FROM per_source, totals
     ), kept AS (
         SELECT d.source, count(*) AS n_kept, SUM(d.n_toks) AS kept_tokens
         FROM docs d JOIN rates r USING (source)
-        WHERE CAST(concat('0x', substr(md5(concat('mix|',
+        WHERE CAST(CAST(concat('0x', substr(md5(concat('mix|',
                   CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000
-              < r.keep_prob * 10000.0
+                  AS HUGEINT) * r.den
+              < r.tot * 10000
         GROUP BY d.source
     )
     SELECT r.source, r.n_docs, r.n_tokens,
-           {_round('r.keep_prob', 6)} AS keep_prob,
+           CAST(r.kp_micro AS DOUBLE) / 1000000.0 AS keep_prob,
            COALESCE(k.n_kept, 0) AS n_kept,
            COALESCE(k.kept_tokens, 0) AS kept_tokens
     FROM rates r LEFT JOIN kept k USING (source)

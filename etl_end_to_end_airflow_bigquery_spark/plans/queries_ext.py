@@ -1231,6 +1231,22 @@ def mix_sources_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row scalar broadcast of (total, n_sources), and a row-local
     bucket test — the doc-level pass shuffles once on source for the
     kept-count rollup.
+
+    Exactness (VERDICT r05): both the keep cut and the reported
+    ``keep_prob`` are computed in exact integer arithmetic — no double
+    enters the decision path. The cut ``bucket < min(1, p)·10000`` is
+    cross-multiplied to ``bucket·n_sources·n_tokens <
+    total_tokens·10000`` over DECIMAL(38,0) (equivalent because
+    ``bucket ≤ 9999 < 10000 ≤ total·10000/den`` whenever the min
+    clamps), and the 6-dp half-up round of ``p = min(total, den)/den``
+    is the integer ``(num·2000000 + den) div (2·den)`` — ``div`` on
+    decimals yields the same BIGINT quotient as DuckDB ``//`` on
+    HUGEINT — followed by ONE final double division by 1e6 (a ≤1e6
+    integer divided by an exact power of ten: bit-identical IEEE on
+    both engines). This is the repo's QUALITY_NUM_SQL convention; the
+    r5 driver red was `src3`'s pre-round value sitting 8.7e-9 from the
+    .5 boundary, where literal-typing drift between engines could flip
+    the digit.
     """
     from ..operators.sampling import hash_bucket
 
@@ -1245,25 +1261,30 @@ def mix_sources_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.count(F.lit(1)).alias("n_sources"),
     )
+    dec = "decimal(38,0)"
+    den = F.col("n_sources").cast(dec) * F.col("n_tokens").cast(dec)
+    tot = F.col("total_tokens").cast(dec)
     rates = per_source.crossJoin(F.broadcast(totals)).select(
         "source",
         "n_docs",
         "n_tokens",
-        F.least(
-            F.lit(1.0),
-            (
-                F.col("total_tokens").cast("double") / F.col("n_sources")
-            )
-            / F.col("n_tokens").cast("double"),
-        ).alias("__keep_prob"),
-    ).localCheckpoint(eager=False)  # bounded: one row per source; feeds
-    # both the doc-level filter and the output join — pinning it stops
-    # the per-source aggregation subtree running twice
+        den.alias("__den"),
+        tot.alias("__tot"),
+        # half-up 6-dp round of min(tot, den)/den, all-integer:
+        # (num*2000000 + den) div (2*den) — a bigint in [0, 1000000]
+        F.expr(
+            f"(least(CAST(total_tokens AS {dec}),"
+            f"       CAST(n_sources AS {dec}) * CAST(n_tokens AS {dec}))"
+            f" * 2000000"
+            f" + CAST(n_sources AS {dec}) * CAST(n_tokens AS {dec}))"
+            f" div (2 * CAST(n_sources AS {dec}) * CAST(n_tokens AS {dec}))"
+        ).alias("__kp_micro"),
+    )
     kept = (
-        docs.join(F.broadcast(rates.select("source", "__keep_prob")), "source")
+        docs.join(F.broadcast(rates.select("source", "__den", "__tot")), "source")
         .filter(
-            hash_bucket("doc_id", salt="mix")
-            < F.col("__keep_prob") * 10000.0
+            hash_bucket("doc_id", salt="mix").cast(dec) * F.col("__den")
+            < F.col("__tot") * F.lit(10000)
         )
         .groupBy("source")
         .agg(
@@ -1277,7 +1298,9 @@ def mix_sources_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "n_tokens",
-            round_half_up(F.col("__keep_prob"), 6).alias("keep_prob"),
+            (
+                F.col("__kp_micro").cast("double") / F.lit(1000000.0)
+            ).alias("keep_prob"),
             F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
             F.coalesce(F.col("kept_tokens"), F.lit(0)).alias("kept_tokens"),
         )
