@@ -99,16 +99,18 @@ BENCH_QUERIES = [
 N_RUNS = 3
 
 
-def _measure(spark, name: str, sf_dir: str) -> tuple[float, float]:
-    """(min, median) of N_RUNS noop-sink executions of one query."""
+def _measure_fn(spark, fn, sf_dir: str) -> tuple[float, float]:
+    """(min, median) of N_RUNS noop-sink executions of one plan."""
     runs = []
     for _ in range(N_RUNS):
         t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs.append(time.perf_counter() - t0)
     return round(min(runs), 3), round(statistics.median(runs), 3)
+
+
+def _measure(spark, name: str, sf_dir: str) -> tuple[float, float]:
+    return _measure_fn(spark, QUERIES[name], sf_dir)
 
 
 def main() -> None:
@@ -128,6 +130,40 @@ def main() -> None:
     medians: dict[str, float] = {}
     for name in BENCH_QUERIES:
         mins[name], medians[name] = _measure(spark, name, sf_dir)
+
+    # Round 6 (VERDICT r05 item 3): the stored-index ANN search path.
+    # ivfpq_topk_adc's time is ~80% one-time quantizer training;
+    # production searches hit a prebuilt index. Build once OUTSIDE the
+    # timed region, then measure search-only — the cost a serving user
+    # experiences per query batch. The inline ivfpq_topk_adc entry above
+    # is unchanged (still the honest build+search cost).
+    import shutil
+    import tempfile
+
+    from etl_end_to_end_airflow_bigquery_spark.io import load_table
+    from etl_end_to_end_airflow_bigquery_spark.operators.similarity import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_ext import (
+        ANN_K,
+        ANN_QUERY_PRED,
+    )
+
+    idx_root = tempfile.mkdtemp(prefix="spark_graft_ivfpq_bench_")
+    idx = os.path.join(idx_root, "index")
+    try:
+        build_ivfpq_index(load_table(spark, sf_dir, "embeddings"), idx)
+
+        def _search_stored(spark, sf_dir):
+            emb = load_table(spark, sf_dir, "embeddings")
+            return search_ivfpq_index(spark, idx, emb, ANN_QUERY_PRED, ANN_K)
+
+        mins["ivfpq_search_stored"], medians["ivfpq_search_stored"] = (
+            _measure_fn(spark, _search_stored, sf_dir)
+        )
+    finally:
+        shutil.rmtree(idx_root, ignore_errors=True)
 
     total = round(sum(mins.values()), 3)
     print(

@@ -27,8 +27,9 @@ Only identity column copies are supported on the right-hand sides —
 arbitrary expressions are rejected loudly rather than silently
 mis-evaluated. Backtick-quoted table names are accepted (the reference
 quotes its BigQuery ids). Multiple source rows matching one target row
-are NOT collapsed (same as SQL MERGE, which errors; validate upstream
-with ``dropDuplicates`` if the batch may carry dup keys).
+raise SQL MERGE's cardinality-violation error by default
+(``validate_source_keys``, ADVICE r05) instead of silently duplicating
+target rows through the join.
 """
 
 from __future__ import annotations
@@ -133,7 +134,9 @@ def parse_merge(sql: str) -> MergeSpec:
     )
 
 
-def merge_into(spark: SparkSession, sql: str) -> DataFrame:
+def merge_into(
+    spark: SparkSession, sql: str, validate_source_keys: bool = True
+) -> DataFrame:
     """Execute a MERGE statement against the session's temp-view
     catalog and return the merged frame (also re-registered under the
     target view name, mirroring MERGE's in-place table semantics).
@@ -152,8 +155,31 @@ def merge_into(spark: SparkSession, sql: str) -> DataFrame:
     The plan is broadcast-friendly (Catalyst broadcasts a small batch
     side) and AQE-skew-safe — identical physical shape to the gated
     ``merge_upsert_orders`` path.
+
+    ``validate_source_keys=True`` (default) enforces SQL MERGE's
+    cardinality rule: a staging batch with duplicate key tuples would
+    otherwise silently duplicate target rows through the full-outer
+    join, where BigQuery raises "UPDATE/MERGE must match at most one
+    source row" (ADVICE r05). The guard is one bounded job — a grouped
+    count with LIMIT 1 — on the (small) batch side; pass ``False`` only
+    when the batch is dedup'd upstream and the extra job matters.
+
+    Targets must be UNDOTTED temp-view names: the lowering reads and
+    re-registers through the session temp-view catalog, and qualified
+    ``db.tbl`` names are illegal temp-view names — a dotted target is
+    rejected here, at the start, instead of surfacing as a confusing
+    registration error after the merge ran (ADVICE r05). To run the
+    reference's literal dotted BigQuery ids, register the target under
+    the table's base name first.
     """
     spec = parse_merge(sql)
+    if "." in spec.target:
+        raise ValueError(
+            f"MERGE target {spec.target!r} is dotted: the temp-view "
+            "lowering re-registers the result under the target name, "
+            "and qualified names are illegal temp-view names — register "
+            "the target as an undotted temp view and merge into that"
+        )
     target = spark.table(spec.target)
     source = spark.table(spec.source)
     for k in (*spec.keys, *spec.update_cols):
@@ -162,6 +188,30 @@ def merge_into(spark: SparkSession, sql: str) -> DataFrame:
     unknown = [c for c in spec.insert_cols if c not in target.columns]
     if unknown:
         raise ValueError(f"INSERT columns not in target schema: {unknown}")
+    missing_src = [c for c in spec.insert_cols if c not in source.columns]
+    if missing_src:
+        # without this, S.<col> surfaces later as an opaque
+        # AnalysisException instead of the module's loud contract error
+        raise ValueError(
+            f"INSERT columns not in source frame: {missing_src}"
+        )
+    if validate_source_keys:
+        dup = (
+            source.groupBy(*spec.keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            key_vals = {k: dup[0][k] for k in spec.keys}
+            raise ValueError(
+                "MERGE source has duplicate rows for key "
+                f"{key_vals} (SQL MERGE cardinality violation: each "
+                "target row must match at most one source row); "
+                "dropDuplicates the batch or pass "
+                "validate_source_keys=False"
+            )
 
     t_mark, s_mark = "__merge_tgt_present", "__merge_src_present"
     for reserved in (t_mark, s_mark):

@@ -133,6 +133,7 @@ def global_cumsum(
     order_by: list[str],
     value: str,
     out: str = "running",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Row-level running sum over a GLOBAL order — without the
     single-partition trap.
@@ -159,8 +160,11 @@ def global_cumsum(
     boundaries and mis-align the offsets. Same bounded-barrier class as
     the quantizer-training materializations in ``similarity.py``.
     The cache lives until the session's LRU evicts it (disk-spillable,
-    so eviction is safe); long-lived sessions running many cumsum
-    passes should materialize the result and unpersist.
+    so eviction is safe); it cannot be unpersisted inside this function
+    because the RETURNED plan still reads it. Long-lived sessions
+    running many cumsum passes should pass ``cache_registry=[]`` — the
+    persisted frame is appended to it, to ``unpersist()`` once the
+    result is consumed (ADVICE r05).
 
     ``order_by`` must be a global total order for a deterministic
     per-row result; with ties, row-level assignments within a tie group
@@ -180,6 +184,8 @@ def global_cumsum(
         .withColumn("__pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if cache_registry is not None:
+        cache_registry.append(ranged)
     w = (
         Window.partitionBy("__pid")
         .orderBy(*order_by)

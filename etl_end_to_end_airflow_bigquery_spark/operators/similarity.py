@@ -855,6 +855,7 @@ def ivfpq_topk(
     n_codes: int = PQ_K,
     pq_iters: int = PQ_ITERS,
     nprobe: int = 2,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k by inner product: the canonical
     100 TB vector index (Jégou et al. 2011; the FAISS ``IVFPQ``
@@ -877,6 +878,14 @@ def ivfpq_topk(
     cells' code rows, the LUT is Q·nprobe·M·K rows (bounded —
     broadcast), and the score aggregation partial-aggregates to
     ≤ |probed candidates| rows before its exchange.
+
+    The coarse-assignment and residual frames stay persisted for the
+    life of the returned lazy plan (the plan reads them; unpersisting
+    here would recompute the argmax cross per pass). A long-lived
+    session issuing many calls can pass ``cache_registry=[]`` — the
+    frames left cached are appended to it, to ``unpersist()`` once the
+    result is consumed (ADVICE r05; the serving path,
+    ``build_ivfpq_index``, already unpersists eagerly).
     """
     if nprobe < 1 or nprobe > n_seeds:
         raise ValueError("nprobe must be in 1..n_seeds")
@@ -905,6 +914,8 @@ def ivfpq_topk(
         F.expr("zip_with(e, ce, (a, b) -> a - b)").alias("e"),
     )
     rsv = _subvectors(res).persist()
+    if cache_registry is not None:
+        cache_registry.extend([cells, rsv])
     cb = _pq_train(spark, rsv, n_codes, pq_iters)
     codes = _assign_codes(rsv, cb).join(cells, "vec_id")
 

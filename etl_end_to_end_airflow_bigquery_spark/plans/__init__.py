@@ -21,14 +21,17 @@ The gate is now two explicit tiers:
    UDF), streaming, grouped pandas UDF, SCD2.
 2. ``_GATE_ROTATION`` — the remaining slots up to 50, filled each round
    with names that have NEVER had a green driver row in any prior
-   round's CORRECTNESS file. Round 5 (VERDICT r04 items 1/3/7): the
-   IVF-PQ family, the retrieval/LM pack (BM25, RRF hybrid, phrase
-   search, unigram/bigram LM), ``curated_corpus_v3``, semantic dedup,
-   PII scrub, PageRank-over-dup-graph, leakage-safe split, source
-   mixing, duplicate spans, the four sketches (CMS, HLL, bloom,
-   streaming CMS), and nine function packs. 15 never-gated names
-   remain after this round — see ``rotation_candidates()``; rotate
-   them in round 6.
+   round's CORRECTNESS file. Round 6 (VERDICT r05 items 1/2):
+   ``mix_sources_tokens`` re-proves its exact-integer fix (r5's one
+   red row — the single rotation name WITH a prior driver row, which
+   is why the stale-slot invariant checks against green history, not
+   row history), then the 27 highest-priority never-sampled names:
+   the reference's literal MERGE text front, the temporal/range-join
+   and finance/series families, ``knn_graph``, the Spark-4 API packs
+   (UDTF, cogroup, VARIANT, recursive CTE, SQL UDF, parameterized
+   SQL), the two r5 streaming queries, and the OLAP/profiling
+   leftovers. 4 never-gated names remain for round 7 — see
+   ``rotation_candidates()``.
 
 Membership invariants are enforced with explicit raises (not bare
 ``assert`` — stripped under ``python -O``, ADVICE r03): every name
@@ -45,11 +48,26 @@ from .queries_stream import STREAM_QUERIES
 from .oracles_stream import STREAM_ORACLES
 
 # Names with a green driver row in some prior round (union of
-# CORRECTNESS_r01–r04). Used to pick rotation slots and asserted against
+# CORRECTNESS_r01–r05; r05 contributes its 49 green rows only — the one
+# red row, mix_sources_tokens, stays rotation-eligible until a green
+# driver row exists). Used to pick rotation slots and asserted against
 # by tests/test_queries_oracle.py — append, don't rewrite, when a new
 # round's CORRECTNESS file lands.
-GATED_THROUGH_R04: frozenset[str] = frozenset(
+GATED_THROUGH_R05: frozenset[str] = frozenset(
     {
+        # round-5 rotation rows (CORRECTNESS_r05 greens; the 28th slot,
+        # mix_sources_tokens, was the round's one hash mismatch and is
+        # deliberately absent)
+        "ivfpq_topk_adc", "pq_topk_adc", "ivfpq_rerank_topk",
+        "bm25_retrieval", "hybrid_rrf_retrieval", "phrase_search_docs",
+        "unigram_logprob_docs", "bigram_logprob_docs",
+        "curated_corpus_v3", "semantic_dedup_kmeans", "pii_scrub_docs",
+        "pagerank_dedup_graph", "leakage_safe_split",
+        "duplicate_spans_docs", "cms_heavy_hitters",
+        "hll_distinct_users", "bloom_join_prune", "streaming_cms_counts",
+        "url_function_pack", "map_function_pack", "json_function_pack",
+        "array_function_pack", "null_function_pack", "try_function_pack",
+        "datetime_function_pack", "string_function_pack2", "stats_pack",
         # round-4 rotation rows (CORRECTNESS_r04, all green)
         "ann_lsh_multiprobe", "ann_lsh_multitable", "bitwise_function_pack",
         "chunk_documents", "dataset_split", "decontaminate_ngrams",
@@ -120,39 +138,44 @@ _GATE_ANCHORS: tuple[str, ...] = (
 )
 
 _GATE_ROTATION: tuple[str, ...] = (
-    # IVF-PQ family (VERDICT r04 item 1; also the perf-weak entry, item 2)
-    "ivfpq_topk_adc",
-    "pq_topk_adc",
-    "ivfpq_rerank_topk",
-    # retrieval / language-model pack
-    "bm25_retrieval",
-    "hybrid_rrf_retrieval",
-    "phrase_search_docs",
-    "unigram_logprob_docs",
-    "bigram_logprob_docs",
-    # round-4 LLM-pipeline additions
-    "curated_corpus_v3",
-    "semantic_dedup_kmeans",
-    "pii_scrub_docs",
-    "pagerank_dedup_graph",
-    "leakage_safe_split",
+    # r5's one red row, re-proving its exact-integer fix (VERDICT r05
+    # item 1) — the sole rotation name with a prior (non-green) driver row
     "mix_sources_tokens",
-    "duplicate_spans_docs",
-    # sketches (incl. the last never-gated streaming query, item 3)
-    "cms_heavy_hitters",
-    "hll_distinct_users",
-    "bloom_join_prune",
-    "streaming_cms_counts",
-    # function packs
-    "url_function_pack",
-    "map_function_pack",
-    "json_function_pack",
-    "array_function_pack",
-    "null_function_pack",
-    "try_function_pack",
-    "datetime_function_pack",
-    "string_function_pack2",
-    "stats_pack",
+    # the reference's literal MERGE statement front (r5 addition)
+    "merge_sql_orders",
+    # temporal / range-join family
+    "burst_events_window",
+    "session_concurrency_daily",
+    "overlapping_sessions",
+    # finance / series pack
+    "ohlc_daily",
+    "daily_returns_volatility",
+    "max_drawdown_series",
+    # ANN k-NN graph self-join
+    "knn_graph",
+    # LLM-pipeline leftovers
+    "quality_classifier_docs",
+    # Spark-4 API surfaces (each sharing a JVM twin's oracle)
+    "chunk_documents_udtf",
+    "cogroup_asof_pandas",
+    "variant_function_pack",
+    "order_streaks_rcte",
+    "sql_udf_pack",
+    "parameterized_sql_pack",
+    # streaming additions
+    "streaming_burst_pairs",
+    "streaming_ohlc_daily",
+    # OLAP / profiling leftovers
+    "quantile_pack",
+    "profile_orders",
+    "unpivot_part_measures",
+    "grouping_sets_sql",
+    "histogram_prices",
+    "richest_customer_per_nation",
+    "conditional_agg_pack",
+    "anomaly_zscore_daily",
+    "unreferenced_parts",
+    "dq_expectations_orders",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = _GATE_ANCHORS + _GATE_ROTATION
@@ -175,7 +198,7 @@ if len(_GATE_PRIORITY) != 50:
     raise RuntimeError(
         f"gate priority list must be exactly 50 names, got {len(_GATE_PRIORITY)}"
     )
-_stale = [n for n in _GATE_ROTATION if n in GATED_THROUGH_R04]
+_stale = [n for n in _GATE_ROTATION if n in GATED_THROUGH_R05]
 if _stale:
     raise RuntimeError(
         f"rotation slots must hold never-gated names, got: {_stale}"
@@ -185,7 +208,7 @@ if _stale:
 def rotation_candidates() -> list[str]:
     """Registered queries that have never had a driver row and are not
     in the current gate — the pool for next round's rotation slots."""
-    gated = set(_GATE_PRIORITY) | GATED_THROUGH_R04
+    gated = set(_GATE_PRIORITY) | GATED_THROUGH_R05
     return [n for n in _ALL_QUERIES if n not in gated]
 
 
@@ -201,4 +224,4 @@ ORACLES = {
     n: ORACLES[n] for n in list(QUERIES) if n in ORACLES
 } | {n: s for n, s in ORACLES.items() if n not in QUERIES}
 
-__all__ = ["QUERIES", "ORACLES", "GATED_THROUGH_R04", "rotation_candidates"]
+__all__ = ["QUERIES", "ORACLES", "GATED_THROUGH_R05", "rotation_candidates"]

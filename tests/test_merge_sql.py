@@ -108,3 +108,52 @@ def test_merge_into_validates_columns(spark):
             "WHEN MATCHED THEN UPDATE SET T.k = S.k "
             "WHEN NOT MATCHED THEN INSERT (k, z) VALUES (S.k, S.z)",
         )
+
+
+def test_merge_into_validates_insert_cols_against_source(spark):
+    """ADVICE r05: an INSERT column in the target but absent from the
+    source must raise the module's loud ValueError, not an opaque
+    AnalysisException on ``S.<col>`` later."""
+    spark.createDataFrame([(1, 2)], "k int, z int"
+                          ).createOrReplaceTempView("msql_t4")
+    spark.createDataFrame([(1,)], "k int").createOrReplaceTempView("msql_s4")
+    with pytest.raises(ValueError, match="not in source frame"):
+        merge_into(
+            spark,
+            "MERGE msql_t4 T USING msql_s4 S ON T.k = S.k "
+            "WHEN MATCHED THEN UPDATE SET T.k = S.k "
+            "WHEN NOT MATCHED THEN INSERT (k, z) VALUES (S.k, S.z)",
+        )
+
+
+def test_merge_into_rejects_duplicate_source_keys(spark):
+    """ADVICE r05: SQL MERGE raises a cardinality violation when one
+    target row matches multiple source rows; the lowering's full-outer
+    join would instead silently duplicate the target row. Guarded by
+    default; an explicit opt-out restores the raw join behavior."""
+    spark.createDataFrame([(1, 10.0)], "k int, v double"
+                          ).createOrReplaceTempView("msql_t5")
+    spark.createDataFrame([(1, 11.0), (1, 12.0)], "k int, v double"
+                          ).createOrReplaceTempView("msql_s5")
+    stmt = (
+        "MERGE msql_t5 T USING msql_s5 S ON T.k = S.k "
+        "WHEN MATCHED THEN UPDATE SET T.v = S.v "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (S.k, S.v)"
+    )
+    with pytest.raises(ValueError, match="cardinality violation"):
+        merge_into(spark, stmt)
+    # opt-out: the documented raw-join behavior (one output row per
+    # matching source row), for batches dedup'd upstream
+    assert merge_into(spark, stmt, validate_source_keys=False).count() == 2
+
+
+def test_merge_into_rejects_dotted_target(spark):
+    """ADVICE r05: a parsed ``db.tbl`` target would read fine and then
+    crash at temp-view re-registration — reject it up front."""
+    with pytest.raises(ValueError, match="dotted"):
+        merge_into(
+            spark,
+            "MERGE `proj.ds.tbl` T USING msql_s5 S ON T.k = S.k "
+            "WHEN MATCHED THEN UPDATE SET T.v = S.v "
+            "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (S.k, S.v)",
+        )

@@ -52,7 +52,7 @@ def test_gate_first_50_spans_families_and_rotates():
        re-verifying the same 50 forever.
     """
     from etl_end_to_end_airflow_bigquery_spark.plans import (
-        GATED_THROUGH_R04,
+        GATED_THROUGH_R05,
         _GATE_ANCHORS,
     )
 
@@ -68,7 +68,7 @@ def test_gate_first_50_spans_families_and_rotates():
     assert {"merge_upsert_orders", "idempotent_append_orders"} <= got
     assert "scd2_orders_status" in got                       # SCD2/CDC
     # rotation: a meaningful share of the gate must be first-ever names
-    fresh = [n for n in names if n not in GATED_THROUGH_R04]
+    fresh = [n for n in names if n not in GATED_THROUGH_R05]
     assert len(fresh) >= 25, (
         f"only {len(fresh)} never-gated names in the 50-row gate; "
         "rotate rotation slots to queries without a prior driver row"
@@ -76,17 +76,30 @@ def test_gate_first_50_spans_families_and_rotates():
 
 
 def test_gated_history_matches_correctness_files():
-    """GATED_THROUGH_R04 is the rotation's ground truth — pin it to the
-    actual driver artifacts so it can't drift."""
+    """GATED_THROUGH_R05 is the rotation's ground truth — pin it to the
+    actual driver artifacts so it can't drift. Rounds 1–4 had no red
+    rows, so every recorded name counts; from r05 on, only GREEN rows
+    (rows+schema+hash all matching) enter the ledger — r05's one hash
+    mismatch (mix_sources_tokens) must stay rotation-eligible."""
     import json
 
     root = Path(__file__).resolve().parent.parent
     u: set[str] = set()
     for p in sorted(root.glob("CORRECTNESS_r0[1-4].json")):
         u |= set(json.load(open(p)))
-    from etl_end_to_end_airflow_bigquery_spark.plans import GATED_THROUGH_R04
+    for p in sorted(root.glob("CORRECTNESS_r0[5].json")):
+        rows = json.load(open(p))
+        u |= {
+            n
+            for n, v in rows.items()
+            if v.get("rows_match")
+            and v.get("schema_match")
+            and v.get("hash_match", True)
+            and not v.get("err")
+        }
+    from etl_end_to_end_airflow_bigquery_spark.plans import GATED_THROUGH_R05
 
-    assert GATED_THROUGH_R04 == frozenset(u)
+    assert GATED_THROUGH_R05 == frozenset(u)
 
 
 def test_entry_smoke(spark):

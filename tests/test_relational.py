@@ -138,3 +138,24 @@ def test_global_cumsum_partitioning_invariant(spark):
     assert results[0][-1][1] == sum(
         i % 97 * (1 << 40) for i in range(5000)
     )
+
+
+def test_global_cumsum_cache_registry_enables_cleanup(spark):
+    """ADVICE r05: the persisted range-partitioned frame can't be
+    unpersisted inside the operator (the returned plan reads it), so a
+    long-lived caller collects it via cache_registry and unpersists
+    after consuming the result."""
+    from etl_end_to_end_airflow_bigquery_spark.operators.relational import (
+        global_cumsum,
+    )
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.lit(1).cast("bigint").alias("v")
+    )
+    reg: list = []
+    out = global_cumsum(df, ["k"], "v", out="run", cache_registry=reg)
+    assert out.count() == 100
+    assert len(reg) == 1 and reg[0].storageLevel.useMemory
+    for f in reg:
+        f.unpersist()
+    assert not reg[0].storageLevel.useMemory
