@@ -52,6 +52,26 @@ def daily_report_stream(ticks: DataFrame, watermark: str | None = None) -> DataF
     )
 
 
+def report_merge_batch(spark: SparkSession, report_path: str):
+    """The foreachBatch function of the report sink, factored out so the
+    at-least-once contract is directly testable: foreachBatch MAY
+    re-deliver a batch after a recovery, so applying the SAME
+    ``(batch_id, df)`` twice must leave the table equal to the
+    once-applied state. merge_upsert gives that: key-matched rows
+    overwrite with identical values, nothing inserts twice — the
+    streaming analog of the reference's idempotent load
+    (``dags/idempotent_fx_pipeline.py:73-87``). Asserted by
+    ``tests/test_streaming.py::test_report_merge_batch_replay_idempotent``.
+    """
+
+    def _merge(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        merge_upsert(spark, report_path, batch, keys=REPORT_KEYS)
+
+    return _merge
+
+
 def streaming_report_to_merge(
     spark: SparkSession,
     report: DataFrame,
@@ -64,14 +84,8 @@ def streaming_report_to_merge(
     foreachBatch gives at-least-once batch delivery; merge_upsert makes
     it effectively-once (same (day, pair) keys overwrite in place).
     """
-
-    def _merge(batch: DataFrame, _batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        merge_upsert(spark, report_path, batch, keys=REPORT_KEYS)
-
     writer = (
-        report.writeStream.foreachBatch(_merge)
+        report.writeStream.foreachBatch(report_merge_batch(spark, report_path))
         .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
     )

@@ -131,3 +131,103 @@ def test_scd2_exact_at_overflow_adjacent_keys(spark, band_frames):
             & (F.col("valid_to") == dt.datetime(2026, 2, 1))
         )
         assert closed.count() == n_changed, start
+
+
+# --- VERDICT r05 item 7: range-join bin math at the timestamp edges ----
+#
+# range_join / interval_overlap_join quantize time into bins with exact
+# bigint floor division on unix_micros. The representable timestamp
+# domain IS the int64 microsecond domain (±(2^63 − 1) µs ≈ years
+# −290308 / +294247), so bin ids, the negative-remainder correction,
+# and sequence() must stay exact at its edges — where a double cast
+# would collide adjacent micros (2^63 spacing ≫ 1 µs ulp) and a naive
+# `us div w` without the sign fix would shift pre-epoch bins by one.
+
+TS_EDGE_BANDS = [
+    # leave headroom inside ±(2^63 − 1) µs for the generated offsets
+    # (points reach start − 13.5e6 µs, intervals start + ~66e6 µs)
+    -(2**63) + 20 * 10**6,    # just above the most-negative timestamp
+    -(2**62) - 3,             # deep pre-epoch, straddles a bin boundary
+    -5 * 10**6,               # the epoch sign flip (bins -1/0)
+    2**53 - 2 * 10**6,        # double-exactness edge in µs
+    2**63 - 80 * 10**6 - 1,   # near the most-positive timestamp
+]
+BIN_W_S = 7  # deliberately not a divisor of any band start
+
+
+def _ts_edge_frames(spark, start_us: int):
+    """15 intervals (varying lengths incl. empty-adjacent) + 60 points
+    scattered across ±4 bins around start_us, all built from explicit
+    µs longs via timestamp_micros (no Python datetime — it can't
+    represent the edges)."""
+    iv = spark.range(15).selectExpr(
+        f"timestamp_micros({start_us}L + id * 3500000L) AS lo",
+        f"timestamp_micros({start_us}L + id * 3500000L"
+        " + (id % 5) * 4200000L) AS hi",
+        "id AS iv_id",
+    )
+    pt = spark.range(60).selectExpr(
+        f"timestamp_micros({start_us}L + (id - 15) * 900000L) AS p",
+        "id AS pt_id",
+    )
+    return iv, pt
+
+
+@pytest.mark.parametrize("start_us", TS_EDGE_BANDS)
+def test_range_join_exact_at_timestamp_edges(spark, start_us):
+    from etl_end_to_end_airflow_bigquery_spark.operators.temporal import (
+        range_join,
+    )
+
+    iv, pt = _ts_edge_frames(spark, start_us)
+    # collect ids only: edge-of-domain timestamps exceed Python
+    # datetime's year range, so Row conversion would raise
+    got = sorted(
+        (r.iv_id, r.pt_id)
+        for r in range_join(iv, pt, "lo", "hi", "p", BIN_W_S)
+        .select("iv_id", "pt_id")
+        .collect()
+    )
+    brute = sorted(
+        (r.iv_id, r.pt_id)
+        for r in iv.crossJoin(pt)
+        .filter((F.col("lo") <= F.col("p")) & (F.col("p") <= F.col("hi")))
+        .select("iv_id", "pt_id")
+        .collect()
+    )
+    assert got == brute and len(brute) > 0
+
+
+@pytest.mark.parametrize("start_us", TS_EDGE_BANDS)
+def test_interval_overlap_join_exact_at_timestamp_edges(spark, start_us):
+    from etl_end_to_end_airflow_bigquery_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    iv, _ = _ts_edge_frames(spark, start_us)
+    left = iv.selectExpr("lo AS l_lo", "hi AS l_hi", "iv_id AS l_id")
+    right = iv.selectExpr(
+        # shift by a non-multiple of the bin width so overlaps cross bins
+        "timestamp_micros(unix_micros(lo) + 1300000L) AS r_lo",
+        "timestamp_micros(unix_micros(hi) + 2600000L) AS r_hi",
+        "iv_id AS r_id",
+    )
+    got = sorted(
+        (r.l_id, r.r_id)
+        for r in interval_overlap_join(
+            left, right, "l_lo", "l_hi", "r_lo", "r_hi", BIN_W_S
+        )
+        .select("l_id", "r_id")
+        .collect()
+    )
+    brute = sorted(
+        (r.l_id, r.r_id)
+        for r in left.crossJoin(right)
+        .filter(
+            (F.col("l_lo") <= F.col("r_hi"))
+            & (F.col("r_lo") <= F.col("l_hi"))
+        )
+        .select("l_id", "r_id")
+        .collect()
+    )
+    assert got == brute and len(brute) > 0
