@@ -22,6 +22,12 @@ Supported grammar (the reference's shape, upper/lower case free):
     ON <T>.<k> = <S>.<k> [AND ...]
     WHEN MATCHED THEN UPDATE SET <T>.<c> = <S>.<c> [, ...]
     WHEN NOT MATCHED THEN INSERT (<c> [, ...]) VALUES (<S>.<c> [, ...])
+    [WHEN NOT MATCHED BY SOURCE THEN DELETE]
+
+The trailing DELETE clause (the full-sync form Delta and BigQuery users
+expect; the reference's own statement omits it) drops target rows with
+no source match — lowered as a right-outer join so deleted rows never
+materialize.
 
 Only identity column copies are supported on the right-hand sides —
 arbitrary expressions are rejected loudly rather than silently
@@ -48,6 +54,8 @@ _MERGE_RE = re.compile(
     WHEN \s+ MATCHED \s+ THEN \s+ UPDATE \s+ SET \s+ (?P<set>.+?) \s+
     WHEN \s+ NOT \s+ MATCHED \s+ THEN \s+
     INSERT \s* \( (?P<icols>[^)]*) \) \s* VALUES \s* \( (?P<ivals>[^)]*) \)
+    (?P<delete> \s+ WHEN \s+ NOT \s+ MATCHED \s+ BY \s+ SOURCE \s+
+                THEN \s+ DELETE )?
     \s*;?\s*$""",
     re.I | re.X | re.S,
 )
@@ -58,14 +66,18 @@ _COL_RE = re.compile(r"^\s*(?:(\w+)\.)?(\w+)\s*$")
 
 @dataclass(frozen=True)
 class MergeSpec:
-    """Parsed MERGE statement: table names, key columns, and the
-    matched-update / not-matched-insert column sets."""
+    """Parsed MERGE statement: table names, key columns, the
+    matched-update / not-matched-insert column sets, and whether
+    target rows with no source match are deleted (``WHEN NOT MATCHED
+    BY SOURCE THEN DELETE`` — the full-sync clause Delta/BigQuery users
+    expect, absent from the reference's statement)."""
 
     target: str
     source: str
     keys: tuple[str, ...]
     update_cols: tuple[str, ...]
     insert_cols: tuple[str, ...]
+    delete_unmatched_target: bool = False
 
 
 def _unquote(name: str) -> str:
@@ -131,6 +143,7 @@ def parse_merge(sql: str) -> MergeSpec:
         keys=tuple(keys),
         update_cols=tuple(update_cols),
         insert_cols=tuple(icols),
+        delete_unmatched_target=m.group("delete") is not None,
     )
 
 
@@ -246,6 +259,13 @@ def merge_into(
             .alias(name)
         )
 
-    merged = t.join(s, cond, "full_outer").select(*cols)
+    # WHEN NOT MATCHED BY SOURCE THEN DELETE drops exactly the
+    # target-only rows — i.e. every surviving row HAS a source row, so
+    # the lowering tightens full-outer to right-outer (source side
+    # preserved): the deleted rows never materialize, instead of being
+    # joined and then filtered. Same exchanges, strictly less join
+    # output at scale.
+    how = "right_outer" if spec.delete_unmatched_target else "full_outer"
+    merged = t.join(s, cond, how).select(*cols)
     merged.createOrReplaceTempView(spec.target)
     return merged

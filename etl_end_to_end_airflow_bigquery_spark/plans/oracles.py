@@ -307,6 +307,32 @@ ORACLES: dict[str, str] = {
         FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
         ORDER BY o_orderkey
     """,
+    # full-sync MERGE: WHEN NOT MATCHED BY SOURCE THEN DELETE drops
+    # target-only rows, so the oracle right-joins (source preserved) —
+    # the same tightening the Spark lowering applies
+    "merge_sql_sync_orders": f"""
+        WITH target AS (
+            SELECT * FROM orders WHERE o_orderkey % 3 <> 0
+        ), source AS (
+            SELECT o_orderkey, o_custkey,
+                   'M' AS o_orderstatus,
+                   {_round('o_totalprice * 1.1', 2)} AS o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 2 = 0
+        )
+        SELECT s.o_orderkey AS o_orderkey,
+               CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_custkey
+                    ELSE s.o_custkey END AS o_custkey,
+               s.o_orderstatus AS o_orderstatus,
+               s.o_totalprice AS o_totalprice,
+               CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_orderdate
+                    ELSE s.o_orderdate END AS o_orderdate,
+               CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_orderpriority
+                    ELSE s.o_orderpriority END AS o_orderpriority
+        FROM target t
+        RIGHT JOIN source s ON t.o_orderkey = s.o_orderkey
+        ORDER BY o_orderkey
+    """,
     "idempotent_append_orders": """
         WITH target AS (
             SELECT * FROM orders WHERE o_orderkey % 3 <> 0

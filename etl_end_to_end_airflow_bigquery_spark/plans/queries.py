@@ -504,6 +504,50 @@ def merge_sql_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.orderBy("o_orderkey")
 
 
+def merge_sql_sync_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 extension — the full-sync MERGE: the reference's statement
+    shape plus ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` (the clause
+    Delta/BigQuery users add to make the target mirror the source; the
+    reference's own MERGE, ``dags/fx_pipeline_with_merge.py:90-103``,
+    stops at upsert). Target rows with no staging match are deleted —
+    lowered as a right-outer join, so the deleted rows never
+    materialize in the join output. Result: exactly the even order keys
+    (matched updates + the %6==0 inserts); every odd target row is
+    gone.
+    """
+    from ..operators.merge_sql import merge_into
+
+    orders = load_table(spark, sf_dir, "orders")
+    orders.filter(F.col("o_orderkey") % 3 != 0).createOrReplaceTempView(
+        "merge_sync_target"
+    )
+    (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("o_totalprice", round_half_up(F.col("o_totalprice") * 1.1, 2))
+        .withColumn("o_orderstatus", F.lit("M"))
+        .createOrReplaceTempView("merge_sync_staging")
+    )
+    merged = merge_into(
+        spark,
+        """
+        MERGE `merge_sync_target` T
+        USING `merge_sync_staging` S
+        ON T.o_orderkey = S.o_orderkey
+        WHEN MATCHED THEN
+            UPDATE SET
+                T.o_orderstatus = S.o_orderstatus,
+                T.o_totalprice = S.o_totalprice
+        WHEN NOT MATCHED THEN
+            INSERT (o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                    o_orderdate, o_orderpriority)
+            VALUES (S.o_orderkey, S.o_custkey, S.o_orderstatus,
+                    S.o_totalprice, S.o_orderdate, S.o_orderpriority)
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+        """,
+    )
+    return merged.orderBy("o_orderkey")
+
+
 def idempotent_append_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 — check-then-insert (``dags/idempotent_fx_pipeline.py:73-87``)
     strengthened to per-row left-anti: only keys absent from the target
@@ -1154,6 +1198,7 @@ QUERIES: dict[str, QueryFn] = {
     "pivot_event_counts": pivot_event_counts,
     "merge_upsert_orders": merge_upsert_orders,
     "merge_sql_orders": merge_sql_orders,
+    "merge_sql_sync_orders": merge_sql_sync_orders,
     "idempotent_append_orders": idempotent_append_orders,
     "sessionize_events": sessionize_events,
     "session_window_native": session_window_native,

@@ -157,3 +157,36 @@ def test_merge_into_rejects_dotted_target(spark):
             "WHEN MATCHED THEN UPDATE SET T.v = S.v "
             "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (S.k, S.v)",
         )
+
+
+def test_parse_delete_clause():
+    spec = parse_merge(
+        REFERENCE_SHAPE + " WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    assert spec.delete_unmatched_target is True
+    assert parse_merge(REFERENCE_SHAPE).delete_unmatched_target is False
+
+
+def test_merge_into_delete_unmatched_target(spark):
+    """Full-sync MERGE: target rows with no source match are deleted;
+    matched rows update; source-only rows insert."""
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (9, "z", 90.0)],
+        "k int, status string, v double",
+    ).createOrReplaceTempView("msql_t6")
+    spark.createDataFrame(
+        [(2, "B", 99.0), (3, "c", 30.0)], "k int, status string, v double"
+    ).createOrReplaceTempView("msql_s6")
+    got = {
+        r.k: (r.status, r.v)
+        for r in merge_into(
+            spark,
+            "MERGE INTO msql_t6 T USING msql_s6 S ON T.k = S.k "
+            "WHEN MATCHED THEN UPDATE SET T.status = S.status "
+            "WHEN NOT MATCHED THEN INSERT (k, status, v) "
+            "VALUES (S.k, S.status, S.v) "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+        ).collect()
+    }
+    # rows 1 and 9 (target-only) deleted; 2 updated (v kept); 3 inserted
+    assert got == {2: ("B", 20.0), 3: ("c", 30.0)}
