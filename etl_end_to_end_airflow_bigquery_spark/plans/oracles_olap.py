@@ -734,6 +734,13 @@ OLAP_ORACLES["variant_function_pack"] = """
     ORDER BY event_type
 """
 
+# shared VERBATIM with the in-memory variant pack: the roundtrip query
+# writes the variant column through a shredded parquet table and must
+# produce identical values — the gate proves path equivalence
+OLAP_ORACLES["variant_shredded_roundtrip"] = OLAP_ORACLES[
+    "variant_function_pack"
+]
+
 from .queries_olap import STREAK_RCTE_SQL  # noqa: E402
 
 OLAP_ORACLES["order_streaks_rcte"] = STREAK_RCTE_SQL.format(orders="orders")

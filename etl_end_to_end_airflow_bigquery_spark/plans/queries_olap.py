@@ -1283,6 +1283,54 @@ def variant_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 OLAP_QUERIES["variant_function_pack"] = variant_function_pack
 
 
+def variant_shredded_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``variant_function_pack``'s aggregation with a SHREDDED PARQUET
+    ROUNDTRIP in the middle: parse events' ``props`` to variant, write
+    it to parquet (Spark 4 shreds each inferred field into its own
+    typed column chunk — ``operators.variant_io``), read it back, and
+    run the identical typed extractions. Shares the twin's DuckDB
+    oracle VERBATIM, so the gate proves write→shred→read→extract is
+    value-equal to the in-memory variant path.
+
+    Scale: the read side is the point — ``PushVariantIntoScan``
+    rewrites the scan to ``struct<k paths>`` (see
+    ``tests/test_variant_io.py``), so the query decodes only the
+    ``$.k`` chunk of the stored documents, never re-parsing the JSON.
+    """
+    import os
+    import tempfile
+
+    from ..operators.variant_io import read_variant_table, write_variant_table
+
+    ev = load_events(spark, sf_dir).select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    )
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="variant_shred_"), "events_variant"
+    )
+    write_variant_table(ev, path, shredded=True)
+    back = read_variant_table(spark, path)
+    k = F.expr("variant_get(v, '$.k', 'bigint')")
+    missing = F.expr("variant_get(v, '$.nope', 'bigint')")
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.count(F.when(k.isNull(), F.lit(1))).alias("n_k_null"),
+            F.count(F.when(missing.isNull(), F.lit(1))).alias(
+                "n_missing_null"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+OLAP_QUERIES["variant_shredded_roundtrip"] = variant_shredded_roundtrip
+
+
 # Shared verbatim with the DuckDB oracle: streak edges via a lead()
 # window, then WITH RECURSIVE chain-walk. Integer/date comparisons only
 # — no float divergence surface.
