@@ -74,6 +74,12 @@ STREAM_ORACLES: dict[str, str] = {
     "streaming_report_merge": ORACLES["daily_avg_report"],
 }
 
+# state-store reader: the engine's retained dedup state must BE the
+# distinct key set — shares the sink-side twin's oracle verbatim
+STREAM_ORACLES["streaming_state_dedup_keys"] = STREAM_ORACLES[
+    "streaming_dedup_events"
+]
+
 from ..operators.sketch import CMS_DEPTH, CMS_WIDTH  # noqa: E402
 
 _SCMS_ROWS = "\n        UNION ALL\n".join(

@@ -613,3 +613,47 @@ def streaming_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_QUERIES["streaming_ohlc_daily"] = streaming_ohlc_daily
+
+
+def streaming_state_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 STATE STORE READER through the gate
+    (``streaming/state_reader.py``): replay the tick stream through
+    ``dropDuplicatesWithinWatermark`` (same plan as
+    ``streaming_dedup_events``), then answer from the ENGINE'S OWN
+    KEYED STATE — ``spark.read.format("statestore")`` over the
+    checkpoint — instead of the sink. Shares the dedup twin's oracle
+    (SELECT DISTINCT) verbatim: the gate proves the state the engine
+    retains for its exactly-once guarantee IS the distinct key set.
+
+    Scale: the state read is a partitioned batch scan (one task per
+    state partition); nothing driver-side but the stream handle.
+    """
+    import tempfile
+
+    from ..streaming.state_reader import state_keys
+
+    base = tempfile.mkdtemp(prefix="stream_state_dedup_")
+    ckpt = os.path.join(base, "ckpt")
+    with _utc_session(spark):
+        ticks = _stream_events(spark, sf_dir).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        deduped = (
+            ticks.withWatermark("ts", "31 days")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        )
+        q = (
+            deduped.writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    # the watermark horizon covers the whole bounded replay, so no key
+    # expired: state keys == distinct keys
+    return state_keys(spark, ckpt).orderBy("user_id", "event_type")
+
+
+STREAM_QUERIES["streaming_state_dedup_keys"] = streaming_state_dedup_keys

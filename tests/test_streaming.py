@@ -173,3 +173,40 @@ def test_report_merge_batch_replay_idempotent(spark, tmp_path):
     # an empty re-delivery (fully-filtered batch) is a no-op
     merge(batch2.limit(0), 2)
     assert sorted(map(tuple, read_table(spark, rep).collect())) == twice_state
+
+
+def test_state_reader_metadata_and_agg_state(spark, tmp_path):
+    """Spark 4 state-store batch sources: state-metadata lists the
+    operator, statestore returns its keyed state, and for a streaming
+    aggregation the state IS the aggregate (count per key here)."""
+    from etl_end_to_end_airflow_bigquery_spark.streaming.state_reader import (
+        read_state,
+        state_keys,
+        state_metadata,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt_state")
+    spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "k long, v string"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("k long, v string").parquet(src)
+    q = (
+        stream.groupBy("k")
+        .count()
+        .writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    meta = state_metadata(spark, ckpt)
+    ops = {(r.operatorId, r.operatorName) for r in meta.collect()}
+    assert (0, "stateStoreSave") in ops
+
+    st = read_state(spark, ckpt, operator_id=0)
+    got = {(r.key.k, r.value["count"]) for r in st.collect()}
+    assert got == {(1, 2), (2, 1)}
+    assert sorted(r.k for r in state_keys(spark, ckpt).collect()) == [1, 2]
