@@ -1,0 +1,177 @@
+"""Spark 4 Python DataSource WRITER: a manifest-committed JSONL sink.
+
+Completes the custom-connector surface started by ``rest_datasource``
+(S1 reader + simpleStreamReader): users write
+``df.write.format("jsonl_commit")`` / ``writeStream.format(
+"jsonl_commit")`` like any built-in sink. The reference's closest
+analog is the BigQuery load job — a destination that either fully
+commits a batch or leaves nothing visible; this sink reproduces that
+contract on plain files with the classic two-phase manifest commit:
+
+- ``write`` (executors): each task streams its rows to a uniquely
+  named shard under ``<path>/_staging/`` and returns the file name +
+  row count as its commit message. A failed/retried task leaves only
+  unreferenced staging garbage.
+- ``commit`` (driver): move the acked shards into ``<path>`` and write
+  a manifest (``_manifest/committed-batch-<id>.json`` for streaming,
+  ``…-batch--1`` for batch) listing exactly the committed files.
+  foreachBatch-style re-delivery of a batch OVERWRITES that batch's
+  manifest — the re-run's files replace the old list, so readers never
+  see a batch twice (exactly-once READ view over an at-least-once
+  writer; orphaned files from the superseded attempt are swept by the
+  next commit).
+- ``abort``: drop this attempt's staged files.
+
+:func:`read_jsonl_commit` is the read side: it lists the manifests and
+reads ONLY manifest-listed files — uncommitted/orphaned shards are
+invisible. At 100 TB the per-batch manifest is a few KB on the driver;
+shards stream executor-side and never transit the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import Row, StructType
+
+
+@dataclass
+class ShardCommitMessage(WriterCommitMessage):
+    file: str
+    rows: int
+
+
+def _write_shard(path: str, iterator: Iterator[Row]) -> ShardCommitMessage:
+    staging = os.path.join(path, "_staging")
+    os.makedirs(staging, exist_ok=True)
+    name = f"shard-{uuid.uuid4().hex}.jsonl"
+    n = 0
+    tmp = os.path.join(staging, name)
+    with open(tmp, "w", encoding="utf-8") as f:
+        for row in iterator:
+            f.write(json.dumps(row.asDict(), default=str, sort_keys=True))
+            f.write("\n")
+            n += 1
+    return ShardCommitMessage(file=name, rows=n)
+
+
+def _commit_batch(path: str, messages, batch_id: int) -> None:
+    """Driver-side: promote acked shards, then (over)write the batch
+    manifest. Replays of the same batch replace the manifest, so the
+    manifest set — the read surface — records each batch exactly once;
+    files orphaned by a superseded attempt are removed here too."""
+    mdir = os.path.join(path, "_manifest")
+    os.makedirs(mdir, exist_ok=True)
+    staging = os.path.join(path, "_staging")
+    files, rows = [], 0
+    for m in messages:
+        if m is None:
+            continue
+        os.replace(
+            os.path.join(staging, m.file), os.path.join(path, m.file)
+        )
+        files.append(m.file)
+        rows += m.rows
+    manifest = os.path.join(mdir, f"committed-batch-{batch_id}.json")
+    if os.path.exists(manifest):
+        old = json.load(open(manifest))["files"]
+        for f in set(old) - set(files):
+            try:
+                os.remove(os.path.join(path, f))
+            except FileNotFoundError:
+                pass
+    with open(manifest + ".tmp", "w") as f:
+        json.dump({"batch_id": batch_id, "files": files, "rows": rows}, f)
+    os.replace(manifest + ".tmp", manifest)
+
+
+def _abort_batch(path: str, messages) -> None:
+    staging = os.path.join(path, "_staging")
+    for m in messages:
+        if m is None:
+            continue
+        try:
+            os.remove(os.path.join(staging, m.file))
+        except FileNotFoundError:
+            pass
+
+
+class JsonlBatchWriter(DataSourceWriter):
+    def __init__(self, options: dict) -> None:
+        self._path = options["path"]
+
+    def write(self, iterator: Iterator[Row]) -> ShardCommitMessage:
+        return _write_shard(self._path, iterator)
+
+    def commit(self, messages) -> None:
+        _commit_batch(self._path, messages, batch_id=-1)
+
+    def abort(self, messages) -> None:
+        _abort_batch(self._path, messages)
+
+
+class JsonlStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options: dict) -> None:
+        self._path = options["path"]
+
+    def write(self, iterator: Iterator[Row]) -> ShardCommitMessage:
+        return _write_shard(self._path, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        _commit_batch(self._path, messages, batchId)
+
+    def abort(self, messages, batchId: int) -> None:
+        _abort_batch(self._path, messages)
+
+
+class JsonlCommitDataSource(DataSource):
+    """Registerable manifest-committed JSONL sink (batch + streaming)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_commit"
+
+    def schema(self) -> str:  # writer-only source; schema is the frame's
+        return "value string"
+
+    def writer(self, schema: StructType, overwrite: bool) -> JsonlBatchWriter:
+        return JsonlBatchWriter(self.options)
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> JsonlStreamWriter:
+        return JsonlStreamWriter(self.options)
+
+
+def read_jsonl_commit(
+    spark: SparkSession, path: str, schema: str | StructType | None = None
+) -> DataFrame:
+    """Read ONLY the manifest-committed shards (uncommitted staging
+    files and superseded-attempt orphans are invisible). The manifest
+    listing is bounded driver work (one small JSON per batch)."""
+    mdir = os.path.join(path, "_manifest")
+    files: list[str] = []
+    if os.path.isdir(mdir):
+        for mf in sorted(os.listdir(mdir)):
+            if mf.startswith("committed-batch-") and mf.endswith(".json"):
+                files.extend(
+                    os.path.join(path, f)
+                    for f in json.load(open(os.path.join(mdir, mf)))["files"]
+                )
+    if not files:
+        raise ValueError(f"no committed manifests under {path!r}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(files)

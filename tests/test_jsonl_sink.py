@@ -1,0 +1,88 @@
+"""Manifest-committed JSONL sink (sources.jsonl_sink): the Spark 4
+Python DataSource WRITER surface — batch + streaming writes, two-phase
+manifest commit, exactly-once read view under batch re-delivery."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from etl_end_to_end_airflow_bigquery_spark.sources.jsonl_sink import (
+    JsonlCommitDataSource,
+    ShardCommitMessage,
+    _commit_batch,
+    read_jsonl_commit,
+)
+
+
+def _register(spark):
+    spark.dataSource.register(JsonlCommitDataSource)
+
+
+def test_batch_write_commit_and_readback(spark, tmp_path):
+    _register(spark)
+    path = str(tmp_path / "sink_batch")
+    os.makedirs(path)
+    df = spark.range(100).selectExpr("id AS k", "CAST(id * 2 AS STRING) AS v")
+    df.write.format("jsonl_commit").mode("append").option("path", path).save()
+
+    back = read_jsonl_commit(spark, path, schema="k long, v string")
+    got = sorted((r.k, r.v) for r in back.collect())
+    assert got == [(i, str(2 * i)) for i in range(100)]
+    # staging left empty; manifest records the full row count
+    assert os.listdir(os.path.join(path, "_staging")) == []
+    mdir = os.path.join(path, "_manifest")
+    (mf,) = os.listdir(mdir)
+    assert json.load(open(os.path.join(mdir, mf)))["rows"] == 100
+
+
+def test_stream_write_available_now(spark, tmp_path):
+    _register(spark)
+    src = str(tmp_path / "src")
+    path = str(tmp_path / "sink_stream")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(path)
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("k long, v string").parquet(src)
+    q = (
+        stream.writeStream.format("jsonl_commit")
+        .option("path", path)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = read_jsonl_commit(spark, path, schema="k long, v string")
+    assert sorted((r.k, r.v) for r in back.collect()) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+
+
+def test_batch_redelivery_overwrites_manifest(spark, tmp_path):
+    """At-least-once delivery: committing the SAME batch id twice (the
+    foreachBatch recovery case) replaces that batch's manifest — the
+    read view holds each batch exactly once and the superseded
+    attempt's files are swept."""
+    path = str(tmp_path / "sink_replay")
+    staging = os.path.join(path, "_staging")
+    os.makedirs(staging)
+
+    def stage(name: str, rows: list[dict]) -> ShardCommitMessage:
+        with open(os.path.join(staging, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        return ShardCommitMessage(file=name, rows=len(rows))
+
+    m1 = stage("shard-attempt1.jsonl", [{"k": 1}, {"k": 2}])
+    _commit_batch(path, [m1], batch_id=7)
+    # re-delivery of batch 7: different task file, same rows
+    m2 = stage("shard-attempt2.jsonl", [{"k": 1}, {"k": 2}])
+    _commit_batch(path, [m2], batch_id=7)
+
+    back = read_jsonl_commit(spark, path, schema="k long")
+    assert sorted(r.k for r in back.collect()) == [1, 2]
+    assert not os.path.exists(os.path.join(path, "shard-attempt1.jsonl"))
