@@ -298,6 +298,51 @@ def embedding_near_dups(
     return pairs.filter(F.col("cosine") >= threshold)
 
 
+def embedding_decontaminate(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    eval_pred: "Column",
+    threshold: float = NEAR_DUP_COSINE,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """Semantic decontamination: find TRAIN vectors that are
+    near-duplicates (cosine ≥ threshold) of any EVAL vector — the
+    embedding-space sibling of n-gram decontamination
+    (``decontaminate_ngrams``), catching paraphrased benchmark leakage
+    that exact n-grams miss (the check modern training pipelines run
+    against eval sets; see e.g. the GPT-3/Llama contamination
+    appendices).
+
+    ``eval_pred`` is a boolean Column over the embeddings frame marking
+    the eval side; everything else is train. Asymmetric LSH-bucket
+    join: both sides get the same hyperplane signature, candidates are
+    same-bucket (train, eval) pairs only — at 100 TB the cost is
+    Σ|train_bucket|·|eval_bucket|, not |train|·|eval|, and the bucket
+    is the shuffle key. Same exact fixed-point dot machinery as
+    ``embedding_near_dups``, so the result is engine-exact.
+
+    Returns (train_id, eval_id, cosine) — one row per leaking pair;
+    downstream either drops the train docs or audits the pairs.
+    """
+    v = _vectors(embeddings)
+    vb = v.join(lsh_buckets(spark, embeddings, dim=dim), "vec_id").select(
+        "vec_id", "e", "norm2", "bucket", eval_pred.alias("__is_eval")
+    ).repartition("bucket")
+    t = vb.filter(~F.col("__is_eval")).alias("t")
+    q = vb.filter(F.col("__is_eval")).alias("q")
+    pairs = t.join(
+        q, F.col("t.bucket") == F.col("q.bucket")
+    ).select(
+        F.col("t.vec_id").alias("train_id"),
+        F.col("q.vec_id").alias("eval_id"),
+        (
+            F.expr(dot_fold("t.e", "q.e"))
+            / (F.sqrt(F.col("t.norm2")) * F.sqrt(F.col("q.norm2")))
+        ).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold)
+
+
 def ivf_cells(embeddings: DataFrame, n_seeds: int = N_IVF_SEEDS) -> DataFrame:
     """vec_id → IVF cell (nearest seed by cosine).
 

@@ -27,6 +27,7 @@ from .queries_ext import (
     CORPUS_MIN_QUALITY,
     CORPUS_MIN_TOKENS,
     COSINE_K,
+    DECON_EVAL_BUCKETS,
     EMB_SIM_THRESHOLD,
     LANG_CASE_SQL,
     QUALITY_SQL,
@@ -652,6 +653,41 @@ EXT_ORACLES: dict[str, str] = {
         FROM pairs
         WHERE cosine_raw >= {EMB_SIM_THRESHOLD}
         ORDER BY vec_a, vec_b
+    """,
+    # asymmetric LSH-bucket join: train×eval same-bucket candidates,
+    # eval side = md5 'decon' bucket < 1000 of 10000 (~10%)
+    "decontaminate_embeddings": f"""
+        WITH {_VECTOR_CTE.strip()}, pl AS (
+            SELECT * FROM (VALUES
+            {_PLANES_VALUES}
+            ) AS t(plane_idx, w)
+        ), pdots AS (
+            SELECT vn.vec_id, pl.plane_idx, {_dot('vn.e', 'pl.w')} AS dot
+            FROM vn, pl
+        ), buckets AS (
+            SELECT vec_id,
+                   CAST(sum(CASE WHEN dot >= 0
+                        THEN (CAST(1 AS BIGINT) << plane_idx) ELSE 0 END)
+                        AS BIGINT) AS bucket
+            FROM pdots GROUP BY vec_id
+        ), vb AS (
+            SELECT vn.vec_id, vn.e, vn.norm2, b.bucket,
+                   CAST(concat('0x', substr(md5(concat('decon|',
+                       CAST(vn.vec_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                       % 10000 < {DECON_EVAL_BUCKETS} AS is_eval
+            FROM vn JOIN buckets b USING (vec_id)
+        ), pairs AS (
+            SELECT t.vec_id AS train_id, q.vec_id AS eval_id,
+                   {_dot('t.e', 'q.e')} / (sqrt(t.norm2) * sqrt(q.norm2))
+                       AS cosine_raw
+            FROM vb t JOIN vb q
+              ON t.bucket = q.bucket
+             AND NOT t.is_eval AND q.is_eval
+        )
+        SELECT train_id, eval_id, {_round('cosine_raw', 6)} AS cosine
+        FROM pairs
+        WHERE cosine_raw >= {EMB_SIM_THRESHOLD}
+        ORDER BY train_id, eval_id
     """,
     "label_centroids": f"""
         WITH v AS (

@@ -328,6 +328,31 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_a", "vec_b")
 
 
+DECON_EVAL_BUCKETS = 1000  # of 10000: ~10% of vectors act as the eval set
+
+
+def decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: train vectors within
+    EMB_SIM_THRESHOLD cosine of any held-out eval vector (deterministic
+    ~10% md5 split) — the semantic sibling of ``decontaminate_ngrams``,
+    catching paraphrased benchmark leakage that exact n-grams miss.
+    LSH-bucketed asymmetric join (operators.similarity
+    .embedding_decontaminate); exact fixed-point cosine.
+    """
+    from ..operators.sampling import hash_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_eval = hash_bucket("vec_id", salt="decon") < DECON_EVAL_BUCKETS
+    res = S.embedding_decontaminate(
+        spark, emb, is_eval, threshold=EMB_SIM_THRESHOLD
+    )
+    return res.select(
+        "train_id",
+        "eval_id",
+        round_half_up(F.col("cosine"), 6).alias("cosine"),
+    ).orderBy("train_id", "eval_id")
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid, flattened to (label, pos, centroid) —
     vector aggregation via posexplode + grouped decimal-exact average."""
@@ -754,6 +779,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT_QUERIES["decontaminate_ngrams"] = decontaminate_ngrams
+EXT_QUERIES["decontaminate_embeddings"] = decontaminate_embeddings
 EXT_QUERIES["pack_training_sequences"] = pack_training_sequences
 EXT_QUERIES["repetition_ratio_docs"] = repetition_ratio_docs
 EXT_QUERIES["tfidf_top_terms"] = tfidf_top_terms

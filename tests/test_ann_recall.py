@@ -386,3 +386,32 @@ def test_knn_graph_ranks_and_symmetry(spark):
         assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
         for a, b in zip(rows, rows[1:]):
             assert (a.cosine, -a.neighbor_id) >= (b.cosine, -b.neighbor_id)
+
+
+def test_embedding_decontaminate_is_asymmetric(spark):
+    """Pairs must always be (train, eval) — never train-train or
+    eval-eval — and every reported pair clears the threshold."""
+    from pyspark.sql import functions as F
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.sampling import (
+        hash_bucket,
+    )
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_ext import (
+        DECON_EVAL_BUCKETS,
+        EMB_SIM_THRESHOLD,
+    )
+    from etl_end_to_end_airflow_bigquery_spark.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    is_eval = hash_bucket("vec_id", salt="decon") < DECON_EVAL_BUCKETS
+    out = S.embedding_decontaminate(
+        spark, emb, is_eval, threshold=EMB_SIM_THRESHOLD
+    ).collect()
+    assert len(out) > 0
+    eval_ids = {
+        r.vec_id
+        for r in emb.select("vec_id").filter(is_eval).collect()
+    }
+    for r in out:
+        assert r.train_id not in eval_ids and r.eval_id in eval_ids
+        assert r.cosine >= EMB_SIM_THRESHOLD
