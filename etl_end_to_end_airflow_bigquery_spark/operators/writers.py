@@ -194,6 +194,15 @@ def read_table(
     return spark.read.parquet(os.path.join(path, avail[version]))
 
 
+def table_versions(path: str) -> list[int]:
+    """Committed snapshot sequence numbers retained under ``path``,
+    oldest first — the public face of the ledger for time travel
+    (:func:`read_table`'s ``version`` argument takes one of these)."""
+    if not os.path.isdir(path):
+        return []
+    return sorted(_seq_of(d) for d in _committed_versions(path))
+
+
 def _commit_version(path: str, vdir: str, keep_versions: int) -> None:
     """Record ``vdir`` in the ledger, flip ``_CURRENT`` to it atomically,
     then retain the newest ``keep_versions`` COMMITTED snapshots and

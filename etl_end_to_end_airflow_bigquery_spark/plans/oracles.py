@@ -278,6 +278,33 @@ ORACLES: dict[str, str] = {
         FROM target t
         FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
     """,
+    "time_travel_orders": f"""
+        WITH target AS (
+            SELECT * FROM orders WHERE o_orderkey % 3 <> 0
+        ), source AS (
+            SELECT o_orderkey, o_custkey,
+                   'M' AS o_orderstatus,
+                   {_round('o_totalprice * 1.1', 2)} AS o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 2 = 0
+        ), merged AS (
+            SELECT {_MERGE_SELECT}
+            FROM target t
+            FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+        )
+        SELECT 'v1_premerge' AS snapshot,
+               count(*) AS n_rows,
+               {_dsum('o_totalprice')} AS sum_price,
+               count(*) FILTER (WHERE o_orderstatus = 'M') AS n_merged
+        FROM target
+        UNION ALL
+        SELECT 'v2_current' AS snapshot,
+               count(*) AS n_rows,
+               {_dsum('o_totalprice')} AS sum_price,
+               count(*) FILTER (WHERE o_orderstatus = 'M') AS n_merged
+        FROM merged
+        ORDER BY snapshot
+    """,
     "merge_sql_orders": f"""
         WITH target AS (
             SELECT * FROM orders WHERE o_orderkey % 3 <> 0

@@ -558,6 +558,60 @@ def idempotent_append_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idempotent_append_df(target, batch, keys=["o_orderkey"])
 
 
+def time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel on the versioned-commit table layout — the
+    production shape of S4/J1: MERGE #1 creates the table (snapshot #1 =
+    the plain target), MERGE #2 applies ``merge_upsert_orders``'s source
+    slice and atomically flips ``_CURRENT`` to snapshot #2.
+    ``read_table(version=first)`` then reproduces the PRE-merge state
+    from retained files while the pointer read sees the merged table —
+    the audit/debug read every snapshotting format (Delta/Iceberg/
+    BigQuery ``FOR SYSTEM_TIME AS OF``) offers, here from the ledger +
+    ``v_*`` dirs alone.
+
+    Output: one fingerprint row per snapshot (row count, exact
+    fixed-point price sum, merged-row count) — the oracle recomputes
+    both states relationally, so a hash match proves the old snapshot
+    is value-identical to history, not merely present.
+
+    Scale: time travel is metadata-only (read a retained directory);
+    no data is copied to keep history. Retention (``keep_versions``)
+    bounds disk growth; at 100 TB the hardlinked untouched partitions
+    make each snapshot pay only for what the merge touched.
+    """
+    import os
+    import tempfile
+
+    from ..operators.writers import merge_upsert, read_table, table_versions
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(tempfile.mkdtemp(prefix="time_travel_"), "orders_tbl")
+    target = orders.filter(F.col("o_orderkey") % 3 != 0)
+    merge_upsert(spark, path, target, keys=["o_orderkey"])
+    source = (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("o_totalprice", round_half_up(F.col("o_totalprice") * 1.1, 2))
+        .withColumn("o_orderstatus", F.lit("M"))
+    )
+    merge_upsert(spark, path, source, keys=["o_orderkey"])
+    first = table_versions(path)[0]
+
+    def _fingerprint(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            decimal_sum(F.col("o_totalprice")).alias("sum_price"),
+            F.count(F.when(F.col("o_orderstatus") == "M", F.lit(1))).alias(
+                "n_merged"
+            ),
+        ).select(F.lit(tag).alias("snapshot"), "*")
+
+    return (
+        _fingerprint(read_table(spark, path, version=first), "v1_premerge")
+        .unionAll(_fingerprint(read_table(spark, path), "v2_current"))
+        .orderBy("snapshot")
+    )
+
+
 # --- sessionization (window-function showcase over the tick stream) ------
 
 
@@ -1200,6 +1254,7 @@ QUERIES: dict[str, QueryFn] = {
     "merge_sql_orders": merge_sql_orders,
     "merge_sql_sync_orders": merge_sql_sync_orders,
     "idempotent_append_orders": idempotent_append_orders,
+    "time_travel_orders": time_travel_orders,
     "sessionize_events": sessionize_events,
     "session_window_native": session_window_native,
     "asof_attribution": asof_attribution,

@@ -759,3 +759,33 @@ def test_zorder_bounds_both_columns(spark, tmp_path):
     assert back.select(F.sum("x"), F.sum("y")).collect()[0] == (
         grid.select(F.sum("x"), F.sum("y")).collect()[0]
     )
+
+
+def test_table_versions_and_time_travel_read(spark, tmp_path, target):
+    """table_versions lists retained committed sequences oldest-first;
+    read_table(version=...) reproduces each retained snapshot exactly,
+    and a swept/unknown sequence raises with the available ones."""
+    import pytest
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        table_versions,
+    )
+
+    path = str(tmp_path / "tt")
+    assert table_versions(path) == []
+    merge_upsert(spark, path, target, keys=["k"])  # snapshot A: 3 rows
+    merge_upsert(
+        spark, path, _frame(spark, [(99, "new", 9.9)]), keys=["k"]
+    )  # snapshot B: 4 rows
+    vers = table_versions(path)
+    assert len(vers) == 2 and vers == sorted(vers)
+    assert read_table(spark, path, version=vers[0]).count() == 3
+    assert read_table(spark, path, version=vers[1]).count() == 4
+    assert _sorted(read_table(spark, path, version=vers[1])) == _sorted(
+        read_table(spark, path)
+    )
+    # a third commit sweeps the oldest (keep_versions=2)
+    merge_upsert(spark, path, _frame(spark, [(98, "new2", 8.8)]), keys=["k"])
+    assert table_versions(path) == [vers[1], vers[1] + 1]
+    with pytest.raises(ValueError, match="retained"):
+        read_table(spark, path, version=vers[0])
