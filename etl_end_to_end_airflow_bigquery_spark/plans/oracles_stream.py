@@ -28,6 +28,20 @@ STREAM_ORACLES: dict[str, str] = {
          AND v.ts >= p.ts - INTERVAL 1 HOUR
         ORDER BY purchase_id, view_id
     """,
+    "streaming_view_purchase_left": """
+        SELECT p.event_id AS purchase_id,
+               p.ts AS p_ts,
+               coalesce(v.event_id, -1) AS view_id
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'view') v
+          ON p.user_id = v.user_id
+         AND v.ts < p.ts
+         AND v.ts >= p.ts - INTERVAL 1 HOUR
+        WHERE p.ts <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
+        ORDER BY purchase_id, view_id
+    """,
     "streaming_segment_counts": f"""
         SELECT c_mktsegment,
                count(*) AS n_events,

@@ -390,11 +390,92 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).orderBy("purchase_id", "view_id")
 
 
+def streaming_view_purchase_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the attribution shape
+    that keeps UNattributed purchases: every purchase emits, with its
+    matched view ids or a null-padded row once the engine can PROVE no
+    qualifying view can still arrive (the views-side watermark passed
+    the purchase's look-back window). That proof is the left-outer
+    subtlety batch users never see: null rows are a *watermark
+    decision*, not a join result, and they surface in the final
+    watermark-advance micro-batch.
+
+    Determinism at the stream tail: purchases within the last watermark
+    horizon are still ambiguous when a bounded replay ends (their null
+    row may legitimately be withheld), so BOTH this query and its oracle
+    cut to purchases at least 2 hours below max(ts) — far beyond the
+    1-hour look-back + 1-second delay, so every kept purchase's outcome
+    is engine-forced. Unmatched rows carry view_id = -1 (impossible
+    event_id) rather than NULL so cross-engine row ordering is total.
+
+    Scale: same bounded-state property as the inner join — each side
+    buffers only the watermark horizon; the outer rows add a per-key
+    eviction check, not state.
+    """
+    sink = _sink_name("stream_vpleft")
+    with _utc_session(spark):
+        ticks = _stream_events(spark, sf_dir).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        purchases = (
+            ticks.filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts")
+            .withWatermark("ts", "1 second")
+        )
+        views = (
+            ticks.filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "1 second")
+        )
+        joined = purchases.join(
+            views,
+            F.expr(
+                "user_id = v_user AND v_ts < ts AND v_ts >= ts - INTERVAL 1 HOUR"
+            ),
+            "leftOuter",
+        ).select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            F.coalesce(F.col("view_id"), F.lit(-1)).alias("view_id"),
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        from ..sources.events import load_events
+
+        cutoff = (
+            load_events(spark, sf_dir)
+            .agg(F.max(F.col("ts").cast("timestamp")))
+            .collect()[0][0]
+        )
+        out = (
+            spark.table(sink)
+            .filter(F.col("p_ts") <= F.lit(cutoff) - F.expr("INTERVAL 2 HOURS"))
+            .select(
+                "purchase_id",
+                F.col("p_ts").cast("timestamp_ntz").alias("p_ts"),
+                "view_id",
+            )
+            .orderBy("purchase_id", "view_id")
+        )
+    return out
+
+
 STREAM_QUERIES: dict[str, QueryFn] = {
     "streaming_daily_avg": streaming_daily_avg,
     "streaming_sliding_avg": streaming_sliding_avg,
     "streaming_segment_counts": streaming_segment_counts,
     "streaming_view_purchase_join": streaming_view_purchase_join,
+    "streaming_view_purchase_left": streaming_view_purchase_left,
     "grouped_stats_pandas": grouped_stats_pandas,
     "streaming_dedup_events": streaming_dedup_events,
     "streaming_report_merge": streaming_report_merge,
