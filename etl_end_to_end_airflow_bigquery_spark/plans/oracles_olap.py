@@ -498,6 +498,17 @@ OLAP_ORACLES: dict[str, str] = {
         GROUP BY 1, 2
         ORDER BY 1, 2
     """,
+    "ivm_join_revenue": f"""
+        SELECT c_mktsegment,
+               count(o_totalprice) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5)
+                   AS BIGINT)) AS BIGINT) AS sum_u,
+               {_round("CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(o_totalprice)", 2)}
+                   AS avg_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
     "snapshot_diff_orders": """
         WITH old AS (
             SELECT o_orderkey, o_orderstatus FROM orders

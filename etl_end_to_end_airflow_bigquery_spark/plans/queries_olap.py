@@ -899,6 +899,60 @@ def incremental_daily_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("report_date", "event_type")
 
 
+def ivm_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN-aggregate (materialized-view
+    maintenance for the star query): per-segment revenue over
+    orders ⋈ customer, maintained by delta propagation instead of
+    recompute. The base state (6/7 of orders, joined and folded to
+    mergeable per-segment (sum_u, n)) is MATERIALIZED to parquet — the
+    stored view; the delta batch (the remaining 1/7) joins the dim and
+    folds into the stored state with ``merge_avg_state``. The oracle
+    recomputes the full join-aggregate in one pass; hash-equality
+    certifies ΔT ⋈ S folded into stored(T ⋈ S) equals (T ∪ ΔT) ⋈ S
+    exactly — insert-only delta propagation, the standard IVM identity.
+
+    Scale: the maintenance pass reads ONLY the delta and the stored
+    state (segment-cardinality rows); the 100 TB base join is never
+    re-touched. The delta-side join broadcasts the dim (or, dim-keyed,
+    prunes to the delta's key range); state folding is one grouped
+    integer sum over |segments| + |delta groups| rows.
+    """
+    import os
+    import tempfile
+
+    from ..operators.incremental import (
+        finish_avg,
+        merge_avg_state,
+        partial_avg_state,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    dim = F.broadcast(customer.select("c_custkey", "c_mktsegment"))
+
+    def seg_state(fact: DataFrame) -> DataFrame:
+        return partial_avg_state(
+            fact.join(dim, fact["o_custkey"] == dim["c_custkey"]),
+            ["c_mktsegment"],
+            "o_totalprice",
+        )
+
+    state_path = os.path.join(
+        tempfile.mkdtemp(prefix="ivm_state_"), "segment_state"
+    )
+    seg_state(orders.filter(F.col("o_orderkey") % 7 != 0)).write.parquet(
+        state_path
+    )
+    stored = spark.read.parquet(state_path)
+    delta = orders.filter(F.col("o_orderkey") % 7 == 0)
+    merged = merge_avg_state(stored, seg_state(delta), ["c_mktsegment"])
+    return (
+        finish_avg(merged, round_to=2, out="avg_price")
+        .select("c_mktsegment", "n", "sum_u", "avg_price")
+        .orderBy("c_mktsegment")
+    )
+
+
 def array_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/higher-order function surface over the token arrays:
     sort/distinct/position/max plus an aggregate fold — all JVM-side
@@ -1004,6 +1058,7 @@ OLAP_QUERIES: dict[str, QueryFn] = {
     "try_function_pack": try_function_pack,
     "array_function_pack": array_function_pack,
     "incremental_daily_state": incremental_daily_state,
+    "ivm_join_revenue": ivm_join_revenue,
     "histogram_prices": histogram_prices,
     "richest_customer_per_nation": richest_customer_per_nation,
     "fuzzy_name_pairs": fuzzy_name_pairs,
