@@ -509,6 +509,45 @@ OLAP_ORACLES: dict[str, str] = {
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
     """,
+    "regression_trend_events": """
+        WITH m AS (
+            SELECT event_type,
+                   count(*) AS n,
+                   sum(x) AS sx, sum(x * x) AS sxx,
+                   sum(u) AS su, sum(x * u) AS sxu
+            FROM (
+                SELECT event_type,
+                       datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                           AS x,
+                       CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u
+                FROM events
+            )
+            GROUP BY event_type
+        ), r AS (
+            SELECT event_type, n,
+                   CAST(n AS HUGEINT) * CAST(sxu AS HUGEINT)
+                       - CAST(sx AS HUGEINT) * CAST(su AS HUGEINT) AS num,
+                   CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+                       - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS den,
+                   CAST(su AS HUGEINT) AS suh, CAST(sx AS HUGEINT) AS sxh
+            FROM m
+        ), b AS (
+            SELECT *, suh * den - num * sxh AS bnum,
+                   den * CAST(n AS HUGEINT) AS bden
+            FROM r
+        )
+        SELECT event_type, n,
+               CASE WHEN den = 0 THEN NULL
+                    ELSE CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                        * ((2 * abs(num) + den) // (2 * den)) AS DOUBLE)
+                        / 1000000.0 END AS slope,
+               CASE WHEN bden = 0 THEN NULL
+                    ELSE CAST((CASE WHEN bnum < 0 THEN -1 ELSE 1 END)
+                        * ((2 * abs(bnum) + bden) // (2 * bden)) AS DOUBLE)
+                        / 1000000.0 END AS intercept
+        FROM b
+        ORDER BY event_type
+    """,
     "snapshot_diff_orders": """
         WITH old AS (
             SELECT o_orderkey, o_orderstatus FROM orders

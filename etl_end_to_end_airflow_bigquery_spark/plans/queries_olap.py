@@ -953,6 +953,80 @@ def ivm_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def regression_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key ordinary-least-squares trend (the regr_slope/regr_intercept
+    surface) computed ENGINE-EXACTLY: value regressed on day index per
+    event type, with every moment (n, Σx, Σx², Σu, Σxu; u = value
+    scaled to integer micro-units) accumulated as exact integers in one
+    grouped pass — associative, partitioning-independent — and the
+    slope/intercept derived as integer rationals with the half-up 6-dp
+    round done in DECIMAL(38,0) cross-multiplication
+    (``(2·|num| + den) div (2·den)``, sign reapplied) followed by ONE
+    double division by 1e6. Native regr_* aggregates are double
+    accumulations whose low bits vary with partitioning — unusable for
+    cross-engine hashing; this is the exact-moments form of the same
+    math.
+
+    Scale: one shuffle of 5 integer moments per (partition, key) —
+    map-side partials apply; the rational finish is per-group scalar
+    work. DECIMAL(38,0) headroom: |n·Σxu·Σx| stays < 1e38 up to ~1e8
+    rows/group at these value magnitudes; past that ANSI mode raises
+    loudly rather than wrapping (the repo-wide overflow contract).
+    """
+    ev = load_events(spark, sf_dir).select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint").alias("u"),
+    )
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum("u").alias("su"),
+        F.sum(F.expr("x * u")).alias("sxu"),
+    )
+    dec = "decimal(38,0)"
+    finished = m.select(
+        "event_type",
+        "n",
+        F.expr(
+            f"CAST(n AS {dec}) * CAST(sxu AS {dec})"
+            f" - CAST(sx AS {dec}) * CAST(su AS {dec})"
+        ).alias("__num"),
+        F.expr(
+            f"CAST(n AS {dec}) * CAST(sxx AS {dec})"
+            f" - CAST(sx AS {dec}) * CAST(sx AS {dec})"
+        ).alias("__den"),
+        F.col("su").cast(dec).alias("__su"),
+        F.col("sx").cast(dec).alias("__sx"),
+    ).select(
+        "event_type",
+        "n",
+        "__num",
+        "__den",
+        # intercept rational: (Σu·den − num·Σx) / (den·n)
+        F.expr("__su * __den - __num * __sx").alias("__bnum"),
+        F.expr(f"__den * CAST(n AS {dec})").alias("__bden"),
+    )
+
+    def _micro(num: str, den: str) -> Column:
+        half_up = f"(2 * abs({num}) + {den}) div (2 * {den})"
+        sign = f"CASE WHEN {num} < 0 THEN -1 ELSE 1 END"
+        return F.expr(
+            f"CASE WHEN {den} = 0 THEN NULL"
+            f" ELSE CAST({sign} * ({half_up}) AS DOUBLE) / 1000000.0 END"
+        )
+
+    return finished.select(
+        "event_type",
+        "n",
+        _micro("__num", "__den").alias("slope"),
+        _micro("__bnum", "__bden").alias("intercept"),
+    ).orderBy("event_type")
+
+
 def array_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/higher-order function surface over the token arrays:
     sort/distinct/position/max plus an aggregate fold — all JVM-side
@@ -1059,6 +1133,7 @@ OLAP_QUERIES: dict[str, QueryFn] = {
     "array_function_pack": array_function_pack,
     "incremental_daily_state": incremental_daily_state,
     "ivm_join_revenue": ivm_join_revenue,
+    "regression_trend_events": regression_trend_events,
     "histogram_prices": histogram_prices,
     "richest_customer_per_nation": richest_customer_per_nation,
     "fuzzy_name_pairs": fuzzy_name_pairs,
