@@ -548,6 +548,38 @@ OLAP_ORACLES: dict[str, str] = {
         FROM b
         ORDER BY event_type
     """,
+    "funnel_view_click_purchase": """
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t1
+            GROUP BY e.user_id
+        ), s3 AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+            GROUP BY e.user_id
+        ), c AS (
+            SELECT (SELECT count(*) FROM s1) AS n_view,
+                   (SELECT count(*) FROM s2) AS n_click,
+                   (SELECT count(*) FROM s3) AS n_purchase
+        )
+        SELECT n_view, n_click, n_purchase,
+               CASE WHEN n_view = 0 THEN NULL
+                    ELSE CAST((2 * CAST(n_click AS HUGEINT) * 1000000
+                              + CAST(n_view AS HUGEINT))
+                         // (2 * CAST(n_view AS HUGEINT)) AS DOUBLE)
+                         / 1000000.0 END AS view_to_click,
+               CASE WHEN n_click = 0 THEN NULL
+                    ELSE CAST((2 * CAST(n_purchase AS HUGEINT) * 1000000
+                              + CAST(n_click AS HUGEINT))
+                         // (2 * CAST(n_click AS HUGEINT)) AS DOUBLE)
+                         / 1000000.0 END AS click_to_purchase
+        FROM c
+    """,
     "snapshot_diff_orders": """
         WITH old AS (
             SELECT o_orderkey, o_orderstatus FROM orders

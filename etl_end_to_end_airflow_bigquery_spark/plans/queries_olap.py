@@ -1027,6 +1027,69 @@ def regression_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis — the product-analytics staple the
+    reference's report table can't express: per user, the greedy
+    earliest chain view → click-after-view → purchase-after-click
+    (each step's timestamp strictly after the previous step's matched
+    one), rolled up to per-step user counts and step-to-step conversion
+    rates. Rates are half-up 6-dp integer rationals (the repo's
+    cross-multiplied div convention) — no double enters the math until
+    the final power-of-ten division.
+
+    Plan: three grouped min-aggregates, each joined to the previous
+    step's frame on user_id — all three shuffles hash on the same key,
+    so AQE coalesces and the join exchanges reuse; per-step state is
+    one timestamp per surviving user. At 100 TB the funnel is
+    user-partitioned embarrassingly parallel work.
+    """
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", F.col("ts").cast("timestamp_ntz").alias("ts")
+    )
+    step1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    step2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(step1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    step3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(step2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        step1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(step2.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(step3.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+    dec = "decimal(38,0)"
+
+    def _rate(num: str, den: str) -> Column:
+        return F.expr(
+            f"CASE WHEN {den} = 0 THEN NULL"
+            f" ELSE CAST((2 * CAST({num} AS {dec}) * 1000000"
+            f"       + CAST({den} AS {dec}))"
+            f"      div (2 * CAST({den} AS {dec})) AS DOUBLE) / 1000000.0"
+            f" END"
+        )
+
+    return counts.select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        _rate("n_click", "n_view").alias("view_to_click"),
+        _rate("n_purchase", "n_click").alias("click_to_purchase"),
+    )
+
+
 def array_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/higher-order function surface over the token arrays:
     sort/distinct/position/max plus an aggregate fold — all JVM-side
@@ -1134,6 +1197,7 @@ OLAP_QUERIES: dict[str, QueryFn] = {
     "incremental_daily_state": incremental_daily_state,
     "ivm_join_revenue": ivm_join_revenue,
     "regression_trend_events": regression_trend_events,
+    "funnel_view_click_purchase": funnel_view_click_purchase,
     "histogram_prices": histogram_prices,
     "richest_customer_per_nation": richest_customer_per_nation,
     "fuzzy_name_pairs": fuzzy_name_pairs,
