@@ -580,6 +580,46 @@ OLAP_ORACLES: dict[str, str] = {
                          / 1000000.0 END AS click_to_purchase
         FROM c
     """,
+    "cohort_retention_weekly": """
+        WITH activity AS (
+            SELECT DISTINCT user_id,
+                   CAST(floor(datediff('day', DATE '2024-01-01',
+                                       CAST(ts AS DATE)) / 7) AS BIGINT)
+                       AS week_idx
+            FROM events
+        ), cohort AS (
+            SELECT user_id, min(week_idx) AS cohort_week
+            FROM activity GROUP BY user_id
+        ), sizes AS (
+            SELECT cohort_week, count(*) AS n_cohort
+            FROM cohort GROUP BY cohort_week
+        ), tri AS (
+            SELECT c.cohort_week,
+                   a.week_idx - c.cohort_week AS week_offset,
+                   count(*) AS n_active
+            FROM activity a JOIN cohort c ON a.user_id = c.user_id
+            GROUP BY 1, 2
+        )
+        SELECT t.cohort_week, t.week_offset, t.n_active, s.n_cohort,
+               CAST((2 * CAST(t.n_active AS HUGEINT) * 1000000
+                     + CAST(s.n_cohort AS HUGEINT))
+                    // (2 * CAST(s.n_cohort AS HUGEINT)) AS DOUBLE)
+                   / 1000000.0 AS retention
+        FROM tri t JOIN sizes s ON t.cohort_week = s.cohort_week
+        ORDER BY t.cohort_week, t.week_offset
+    """,
+    "basket_part_pairs": """
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        )
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_orders
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        ORDER BY n_orders DESC, part_a, part_b
+        LIMIT 20
+    """,
     "snapshot_diff_orders": """
         WITH old AS (
             SELECT o_orderkey, o_orderstatus FROM orders

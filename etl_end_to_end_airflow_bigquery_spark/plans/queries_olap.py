@@ -1090,6 +1090,93 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (the product-analytics triangle): users grouped
+    by first-activity week, then for each later week the share still
+    active. Week buckets are ``days-since-epoch-date div 7`` — exact
+    integer bucketing, immune to the engines' differing ISO-week rules.
+    Retention is the half-up 6-dp integer rational n_active/n_cohort
+    (one final power-of-ten double division).
+
+    Plan: one distinct over (user, week) — the only heavy shuffle, on
+    the high-cardinality key; the cohort assignment is a grouped min
+    reusing that frame; the triangle is a small-key rollup joined to
+    broadcast cohort sizes. At 100 TB: activity distinct is map-side
+    combinable, cohort sizes are |weeks| rows.
+    """
+    activity = (
+        load_events(spark, sf_dir)
+        .select(
+            "user_id",
+            F.floor(
+                F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+                / F.lit(7)
+            )
+            .cast("bigint")
+            .alias("week_idx"),
+        )
+        .distinct()
+    )
+    cohort = activity.groupBy("user_id").agg(F.min("week_idx").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    triangle = (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week_idx") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+    )
+    dec = "decimal(38,0)"
+    return triangle.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "n_cohort",
+        F.expr(
+            f"CAST((2 * CAST(n_active AS {dec}) * 1000000"
+            f"      + CAST(n_cohort AS {dec}))"
+            f"     div (2 * CAST(n_cohort AS {dec})) AS DOUBLE) / 1000000.0"
+        ).alias("retention"),
+    ).orderBy("cohort_week", "week_offset")
+
+
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the most frequent part PAIRS bought
+    in one order (the support counts behind association-rule mining).
+    The pair generation is a within-order self-join with ``a < b`` —
+    fan-out bounded by per-basket size k (Σ k(k−1)/2, k ≤ 7 in this
+    schema), NOT an n² blowup: the join keys on the order, so cost
+    tracks basket density exactly like the LSH band joins track
+    duplicate density. Top-20 by support with a total (pair) tiebreak.
+
+    Scale: distinct + self-join + rollup all hash on bounded-fanout
+    keys; a hot basket cannot exist (k is bounded by basket size), so
+    no salting is needed. TakeOrderedAndProject caps the result motion.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = a.join(b, "okey").filter(F.col("part_a") < F.col("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
 def array_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/higher-order function surface over the token arrays:
     sort/distinct/position/max plus an aggregate fold — all JVM-side
@@ -1198,6 +1285,8 @@ OLAP_QUERIES: dict[str, QueryFn] = {
     "ivm_join_revenue": ivm_join_revenue,
     "regression_trend_events": regression_trend_events,
     "funnel_view_click_purchase": funnel_view_click_purchase,
+    "cohort_retention_weekly": cohort_retention_weekly,
+    "basket_part_pairs": basket_part_pairs,
     "histogram_prices": histogram_prices,
     "richest_customer_per_nation": richest_customer_per_nation,
     "fuzzy_name_pairs": fuzzy_name_pairs,
