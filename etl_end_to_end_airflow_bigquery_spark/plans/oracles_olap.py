@@ -620,6 +620,30 @@ OLAP_ORACLES: dict[str, str] = {
         ORDER BY n_orders DESC, part_a, part_b
         LIMIT 20
     """,
+    "revenue_gini": """
+        WITH pc AS (
+            SELECT o_custkey,
+                   sum(CAST(floor(o_totalprice * 1000000.0 + 0.5)
+                       AS BIGINT)) AS u
+            FROM orders GROUP BY o_custkey
+        ), r AS (
+            SELECT u,
+                   row_number() OVER (ORDER BY u, o_custkey) AS i
+            FROM pc
+        ), m AS (
+            SELECT count(*) AS n,
+                   sum(CAST(u AS HUGEINT)) AS su,
+                   sum(CAST(i AS HUGEINT) * CAST(u AS HUGEINT)) AS siu
+            FROM r
+        )
+        SELECT n,
+               CAST(su AS DOUBLE) / 1000000.0 AS total_revenue,
+               CAST((2 * (2 * siu - (CAST(n AS HUGEINT) + 1) * su) * 1000000
+                     + CAST(n AS HUGEINT) * su)
+                    // (2 * CAST(n AS HUGEINT) * su) AS DOUBLE)
+                   / 1000000.0 AS gini
+        FROM m
+    """,
     "snapshot_diff_orders": """
         WITH old AS (
             SELECT o_orderkey, o_orderstatus FROM orders

@@ -1177,6 +1177,56 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration as a Gini coefficient over per-customer
+    revenue — the inequality statistic whose textbook form needs a
+    GLOBAL ascending rank: G = (2·Σ(i·uᵢ) − (n+1)·Σu) / (n·Σu). The
+    rank is computed with ``relational.global_cumsum`` over a constant-1
+    column (range repartition → per-partition window → broadcast
+    exclusive offsets), NOT a no-partition ``row_number`` window — the
+    single-task trap this repo's prefix-sum operator exists to dodge;
+    driver state stays #partitions rows at any scale.
+
+    Exactness: u is the exact micro-unit revenue (per-order scaled-int
+    sums, then summed per customer — associative); rank·u products and
+    the Gini numerator/denominator are DECIMAL(38,0)/HUGEINT integer
+    rationals, half-up-rounded at 6 dp by cross-multiplied ``div`` with
+    ONE final power-of-ten double division. Ranks within a tie group
+    are pinned by the (u, custkey) total order.
+    """
+    from ..operators.relational import global_cumsum
+
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 1000000.0 + 0.5).cast("bigint"))
+            .alias("u")
+        )
+    )
+    ranked = global_cumsum(
+        per_cust.withColumn("one", F.lit(1).cast("bigint")),
+        ["u", "o_custkey"],
+        "one",
+        out="rank_i",
+    )
+    dec = "decimal(38,0)"
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("u").cast(dec)).alias("su"),
+        F.sum(F.col("rank_i").cast(dec) * F.col("u").cast(dec)).alias("siu"),
+    )
+    return m.select(
+        "n",
+        F.expr("CAST(su AS DOUBLE) / 1000000.0").alias("total_revenue"),
+        F.expr(
+            f"CAST((2 * (2 * siu - (CAST(n AS {dec}) + 1) * su) * 1000000"
+            f"      + CAST(n AS {dec}) * su)"
+            f"     div (2 * CAST(n AS {dec}) * su) AS DOUBLE) / 1000000.0"
+        ).alias("gini"),
+    )
+
+
 def array_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/higher-order function surface over the token arrays:
     sort/distinct/position/max plus an aggregate fold — all JVM-side
@@ -1287,6 +1337,7 @@ OLAP_QUERIES: dict[str, QueryFn] = {
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "cohort_retention_weekly": cohort_retention_weekly,
     "basket_part_pairs": basket_part_pairs,
+    "revenue_gini": revenue_gini,
     "histogram_prices": histogram_prices,
     "richest_customer_per_nation": richest_customer_per_nation,
     "fuzzy_name_pairs": fuzzy_name_pairs,
