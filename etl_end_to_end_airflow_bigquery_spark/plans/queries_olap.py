@@ -1037,38 +1037,45 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplied div convention) — no double enters the math until
     the final power-of-ten division.
 
-    Plan: three grouped min-aggregates, each joined to the previous
-    step's frame on user_id — all three shuffles hash on the same key,
-    so AQE coalesces and the join exchanges reuse; per-step state is
-    one timestamp per surviving user. At 100 TB the funnel is
-    user-partitioned embarrassingly parallel work.
+    Plan: ONE hash exchange on user_id, then three stacked conditional
+    window-mins over that same partitioning (each step's cutoff is the
+    previous window column — no joins, no recomputed subtrees), a
+    partitioning-reusing per-user rollup, and one scalar aggregate. A
+    join formulation re-derives each step's frame per consumer; the
+    window form expresses the sequential dependency in a single pass —
+    user-partitioned embarrassingly parallel work at 100 TB.
     """
+    from pyspark.sql import Window
+
     ev = load_events(spark, sf_dir).select(
         "user_id", "event_type", F.col("ts").cast("timestamp_ntz").alias("ts")
     )
-    step1 = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    w = Window.partitionBy("user_id")
+    typed = lambda t: F.col("event_type") == t  # noqa: E731
+    staged = (
+        ev.withColumn("t1", F.min(F.when(typed("view"), F.col("ts"))).over(w))
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(typed("click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    typed("purchase") & (F.col("ts") > F.col("t2")), F.col("ts")
+                )
+            ).over(w),
+        )
     )
-    step2 = (
-        ev.filter(F.col("event_type") == "click")
-        .join(step1, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
     )
-    step3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(step2, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    counts = (
-        step1.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(step2.agg(F.count(F.lit(1)).alias("n_click")))
-        .crossJoin(step3.agg(F.count(F.lit(1)).alias("n_purchase")))
+    counts = per_user.agg(
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_click"),
+        F.count("t3").alias("n_purchase"),
     )
     dec = "decimal(38,0)"
 
@@ -1098,12 +1105,17 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Retention is the half-up 6-dp integer rational n_active/n_cohort
     (one final power-of-ten double division).
 
-    Plan: one distinct over (user, week) — the only heavy shuffle, on
-    the high-cardinality key; the cohort assignment is a grouped min
-    reusing that frame; the triangle is a small-key rollup joined to
-    broadcast cohort sizes. At 100 TB: activity distinct is map-side
-    combinable, cohort sizes are |weeks| rows.
+    Plan: ONE data-sized hash exchange on user_id; the (user, week)
+    distinct and the cohort-assignment window both reuse it
+    (hash(user) satisfies the clustered distribution of any superset
+    key set). Cohort sizes need no second branch at all: every user is
+    active in their own first week, so n_cohort IS the triangle's
+    week_offset = 0 diagonal, lifted onto each cohort row by a window
+    max over the |weeks|²-row rollup — no join, no recomputed subtree.
+    At 100 TB: one data-sized shuffle total.
     """
+    from pyspark.sql import Window
+
     activity = (
         load_events(spark, sf_dir)
         .select(
@@ -1115,20 +1127,21 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("week_idx"),
         )
+        .repartition("user_id")
         .distinct()
     )
-    cohort = activity.groupBy("user_id").agg(F.min("week_idx").alias("cohort_week"))
-    sizes = cohort.groupBy("cohort_week").agg(
-        F.count(F.lit(1)).alias("n_cohort")
+    wcoh = activity.withColumn(
+        "cohort_week", F.min("week_idx").over(Window.partitionBy("user_id"))
     )
-    triangle = (
-        activity.join(cohort, "user_id")
-        .groupBy(
-            "cohort_week",
-            (F.col("week_idx") - F.col("cohort_week")).alias("week_offset"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_active"))
-        .join(F.broadcast(sizes), "cohort_week")
+    tri = wcoh.groupBy(
+        "cohort_week",
+        (F.col("week_idx") - F.col("cohort_week")).alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_active"))
+    triangle = tri.withColumn(
+        "n_cohort",
+        F.max(F.when(F.col("week_offset") == 0, F.col("n_active"))).over(
+            Window.partitionBy("cohort_week")
+        ),
     )
     dec = "decimal(38,0)"
     return triangle.select(
