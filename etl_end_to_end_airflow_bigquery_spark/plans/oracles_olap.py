@@ -4,6 +4,7 @@ from the same literals and the shared exact-arithmetic helpers."""
 from __future__ import annotations
 
 from .oracles import _davg, _dsum, _round
+from .queries import SESSION_GAP_US as _SESSION_GAP_US
 from .queries_olap import (
     Q5_HI,
     Q5_LO,
@@ -619,6 +620,72 @@ OLAP_ORACLES: dict[str, str] = {
         GROUP BY 1, 2
         ORDER BY n_orders DESC, part_a, part_b
         LIMIT 20
+    """,
+    "rfm_segments": """
+        WITH pc AS (
+            SELECT o_custkey,
+                   max(o_orderdate) AS last_order,
+                   count(*) AS frequency,
+                   sum(CAST(floor(o_totalprice * 1000000.0 + 0.5)
+                       AS BIGINT)) AS monetary_u
+            FROM orders GROUP BY o_custkey
+        ), base AS (
+            SELECT o_custkey,
+                   datediff('day', last_order,
+                            (SELECT max(last_order) FROM pc)) AS recency_days,
+                   frequency, monetary_u
+            FROM pc
+        ), ranked AS (
+            SELECT *,
+                   row_number() OVER (ORDER BY recency_days, o_custkey)
+                       AS r_rank,
+                   row_number() OVER (ORDER BY -frequency, o_custkey)
+                       AS f_rank,
+                   row_number() OVER (ORDER BY -monetary_u, o_custkey)
+                       AS m_rank,
+                   count(*) OVER () AS n
+            FROM base
+        )
+        SELECT o_custkey, recency_days, frequency,
+               CAST(monetary_u AS DOUBLE) / 1000000.0 AS monetary,
+               ((r_rank - 1) * 5) // n + 1 AS r_score,
+               ((f_rank - 1) * 5) // n + 1 AS f_score,
+               ((m_rank - 1) * 5) // n + 1 AS m_score,
+               concat(((r_rank - 1) * 5) // n + 1, '-',
+                      ((f_rank - 1) * 5) // n + 1, '-',
+                      ((m_rank - 1) * 5) // n + 1) AS rfm_segment
+        FROM ranked
+        ORDER BY o_custkey
+    """,
+    "session_paths_top": f"""
+        WITH e AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+            FROM events
+        ), f AS (
+            SELECT *,
+                   CASE WHEN ts_us - lag(ts_us) OVER
+                        (PARTITION BY user_id ORDER BY ts_us, event_id)
+                        > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session
+            FROM e
+        ), s AS (
+            SELECT *,
+                   CAST(sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM f
+        ), p AS (
+            SELECT user_id, session_id,
+                   array_to_string(
+                       (list(event_type ORDER BY ts_us, event_id))[1:5],
+                       '>') AS path
+            FROM s
+            GROUP BY user_id, session_id
+        )
+        SELECT path, count(*) AS n_sessions
+        FROM p
+        GROUP BY path
+        ORDER BY n_sessions DESC, path
+        LIMIT 15
     """,
     "revenue_gini": """
         WITH pc AS (

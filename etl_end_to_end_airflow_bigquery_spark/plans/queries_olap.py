@@ -1240,6 +1240,150 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: the most common event-type SEQUENCES per
+    session (first 5 steps, '>'-joined) — the pattern marketers read as
+    'view>click>purchase vs view>error>…'. Sessionization reuses the
+    repo's gap windows; the path is built ORDER-DETERMINISTICALLY by
+    sorting each session's (ts_us, event_id, type) structs in-row
+    (``sort_array`` on the collected structs — lexicographic on the
+    unique (ts, id) prefix), never by relying on ``collect_list``'s
+    arrival order, which is partition-timing-dependent and would break
+    the cross-engine hash. Top-15 with a total path tiebreak.
+
+    Scale: one shuffle for the user window + one for the (user,
+    session) rollup (hash(user) satisfies the superset key), then a
+    |paths|-cardinality count and TakeOrderedAndProject. Per-session
+    state is ≤ the session's events, folded in-row.
+    """
+    from pyspark.sql import Window
+
+    from .queries import SESSION_GAP_US
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    sess = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts_us") - F.lag("ts_us").over(w) > F.lit(SESSION_GAP_US), 1
+        ).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.expr(
+            "array_join(transform(slice(sort_array(collect_list("
+            "struct(ts_us, event_id, event_type))), 1, 5),"
+            " x -> x.event_type), '>')"
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(15)
+    )
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quintiles) with the ntile computed DISTRIBUTED and EXACT: each
+    dimension's global rank comes from ``relational.global_cumsum``
+    (range repartition + broadcast exclusive offsets — not the
+    single-task no-partition ``ntile`` window), and the quintile is the
+    closed-form ntile bucket ``((rank−1)·5) div n + 1`` — identical to
+    SQL NTILE's leading-⌈n/5⌉ allocation, spelled the same way in the
+    DuckDB oracle so neither engine's window internals are trusted.
+    Ties are impossible: every ORDER carries the unique custkey.
+
+    Scale: one grouped pass over orders, then three bounded prefix-sum
+    sweeps over the |customers| frame (descending dimensions encoded by
+    negation — cumsum is ascending-only); driver state is #partitions
+    rows per sweep. The per-customer frame and each rank stage are
+    MATERIALIZED to parquet between sweeps — chaining three cumsums on
+    live lineage doubles the upstream plan per stage (each sweep
+    references its input twice), an 8× plan blowup by the third; the
+    stage tables are |customers| rows, noise next to the fact scan.
+    Monetary stays in exact micro-units until the final power-of-ten
+    division.
+    """
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from ..operators.relational import global_cumsum
+
+    tmp = tempfile.mkdtemp(prefix="rfm_stages_")
+
+    def _mat(df: DataFrame) -> DataFrame:
+        p = os.path.join(tmp, _uuid.uuid4().hex[:8])
+        df.write.parquet(p)
+        return spark.read.parquet(p)
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 1000000.0 + 0.5).cast("bigint"))
+        .alias("monetary_u"),
+    )
+    maxd = per_cust.agg(F.max("last_order").alias("__maxd"))
+    base = _mat(
+        per_cust.crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("__maxd"), F.col("last_order"))
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_u",
+        )
+        .withColumn("one", F.lit(1).cast("bigint"))
+        .withColumn("neg_freq", -F.col("frequency"))
+        .withColumn("neg_mon", -F.col("monetary_u"))
+    )
+    ranked = _mat(
+        global_cumsum(base, ["recency_days", "o_custkey"], "one", out="r_rank")
+    )
+    ranked = _mat(
+        global_cumsum(ranked, ["neg_freq", "o_custkey"], "one", out="f_rank")
+    )
+    ranked = global_cumsum(ranked, ["neg_mon", "o_custkey"], "one", out="m_rank")
+    n_total = base.agg(F.count(F.lit(1)).alias("__n"))
+    scored = ranked.crossJoin(F.broadcast(n_total)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        F.expr("CAST(monetary_u AS DOUBLE) / 1000000.0").alias("monetary"),
+        F.expr("((r_rank - 1) * 5) div __n").alias("__rq"),
+        F.expr("((f_rank - 1) * 5) div __n").alias("__fq"),
+        F.expr("((m_rank - 1) * 5) div __n").alias("__mq"),
+    )
+    return scored.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (F.col("__rq") + 1).alias("r_score"),
+        (F.col("__fq") + 1).alias("f_score"),
+        (F.col("__mq") + 1).alias("m_score"),
+        F.concat_ws(
+            "-",
+            (F.col("__rq") + 1).cast("string"),
+            (F.col("__fq") + 1).cast("string"),
+            (F.col("__mq") + 1).cast("string"),
+        ).alias("rfm_segment"),
+    ).orderBy("o_custkey")
+
+
 def array_function_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/higher-order function surface over the token arrays:
     sort/distinct/position/max plus an aggregate fold — all JVM-side
@@ -1351,6 +1495,8 @@ OLAP_QUERIES: dict[str, QueryFn] = {
     "cohort_retention_weekly": cohort_retention_weekly,
     "basket_part_pairs": basket_part_pairs,
     "revenue_gini": revenue_gini,
+    "session_paths_top": session_paths_top,
+    "rfm_segments": rfm_segments,
     "histogram_prices": histogram_prices,
     "richest_customer_per_nation": richest_customer_per_nation,
     "fuzzy_name_pairs": fuzzy_name_pairs,

@@ -61,6 +61,7 @@ BNLJ_OK = {
     "embedding_near_dups",
     "knn_graph",  # same 8-row hyperplane broadcast as ann_lsh_topk
     "decontaminate_embeddings",  # same 8-row hyperplane broadcast
+    "rfm_segments",  # two 1-row scalar crosses (corpus max-date, n)
     "tfidf_top_terms",  # 1-row corpus-size scalar broadcast
     "bm25_retrieval",  # 1-row (N, avgdl) corpus-stats scalar broadcast
     "unigram_logprob_docs",  # 1-row (T, V) LM-normalizer scalar broadcast
