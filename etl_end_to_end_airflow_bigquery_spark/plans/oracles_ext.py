@@ -1440,10 +1440,15 @@ EXT_ORACLES["mix_sources_tokens"] = f"""
               < r.tot * 10000
         GROUP BY d.source
     )
-    SELECT r.source, r.n_docs, r.n_tokens,
+    -- Output columns are CAST to BIGINT: DuckDB's SUM(BIGINT) yields
+    -- HUGEINT, and the driver's hash canonicalizes HUGEINT cells
+    -- differently from BIGINT (VERDICT r06 root cause — the r5/r6
+    -- hash_match:false rows). Internal HUGEINT arithmetic is fine;
+    -- only result columns reach the hash.
+    SELECT r.source, r.n_docs, CAST(r.n_tokens AS BIGINT) AS n_tokens,
            CAST(r.kp_micro AS DOUBLE) / 1000000.0 AS keep_prob,
            COALESCE(k.n_kept, 0) AS n_kept,
-           COALESCE(k.kept_tokens, 0) AS kept_tokens
+           CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
     FROM rates r LEFT JOIN kept k USING (source)
     ORDER BY r.source
 """

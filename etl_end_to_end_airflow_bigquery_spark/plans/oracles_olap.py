@@ -806,8 +806,8 @@ OLAP_ORACLES: dict[str, str] = {
         SELECT least(CAST(floor((o_totalprice - 0.0) / 5000.0) AS BIGINT),
                      11) AS bin,
                count(*) AS n_orders,
-               least(CAST(floor((o_totalprice - 0.0) / 5000.0) AS BIGINT),
-                     11) * 5000.0 + 0.0 AS bin_lo
+               CAST(least(CAST(floor((o_totalprice - 0.0) / 5000.0) AS BIGINT),
+                     11) * 5000.0 + 0.0 AS DOUBLE) AS bin_lo
         FROM orders
         GROUP BY 1
         ORDER BY bin
@@ -935,7 +935,10 @@ OLAP_ORACLES["bitwise_function_pack"] = """
 OLAP_ORACLES["variant_function_pack"] = """
     SELECT event_type,
            count(*) AS n_events,
-           sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           -- CAST the SUM back to BIGINT: DuckDB SUM(BIGINT) -> HUGEINT,
+           -- which the driver's hash canonicalizes differently (VERDICT
+           -- r06 root cause of the variant-pack hash_match:false).
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
            min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
            max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
            count(CASE WHEN CAST(props->>'$.k' AS BIGINT) IS NULL

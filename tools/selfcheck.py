@@ -69,6 +69,31 @@ def main() -> int:
         return 1
     checked = []
     failed = []
+
+    # Preflight type lint (VERDICT r06 item 2): ``str()`` canon below
+    # masks DuckDB-only result types (HUGEINT from SUM(BIGINT), DECIMAL
+    # from decimal-literal promotion) that the driver's hash
+    # canonicalizes differently from Spark's — bind every oracle and
+    # fail fast on any type outside the safe closure.
+    _allowed = {"BIGINT", "INTEGER", "DOUBLE", "FLOAT", "VARCHAR",
+                "DATE", "TIMESTAMP", "BOOLEAN"}
+    for name, sql in oracles.items():
+        if only and name not in only:
+            continue
+        try:
+            rel = con.sql(sql)
+            bad = [(c, str(ty)) for c, ty in zip(rel.columns, rel.types)
+                   if str(ty) not in _allowed]
+        except Exception as e:
+            print(f"FAIL {name}: oracle bind error: {type(e).__name__}: {str(e)[:200]}")
+            failed.append(name)
+            continue
+        if bad:
+            print(f"FAIL {name}: oracle emits driver-hash-unsafe types {bad}")
+            failed.append(name)
+    if failed:
+        print(f"\n{len(failed)} type-lint failures: {failed}")
+        return 1
     for name, fn in queries.items():
         if only and name not in only:
             continue
