@@ -19,19 +19,14 @@ The gate is now two explicit tiers:
    + decontamination), text quality, brute-force cosine (also the
    bench-noise watch query), k-means IVF, multimodal decode (Arrow
    UDF), streaming, grouped pandas UDF, SCD2.
-2. ``_GATE_ROTATION`` — the remaining slots up to 50, filled each round
-   with names that have NEVER had a green driver row in any prior
-   round's CORRECTNESS file. Round 6 (VERDICT r05 items 1/2):
-   ``mix_sources_tokens`` re-proves its exact-integer fix (r5's one
-   red row — the single rotation name WITH a prior driver row, which
-   is why the stale-slot invariant checks against green history, not
-   row history), then the 27 highest-priority never-sampled names:
-   the reference's literal MERGE text front, the temporal/range-join
-   and finance/series families, ``knn_graph``, the Spark-4 API packs
-   (UDTF, cogroup, VARIANT, recursive CTE, SQL UDF, parameterized
-   SQL), the two r5 streaming queries, and the OLAP/profiling
-   leftovers. 4 never-gated names remain for round 7 — see
-   ``rotation_candidates()``.
+2. ``_GATE_ROTATION`` — slots filled each round with names that have
+   NEVER had a green driver row in any prior round's CORRECTNESS file.
+   Round 7 (VERDICT r06 item 3) gates ALL remaining never-proven
+   names: the two r6 reds re-proving the HUGEINT oracle-type fix plus
+   every never-sampled query — a green round makes the whole registry
+   driver-proven. ``_REPROOF_BACKFILL`` pads the gate to exactly 50
+   with deliberate re-proofs of previously-green names whose code or
+   oracle this round touched (guarded by its own inverse invariant).
 
 Membership invariants are enforced with explicit raises (not bare
 ``assert`` — stripped under ``python -O``, ADVICE r03): every name
@@ -48,13 +43,27 @@ from .queries_stream import STREAM_QUERIES
 from .oracles_stream import STREAM_ORACLES
 
 # Names with a green driver row in some prior round (union of
-# CORRECTNESS_r01–r05; r05 contributes its 49 green rows only — the one
-# red row, mix_sources_tokens, stays rotation-eligible until a green
-# driver row exists). Used to pick rotation slots and asserted against
-# by tests/test_queries_oracle.py — append, don't rewrite, when a new
+# CORRECTNESS_r01–r06; a round contributes its green rows only — red
+# rows stay rotation-eligible until a green driver row exists). Used to
+# pick rotation slots and asserted against by
+# tests/test_queries_oracle.py — append, don't rewrite, when a new
 # round's CORRECTNESS file lands.
-GATED_THROUGH_R05: frozenset[str] = frozenset(
+GATED_THROUGH_R06: frozenset[str] = frozenset(
     {
+        # round-6 rotation rows (CORRECTNESS_r06 greens; the two reds —
+        # mix_sources_tokens and variant_function_pack, the HUGEINT
+        # oracle-type bug — are deliberately absent and re-slotted)
+        "merge_sql_orders", "burst_events_window",
+        "session_concurrency_daily", "overlapping_sessions",
+        "ohlc_daily", "daily_returns_volatility", "max_drawdown_series",
+        "knn_graph", "quality_classifier_docs", "chunk_documents_udtf",
+        "cogroup_asof_pandas", "order_streaks_rcte", "sql_udf_pack",
+        "parameterized_sql_pack", "streaming_burst_pairs",
+        "streaming_ohlc_daily", "quantile_pack", "profile_orders",
+        "unpivot_part_measures", "grouping_sets_sql", "histogram_prices",
+        "richest_customer_per_nation", "conditional_agg_pack",
+        "anomaly_zscore_daily", "unreferenced_parts",
+        "dq_expectations_orders",
         # round-5 rotation rows (CORRECTNESS_r05 greens; the 28th slot,
         # mix_sources_tokens, was the round's one hash mismatch and is
         # deliberately absent)
@@ -137,48 +146,63 @@ _GATE_ANCHORS: tuple[str, ...] = (
     "scd2_orders_status",      # SCD2 history merge
 )
 
+# Round 7 (VERDICT r06 item 3): ALL 20 never-driver-proven names go
+# through the gate — the two r6 reds re-proving the HUGEINT oracle-type
+# fix, then every name that has never been sampled. A green round makes
+# the registry 100% driver-proven for the first time.
 _GATE_ROTATION: tuple[str, ...] = (
-    # r5's one red row, re-proving its exact-integer fix (VERDICT r05
-    # item 1) — the sole rotation name with a prior (non-green) driver row
+    # r6's two red rows — HUGEINT oracle-type bug, fixed by casting the
+    # aggregate output columns to BIGINT (the only rotation names with
+    # prior non-green driver rows)
     "mix_sources_tokens",
-    # the reference's literal MERGE statement front (r5 addition)
-    "merge_sql_orders",
-    # temporal / range-join family
-    "burst_events_window",
-    "session_concurrency_daily",
-    "overlapping_sessions",
-    # finance / series pack
-    "ohlc_daily",
-    "daily_returns_volatility",
-    "max_drawdown_series",
-    # ANN k-NN graph self-join
-    "knn_graph",
-    # LLM-pipeline leftovers
-    "quality_classifier_docs",
-    # Spark-4 API surfaces (each sharing a JVM twin's oracle)
-    "chunk_documents_udtf",
-    "cogroup_asof_pandas",
     "variant_function_pack",
-    "order_streaks_rcte",
-    "sql_udf_pack",
-    "parameterized_sql_pack",
-    # streaming additions
-    "streaming_burst_pairs",
-    "streaming_ohlc_daily",
-    # OLAP / profiling leftovers
-    "quantile_pack",
-    "profile_orders",
-    "unpivot_part_measures",
-    "grouping_sets_sql",
-    "histogram_prices",
-    "richest_customer_per_nation",
-    "conditional_agg_pack",
-    "anomaly_zscore_daily",
-    "unreferenced_parts",
-    "dq_expectations_orders",
+    # shares variant_function_pack's oracle verbatim (path-equivalence
+    # proof through the shredded-parquet roundtrip); carried the same bug
+    "variant_shredded_roundtrip",
+    # never-sampled: MERGE full-sync front + versioned time travel
+    "merge_sql_sync_orders",
+    "time_travel_orders",
+    # never-sampled: sampling family leftovers
+    "frame_sample_assets",
+    "shard_histogram",
+    "weighted_sample_docs",
+    "cap_docs_per_source",
+    # never-sampled: embedding decontamination
+    "decontaminate_embeddings",
+    # never-sampled: r6 streaming additions
+    "streaming_view_purchase_left",
+    "streaming_state_dedup_keys",
+    # never-sampled: OLAP / warehouse wave 2
+    "ivm_join_revenue",
+    "regression_trend_events",
+    "funnel_view_click_purchase",
+    "cohort_retention_weekly",
+    "basket_part_pairs",
+    "revenue_gini",
+    "session_paths_top",
+    "rfm_segments",
 )
 
-_GATE_PRIORITY: tuple[str, ...] = _GATE_ANCHORS + _GATE_ROTATION
+# Backfill to 50: previously-green names re-proving under the r7 code
+# (exempt from the stale-slot invariant below — they are deliberate
+# RE-proofs, not stale rotation slots). Each is swapped out for a new
+# r7 query as those land; any left at round close carry a fresh driver
+# row for code the round touched (oracle casts, temp-dir hygiene,
+# merge-guard rework).
+_REPROOF_BACKFILL: tuple[str, ...] = (
+    "histogram_prices",        # bin_lo DECIMAL→DOUBLE oracle cast (r7)
+    "merge_sql_orders",        # merge guard rework (ADVICE r6)
+    "knn_graph",               # similarity family re-proof
+    "streaming_view_purchase_join",  # streaming left twin re-proof
+    "order_streaks_rcte",      # recursive CTE re-proof
+    "quantile_pack",           # OLAP re-proof
+    "q7_volume_shipping",      # TPC-H join-heavy re-proof
+    "q18_big_orders",          # TPC-H family re-proof
+)
+
+_GATE_PRIORITY: tuple[str, ...] = (
+    _GATE_ANCHORS + _GATE_ROTATION + _REPROOF_BACKFILL
+)
 
 _ALL_QUERIES = {
     **_CORE_QUERIES,
@@ -198,17 +222,25 @@ if len(_GATE_PRIORITY) != 50:
     raise RuntimeError(
         f"gate priority list must be exactly 50 names, got {len(_GATE_PRIORITY)}"
     )
-_stale = [n for n in _GATE_ROTATION if n in GATED_THROUGH_R05]
+_stale = [n for n in _GATE_ROTATION if n in GATED_THROUGH_R06]
 if _stale:
     raise RuntimeError(
         f"rotation slots must hold never-gated names, got: {_stale}"
+    )
+# Backfill names are the opposite: each must be a deliberate RE-proof
+# (previously green) — a never-proven name hiding there would dodge the
+# stale-slot bookkeeping.
+_not_reproof = [n for n in _REPROOF_BACKFILL if n not in GATED_THROUGH_R06]
+if _not_reproof:
+    raise RuntimeError(
+        f"backfill slots must hold previously-green names, got: {_not_reproof}"
     )
 
 
 def rotation_candidates() -> list[str]:
     """Registered queries that have never had a driver row and are not
     in the current gate — the pool for next round's rotation slots."""
-    gated = set(_GATE_PRIORITY) | GATED_THROUGH_R05
+    gated = set(_GATE_PRIORITY) | GATED_THROUGH_R06
     return [n for n in _ALL_QUERIES if n not in gated]
 
 
@@ -224,4 +256,4 @@ ORACLES = {
     n: ORACLES[n] for n in list(QUERIES) if n in ORACLES
 } | {n: s for n, s in ORACLES.items() if n not in QUERIES}
 
-__all__ = ["QUERIES", "ORACLES", "GATED_THROUGH_R05", "rotation_candidates"]
+__all__ = ["QUERIES", "ORACLES", "GATED_THROUGH_R06", "rotation_candidates"]
