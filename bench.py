@@ -101,11 +101,18 @@ N_RUNS = 3
 
 def _measure_fn(spark, fn, sf_dir: str) -> tuple[float, float]:
     """(min, median) of N_RUNS noop-sink executions of one plan."""
+    from etl_end_to_end_airflow_bigquery_spark.tmputil import sweep_tmpdirs
+
     runs = []
     for _ in range(N_RUNS):
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs.append(time.perf_counter() - t0)
+    # Temp-materializing queries (time travel, IVM state, RFM stages)
+    # register their dirs with tmputil; the noop sink above has fully
+    # consumed the plan, so sweeping between queries keeps repeated
+    # bench rounds from accumulating table copies (ADVICE r6).
+    sweep_tmpdirs()
     return round(min(runs), 3), round(statistics.median(runs), 3)
 
 

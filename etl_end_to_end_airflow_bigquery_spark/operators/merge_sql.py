@@ -209,10 +209,14 @@ def merge_into(
             f"INSERT columns not in source frame: {missing_src}"
         )
     if validate_source_keys:
+        # Reserved-prefix alias, not .count(): a key column literally
+        # named "count" would make the bare filter ambiguous and die
+        # with an opaque AnalysisException (ADVICE r6), consistent with
+        # the __merge_tgt_present naming below.
         dup = (
             source.groupBy(*spec.keys)
-            .count()
-            .filter(F.col("count") > 1)
+            .agg(F.count(F.lit(1)).alias("__merge_dup_n"))
+            .filter(F.col("__merge_dup_n") > 1)
             .limit(1)
             .collect()
         )

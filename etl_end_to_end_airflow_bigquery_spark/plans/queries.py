@@ -580,12 +580,12 @@ def time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     make each snapshot pay only for what the merge touched.
     """
     import os
-    import tempfile
+    from ..tmputil import session_tmpdir
 
     from ..operators.writers import merge_upsert, read_table, table_versions
 
     orders = load_table(spark, sf_dir, "orders")
-    path = os.path.join(tempfile.mkdtemp(prefix="time_travel_"), "orders_tbl")
+    path = os.path.join(session_tmpdir("time_travel_"), "orders_tbl")
     target = orders.filter(F.col("o_orderkey") % 3 != 0)
     merge_upsert(spark, path, target, keys=["o_orderkey"])
     source = (

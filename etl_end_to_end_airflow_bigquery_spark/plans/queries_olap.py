@@ -918,7 +918,7 @@ def ivm_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer sum over |segments| + |delta groups| rows.
     """
     import os
-    import tempfile
+    from ..tmputil import session_tmpdir
 
     from ..operators.incremental import (
         finish_avg,
@@ -938,7 +938,7 @@ def ivm_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     state_path = os.path.join(
-        tempfile.mkdtemp(prefix="ivm_state_"), "segment_state"
+        session_tmpdir("ivm_state_"), "segment_state"
     )
     seg_state(orders.filter(F.col("o_orderkey") % 7 != 0)).write.parquet(
         state_path
@@ -1316,12 +1316,12 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     division.
     """
     import os
-    import tempfile
+    from ..tmputil import session_tmpdir
     import uuid as _uuid
 
     from ..operators.relational import global_cumsum
 
-    tmp = tempfile.mkdtemp(prefix="rfm_stages_")
+    tmp = session_tmpdir("rfm_stages_")
 
     def _mat(df: DataFrame) -> DataFrame:
         p = os.path.join(tmp, _uuid.uuid4().hex[:8])
@@ -1791,7 +1791,7 @@ def variant_shredded_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``$.k`` chunk of the stored documents, never re-parsing the JSON.
     """
     import os
-    import tempfile
+    from ..tmputil import session_tmpdir
 
     from ..operators.variant_io import read_variant_table, write_variant_table
 
@@ -1799,7 +1799,7 @@ def variant_shredded_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.parse_json(F.col("props")).alias("v")
     )
     path = os.path.join(
-        tempfile.mkdtemp(prefix="variant_shred_"), "events_variant"
+        session_tmpdir("variant_shred_"), "events_variant"
     )
     write_variant_table(ev, path, shredded=True)
     back = read_variant_table(spark, path)

@@ -207,12 +207,12 @@ def streaming_report_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     the table. The returned frame is read back from the merged parquet —
     hash-checked against the same DuckDB oracle as the batch flagship.
     """
-    import tempfile
+    from ..tmputil import session_tmpdir
 
     from ..operators.relational import decimal_avg, round_half_up
     from ..operators.writers import merge_upsert
 
-    base = tempfile.mkdtemp(prefix="stream_report_merge_")
+    base = session_tmpdir("stream_report_merge_")
     report_path = os.path.join(base, "report")
     ckpt = os.path.join(base, "ckpt")
     with _utc_session(spark):
@@ -466,6 +466,11 @@ def streaming_view_purchase_left(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "view_id",
             )
             .orderBy("purchase_id", "view_id")
+            # Materialize while the UTC pin is still active (ADVICE r6):
+            # the tz→ntz cast above is session-tz-dependent, and the
+            # caller collects AFTER _utc_session restores the host tz —
+            # an unevaluated plan would shift p_ts on non-UTC hosts.
+            .localCheckpoint(eager=True)
         )
     return out
 
@@ -709,11 +714,11 @@ def streaming_state_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the state read is a partitioned batch scan (one task per
     state partition); nothing driver-side but the stream handle.
     """
-    import tempfile
+    from ..tmputil import session_tmpdir
 
     from ..streaming.state_reader import state_keys
 
-    base = tempfile.mkdtemp(prefix="stream_state_dedup_")
+    base = session_tmpdir("stream_state_dedup_")
     ckpt = os.path.join(base, "ckpt")
     with _utc_session(spark):
         ticks = _stream_events(spark, sf_dir).withColumn(

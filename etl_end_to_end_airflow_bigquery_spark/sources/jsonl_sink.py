@@ -13,13 +13,14 @@ contract on plain files with the classic two-phase manifest commit:
   row count as its commit message. A failed/retried task leaves only
   unreferenced staging garbage.
 - ``commit`` (driver): move the acked shards into ``<path>`` and write
-  a manifest (``_manifest/committed-batch-<id>.json`` for streaming,
-  ``…-batch--1`` for batch) listing exactly the committed files.
-  foreachBatch-style re-delivery of a batch OVERWRITES that batch's
-  manifest — the re-run's files replace the old list, so readers never
-  see a batch twice (exactly-once READ view over an at-least-once
-  writer; orphaned files from the superseded attempt are swept by the
-  next commit).
+  a manifest (``_manifest/committed-batch-<id>.json``; streaming uses
+  the engine batch id, batch append a unique ``w<uuid>`` id, batch
+  overwrite clears prior manifests first) listing exactly the committed
+  files. foreachBatch-style re-delivery of a streaming batch OVERWRITES
+  that batch's manifest — the re-run's files replace the old list, so
+  readers never see a batch twice (exactly-once READ view over an
+  at-least-once writer; orphaned files from the superseded attempt are
+  swept by the next commit).
 - ``abort``: drop this attempt's staged files.
 
 :func:`read_jsonl_commit` is the read side: it lists the manifests and
@@ -66,11 +67,18 @@ def _write_shard(path: str, iterator: Iterator[Row]) -> ShardCommitMessage:
     return ShardCommitMessage(file=name, rows=n)
 
 
-def _commit_batch(path: str, messages, batch_id: int) -> None:
+def _commit_batch(
+    path: str, messages, batch_id: int | str, *, clear_existing: bool = False
+) -> None:
     """Driver-side: promote acked shards, then (over)write the batch
-    manifest. Replays of the same batch replace the manifest, so the
+    manifest. Replays of the same batch id replace that manifest, so the
     manifest set — the read surface — records each batch exactly once;
-    files orphaned by a superseded attempt are removed here too."""
+    files orphaned by a superseded attempt are removed here too.
+
+    ``clear_existing`` implements batch ``mode("overwrite")``: every
+    previously committed manifest (any id) and its files are removed
+    before the new manifest lands, leaving exactly this write visible.
+    """
     mdir = os.path.join(path, "_manifest")
     os.makedirs(mdir, exist_ok=True)
     staging = os.path.join(path, "_staging")
@@ -84,13 +92,19 @@ def _commit_batch(path: str, messages, batch_id: int) -> None:
         files.append(m.file)
         rows += m.rows
     manifest = os.path.join(mdir, f"committed-batch-{batch_id}.json")
-    if os.path.exists(manifest):
-        old = json.load(open(manifest))["files"]
-        for f in set(old) - set(files):
-            try:
-                os.remove(os.path.join(path, f))
-            except FileNotFoundError:
-                pass
+    stale: set[str] = set()
+    if clear_existing:
+        for mf in os.listdir(mdir):
+            if mf.startswith("committed-batch-") and mf.endswith(".json"):
+                stale |= set(json.load(open(os.path.join(mdir, mf)))["files"])
+                os.remove(os.path.join(mdir, mf))
+    elif os.path.exists(manifest):
+        stale = set(json.load(open(manifest))["files"])
+    for f in stale - set(files):
+        try:
+            os.remove(os.path.join(path, f))
+        except FileNotFoundError:
+            pass
     with open(manifest + ".tmp", "w") as f:
         json.dump({"batch_id": batch_id, "files": files, "rows": rows}, f)
     os.replace(manifest + ".tmp", manifest)
@@ -108,14 +122,26 @@ def _abort_batch(path: str, messages) -> None:
 
 
 class JsonlBatchWriter(DataSourceWriter):
-    def __init__(self, options: dict) -> None:
+    """Batch writer honoring the save mode (ADVICE r6, medium): append
+    commits under a UNIQUE manifest id so successive appends accumulate
+    — the earlier fixed ``batch_id=-1`` made the second append replace
+    the first one's manifest and sweep its files, silently truncating.
+    Overwrite clears every prior manifest + file, then commits."""
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
         self._path = options["path"]
+        self._overwrite = overwrite
 
     def write(self, iterator: Iterator[Row]) -> ShardCommitMessage:
         return _write_shard(self._path, iterator)
 
     def commit(self, messages) -> None:
-        _commit_batch(self._path, messages, batch_id=-1)
+        _commit_batch(
+            self._path,
+            messages,
+            batch_id=f"w{uuid.uuid4().hex}",
+            clear_existing=self._overwrite,
+        )
 
     def abort(self, messages) -> None:
         _abort_batch(self._path, messages)
@@ -146,7 +172,7 @@ class JsonlCommitDataSource(DataSource):
         return "value string"
 
     def writer(self, schema: StructType, overwrite: bool) -> JsonlBatchWriter:
-        return JsonlBatchWriter(self.options)
+        return JsonlBatchWriter(self.options, overwrite)
 
     def streamWriter(
         self, schema: StructType, overwrite: bool

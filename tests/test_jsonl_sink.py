@@ -38,6 +38,48 @@ def test_batch_write_commit_and_readback(spark, tmp_path):
     assert json.load(open(os.path.join(mdir, mf)))["rows"] == 100
 
 
+def test_two_sequential_batch_appends_accumulate(spark, tmp_path):
+    """ADVICE r6 (medium): a second mode('append') write must ADD to the
+    read view, not replace the first write's manifest and sweep its
+    files (the old fixed batch_id=-1 behavior)."""
+    _register(spark)
+    path = str(tmp_path / "sink_append2")
+    os.makedirs(path)
+    a = spark.range(3).selectExpr("id AS k")
+    b = spark.range(3, 5).selectExpr("id AS k")
+    a.write.format("jsonl_commit").mode("append").option("path", path).save()
+    b.write.format("jsonl_commit").mode("append").option("path", path).save()
+
+    back = read_jsonl_commit(spark, path, schema="k long")
+    assert sorted(r.k for r in back.collect()) == [0, 1, 2, 3, 4]
+    mdir = os.path.join(path, "_manifest")
+    assert len(os.listdir(mdir)) == 2  # one manifest per append
+
+
+def test_batch_overwrite_replaces_prior_commits(spark, tmp_path):
+    """mode('overwrite') leaves exactly the new write visible and
+    removes the superseded manifests + shard files from disk."""
+    _register(spark)
+    path = str(tmp_path / "sink_overwrite")
+    os.makedirs(path)
+    spark.range(5).selectExpr("id AS k").write.format("jsonl_commit").mode(
+        "append"
+    ).option("path", path).save()
+    spark.range(100, 102).selectExpr("id AS k").write.format(
+        "jsonl_commit"
+    ).mode("overwrite").option("path", path).save()
+
+    back = read_jsonl_commit(spark, path, schema="k long")
+    assert sorted(r.k for r in back.collect()) == [100, 101]
+    mdir = os.path.join(path, "_manifest")
+    assert len(os.listdir(mdir)) == 1
+    shards = [f for f in os.listdir(path) if f.endswith(".jsonl")]
+    committed = json.load(
+        open(os.path.join(mdir, os.listdir(mdir)[0]))
+    )["files"]
+    assert sorted(shards) == sorted(committed)
+
+
 def test_stream_write_available_now(spark, tmp_path):
     _register(spark)
     src = str(tmp_path / "src")

@@ -147,6 +147,32 @@ def test_merge_into_rejects_duplicate_source_keys(spark):
     assert merge_into(spark, stmt, validate_source_keys=False).count() == 2
 
 
+def test_merge_into_key_column_named_count(spark):
+    """ADVICE r6: the cardinality guard used .count() and filtered on
+    the literal column name 'count' — a merge whose KEY column is named
+    'count' collided and died with an ambiguous-column
+    AnalysisException. The guard now aggregates under a reserved-prefix
+    alias, so both the happy path and the duplicate-key contract error
+    work for that key name."""
+    spark.createDataFrame([(1, 10.0)], "count int, v double"
+                          ).createOrReplaceTempView("msql_t6")
+    spark.createDataFrame([(1, 11.0), (2, 12.0)], "count int, v double"
+                          ).createOrReplaceTempView("msql_s6")
+    stmt = (
+        "MERGE msql_t6 T USING msql_s6 S ON T.count = S.count "
+        "WHEN MATCHED THEN UPDATE SET T.v = S.v "
+        "WHEN NOT MATCHED THEN INSERT (count, v) VALUES (S.count, S.v)"
+    )
+    got = {(r["count"], r.v) for r in merge_into(spark, stmt).collect()}
+    assert got == {(1, 11.0), (2, 12.0)}
+    # duplicate keys under the same column name still raise the LOUD
+    # contract error, not an AnalysisException
+    spark.createDataFrame([(1, 11.0), (1, 12.0)], "count int, v double"
+                          ).createOrReplaceTempView("msql_s6")
+    with pytest.raises(ValueError, match="cardinality violation"):
+        merge_into(spark, stmt)
+
+
 def test_merge_into_rejects_dotted_target(spark):
     """ADVICE r05: a parsed ``db.tbl`` target would read fine and then
     crash at temp-view re-registration — reject it up front."""

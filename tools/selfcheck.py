@@ -133,6 +133,11 @@ def main() -> int:
             failed.append(name)
         else:
             print(f"OK   {name} ({len(sv)} rows, {time.time()-t0:.1f}s)")
+        # Both engines have consumed the frames — sweep any temp dirs
+        # the query materialized (time travel, IVM state, RFM stages).
+        from etl_end_to_end_airflow_bigquery_spark.tmputil import sweep_tmpdirs
+
+        sweep_tmpdirs()
 
     suffix = f" (partial run over {checked})" if only else ""
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else "") + suffix)
