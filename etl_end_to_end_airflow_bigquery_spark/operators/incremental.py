@@ -40,6 +40,34 @@ def partial_avg_state(
     )
 
 
+def signed_partial_state(
+    df: DataFrame,
+    keys: list[str],
+    value: str,
+    weight: str = "__w",
+    digits: int = 6,
+) -> DataFrame:
+    """Mergeable state for a CDC delta batch WITH retractions: insert
+    rows carry ``weight`` +1, delete rows −1, and an update is
+    delete-old + insert-new (two rows). ``sum_u`` and ``n`` accumulate
+    signed, so the batch folds through the SAME ⊕ algebra as
+    :func:`merge_avg_state` — negative-count rows flow the insert path;
+    a group whose every row was retracted lands on n = 0 and is dropped
+    by the caller's filter. Exact for the same reason the insert-only
+    form is: scaled-integer arithmetic is associative regardless of
+    sign (VERDICT r06 item 6 — the retraction half of the IVM story)."""
+    p = float(10**digits)
+    return df.groupBy(*keys).agg(
+        F.sum(
+            F.col(weight).cast("bigint")
+            * F.floor(F.col(value) * F.lit(p) + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("sum_u"),
+        F.sum(F.col(weight)).cast("bigint").alias("n"),
+    )
+
+
 def merge_avg_state(stored: DataFrame, batch_state: DataFrame, keys: list[str]) -> DataFrame:
     """stored ⊕ batch: one union + grouped integer sum — the only data
     touched is the batch plus matching stored groups (at scale: the

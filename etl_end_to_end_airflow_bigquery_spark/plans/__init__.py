@@ -174,6 +174,7 @@ _GATE_ROTATION: tuple[str, ...] = (
     "streaming_state_dedup_keys",
     # never-sampled: OLAP / warehouse wave 2
     "ivm_join_revenue",
+    "ivm_join_revenue_retract",  # NEW r7: update/delete retraction IVM
     "regression_trend_events",
     "funnel_view_click_purchase",
     "cohort_retention_weekly",
@@ -197,7 +198,6 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "order_streaks_rcte",      # recursive CTE re-proof
     "quantile_pack",           # OLAP re-proof
     "q7_volume_shipping",      # TPC-H join-heavy re-proof
-    "q18_big_orders",          # TPC-H family re-proof
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

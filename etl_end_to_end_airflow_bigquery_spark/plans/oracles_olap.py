@@ -510,6 +510,30 @@ OLAP_ORACLES: dict[str, str] = {
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
     """,
+    # Full recompute of the POST-CDC state: the Spark side reaches this
+    # via stored-state ⊕ signed retraction deltas; hash-equality proves
+    # the retraction algebra exact. The +1000.0 reprice is double
+    # arithmetic in both engines (CAST keeps DuckDB off the DECIMAL
+    # promotion path).
+    "ivm_join_revenue_retract": f"""
+        WITH post AS (
+            SELECT o_custkey,
+                   CASE WHEN o_orderkey % 11 = 0
+                        THEN o_totalprice + CAST(1000.0 AS DOUBLE)
+                        ELSE o_totalprice END AS price
+            FROM orders
+            WHERE o_orderkey % 13 <> 0
+        )
+        SELECT c_mktsegment,
+               count(*) AS n,
+               CAST(sum(CAST(floor(price * 1000000.0 + 0.5)
+                   AS BIGINT)) AS BIGINT) AS sum_u,
+               {_round("CAST(sum(CAST(floor(price * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*)", 2)}
+                   AS avg_price
+        FROM post JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
     "regression_trend_events": """
         WITH m AS (
             SELECT event_type,

@@ -953,6 +953,78 @@ def ivm_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivm_join_revenue_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM with UPDATE/DELETE retractions (VERDICT r06 item 6) — the
+    missing half of :func:`ivm_join_revenue`'s insert-only story. The
+    stored view is the per-segment (sum_u, n) state over the FULL
+    orders ⋈ customer join; a CDC batch then deletes every order with
+    ``o_orderkey % 13 = 0`` and re-prices every surviving order with
+    ``% 11 = 0`` (+1000.00). Each CDC row lowers to signed delta rows —
+    delete → weight −1, update → retract-old (−1) + insert-new (+1) —
+    folded through ``signed_partial_state`` into the same ⊕ merge the
+    insert path uses. The oracle recomputes the POST-CDC join-aggregate
+    from scratch; hash-equality certifies the retraction algebra lands
+    bit-identically on the full recompute.
+
+    Scale: identical to the insert-only twin — the maintenance pass
+    reads only the CDC batch (joined against the broadcast dim) and the
+    |segments|-row stored state; the base join is never re-touched.
+    Signed weights add no shuffle: they ride the same grouped integer
+    sum. A fully-retracted group exits via the n > 0 filter.
+    """
+    import os
+    from ..tmputil import session_tmpdir
+
+    from ..operators.incremental import (
+        finish_avg,
+        merge_avg_state,
+        partial_avg_state,
+        signed_partial_state,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    dim = F.broadcast(customer.select("c_custkey", "c_mktsegment"))
+
+    # stored view: the full base, materialized (the "100 TB" side)
+    state_path = os.path.join(session_tmpdir("ivm_retract_"), "segment_state")
+    partial_avg_state(
+        orders.join(dim, orders["o_custkey"] == dim["c_custkey"]),
+        ["c_mktsegment"],
+        "o_totalprice",
+    ).write.parquet(state_path)
+    stored = spark.read.parquet(state_path)
+
+    # CDC batch → signed delta rows
+    base = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    deletes = base.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+        "__w", F.lit(-1)
+    )
+    upd = base.filter(
+        (F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") % 13 != 0)
+    )
+    upd_old = upd.withColumn("__w", F.lit(-1))
+    upd_new = upd.withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    ).withColumn("__w", F.lit(1))
+    cdc = deletes.unionByName(upd_old).unionByName(upd_new)
+
+    delta = signed_partial_state(
+        cdc.join(dim, cdc["o_custkey"] == dim["c_custkey"]),
+        ["c_mktsegment"],
+        "o_totalprice",
+        weight="__w",
+    )
+    merged = merge_avg_state(stored, delta, ["c_mktsegment"]).filter(
+        F.col("n") > 0
+    )
+    return (
+        finish_avg(merged, round_to=2, out="avg_price")
+        .select("c_mktsegment", "n", "sum_u", "avg_price")
+        .orderBy("c_mktsegment")
+    )
+
+
 def regression_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key ordinary-least-squares trend (the regr_slope/regr_intercept
     surface) computed ENGINE-EXACTLY: value regressed on day index per
@@ -1490,6 +1562,7 @@ OLAP_QUERIES: dict[str, QueryFn] = {
     "array_function_pack": array_function_pack,
     "incremental_daily_state": incremental_daily_state,
     "ivm_join_revenue": ivm_join_revenue,
+    "ivm_join_revenue_retract": ivm_join_revenue_retract,
     "regression_trend_events": regression_trend_events,
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "cohort_retention_weekly": cohort_retention_weekly,

@@ -9,6 +9,7 @@ from etl_end_to_end_airflow_bigquery_spark.operators.incremental import (
     finish_avg,
     merge_avg_state,
     partial_avg_state,
+    signed_partial_state,
 )
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -58,3 +59,51 @@ def test_late_batch_only_touches_its_groups(spark):
     )
     assert changed == 1  # exactly the late group restates
     assert merged.count() == state0.count()
+
+
+def test_retraction_deltas_equal_post_cdc_recompute(spark):
+    """Update/delete retractions (VERDICT r06 item 6): stored state ⊕
+    signed CDC deltas lands bit-identically on a full recompute of the
+    post-CDC table."""
+    ev = _events(spark)
+    stored = partial_avg_state(ev, KEYS, "value")
+
+    # CDC: delete every 5th event, double the value of every 7th
+    h = F.pmod(F.hash("event_id"), F.lit(35))
+    deletes = ev.filter(h % 5 == 0).withColumn("__w", F.lit(-1))
+    upd = ev.filter((h % 7 == 0) & (h % 5 != 0))
+    cdc = deletes.unionByName(
+        upd.withColumn("__w", F.lit(-1))
+    ).unionByName(
+        upd.withColumn("value", F.col("value") * 2).withColumn("__w", F.lit(1))
+    )
+    merged = merge_avg_state(
+        stored, signed_partial_state(cdc, KEYS, "value"), KEYS
+    ).filter(F.col("n") > 0)
+
+    post = ev.filter(h % 5 != 0).withColumn(
+        "value",
+        F.when(h % 7 == 0, F.col("value") * 2).otherwise(F.col("value")),
+    )
+    expect = partial_avg_state(post, KEYS, "value")
+
+    cols = KEYS + ["sum_u", "n"]
+    a = sorted(tuple(r) for r in merged.select(*cols).collect())
+    b = sorted(tuple(r) for r in expect.select(*cols).collect())
+    assert a == b
+
+
+def test_fully_retracted_group_exits_the_view(spark):
+    """Retracting every row of a group drives its count to zero; the
+    n > 0 filter removes it from the maintained view."""
+    rows = [("a", 1.0), ("a", 3.0), ("b", 2.0)]
+    base = spark.createDataFrame(rows, "k string, value double")
+    stored = partial_avg_state(base, ["k"], "value")
+    cdc = spark.createDataFrame(
+        [("a", 1.0, -1), ("a", 3.0, -1)], "k string, value double, __w int"
+    )
+    merged = merge_avg_state(
+        stored, signed_partial_state(cdc, ["k"], "value"), ["k"]
+    ).filter(F.col("n") > 0)
+    got = {(r.k, r.sum_u, r.n) for r in merged.collect()}
+    assert got == {("b", 2_000_000, 1)}
