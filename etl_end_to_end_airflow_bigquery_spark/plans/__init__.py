@@ -182,6 +182,12 @@ _GATE_ROTATION: tuple[str, ...] = (
     "revenue_gini",
     "session_paths_top",
     "rfm_segments",
+    # NEW r7 queries (never-proven by construction)
+    "jsonl_commit_roundtrip",   # manifest sink append semantics (ADVICE r6)
+    "string_agg_pack",          # Spark 4 listagg WITHIN GROUP
+    "lateral_topk_orders",      # correlated LATERAL subquery
+    "bpe_merge_candidates",     # tokenizer-training pair counts
+    "token_diversity_docs",     # exact-rational TTR + Gini–Simpson
 )
 
 # Backfill to 50: previously-green names re-proving under the r7 code
@@ -193,11 +199,6 @@ _GATE_ROTATION: tuple[str, ...] = (
 _REPROOF_BACKFILL: tuple[str, ...] = (
     "histogram_prices",        # bin_lo DECIMAL→DOUBLE oracle cast (r7)
     "merge_sql_orders",        # merge guard rework (ADVICE r6)
-    "knn_graph",               # similarity family re-proof
-    "streaming_view_purchase_join",  # streaming left twin re-proof
-    "order_streaks_rcte",      # recursive CTE re-proof
-    "quantile_pack",           # OLAP re-proof
-    "q7_volume_shipping",      # TPC-H join-heavy re-proof
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

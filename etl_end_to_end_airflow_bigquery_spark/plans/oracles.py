@@ -278,6 +278,12 @@ ORACLES: dict[str, str] = {
         FROM target t
         FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
     """,
+    # identity oracle: the Spark side goes documents → two jsonl_commit
+    # appends → manifest read-back; equality proves lossless roundtrip
+    # AND accumulating append semantics (ADVICE r6 regression)
+    "jsonl_commit_roundtrip": """
+        SELECT doc_id, source, text FROM documents ORDER BY doc_id
+    """,
     "time_travel_orders": f"""
         WITH target AS (
             SELECT * FROM orders WHERE o_orderkey % 3 <> 0

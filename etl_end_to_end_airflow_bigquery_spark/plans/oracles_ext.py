@@ -2125,3 +2125,44 @@ EXT_ORACLES["chunk_documents_udtf"] = EXT_ORACLES["chunk_documents"]
 from .oracles import ORACLES as _CORE_FOR_COGROUP  # noqa: E402
 
 EXT_ORACLES["cogroup_asof_pandas"] = _CORE_FOR_COGROUP["asof_attribution"]
+
+EXT_ORACLES["bpe_merge_candidates"] = """
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS t FROM documents
+    ), pairs AS (
+        SELECT t[i] AS a, t[i + 1] AS b
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+    )
+    SELECT a, b, count(*) AS n_pairs
+    FROM pairs GROUP BY a, b
+    ORDER BY n_pairs DESC, a, b
+    LIMIT 20
+"""
+
+# integer-rational 6-dp mirror: HUGEINT cross-multiplication, // on
+# positives == Spark's DECIMAL div, ONE final double division; output
+# ints cast to BIGINT (the registry type lint bans HUGEINT results)
+EXT_ORACLES["token_diversity_docs"] = """
+    WITH counts AS (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY doc_id, tok
+    ), m AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS n_distinct,
+               CAST(sum(c * c) AS BIGINT) AS sum_sq
+        FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           CAST(CAST((2 * (CAST(n_tokens AS HUGEINT) * n_tokens - sum_sq)
+                      * 1000000
+                      + CAST(n_tokens AS HUGEINT) * n_tokens)
+               // (2 * CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT)
+               AS DOUBLE) / 1000000.0 AS simpson,
+           CAST(CAST((2 * CAST(n_distinct AS HUGEINT) * 1000000 + n_tokens)
+               // (2 * CAST(n_tokens AS HUGEINT)) AS BIGINT)
+               AS DOUBLE) / 1000000.0 AS ttr
+    FROM m ORDER BY doc_id
+"""

@@ -1013,3 +1013,30 @@ OLAP_ORACLES["parameterized_sql_pack"] = """
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
 """
+
+OLAP_ORACLES["string_agg_pack"] = """
+    SELECT r_name,
+           count(*) AS n_nations,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+           min(n_name) AS first_nation,
+           max(n_name) AS last_nation
+    FROM region JOIN nation ON r_regionkey = n_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+"""
+
+# identical statement text: both engines support the correlated
+# LATERAL + ORDER BY + LIMIT form directly
+OLAP_ORACLES["lateral_topk_orders"] = """
+    SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 3
+    ) l
+    WHERE c.c_acctbal > 9000.0
+    ORDER BY c.c_custkey, l.o_totalprice DESC, l.o_orderkey
+"""

@@ -612,6 +612,43 @@ def time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def jsonl_commit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest-committed JSONL sink (``sources/jsonl_sink.py``)
+    through the gate: write the documents table via TWO sequential
+    ``mode("append")`` batch writes (split on ``doc_id % 2``), read back
+    through the manifest view, and return every row. The oracle reads
+    the documents table directly, so a hash match proves (a) JSONL
+    serialization round-trips text bit-exactly and (b) the second
+    append ACCUMULATES — the exact regression ADVICE r6 found, where a
+    fixed batch id made append silently truncate-and-replace.
+
+    Scale: shards stream executor-side (one file per task); the driver
+    touches only the per-write manifest (a few KB). The read view lists
+    manifest files only — uncommitted staging garbage is invisible.
+    """
+    import os
+    from ..sources.jsonl_sink import JsonlCommitDataSource, read_jsonl_commit
+    from ..tmputil import session_tmpdir
+
+    spark.dataSource.register(JsonlCommitDataSource)
+    path = os.path.join(session_tmpdir("jsonl_rt_"), "docs_sink")
+    os.makedirs(path, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    for half in (0, 1):
+        docs.filter(F.col("doc_id") % 2 == half).write.format(
+            "jsonl_commit"
+        ).mode("append").option("path", path).save()
+    return (
+        read_jsonl_commit(
+            spark, path, schema="doc_id long, source string, text string"
+        )
+        .select("doc_id", "source", "text")
+        .orderBy("doc_id")
+    )
+
+
 # --- sessionization (window-function showcase over the tick stream) ------
 
 
@@ -1255,6 +1292,7 @@ QUERIES: dict[str, QueryFn] = {
     "merge_sql_sync_orders": merge_sql_sync_orders,
     "idempotent_append_orders": idempotent_append_orders,
     "time_travel_orders": time_travel_orders,
+    "jsonl_commit_roundtrip": jsonl_commit_roundtrip,
     "sessionize_events": sessionize_events,
     "session_window_native": session_window_native,
     "asof_attribution": asof_attribution,

@@ -1934,3 +1934,104 @@ def cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT_QUERIES["cogroup_asof_pandas"] = cogroup_asof_pandas
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training primitive: the top adjacent-pair counts over
+    the corpus — the scoring step of one BPE merge iteration (pick the
+    most frequent adjacent pair, merge, repeat), run over whitespace
+    pre-tokens. The pair expansion happens IN-ROW (``transform`` over
+    an index ``sequence`` → struct array → one ``explode``), so the
+    only shuffle is the grouped count; top-20 with the total
+    (count DESC, a, b) tie-break is a deterministic TakeOrdered.
+
+    Scale: pair rows ≈ token count (~corpus size); grouped count gets
+    map-side partials, and the candidate table is vocab², heavy-hitter
+    dominated — at 100 TB the exact count is one shuffle, or swap in
+    the count-min sketch (``operators/sketch.py``) for a bounded-memory
+    approximation between merge rounds.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] AS a, t[i + 1] AS b))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "a", "b")
+        .limit(20)
+    )
+
+
+EXT_QUERIES["bpe_merge_candidates"] = bpe_merge_candidates
+
+
+def token_diversity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical-diversity scoring for corpus quality
+    filtering: type-token ratio and the Gini–Simpson index
+    (1 − Σ(cᵢ/N)²) over whitespace tokens — the de-facto repetition
+    screens next to ``repetition_ratio_docs``'s n-gram form. Both
+    ratios are FINISHED EXACTLY: integer moments (N, distinct, Σcᵢ²)
+    from one grouped pass, then the 6-dp half-up integer-rational round
+    ``(2·num·10⁶ + den) div (2·den)`` in DECIMAL(38,0) with ONE final
+    double division — the engine-exactness recipe (no double chains, no
+    transcendentals; a log-based entropy would differ across libm
+    implementations, Simpson's polynomial form cannot).
+
+    Scale: explode → two grouped integer aggregations, both with
+    map-side partials, partitioned by doc_id; no window, no driver
+    state. DECIMAL(38,0) headroom: N² ≤ 1e38 up to ~1e19-token docs.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    counts = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    m = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.expr("c * c")).alias("sum_sq"),
+    )
+    dec = "decimal(38,0)"
+    n2 = f"CAST(n_tokens AS {dec}) * CAST(n_tokens AS {dec})"
+    return (
+        m.select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.expr(
+                f"CAST((2 * ({n2} - CAST(sum_sq AS {dec})) * 1000000"
+                f" + {n2}) div (2 * {n2}) AS BIGINT)"
+            ).alias("__simpson_micro"),
+            F.expr(
+                f"CAST((2 * CAST(n_distinct AS {dec}) * 1000000"
+                f" + CAST(n_tokens AS {dec}))"
+                f" div (2 * CAST(n_tokens AS {dec})) AS BIGINT)"
+            ).alias("__ttr_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            (F.col("__simpson_micro").cast("double") / F.lit(1000000.0)).alias(
+                "simpson"
+            ),
+            (F.col("__ttr_micro").cast("double") / F.lit(1000000.0)).alias(
+                "ttr"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+EXT_QUERIES["token_diversity_docs"] = token_diversity_docs

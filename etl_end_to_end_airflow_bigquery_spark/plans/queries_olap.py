@@ -2035,3 +2035,79 @@ def parameterized_sql_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 OLAP_QUERIES["parameterized_sql_pack"] = parameterized_sql_pack
+
+
+def string_agg_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``listagg(... ) WITHIN GROUP (ORDER BY ...)`` — ordered
+    string aggregation, the reporting surface BigQuery exposes as
+    STRING_AGG. Per region: the sorted nation CSV, nation count, and
+    the lexicographic min/max via the same ordered aggregate family
+    (``min``/``max`` on strings). The explicit WITHIN GROUP order makes
+    the concatenation deterministic — an UNORDERED listagg would be
+    partitioning-dependent and could never hash-match an oracle. The
+    oracle is DuckDB's ``string_agg(expr, sep ORDER BY expr)``.
+
+    Scale: grouped aggregation with map-side partials; the per-group
+    string is bounded by group cardinality (here ≤ 5 nations/region —
+    at scale cap collection with a windowed top-k before aggregating).
+    """
+    load_table(spark, sf_dir, "region").createOrReplaceTempView(
+        "region_sa_v"
+    )
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "nation_sa_v"
+    )
+    return spark.sql(
+        """
+        SELECT r_name,
+               count(*) AS n_nations,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)
+                   AS nations_csv,
+               min(n_name) AS first_nation,
+               max(n_name) AS last_nation
+        FROM region_sa_v JOIN nation_sa_v ON r_regionkey = n_regionkey
+        GROUP BY r_name
+        ORDER BY r_name
+        """
+    )
+
+
+OLAP_QUERIES["string_agg_pack"] = string_agg_pack
+
+
+def lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark 4 SQL): for each high-balance
+    customer, the top-3 orders by price — the `t` most-recent-per-entity
+    idiom written the way an analyst coming from BigQuery/Postgres
+    writes it, instead of the window-function rewrite. Catalyst
+    decorrelates the LATERAL + ORDER BY + LIMIT into a ranked window
+    join, so the physical plan is the same shuffle-once shape as the
+    explicit ``row_number`` form — proving the declarative surface
+    carries no plan penalty. Unique (price, orderkey) tie-break keeps
+    the top-3 deterministic cross-engine; DuckDB runs the identical
+    statement.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_lat_v"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_lat_v"
+    )
+    return spark.sql(
+        """
+        SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+        FROM customer_lat_v c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders_lat_v o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 3
+        ) l
+        WHERE c.c_acctbal > 9000.0
+        ORDER BY c.c_custkey, l.o_totalprice DESC, l.o_orderkey
+        """
+    )
+
+
+OLAP_QUERIES["lateral_topk_orders"] = lateral_topk_orders
