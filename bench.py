@@ -94,6 +94,12 @@ BENCH_QUERIES = [
     # above stays a prefix.
     "burst_events_window",
     "knn_graph",
+    # round 7 additions: the retraction-capable IVM maintenance pass,
+    # the tokenizer-training pair count, and the exact-rational lexical
+    # diversity scan; everything above stays a prefix.
+    "ivm_join_revenue_retract",
+    "bpe_merge_candidates",
+    "token_diversity_docs",
 ]
 
 N_RUNS = 3

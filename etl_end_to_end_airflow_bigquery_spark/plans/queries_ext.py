@@ -1991,7 +1991,16 @@ def token_diversity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partials, partitioned by doc_id; no window, no driver
     state. DECIMAL(38,0) headroom: N² ≤ 1e38 up to ~1e19-token docs.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # One repartition(doc_id) serves BOTH grouped passes:
+    # HashPartitioning(doc_id) satisfies the clustered distribution of
+    # the superset key (doc_id, tok) and of doc_id itself, and survives
+    # the narrow explode — 2 exchanges total (shuffle + output sort)
+    # instead of the naive 4.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition("doc_id")
+    )
     counts = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("doc_id", "tok")
