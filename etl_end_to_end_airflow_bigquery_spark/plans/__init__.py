@@ -21,12 +21,21 @@ The gate is now two explicit tiers:
    UDF), streaming, grouped pandas UDF, SCD2.
 2. ``_GATE_ROTATION`` — slots filled each round with names that have
    NEVER had a green driver row in any prior round's CORRECTNESS file.
-   Round 7 (VERDICT r06 item 3) gates ALL remaining never-proven
-   names: the two r6 reds re-proving the HUGEINT oracle-type fix plus
-   every never-sampled query — a green round makes the whole registry
-   driver-proven. ``_REPROOF_BACKFILL`` pads the gate to exactly 50
-   with deliberate re-proofs of previously-green names whose code or
-   oracle this round touched (guarded by its own inverse invariant).
+   Round 7 (VERDICT r06 item 3) gated ALL remaining never-proven
+   names and came back 50/50 green — the registry is 100%
+   driver-proven (union of CORRECTNESS_r01–r07), and
+   ``rotation_candidates()`` is empty.
+
+   **Round-8+ gate policy (VERDICT r07 item 1)**: with the rotation
+   pool exhausted, rotation slots hold exactly the round's NEW queries
+   (never-proven by construction), and ``_REPROOF_BACKFILL`` pads the
+   gate to exactly 50 with deliberate re-proofs, chosen in priority
+   order: (a) every previously-green query whose code or oracle this
+   round touches (ADVICE fixes, shared-helper edits), then (b) the
+   names with the STALEST driver evidence (the r01/r02-only rows),
+   so old proofs are refreshed against current code rather than
+   re-verifying recent greens. Both tiers stay guarded by the
+   inverse invariants below.
 
 Membership invariants are enforced with explicit raises (not bare
 ``assert`` — stripped under ``python -O``, ADVICE r03): every name
@@ -121,6 +130,26 @@ GATED_THROUGH_R06: frozenset[str] = frozenset(
     }
 )
 
+# Round-7 fold (CORRECTNESS_r07: 50/50 green — the whole gate passed).
+# Anchors and the two backfill re-proofs were already in the R06 ledger;
+# the union adds exactly the 26 rotation rows.
+GATED_THROUGH_R07: frozenset[str] = GATED_THROUGH_R06 | frozenset(
+    {
+        "mix_sources_tokens", "variant_function_pack",
+        "variant_shredded_roundtrip", "merge_sql_sync_orders",
+        "time_travel_orders", "frame_sample_assets", "shard_histogram",
+        "weighted_sample_docs", "cap_docs_per_source",
+        "decontaminate_embeddings", "streaming_view_purchase_left",
+        "streaming_state_dedup_keys", "ivm_join_revenue",
+        "ivm_join_revenue_retract", "regression_trend_events",
+        "funnel_view_click_purchase", "cohort_retention_weekly",
+        "basket_part_pairs", "revenue_gini", "session_paths_top",
+        "rfm_segments", "jsonl_commit_roundtrip", "string_agg_pack",
+        "lateral_topk_orders", "bpe_merge_candidates",
+        "token_diversity_docs",
+    }
+)
+
 _GATE_ANCHORS: tuple[str, ...] = (
     "daily_avg_report",        # flagship grouped avg + time bucket (A2)
     "topk_recent_events",      # projection + ORDER BY DESC LIMIT (P1/O1)
@@ -146,59 +175,35 @@ _GATE_ANCHORS: tuple[str, ...] = (
     "scd2_orders_status",      # SCD2 history merge
 )
 
-# Round 7 (VERDICT r06 item 3): ALL 20 never-driver-proven names go
-# through the gate — the two r6 reds re-proving the HUGEINT oracle-type
-# fix, then every name that has never been sampled. A green round makes
-# the registry 100% driver-proven for the first time.
-_GATE_ROTATION: tuple[str, ...] = (
-    # r6's two red rows — HUGEINT oracle-type bug, fixed by casting the
-    # aggregate output columns to BIGINT (the only rotation names with
-    # prior non-green driver rows)
-    "mix_sources_tokens",
-    "variant_function_pack",
-    # shares variant_function_pack's oracle verbatim (path-equivalence
-    # proof through the shredded-parquet roundtrip); carried the same bug
-    "variant_shredded_roundtrip",
-    # never-sampled: MERGE full-sync front + versioned time travel
-    "merge_sql_sync_orders",
-    "time_travel_orders",
-    # never-sampled: sampling family leftovers
-    "frame_sample_assets",
-    "shard_histogram",
-    "weighted_sample_docs",
-    "cap_docs_per_source",
-    # never-sampled: embedding decontamination
-    "decontaminate_embeddings",
-    # never-sampled: r6 streaming additions
-    "streaming_view_purchase_left",
-    "streaming_state_dedup_keys",
-    # never-sampled: OLAP / warehouse wave 2
-    "ivm_join_revenue",
-    "ivm_join_revenue_retract",  # NEW r7: update/delete retraction IVM
-    "regression_trend_events",
-    "funnel_view_click_purchase",
-    "cohort_retention_weekly",
-    "basket_part_pairs",
-    "revenue_gini",
-    "session_paths_top",
-    "rfm_segments",
-    # NEW r7 queries (never-proven by construction)
-    "jsonl_commit_roundtrip",   # manifest sink append semantics (ADVICE r6)
-    "string_agg_pack",          # Spark 4 listagg WITHIN GROUP
-    "lateral_topk_orders",      # correlated LATERAL subquery
-    "bpe_merge_candidates",     # tokenizer-training pair counts
-    "token_diversity_docs",     # exact-rational TTR + Gini–Simpson
-)
+# Round 8: the rotation pool is empty (every registered query has a
+# green driver row, union r01–r07), so rotation slots hold exactly the
+# round's NEW queries — never-proven by construction. Filled as r8
+# queries land; each new name displaces one backfill re-proof.
+_GATE_ROTATION: tuple[str, ...] = ()
 
-# Backfill to 50: previously-green names re-proving under the r7 code
-# (exempt from the stale-slot invariant below — they are deliberate
-# RE-proofs, not stale rotation slots). Each is swapped out for a new
-# r7 query as those land; any left at round close carry a fresh driver
-# row for code the round touched (oracle casts, temp-dir hygiene,
-# merge-guard rework).
+# Backfill to 50 (r8 policy, see module docstring): tier (a) re-proofs
+# of previously-green names whose code/oracle r8 touches, then tier (b)
+# the stalest driver evidence — the r01/r02-only rows, never re-proven
+# since. Swapped out one-for-one as new r8 queries take rotation slots,
+# tier (b) first.
 _REPROOF_BACKFILL: tuple[str, ...] = (
-    "histogram_prices",        # bin_lo DECIMAL→DOUBLE oracle cast (r7)
-    "merge_sql_orders",        # merge guard rework (ADVICE r6)
+    # tier (a) — code/oracle touched in r8
+    "jsonl_commit_roundtrip",   # jsonl_sink overwrite two-phase fix (ADVICE r7)
+    "ivm_join_revenue",          # incremental.py NULL-weight gating (ADVICE r7)
+    "ivm_join_revenue_retract",  # same helper, retraction path
+    "incremental_daily_state",   # same module
+    "bpe_merge_candidates",      # BPE section extended (iterated merges)
+    "rfm_segments",              # newly benched at sf0.1 (VERDICT r07 item 7)
+    "revenue_gini",              # newly benched at sf0.1
+    "session_paths_top",         # newly benched at sf0.1
+    # tier (b) — stalest evidence: r01/r02-only rows + early greens
+    "avg_last10", "cube_counts", "curated_corpus", "doc_fingerprint",
+    "forecast_revenue", "json_field_extract", "label_centroids",
+    "lang_id_heuristic", "multimodal_features", "report_exists_guard",
+    "session_window_native", "setops_except", "setops_union",
+    "small_qty_revenue", "token_count_bpe", "top_orders_by_date",
+    "views_before_purchase", "window_topk_per_customer",
+    "shipping_priority", "pivot_event_counts",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (
@@ -223,7 +228,7 @@ if len(_GATE_PRIORITY) != 50:
     raise RuntimeError(
         f"gate priority list must be exactly 50 names, got {len(_GATE_PRIORITY)}"
     )
-_stale = [n for n in _GATE_ROTATION if n in GATED_THROUGH_R06]
+_stale = [n for n in _GATE_ROTATION if n in GATED_THROUGH_R07]
 if _stale:
     raise RuntimeError(
         f"rotation slots must hold never-gated names, got: {_stale}"
@@ -231,7 +236,7 @@ if _stale:
 # Backfill names are the opposite: each must be a deliberate RE-proof
 # (previously green) — a never-proven name hiding there would dodge the
 # stale-slot bookkeeping.
-_not_reproof = [n for n in _REPROOF_BACKFILL if n not in GATED_THROUGH_R06]
+_not_reproof = [n for n in _REPROOF_BACKFILL if n not in GATED_THROUGH_R07]
 if _not_reproof:
     raise RuntimeError(
         f"backfill slots must hold previously-green names, got: {_not_reproof}"
@@ -241,7 +246,7 @@ if _not_reproof:
 def rotation_candidates() -> list[str]:
     """Registered queries that have never had a driver row and are not
     in the current gate — the pool for next round's rotation slots."""
-    gated = set(_GATE_PRIORITY) | GATED_THROUGH_R06
+    gated = set(_GATE_PRIORITY) | GATED_THROUGH_R07
     return [n for n in _ALL_QUERIES if n not in gated]
 
 
@@ -257,4 +262,7 @@ ORACLES = {
     n: ORACLES[n] for n in list(QUERIES) if n in ORACLES
 } | {n: s for n, s in ORACLES.items() if n not in QUERIES}
 
-__all__ = ["QUERIES", "ORACLES", "GATED_THROUGH_R06", "rotation_candidates"]
+__all__ = [
+    "QUERIES", "ORACLES", "GATED_THROUGH_R06", "GATED_THROUGH_R07",
+    "rotation_candidates",
+]

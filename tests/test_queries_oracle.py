@@ -52,8 +52,10 @@ def test_gate_first_50_spans_families_and_rotates():
        re-verifying the same 50 forever.
     """
     from etl_end_to_end_airflow_bigquery_spark.plans import (
-        GATED_THROUGH_R06,
+        GATED_THROUGH_R07,
         _GATE_ANCHORS,
+        _GATE_ROTATION,
+        _REPROOF_BACKFILL,
     )
 
     names = list(QUERIES)[:50]
@@ -67,38 +69,37 @@ def test_gate_first_50_spans_families_and_rotates():
     assert {"cosine_topk", "ivf_topk_kmeans"} <= got         # ANN
     assert {"merge_upsert_orders", "idempotent_append_orders"} <= got
     assert "scd2_orders_status" in got                       # SCD2/CDC
-    # rotation: r7 gates every remaining never-proven name (VERDICT r06
-    # item 3 — 100% of the registry driver-proven after a green round)
-    fresh = [n for n in names if n not in GATED_THROUGH_R06]
-    assert len(fresh) >= 20, (
-        f"only {len(fresh)} never-gated names in the 50-row gate; "
-        "rotate rotation slots to queries without a prior driver row"
-    )
+    # r8 policy (VERDICT r07 item 1): the registry is 100% driver-proven
+    # through r7, so rotation slots hold exactly the round's NEW queries
+    # and every backfill slot is a deliberate re-proof of a prior green.
+    assert all(n not in GATED_THROUGH_R07 for n in _GATE_ROTATION)
+    assert all(n in GATED_THROUGH_R07 for n in _REPROOF_BACKFILL)
     from etl_end_to_end_airflow_bigquery_spark.plans import rotation_candidates
 
     assert rotation_candidates() == [], (
-        "never-driver-proven queries left outside the r7 gate: "
+        "never-driver-proven queries left outside the gate: "
         f"{rotation_candidates()}"
     )
 
 
 def test_gated_history_matches_correctness_files():
-    """GATED_THROUGH_R06 is the rotation's ground truth — pin it to the
+    """GATED_THROUGH_R0N is the rotation's ground truth — pin it to the
     actual driver artifacts so it can't drift. Rounds 1–4 had no red
     rows, so every recorded name counts; from r05 on, only GREEN rows
     (rows+schema+hash all matching) enter the ledger — r05's hash
     mismatch (mix_sources_tokens) and r06's two (mix_sources_tokens,
-    variant_function_pack — the HUGEINT oracle-type bug) must stay
-    rotation-eligible."""
+    variant_function_pack — the HUGEINT oracle-type bug) stayed
+    rotation-eligible until their green r07 rows."""
     import json
 
     root = Path(__file__).resolve().parent.parent
     u: set[str] = set()
     for p in sorted(root.glob("CORRECTNESS_r0[1-4].json")):
         u |= set(json.load(open(p)))
-    for p in sorted(root.glob("CORRECTNESS_r0[56].json")):
-        rows = json.load(open(p))
-        u |= {
+
+    def greens(path):
+        rows = json.load(open(path))
+        return {
             n
             for n, v in rows.items()
             if v.get("rows_match")
@@ -106,9 +107,17 @@ def test_gated_history_matches_correctness_files():
             and v.get("hash_match", True)
             and not v.get("err")
         }
-    from etl_end_to_end_airflow_bigquery_spark.plans import GATED_THROUGH_R06
+
+    for p in sorted(root.glob("CORRECTNESS_r0[56].json")):
+        u |= greens(p)
+    from etl_end_to_end_airflow_bigquery_spark.plans import (
+        GATED_THROUGH_R06,
+        GATED_THROUGH_R07,
+    )
 
     assert GATED_THROUGH_R06 == frozenset(u)
+    u |= greens(root / "CORRECTNESS_r07.json")
+    assert GATED_THROUGH_R07 == frozenset(u)
 
 
 def test_entry_smoke(spark):
