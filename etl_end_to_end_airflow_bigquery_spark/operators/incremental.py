@@ -55,7 +55,14 @@ def signed_partial_state(
     a group whose every row was retracted lands on n = 0 and is dropped
     by the caller's filter. Exact for the same reason the insert-only
     form is: scaled-integer arithmetic is associative regardless of
-    sign (VERDICT r06 item 6 — the retraction half of the IVM story)."""
+    sign (VERDICT r06 item 6 — the retraction half of the IVM story).
+
+    NULL-valued rows contribute to NEITHER ``sum_u`` nor ``n`` (ADVICE
+    r7): ``sum`` already skips the NULL product, and the weight sum is
+    gated on value non-null to match — mirroring
+    :func:`partial_avg_state`'s ``F.count(value)`` semantics, so
+    retracting a NULL-valued row is a no-op on the maintained average
+    instead of silently decrementing ``n``."""
     p = float(10**digits)
     return df.groupBy(*keys).agg(
         F.sum(
@@ -64,7 +71,11 @@ def signed_partial_state(
         )
         .cast("bigint")
         .alias("sum_u"),
-        F.sum(F.col(weight)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col(value).isNotNull(), F.col(weight)).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n"),
     )
 
 

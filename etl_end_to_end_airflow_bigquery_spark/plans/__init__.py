@@ -179,7 +179,9 @@ _GATE_ANCHORS: tuple[str, ...] = (
 # green driver row, union r01–r07), so rotation slots hold exactly the
 # round's NEW queries — never-proven by construction. Filled as r8
 # queries land; each new name displaces one backfill re-proof.
-_GATE_ROTATION: tuple[str, ...] = ()
+_GATE_ROTATION: tuple[str, ...] = (
+    "ivm_minmax_recompute",   # min/max IVM under deletes (VERDICT r07 item 6)
+)
 
 # Backfill to 50 (r8 policy, see module docstring): tier (a) re-proofs
 # of previously-green names whose code/oracle r8 touches, then tier (b)
@@ -203,7 +205,7 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "session_window_native", "setops_except", "setops_union",
     "small_qty_revenue", "token_count_bpe", "top_orders_by_date",
     "views_before_purchase", "window_topk_per_customer",
-    "shipping_priority", "pivot_event_counts",
+    "shipping_priority",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

@@ -534,6 +534,22 @@ OLAP_ORACLES: dict[str, str] = {
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
     """,
+    "ivm_minmax_recompute": """
+        WITH post AS (
+            SELECT o_custkey,
+                   CASE WHEN o_orderkey % 11 = 0
+                        THEN o_totalprice + CAST(1000.0 AS DOUBLE)
+                        ELSE o_totalprice END AS price
+            FROM orders
+            WHERE o_orderkey % 13 <> 0
+        )
+        SELECT c_mktsegment,
+               min(price) AS min_price,
+               max(price) AS max_price
+        FROM post JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
     "regression_trend_events": """
         WITH m AS (
             SELECT event_type,

@@ -1025,6 +1025,98 @@ def ivm_join_revenue_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivm_minmax_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM for NON-invertible aggregates (min/max) under delete/update
+    CDC — the boundary ``signed_partial_state`` cannot cross (VERDICT
+    r07 item 6): a deletion cannot be folded out of a stored min/max,
+    so the maintenance plan splits per group:
+
+    - **insert-only groups** fold cheaply: ``least(stored_min,
+      insert_min)`` / ``greatest(stored_max, insert_max)`` — no base
+      access, same as the sum/count path;
+    - **boundary-touching groups** — a delete whose value equals the
+      stored extreme may expose a new one (and duplicates mean it may
+      not) — are recomputed from the post-CDC base, but ONLY those
+      groups (semi-join prune). Deletes that don't touch a boundary
+      leave the extreme unchanged and take the cheap path too.
+
+    Same CDC recipe as :func:`ivm_join_revenue_retract` (delete
+    ``%13``, re-price ``%11`` as delete-old+insert-new). The oracle
+    recomputes post-CDC min/max from scratch; hash-equality certifies
+    the split maintenance lands exactly on the full recompute.
+
+    Scale: the stored state is |segments| rows; the recompute leg scans
+    only partitions of affected groups (segment-clustered layout prunes
+    the rest), and "affected" is the rare case — extremes are touched
+    by a vanishing fraction of deletes at 100 TB. Reference analog: the
+    report recompute cadence (`README.md:98`) — this replaces the full
+    rescan with a bounded one.
+    """
+    import os
+    from ..tmputil import session_tmpdir
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    dim = F.broadcast(customer.select("c_custkey", "c_mktsegment"))
+    base = (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .join(dim, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_mktsegment", F.col("o_totalprice").alias("price"))
+    )
+
+    # stored view: per-group extremes over the full base, materialized
+    state_path = os.path.join(session_tmpdir("ivm_minmax_"), "extrema_state")
+    base.groupBy("c_mktsegment").agg(
+        F.min("price").alias("min_price"), F.max("price").alias("max_price")
+    ).write.parquet(state_path)
+    stored = spark.read.parquet(state_path)
+
+    # CDC: delete %13; update %11 = delete-old + insert-new (+1000.00)
+    deleted_keys = orders.select("o_orderkey").filter(
+        (F.col("o_orderkey") % 13 == 0)
+        | ((F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") % 13 != 0))
+    )
+    del_rows = base.join(deleted_keys, "o_orderkey", "left_semi")
+    ins_rows = base.filter(
+        (F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") % 13 != 0)
+    ).withColumn("price", F.col("price") + F.lit(1000.0))
+
+    del_b = del_rows.groupBy("c_mktsegment").agg(
+        F.min("price").alias("d_min"), F.max("price").alias("d_max")
+    )
+    ins_b = ins_rows.groupBy("c_mktsegment").agg(
+        F.min("price").alias("i_min"), F.max("price").alias("i_max")
+    )
+    folded = stored.join(del_b, "c_mktsegment", "left").join(
+        ins_b, "c_mktsegment", "left"
+    )
+    touches = (F.col("d_min") <= F.col("min_price")) | (
+        F.col("d_max") >= F.col("max_price")
+    )
+    # cheap path: no delete touched this group's boundary — extremes can
+    # only move by inserts (F.least/greatest skip NULL legs)
+    cheap = folded.filter(~F.coalesce(touches, F.lit(False))).select(
+        "c_mktsegment",
+        F.least("min_price", "i_min").alias("min_price"),
+        F.greatest("max_price", "i_max").alias("max_price"),
+    )
+    # recompute path: post-CDC base, pruned to affected groups only
+    affected = folded.filter(F.coalesce(touches, F.lit(False))).select(
+        "c_mktsegment"
+    )
+    recomputed = (
+        base.join(deleted_keys, "o_orderkey", "left_anti")
+        .unionByName(ins_rows)
+        .join(F.broadcast(affected), "c_mktsegment", "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.min("price").alias("min_price"),
+            F.max("price").alias("max_price"),
+        )
+    )
+    return cheap.unionByName(recomputed).orderBy("c_mktsegment")
+
+
 def regression_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key ordinary-least-squares trend (the regr_slope/regr_intercept
     surface) computed ENGINE-EXACTLY: value regressed on day index per
@@ -1563,6 +1655,7 @@ OLAP_QUERIES: dict[str, QueryFn] = {
     "incremental_daily_state": incremental_daily_state,
     "ivm_join_revenue": ivm_join_revenue,
     "ivm_join_revenue_retract": ivm_join_revenue_retract,
+    "ivm_minmax_recompute": ivm_minmax_recompute,
     "regression_trend_events": regression_trend_events,
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "cohort_retention_weekly": cohort_retention_weekly,

@@ -15,7 +15,9 @@ contract on plain files with the classic two-phase manifest commit:
 - ``commit`` (driver): move the acked shards into ``<path>`` and write
   a manifest (``_manifest/committed-batch-<id>.json``; streaming uses
   the engine batch id, batch append a unique ``w<uuid>`` id, batch
-  overwrite clears prior manifests first) listing exactly the committed
+  overwrite publishes its manifest atomically FIRST and only then
+  removes superseded manifests + files, so a crash mid-commit always
+  leaves a committed, readable view) listing exactly the committed
   files. foreachBatch-style re-delivery of a streaming batch OVERWRITES
   that batch's manifest — the re-run's files replace the old list, so
   readers never see a batch twice (exactly-once READ view over an
@@ -92,22 +94,40 @@ def _commit_batch(
         files.append(m.file)
         rows += m.rows
     manifest = os.path.join(mdir, f"committed-batch-{batch_id}.json")
+    # Collect what this commit supersedes BEFORE publishing, but delete
+    # only AFTER the atomic os.replace (ADVICE r7): a crash anywhere in
+    # this function leaves at least one committed manifest readable —
+    # either the old view (pre-replace) or the new one (post-replace).
+    # Residual overwrite window: a crash between the replace and the
+    # stale-manifest removals exposes old+new manifests together; the
+    # view is still internally consistent and the next overwrite (or a
+    # re-run of this one) sweeps it.
+    stale_manifests: list[str] = []
     stale: set[str] = set()
     if clear_existing:
         for mf in os.listdir(mdir):
-            if mf.startswith("committed-batch-") and mf.endswith(".json"):
+            if (
+                mf.startswith("committed-batch-")
+                and mf.endswith(".json")
+                and mf != os.path.basename(manifest)
+            ):
                 stale |= set(json.load(open(os.path.join(mdir, mf)))["files"])
-                os.remove(os.path.join(mdir, mf))
-    elif os.path.exists(manifest):
-        stale = set(json.load(open(manifest))["files"])
+                stale_manifests.append(os.path.join(mdir, mf))
+    if os.path.exists(manifest):
+        stale |= set(json.load(open(manifest))["files"])
+    with open(manifest + ".tmp", "w") as f:
+        json.dump({"batch_id": batch_id, "files": files, "rows": rows}, f)
+    os.replace(manifest + ".tmp", manifest)  # publish point
+    for mf in stale_manifests:
+        try:
+            os.remove(mf)
+        except FileNotFoundError:
+            pass
     for f in stale - set(files):
         try:
             os.remove(os.path.join(path, f))
         except FileNotFoundError:
             pass
-    with open(manifest + ".tmp", "w") as f:
-        json.dump({"batch_id": batch_id, "files": files, "rows": rows}, f)
-    os.replace(manifest + ".tmp", manifest)
 
 
 def _abort_batch(path: str, messages) -> None:

@@ -107,3 +107,23 @@ def test_fully_retracted_group_exits_the_view(spark):
     ).filter(F.col("n") > 0)
     got = {(r.k, r.sum_u, r.n) for r in merged.collect()}
     assert got == {("b", 2_000_000, 1)}
+
+
+def test_null_valued_retraction_is_a_noop(spark):
+    """ADVICE r7: a NULL-valued CDC row contributes to NEITHER sum_u nor
+    n — matching partial_avg_state's count(value) semantics — so
+    retracting it leaves the maintained average untouched instead of
+    silently decrementing the count."""
+    base = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0)], "k string, value double"
+    )
+    stored = partial_avg_state(base, ["k"], "value")
+    # retract the NULL row (e.g. a late correction deleting it)
+    cdc = spark.createDataFrame(
+        [("a", None, -1)], "k string, value double, __w int"
+    )
+    merged = merge_avg_state(
+        stored, signed_partial_state(cdc, ["k"], "value"), ["k"]
+    )
+    got = {(r.k, r.sum_u, r.n) for r in merged.collect()}
+    assert got == {("a", 4_000_000, 2)}  # unchanged: NULL never counted

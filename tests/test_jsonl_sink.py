@@ -128,3 +128,51 @@ def test_batch_redelivery_overwrites_manifest(spark, tmp_path):
     back = read_jsonl_commit(spark, path, schema="k long")
     assert sorted(r.k for r in back.collect()) == [1, 2]
     assert not os.path.exists(os.path.join(path, "shard-attempt1.jsonl"))
+
+
+def test_overwrite_publishes_before_sweeping(tmp_path, monkeypatch):
+    """ADVICE r7: overwrite must write the new manifest (atomic
+    os.replace) BEFORE deleting superseded manifests/files, so a crash
+    mid-commit always leaves >=1 committed manifest readable. Simulated
+    by crashing the first post-publish os.remove and asserting the new
+    manifest is already on disk."""
+    path = str(tmp_path)
+    os.makedirs(os.path.join(path, "_staging"))
+
+    def stage(name, rows):
+        with open(os.path.join(path, "_staging", name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        return ShardCommitMessage(file=name, rows=len(rows))
+
+    m1 = stage("shard-old.jsonl", [{"v": 1}])
+    _commit_batch(path, [m1], batch_id="w-old")
+
+    m2 = stage("shard-new.jsonl", [{"v": 2}])
+    real_remove = os.remove
+    def crashing_remove(p):
+        # the first removal happens only after the publish point
+        mdir = os.path.join(path, "_manifest")
+        published = [
+            f for f in os.listdir(mdir) if f.endswith(".json")
+        ]
+        assert "committed-batch-w-new.json" in published, (
+            "sweep ran before the new manifest was published"
+        )
+        raise OSError("simulated crash during sweep")
+    monkeypatch.setattr(os, "remove", crashing_remove)
+    try:
+        _commit_batch(path, [m2], batch_id="w-new", clear_existing=True)
+    except OSError:
+        pass
+    monkeypatch.setattr(os, "remove", real_remove)
+    # both manifests present (sweep crashed) — view is still readable
+    # and includes the committed overwrite
+    mdir = os.path.join(path, "_manifest")
+    names = sorted(os.listdir(mdir))
+    assert "committed-batch-w-new.json" in names
+    listed = json.load(
+        open(os.path.join(mdir, "committed-batch-w-new.json"))
+    )["files"]
+    assert listed == ["shard-new.jsonl"]
+    assert os.path.exists(os.path.join(path, "shard-new.jsonl"))
