@@ -181,6 +181,7 @@ _GATE_ANCHORS: tuple[str, ...] = (
 # queries land; each new name displaces one backfill re-proof.
 _GATE_ROTATION: tuple[str, ...] = (
     "ivm_minmax_recompute",   # min/max IVM under deletes (VERDICT r07 item 6)
+    "bpe_train_merges",       # iterated K=5 BPE trainer (VERDICT r07 item 5)
 )
 
 # Backfill to 50 (r8 policy, see module docstring): tier (a) re-proofs
@@ -205,7 +206,6 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "session_window_native", "setops_except", "setops_union",
     "small_qty_revenue", "token_count_bpe", "top_orders_by_date",
     "views_before_purchase", "window_topk_per_customer",
-    "shipping_priority",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

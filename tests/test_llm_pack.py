@@ -328,3 +328,35 @@ def test_hybrid_rrf_fuses_both_legs(spark):
         assert max(r.rrf_score for r in both) > min(
             r.rrf_score for r in single
         )
+
+
+def test_bpe_apply_merge_greedy_left_to_right(spark):
+    """The fold must implement greedy non-overlapping left-to-right
+    application: [a,a,a] with merge (a,a) -> [aa,a] (not [a,aa]), and
+    consecutive disjoint occurrences all merge."""
+    from pyspark.sql import functions as F
+
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_ext import (
+        _bpe_apply_merge,
+    )
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["a", "b", "a", "b", "c"],), (["x"],), ([],)],
+        "t array<string>",
+    )
+    got = [
+        r.m
+        for r in df.select(
+            _bpe_apply_merge(F.col("t"), "a", "a").alias("m")
+        ).collect()
+    ]
+    assert got[0] == ["aa", "a"]
+    assert got[1] == ["a", "b", "a", "b", "c"]  # pair absent: unchanged
+    got2 = [
+        r.m
+        for r in df.select(
+            _bpe_apply_merge(F.col("t"), "a", "b").alias("m")
+        ).collect()
+    ]
+    assert got2[1] == ["ab", "ab", "c"]
+    assert got2[2] == ["x"] and got2[3] == []
