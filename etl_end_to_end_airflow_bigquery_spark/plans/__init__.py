@@ -182,6 +182,7 @@ _GATE_ANCHORS: tuple[str, ...] = (
 _GATE_ROTATION: tuple[str, ...] = (
     "ivm_minmax_recompute",   # min/max IVM under deletes (VERDICT r07 item 6)
     "bpe_train_merges",       # iterated K=5 BPE trainer (VERDICT r07 item 5)
+    "substring_dedup_spans",  # ExactSubstr span removal (VERDICT r07 item 8)
 )
 
 # Backfill to 50 (r8 policy, see module docstring): tier (a) re-proofs
@@ -205,7 +206,7 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "lang_id_heuristic", "multimodal_features", "report_exists_guard",
     "session_window_native", "setops_except", "setops_union",
     "small_qty_revenue", "token_count_bpe", "top_orders_by_date",
-    "views_before_purchase", "window_topk_per_customer",
+    "views_before_purchase",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

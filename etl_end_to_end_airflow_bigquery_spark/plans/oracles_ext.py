@@ -2215,3 +2215,48 @@ def _bpe_train_oracle(k: int = 5) -> str:
 
 
 EXT_ORACLES["bpe_train_merges"] = _bpe_train_oracle()
+
+
+# ExactSubstr span removal — same rule as the Spark side but coverage by
+# EXPLODED positions + anti-join (a deliberately different mechanism
+# from the in-row position filter; hash-equality proves both).
+EXT_ORACLES["substring_dedup_spans"] = """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ), g AS (
+        SELECT doc_id, i,
+               md5(array_to_string(t[i:i+49], ' ')) AS h,
+               doc_id * 1000000 + i AS k
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 50 + 2)) AS i
+              FROM t WHERE len(t) >= 50)
+    ), stats AS (
+        SELECT h, count(*) AS c, min(k) AS mk FROM g GROUP BY h
+    ), removable AS (
+        SELECT g.doc_id, g.i
+        FROM g JOIN stats USING (h)
+        WHERE c >= 2 AND k <> mk
+    ), covered AS (
+        SELECT DISTINCT doc_id, i + off AS p
+        FROM (SELECT doc_id, i, unnest(range(0, 50)) AS off FROM removable)
+    ), positions AS (
+        SELECT doc_id, i AS p, t[i] AS tok
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM t)
+    ), kept AS (
+        SELECT positions.doc_id, p, tok
+        FROM positions
+        LEFT JOIN covered USING (doc_id, p)
+        WHERE covered.p IS NULL
+    )
+    SELECT tt.doc_id,
+           len(tt.t) AS n_tokens,
+           coalesce(cv.nrem, 0) AS n_removed,
+           coalesce(kp.clean, '') AS clean_text
+    FROM t tt
+    LEFT JOIN (SELECT doc_id, count(*) AS nrem
+               FROM covered GROUP BY doc_id) cv USING (doc_id)
+    LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean
+               FROM kept GROUP BY doc_id) kp USING (doc_id)
+    ORDER BY tt.doc_id
+"""

@@ -1062,6 +1062,86 @@ EXT_QUERIES["quality_classifier_docs"] = quality_classifier_docs
 EXT_QUERIES["bm25_retrieval"] = bm25_retrieval
 EXT_QUERIES["duplicate_spans_docs"] = duplicate_spans_docs
 
+SPAN_W = 50  # ExactSubstr window: spans >= 50 tokens (Lee et al.)
+
+
+def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup with REMOVAL (VERDICT r07 item 8) —
+    the ExactSubstr modality of "Deduplicating Training Data Makes
+    Language Models Better" (Lee et al., 2022), completing the dedup
+    family (exact-doc, MinHash, SimHash, k-gram detection, semantic).
+    Any duplicated substring of >= SPAN_W tokens contains a duplicated
+    aligned SPAN_W-token window at every offset, so the rule is exact:
+    fingerprint every SPAN_W-gram occurrence, keep the corpus-wide
+    canonical FIRST occurrence (lexicographic (doc_id, i), encoded as
+    doc_id*1e6+i for a single-column min), and delete every token
+    covered by any other occurrence of a duplicated fingerprint.
+    Output: per-doc token counts + the cleaned text.
+
+    Plan shape: only 16-byte md5 fingerprints shuffle (never gram
+    text) — one exchange on the fingerprint for (count, canonical-min),
+    one fingerprint-keyed join back, one doc_id-keyed collect of
+    removable starts (bounded by doc length); span COVERAGE is then
+    computed IN-ROW (position filter against the starts array), so no
+    per-position rows ever shuffle — unlike the oracle, which explodes
+    covered positions; hash-equality proves the two coverage mechanisms
+    agree. At 100 TB: grams ~ corpus token count; the Bloom-prune trick
+    (``bloom_join_prune``) cuts the join-back to likely-duplicated
+    fingerprints.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("t")
+    )
+    grams = toks.filter(F.size("t") >= SPAN_W).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {SPAN_W} + 1),"
+                f" i -> named_struct('i', i, 'h',"
+                f" md5(array_join(slice(t, i, {SPAN_W}), ' '))))"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.i").alias("i"), F.col("g.h").alias("h"))
+    occ_key = (F.col("doc_id") * F.lit(1000000) + F.col("i")).cast("bigint")
+    stats = (
+        grams.withColumn("k", occ_key)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("k").alias("mk"))
+    )
+    removable = (
+        grams.withColumn("k", occ_key)
+        .join(stats, "h")
+        .filter((F.col("c") >= 2) & (F.col("k") != F.col("mk")))
+        .groupBy("doc_id")
+        .agg(F.collect_list("i").alias("starts"))
+    )
+    return (
+        toks.join(removable, "doc_id", "left")
+        .withColumn("starts", F.coalesce("starts", F.expr("array()")))
+        .withColumn(
+            "kept",
+            F.expr(
+                "filter(transform(sequence(1, size(t)),"
+                " p -> named_struct('p', p, 'tok', element_at(t, p))),"
+                f" s -> NOT exists(starts,"
+                f" st -> st <= s.p AND s.p < st + {SPAN_W}))"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.size("t").cast("bigint").alias("n_tokens"),
+            (F.size("t") - F.size("kept")).cast("bigint").alias("n_removed"),
+            F.expr("array_join(transform(kept, s -> s.tok), ' ')").alias(
+                "clean_text"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+EXT_QUERIES["substring_dedup_spans"] = substring_dedup_spans
+
 
 def pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (PQ/ADC): Lloyd-trained sub-codebooks,
