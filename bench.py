@@ -1,10 +1,13 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-    {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "queries_median": {name: sec, ...},
-     "canary": {...}, "sf": <sf>}
+Prints ONE compact JSON line, totals FIRST so a fixed-size stdout tail
+still contains the headline even if the query map is clipped:
+    {"metric": "...", "value": <total sec>, "unit": "sec", "sf": <sf>,
+     "canary": {...}, "queries": {name: min sec, ...}}
+The full record — including per-query MEDIANS — is written to
+BENCH_LOCAL.json next to this script (VERDICT r07 item 4: the median
+map pushed the old single-line format past the driver's tail capture).
 
 Each query executes its full physical plan into the `noop` sink (no
 driver collect, no result pruning — the honest end-to-end cost of the
@@ -100,6 +103,17 @@ BENCH_QUERIES = [
     "ivm_join_revenue_retract",
     "bpe_merge_candidates",
     "token_diversity_docs",
+    # round 8 (VERDICT r07 item 7): the expensive never-benched queries —
+    # three prefix-sum/parquet-stage heavies whose regressions were
+    # invisible at the gate's sf0.01; everything above stays a prefix.
+    "rfm_segments",
+    "revenue_gini",
+    "session_paths_top",
+    # round 8 additions: the iterated BPE trainer (5 corpus passes), the
+    # ExactSubstr span remover, and the min/max IVM maintenance split.
+    "bpe_train_merges",
+    "substring_dedup_spans",
+    "ivm_minmax_recompute",
 ]
 
 N_RUNS = 3
@@ -179,23 +193,26 @@ def main() -> None:
         shutil.rmtree(idx_root, ignore_errors=True)
 
     total = round(sum(mins.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "canary": {
-                    "name": CANARY,
-                    "min": canary_min,
-                    "median": canary_median,
-                },
-                "queries": mins,
-                "queries_median": medians,
-                "sf": sf,
-            }
-        )
-    )
+    # Full record (incl. per-query medians) goes to a FILE; stdout gets
+    # ONE compact line, totals first — the driver keeps only a
+    # fixed-size tail of stdout, and BENCH_r07's full line overflowed it
+    # (parsed: null, VERDICT r07 item 4). queries_median lives in
+    # BENCH_LOCAL.json only.
+    record = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "canary": {"name": CANARY, "min": canary_min, "median": canary_median},
+        "queries": mins,
+        "queries_median": medians,
+    }
+    local = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LOCAL.json")
+    with open(local, "w") as f:
+        json.dump(record, f, indent=1)
+    compact = {k: v for k, v in record.items() if k != "queries_median"}
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 
