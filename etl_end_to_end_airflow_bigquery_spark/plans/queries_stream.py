@@ -41,6 +41,26 @@ def _utc_session(spark: SparkSession):
         spark.conf.set("spark.sql.session.timeZone", prev)
 
 
+# Executed micro-batch physical plans, keyed by registry query name —
+# captured after each availableNow run so tools/plan_audit.py can audit
+# streaming queries' REAL execution plans (StateStoreSave, streaming
+# joins, session windows) instead of skipping them (VERDICT r07 item 3).
+MICROBATCH_PLANS: dict[str, str] = {}
+
+
+def _capture_plan(q) -> None:
+    """Record the terminated query's last-execution physical plan under
+    the CALLING registry function's name. Bounded driver metadata (one
+    plan string); failures are non-fatal — the audit reports absence."""
+    import inspect
+
+    caller = inspect.stack()[1].function
+    try:
+        MICROBATCH_PLANS[caller] = q._jsq.explainInternal(False)
+    except Exception:
+        pass
+
+
 def _sink_name(prefix: str) -> str:
     """Collision-free memory-sink name; no module-global counter, so
     concurrent/repeated gate runs in one session never collide and the
@@ -107,6 +127,7 @@ def streaming_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
+    _capture_plan(q)
     return spark.table(sink).orderBy("report_date", "event_type")
 
 
@@ -189,6 +210,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(300)
+        _capture_plan(q)
     return spark.table(sink).orderBy("user_id", "event_type")
 
 
@@ -252,6 +274,7 @@ def streaming_report_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(300)
+        _capture_plan(q)
     from ..operators.writers import read_table
 
     return read_table(spark, report_path).orderBy("report_date", "event_type")
@@ -297,6 +320,7 @@ def streaming_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
+    _capture_plan(q)
     return spark.table(sink).orderBy("win_start", "event_type")
 
 
@@ -339,6 +363,7 @@ def streaming_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
+    _capture_plan(q)
     return spark.table(sink).orderBy("c_mktsegment")
 
 
@@ -387,6 +412,7 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(300)
+        _capture_plan(q)
     return spark.table(sink).orderBy("purchase_id", "view_id")
 
 
@@ -450,6 +476,7 @@ def streaming_view_purchase_left(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(300)
+        _capture_plan(q)
         from ..sources.events import load_events
 
         cutoff = (
@@ -526,6 +553,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(300)
+        _capture_plan(q)
     return spark.table(sink).orderBy("user_id", "session_start")
 
 
@@ -572,6 +600,7 @@ def streaming_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
+    _capture_plan(q)
     return spark.table(sink).orderBy("r", "pos")
 
 
@@ -649,6 +678,7 @@ def streaming_burst_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(300)
+        _capture_plan(q)
     return spark.table(sink).orderBy("a_id", "b_id")
 
 
@@ -693,6 +723,7 @@ def streaming_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(300)
+        _capture_plan(q)
     return spark.table(sink).select(
         "day", "event_type", "open", "high", "low", "close", "n_ticks"
     ).orderBy("day", "event_type")
@@ -737,6 +768,7 @@ def streaming_state_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(300)
+        _capture_plan(q)
     # the watermark horizon covers the whole bounded replay, so no key
     # expired: state keys == distinct keys
     return state_keys(spark, ckpt).orderBy("user_id", "event_type")

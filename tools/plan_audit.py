@@ -9,8 +9,14 @@ row-at-a-time Python UDFs).
 Usage:
     python tools/plan_audit.py [sf_dir] [--md PLANS.md] [query ...]
 
-Streaming queries are skipped (their micro-batch plans aren't built
-until execution); they are listed as such so the skip is visible.
+Streaming queries (every ``streaming_*`` registry name) are audited on
+their EXECUTED micro-batch physical plan (VERDICT r07 item 3): each
+function records its terminated query's last-execution plan in
+``queries_stream.MICROBATCH_PLANS``, and the audit counts the
+streaming-specific operators — StateStoreSave, StreamingDeduplicate,
+session-window state stores, stream-stream symmetric hash joins,
+(flat)MapGroupsWithState / TransformWithState — plus exchanges, the
+way the batch rows count joins and shuffles.
 """
 
 from __future__ import annotations
@@ -18,17 +24,6 @@ from __future__ import annotations
 import sys
 
 sys.path.insert(0, ".")
-
-STREAMING = {
-    "streaming_daily_avg",
-    "streaming_sessionize",
-    "streaming_dedup_events",
-    "streaming_report_merge",
-    "streaming_sliding_avg",
-    "streaming_segment_counts",
-    "streaming_view_purchase_join",
-    "streaming_cms_counts",
-}
 
 # Arrow-batched Python stages that are the documented design (multimodal
 # codecs, pandas stats) — ArrowEvalPython/MapInPandas there is expected.
@@ -185,6 +180,52 @@ def audit(spark, name: str, df) -> dict:
     }
 
 
+# Streaming queries with no state-store operator by design (plus which
+# node carries their statefulness instead).
+STREAM_STATELESS_OK: dict[str, str] = {}
+
+
+def audit_streaming(spark, name: str, fn, sf_dir: str) -> dict:
+    """Run the availableNow stream (the function executes it) and audit
+    the captured micro-batch physical plan."""
+    from etl_end_to_end_airflow_bigquery_spark.plans import queries_stream
+
+    try:
+        fn(spark, sf_dir).collect()
+    except Exception as e:  # noqa: BLE001 — audit must cover all
+        return {"name": name, "flags": [f"RUN_ERR:{type(e).__name__}"]}
+    plan = queries_stream.MICROBATCH_PLANS.get(name)
+    if plan is None:
+        return {"name": name, "flags": ["NO_CAPTURED_PLAN"]}
+    r = {
+        "name": name,
+        "state_stores": plan.count("StateStoreSave"),
+        "dedup": plan.count("StreamingDeduplicate"),
+        "session_win": plan.count("SessionWindowStateStore"),
+        "sym_join": plan.count("StreamingSymmetricHashJoin"),
+        "stateful_py": plan.count("FlatMapGroupsInPandasWithState")
+        + plan.count("TransformWithStateInPandas"),
+        "exchanges": plan.count("Exchange hashpartitioning"),
+        "cartesian": plan.count("CartesianProduct"),
+        "bnlj": plan.count("BroadcastNestedLoopJoin"),
+        "python_row": plan.count("BatchEvalPython"),
+        "flags": [],
+    }
+    stateful = (
+        r["state_stores"] + r["dedup"] + r["session_win"]
+        + r["sym_join"] + r["stateful_py"]
+    )
+    if stateful == 0 and name not in STREAM_STATELESS_OK:
+        r["flags"].append("NO_STREAMING_STATE_OP")
+    if r["cartesian"]:
+        r["flags"].append("CARTESIAN")
+    if r["bnlj"]:
+        r["flags"].append("BNLJ")
+    if r["python_row"]:
+        r["flags"].append("ROW_PYTHON_UDF")
+    return r
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     md_out = None
@@ -200,12 +241,23 @@ def main() -> int:
     from etl_end_to_end_airflow_bigquery_spark.session import get_spark
 
     spark = get_spark("plan_audit")
-    rows, flagged, skipped = [], [], []
+    rows, flagged, stream_rows = [], [], []
     for name, fn in entrymod.queries().items():
         if only and name not in only:
             continue
-        if name in STREAMING:
-            skipped.append(name)
+        if name.startswith("streaming_"):
+            r = audit_streaming(spark, name, fn, sf_dir)
+            stream_rows.append(r)
+            if r.get("flags"):
+                print(f"{name:32s} STREAMING !! {','.join(r['flags'])}")
+                flagged.append(name)
+            else:
+                print(
+                    f"{name:32s} STREAMING state={r['state_stores']} "
+                    f"dedup={r['dedup']} sesswin={r['session_win']} "
+                    f"ssjoin={r['sym_join']} stateful={r['stateful_py']} "
+                    f"exch={r['exchanges']}"
+                )
             continue
         try:
             r = audit(spark, name, fn(spark, sf_dir))
@@ -235,7 +287,7 @@ def main() -> int:
         if flags:
             flagged.append(name)
 
-    print(f"\n{len(rows)} audited, {len(skipped)} streaming skipped, "
+    print(f"\n{len(rows)} batch + {len(stream_rows)} streaming audited, "
           f"{len(flagged)} flagged" + (f": {flagged}" if flagged else ""))
 
     if md_out:
@@ -268,8 +320,26 @@ def main() -> int:
                     f"| {r['codegen']} "
                     f"| {', '.join(flags) or '—'} |\n"
                 )
-            f.write(f"\nStreaming (audited at runtime, not here): "
-                    f"{', '.join(sorted(skipped))}\n")
+            f.write(
+                "\n## Streaming micro-batch plans\n\n"
+                "Audited on the EXECUTED last-micro-batch physical plan "
+                "captured after each availableNow run "
+                "(`queries_stream.MICROBATCH_PLANS`).\n\n"
+                "| query | state-stores | dedup | session-window | "
+                "stream-stream join | stateful-python | exchanges | "
+                "flags |\n|---|---|---|---|---|---|---|---|\n"
+            )
+            for r in sorted(stream_rows, key=lambda r: r["name"]):
+                if "state_stores" not in r:
+                    f.write(f"| {r['name']} | — | — | — | — | — | — "
+                            f"| {', '.join(r['flags'])} |\n")
+                    continue
+                f.write(
+                    f"| {r['name']} | {r['state_stores']} | {r['dedup']} "
+                    f"| {r['session_win']} | {r['sym_join']} "
+                    f"| {r['stateful_py']} | {r['exchanges']} "
+                    f"| {', '.join(r['flags']) or '—'} |\n"
+                )
             f.write(
                 "\n## Notes\n\n"
                 "- `merge_upsert_orders` (VERDICT r05 item 5, the r4→r5 "
