@@ -1121,8 +1121,14 @@ def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("starts", F.coalesce("starts", F.expr("array()")))
         .withColumn(
             "kept",
+            # Positions built as slice(sequence(0, n), 2, n) == [1..n]
+            # rather than sequence(1, n): for an empty doc (n = 0) the
+            # latter yields the DESCENDING [1, 0] and element_at(t, 1)
+            # throws under ANSI (ADVICE r8); the slice form yields []
+            # so empty docs pass through with clean_text = '' exactly
+            # like the oracle.
             F.expr(
-                "filter(transform(sequence(1, size(t)),"
+                "filter(transform(slice(sequence(0, size(t)), 2, size(t)),"
                 " p -> named_struct('p', p, 'tok', element_at(t, p))),"
                 f" s -> NOT exists(starts,"
                 f" st -> st <= s.p AND s.p < st + {SPAN_W}))"
@@ -2147,7 +2153,15 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0]
         )
         learned.append((rnd, top["a"], top["b"], top["n_pairs"]))
-        cur = cur.select(_bpe_apply_merge(F.col("t"), top["a"], top["b"]).alias("t"))
+        # Re-filter after every merge round (ADVICE r8): a repetitive
+        # doc can collapse to 1 token, and the next round's pair
+        # expansion sequence(0, size(t)-2) would descend to [0,-1] and
+        # throw INVALID_ARRAY_INDEX under ANSI. Size-1 docs contribute
+        # no pairs in the oracle either, so dropping them preserves
+        # hash-equality.
+        cur = cur.select(
+            _bpe_apply_merge(F.col("t"), top["a"], top["b"]).alias("t")
+        ).filter(F.size("t") >= 2)
     return spark.createDataFrame(
         learned, "merge_round int, a string, b string, n_pairs bigint"
     ).orderBy("merge_round")

@@ -48,15 +48,16 @@ def _utc_session(spark: SparkSession):
 MICROBATCH_PLANS: dict[str, str] = {}
 
 
-def _capture_plan(q) -> None:
+def _capture_plan(q, name: str) -> None:
     """Record the terminated query's last-execution physical plan under
-    the CALLING registry function's name. Bounded driver metadata (one
-    plan string); failures are non-fatal — the audit reports absence."""
-    import inspect
-
-    caller = inspect.stack()[1].function
+    the EXPLICIT registry name (ADVICE r8: the earlier
+    ``inspect.stack()`` caller lookup silently mis-keyed the plan if a
+    helper wrapped the call or a function was renamed). Bounded driver
+    metadata (one plan string); failures are non-fatal — the audit
+    clears the slot before each run, so a capture failure surfaces as
+    NO_CAPTURED_PLAN instead of being masked by a stale entry."""
     try:
-        MICROBATCH_PLANS[caller] = q._jsq.explainInternal(False)
+        MICROBATCH_PLANS[name] = q._jsq.explainInternal(False)
     except Exception:
         pass
 
@@ -127,7 +128,7 @@ def streaming_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
-    _capture_plan(q)
+    _capture_plan(q, "streaming_daily_avg")
     return spark.table(sink).orderBy("report_date", "event_type")
 
 
@@ -210,7 +211,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(300)
-        _capture_plan(q)
+        _capture_plan(q, "streaming_dedup_events")
     return spark.table(sink).orderBy("user_id", "event_type")
 
 
@@ -274,7 +275,7 @@ def streaming_report_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(300)
-        _capture_plan(q)
+        _capture_plan(q, "streaming_report_merge")
     from ..operators.writers import read_table
 
     return read_table(spark, report_path).orderBy("report_date", "event_type")
@@ -320,7 +321,7 @@ def streaming_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
-    _capture_plan(q)
+    _capture_plan(q, "streaming_sliding_avg")
     return spark.table(sink).orderBy("win_start", "event_type")
 
 
@@ -363,7 +364,7 @@ def streaming_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
-    _capture_plan(q)
+    _capture_plan(q, "streaming_segment_counts")
     return spark.table(sink).orderBy("c_mktsegment")
 
 
@@ -412,7 +413,7 @@ def streaming_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(300)
-        _capture_plan(q)
+        _capture_plan(q, "streaming_view_purchase_join")
     return spark.table(sink).orderBy("purchase_id", "view_id")
 
 
@@ -476,7 +477,7 @@ def streaming_view_purchase_left(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(300)
-        _capture_plan(q)
+        _capture_plan(q, "streaming_view_purchase_left")
         from ..sources.events import load_events
 
         cutoff = (
@@ -553,7 +554,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(300)
-        _capture_plan(q)
+        _capture_plan(q, "streaming_sessionize")
     return spark.table(sink).orderBy("user_id", "session_start")
 
 
@@ -600,7 +601,7 @@ def streaming_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
-    _capture_plan(q)
+    _capture_plan(q, "streaming_cms_counts")
     return spark.table(sink).orderBy("r", "pos")
 
 
@@ -678,7 +679,7 @@ def streaming_burst_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(300)
-        _capture_plan(q)
+        _capture_plan(q, "streaming_burst_pairs")
     return spark.table(sink).orderBy("a_id", "b_id")
 
 
@@ -723,7 +724,7 @@ def streaming_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(300)
-        _capture_plan(q)
+        _capture_plan(q, "streaming_ohlc_daily")
     return spark.table(sink).select(
         "day", "event_type", "open", "high", "low", "close", "n_ticks"
     ).orderBy("day", "event_type")
@@ -768,7 +769,7 @@ def streaming_state_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(300)
-        _capture_plan(q)
+        _capture_plan(q, "streaming_state_dedup_keys")
     # the watermark horizon covers the whole bounded replay, so no key
     # expired: state keys == distinct keys
     return state_keys(spark, ckpt).orderBy("user_id", "event_type")

@@ -69,6 +69,63 @@ def _write_shard(path: str, iterator: Iterator[Row]) -> ShardCommitMessage:
     return ShardCommitMessage(file=name, rows=n)
 
 
+def _finish_pending_sweeps(path: str) -> None:
+    """Complete any overwrite sweep a crash left half-done (ADVICE r8):
+    an overwrite records its intent (the manifests/files it supersedes)
+    BEFORE the publish point. If the new manifest is visible, ANY
+    subsequent commit — append or overwrite — finishes the removals
+    here, so the transient old+new duplicated view cannot outlive the
+    next commit of any kind. If the intent's manifest is absent the
+    overwrite crashed pre-publish and never became visible; its promoted
+    shards are manifest-less orphans readers already ignore — either
+    way the intent is spent and dropped."""
+    mdir = os.path.join(path, "_manifest")
+    if not os.path.isdir(mdir):
+        return
+    for itf in os.listdir(mdir):
+        if not (itf.startswith("overwrite-intent-") and itf.endswith(".json")):
+            continue
+        ipath = os.path.join(mdir, itf)
+        try:
+            intent = json.load(open(ipath))
+        except (json.JSONDecodeError, FileNotFoundError):
+            continue  # torn intent write: its .tmp never replaced; skip
+        if os.path.exists(os.path.join(mdir, intent["manifest"])):
+            for mf in intent["stale_manifests"]:
+                try:
+                    os.remove(os.path.join(mdir, mf))
+                except FileNotFoundError:
+                    pass
+            for f in intent["stale_files"]:
+                try:
+                    os.remove(os.path.join(path, f))
+                except FileNotFoundError:
+                    pass
+        try:
+            os.remove(ipath)
+        except FileNotFoundError:
+            pass
+
+
+def _pending_stale_manifests(mdir: str) -> set[str]:
+    """Manifest basenames a PUBLISHED overwrite intent marks superseded
+    — the read side skips them so even the crash window between publish
+    and sweep never serves old rows next to the overwrite."""
+    skip: set[str] = set()
+    if not os.path.isdir(mdir):
+        return skip
+    for itf in os.listdir(mdir):
+        if not (itf.startswith("overwrite-intent-") and itf.endswith(".json")):
+            continue
+        try:
+            intent = json.load(open(os.path.join(mdir, itf)))
+        except (json.JSONDecodeError, FileNotFoundError):
+            continue
+        if os.path.exists(os.path.join(mdir, intent["manifest"])):
+            skip |= set(intent["stale_manifests"])
+    return skip
+
+
 def _commit_batch(
     path: str, messages, batch_id: int | str, *, clear_existing: bool = False
 ) -> None:
@@ -83,6 +140,7 @@ def _commit_batch(
     """
     mdir = os.path.join(path, "_manifest")
     os.makedirs(mdir, exist_ok=True)
+    _finish_pending_sweeps(path)
     staging = os.path.join(path, "_staging")
     files, rows = [], 0
     for m in messages:
@@ -98,10 +156,11 @@ def _commit_batch(
     # only AFTER the atomic os.replace (ADVICE r7): a crash anywhere in
     # this function leaves at least one committed manifest readable —
     # either the old view (pre-replace) or the new one (post-replace).
-    # Residual overwrite window: a crash between the replace and the
-    # stale-manifest removals exposes old+new manifests together; the
-    # view is still internally consistent and the next overwrite (or a
-    # re-run of this one) sweeps it.
+    # Overwrite additionally persists its sweep as an intent file
+    # BEFORE the publish point (ADVICE r8): a crash between the replace
+    # and the removals no longer depends on a future overwrite — any
+    # subsequent commit finishes the sweep via _finish_pending_sweeps,
+    # and read_jsonl_commit skips intent-superseded manifests meanwhile.
     stale_manifests: list[str] = []
     stale: set[str] = set()
     if clear_existing:
@@ -115,6 +174,21 @@ def _commit_batch(
                 stale_manifests.append(os.path.join(mdir, mf))
     if os.path.exists(manifest):
         stale |= set(json.load(open(manifest))["files"])
+    intent_path = None
+    if clear_existing and (stale_manifests or stale):
+        intent_path = os.path.join(mdir, f"overwrite-intent-{batch_id}.json")
+        with open(intent_path + ".tmp", "w") as f:
+            json.dump(
+                {
+                    "manifest": os.path.basename(manifest),
+                    "stale_manifests": [
+                        os.path.basename(m) for m in stale_manifests
+                    ],
+                    "stale_files": sorted(stale - set(files)),
+                },
+                f,
+            )
+        os.replace(intent_path + ".tmp", intent_path)
     with open(manifest + ".tmp", "w") as f:
         json.dump({"batch_id": batch_id, "files": files, "rows": rows}, f)
     os.replace(manifest + ".tmp", manifest)  # publish point
@@ -126,6 +200,11 @@ def _commit_batch(
     for f in stale - set(files):
         try:
             os.remove(os.path.join(path, f))
+        except FileNotFoundError:
+            pass
+    if intent_path is not None:
+        try:
+            os.remove(intent_path)
         except FileNotFoundError:
             pass
 
@@ -208,8 +287,11 @@ def read_jsonl_commit(
     listing is bounded driver work (one small JSON per batch)."""
     mdir = os.path.join(path, "_manifest")
     files: list[str] = []
+    superseded = _pending_stale_manifests(mdir)
     if os.path.isdir(mdir):
         for mf in sorted(os.listdir(mdir)):
+            if mf in superseded:
+                continue  # published overwrite's sweep interrupted
             if mf.startswith("committed-batch-") and mf.endswith(".json"):
                 files.extend(
                     os.path.join(path, f)

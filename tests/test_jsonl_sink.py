@@ -176,3 +176,79 @@ def test_overwrite_publishes_before_sweeping(tmp_path, monkeypatch):
     )["files"]
     assert listed == ["shard-new.jsonl"]
     assert os.path.exists(os.path.join(path, "shard-new.jsonl"))
+
+
+def test_crashed_overwrite_sweep_finished_by_next_append(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r8: a crash between the overwrite's publish point and its
+    sweep used to leave old+new manifests visible until the NEXT
+    OVERWRITE. Now the overwrite persists its intent pre-publish, so
+    (a) readers skip the superseded manifest immediately, and (b) any
+    subsequent commit — here a plain append — finishes the sweep."""
+    path = str(tmp_path)
+    os.makedirs(os.path.join(path, "_staging"))
+
+    def stage(name, rows):
+        with open(os.path.join(path, "_staging", name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        return ShardCommitMessage(file=name, rows=len(rows))
+
+    _commit_batch(path, [stage("shard-old.jsonl", [{"v": 1}])], "w-old")
+
+    m2 = stage("shard-new.jsonl", [{"v": 2}])
+    real_remove = os.remove
+
+    def crashing_remove(p):
+        raise OSError("simulated crash during sweep")
+
+    monkeypatch.setattr(os, "remove", crashing_remove)
+    try:
+        _commit_batch(path, [m2], batch_id="w-new", clear_existing=True)
+    except OSError:
+        pass
+    monkeypatch.setattr(os, "remove", real_remove)
+
+    mdir = os.path.join(path, "_manifest")
+    assert "committed-batch-w-old.json" in os.listdir(mdir)  # sweep crashed
+    assert "overwrite-intent-w-new.json" in os.listdir(mdir)
+    # (a) the duplicated window is invisible to readers even pre-sweep
+    got = read_jsonl_commit(spark, path, "v long").collect()
+    assert [r.v for r in got] == [2]
+    # (b) a later APPEND (not an overwrite) finishes the sweep
+    _commit_batch(path, [stage("shard-app.jsonl", [{"v": 3}])], "w-app")
+    names = set(os.listdir(mdir))
+    assert "committed-batch-w-old.json" not in names
+    assert "overwrite-intent-w-new.json" not in names
+    assert not os.path.exists(os.path.join(path, "shard-old.jsonl"))
+    got = sorted(r.v for r in read_jsonl_commit(spark, path, "v long").collect())
+    assert got == [2, 3]
+
+
+def test_unpublished_overwrite_intent_is_dropped(tmp_path):
+    """An intent whose manifest never published (crash pre-publish)
+    must NOT trigger deletions — the old view is still the truth."""
+    path = str(tmp_path)
+    os.makedirs(os.path.join(path, "_staging"))
+    with open(os.path.join(path, "_staging", "s.jsonl"), "w") as f:
+        f.write(json.dumps({"v": 1}) + "\n")
+    _commit_batch(path, [ShardCommitMessage(file="s.jsonl", rows=1)], "w1")
+    mdir = os.path.join(path, "_manifest")
+    # forge an intent pointing at a manifest that never landed
+    with open(os.path.join(mdir, "overwrite-intent-ghost.json"), "w") as f:
+        json.dump(
+            {
+                "manifest": "committed-batch-ghost.json",
+                "stale_manifests": ["committed-batch-w1.json"],
+                "stale_files": ["s.jsonl"],
+            },
+            f,
+        )
+    with open(os.path.join(path, "_staging", "s2.jsonl"), "w") as f:
+        f.write(json.dumps({"v": 2}) + "\n")
+    _commit_batch(path, [ShardCommitMessage(file="s2.jsonl", rows=1)], "w2")
+    names = set(os.listdir(mdir))
+    assert "committed-batch-w1.json" in names  # old view untouched
+    assert "overwrite-intent-ghost.json" not in names  # spent intent dropped
+    assert os.path.exists(os.path.join(path, "s.jsonl"))

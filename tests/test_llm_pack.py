@@ -360,3 +360,63 @@ def test_bpe_apply_merge_greedy_left_to_right(spark):
     ]
     assert got2[1] == ["ab", "ab", "c"]
     assert got2[2] == ["x"] and got2[3] == []
+
+
+def test_bpe_train_survives_doc_collapse_to_one_token(spark):
+    """ADVICE r8: a repetitive doc can shrink to 1 token after a merge
+    round; the next round's pair expansion sequence(0, size(t)-2) then
+    descends to [0,-1] and throws under ANSI. The trainer must
+    re-filter size>=2 after every applied merge."""
+    import tempfile, os
+
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_ext import (
+        bpe_train_merges,
+    )
+
+    rows = [
+        # collapses: a a -> aa (1 token) in round 1
+        (0, "a a", "en", "s", 0),
+        (1, "a a", "en", "s", 0),
+        (2, "a a", "en", "s", 0),
+        # enough distinct pairs to feed 5 merge rounds afterwards
+        (3, "b c d e f g b c d e f g", "en", "s", 0),
+        (4, "b c d e f g h i j k l m", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = bpe_train_merges(spark, d).collect()
+    assert [r.merge_round for r in out] == [1, 2, 3, 4, 5]
+    assert (out[0].a, out[0].b, out[0].n_pairs) == ("a", "a", 3)
+
+
+def test_substring_dedup_passes_empty_docs_through(spark):
+    """ADVICE r8: an empty/whitespace-only doc has size(t)=0; the old
+    sequence(1, size(t)) position builder descended to [1,0] and threw
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT. Empty docs must pass through
+    with n_tokens=0 and clean_text='' exactly like the oracle."""
+    import tempfile, os
+
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_ext import (
+        substring_dedup_spans,
+    )
+
+    long_doc = " ".join(f"w{i}" for i in range(60))
+    rows = [
+        (0, "", "en", "s", 0),
+        (1, "   ", "en", "s", 0),
+        (2, long_doc, "en", "s", 0),
+        (3, long_doc + " tail", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r.doc_id: r for r in substring_dedup_spans(spark, d).collect()}
+    assert got[0].n_tokens == 0 and got[0].clean_text == ""
+    assert got[1].n_tokens == 0 and got[1].clean_text == ""
+    assert got[2].n_removed == 0  # canonical first occurrence kept
+    assert got[3].n_removed > 0   # duplicated 60-token span removed

@@ -190,6 +190,10 @@ def audit_streaming(spark, name: str, fn, sf_dir: str) -> dict:
     the captured micro-batch physical plan."""
     from etl_end_to_end_airflow_bigquery_spark.plans import queries_stream
 
+    # Clear before the run (ADVICE r8): MICROBATCH_PLANS persists across
+    # runs in one session, so a capture failure here must surface as
+    # NO_CAPTURED_PLAN, never as a stale plan from a prior run.
+    queries_stream.MICROBATCH_PLANS.pop(name, None)
     try:
         fn(spark, sf_dir).collect()
     except Exception as e:  # noqa: BLE001 — audit must cover all
@@ -197,11 +201,16 @@ def audit_streaming(spark, name: str, fn, sf_dir: str) -> dict:
     plan = queries_stream.MICROBATCH_PLANS.get(name)
     if plan is None:
         return {"name": name, "flags": ["NO_CAPTURED_PLAN"]}
+    # Word-boundary-aware counts (ADVICE r8): 'StateStoreSave' is a
+    # substring of 'SessionWindowStateStoreSave', and bare
+    # 'SessionWindowStateStore' matches both the Save and Restore
+    # nodes — session-window queries were double-counted.
+    sw_save = plan.count("SessionWindowStateStoreSave")
     r = {
         "name": name,
-        "state_stores": plan.count("StateStoreSave"),
+        "state_stores": plan.count("StateStoreSave") - sw_save,
         "dedup": plan.count("StreamingDeduplicate"),
-        "session_win": plan.count("SessionWindowStateStore"),
+        "session_win": sw_save,
         "sym_join": plan.count("StreamingSymmetricHashJoin"),
         "stateful_py": plan.count("FlatMapGroupsInPandasWithState")
         + plan.count("TransformWithStateInPandas"),
