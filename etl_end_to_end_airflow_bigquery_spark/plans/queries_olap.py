@@ -1051,6 +1051,16 @@ def ivm_minmax_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
     by a vanishing fraction of deletes at 100 TB. Reference analog: the
     report recompute cadence (`README.md:98`) — this replaces the full
     rescan with a bounded one.
+
+    Plan shape (VERDICT r08 item 2): ``base`` is derived ONCE and
+    ``localCheckpoint``ed — the state build, the delete leg, the insert
+    leg and the recompute leg all read the cached blocks instead of
+    re-deriving the orders ⋈ customer subtree (the r8 plan re-derived
+    it four times: 56 scans / 13 exchanges). The CDC key set is bounded
+    (a CDC batch, not the base) and rides as a BROADCAST to both its
+    semi- and anti-join, so the base is never re-shuffled on
+    ``o_orderkey`` — in production the batch arrives as input and the
+    same broadcast applies.
     """
     import os
     from ..tmputil import session_tmpdir
@@ -1062,6 +1072,7 @@ def ivm_minmax_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select("o_orderkey", "o_custkey", "o_totalprice")
         .join(dim, F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", "c_mktsegment", F.col("o_totalprice").alias("price"))
+        .localCheckpoint(eager=False)  # reused by 4 legs; derive once
     )
 
     # stored view: per-group extremes over the full base, materialized
@@ -1071,12 +1082,18 @@ def ivm_minmax_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).write.parquet(state_path)
     stored = spark.read.parquet(state_path)
 
-    # CDC: delete %13; update %11 = delete-old + insert-new (+1000.00)
-    deleted_keys = orders.select("o_orderkey").filter(
-        (F.col("o_orderkey") % 13 == 0)
-        | ((F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") % 13 != 0))
+    # CDC: delete %13; update %11 = delete-old + insert-new (+1000.00).
+    # Derived once from the checkpointed base (production: arrives as
+    # the CDC batch) and broadcast — bounded by the batch size.
+    deleted_keys = (
+        base.select("o_orderkey")
+        .filter(
+            (F.col("o_orderkey") % 13 == 0)
+            | ((F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") % 13 != 0))
+        )
+        .localCheckpoint(eager=False)
     )
-    del_rows = base.join(deleted_keys, "o_orderkey", "left_semi")
+    del_rows = base.join(F.broadcast(deleted_keys), "o_orderkey", "left_semi")
     ins_rows = base.filter(
         (F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") % 13 != 0)
     ).withColumn("price", F.col("price") + F.lit(1000.0))
@@ -1087,8 +1104,12 @@ def ivm_minmax_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
     ins_b = ins_rows.groupBy("c_mktsegment").agg(
         F.min("price").alias("i_min"), F.max("price").alias("i_max")
     )
-    folded = stored.join(del_b, "c_mktsegment", "left").join(
-        ins_b, "c_mktsegment", "left"
+    folded = (
+        stored.join(del_b, "c_mktsegment", "left")
+        .join(ins_b, "c_mktsegment", "left")
+        # |segments| rows; read by both the cheap path and the affected
+        # prune — checkpoint so the del_b/ins_b aggregations run once
+        .localCheckpoint(eager=False)
     )
     touches = (F.col("d_min") <= F.col("min_price")) | (
         F.col("d_max") >= F.col("max_price")
@@ -1105,7 +1126,7 @@ def ivm_minmax_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment"
     )
     recomputed = (
-        base.join(deleted_keys, "o_orderkey", "left_anti")
+        base.join(F.broadcast(deleted_keys), "o_orderkey", "left_anti")
         .unionByName(ins_rows)
         .join(F.broadcast(affected), "c_mktsegment", "left_semi")
         .groupBy("c_mktsegment")
