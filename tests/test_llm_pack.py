@@ -420,3 +420,57 @@ def test_substring_dedup_passes_empty_docs_through(spark):
     assert got[1].n_tokens == 0 and got[1].clean_text == ""
     assert got[2].n_removed == 0  # canonical first occurrence kept
     assert got[3].n_removed > 0   # duplicated 60-token span removed
+
+
+def test_substring_dedup_canonical_first_beyond_1m_tokens(spark):
+    """VERDICT r08 item 5: the old doc_id*1e6+i bigint occurrence key
+    mis-ranked canonical-first for spans past position 1M — a span at
+    (doc 0, i=1_000_051) packed to a LARGER key than (doc 1, i=1), so
+    doc 1 wrongly became the canonical keeper. The struct min keeps
+    lexicographic (doc_id, i) order at any doc length."""
+    import tempfile, os
+
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_ext import (
+        substring_dedup_spans,
+    )
+
+    span = " ".join(f"dup{i}" for i in range(50))
+    big = " ".join(f"u{i}" for i in range(1_000_050)) + " " + span
+    small = span + " " + " ".join(f"v{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(0, big, "en", "s", 0), (1, small, "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r.doc_id: r for r in substring_dedup_spans(spark, d).collect()
+        }
+    assert got[0].n_removed == 0   # doc 0 holds the canonical occurrence
+    assert got[1].n_removed == 50  # doc 1's copy of the span is removed
+
+
+def test_substring_dedup_huge_doc_ids_no_overflow(spark):
+    """doc_id ~1e13 overflowed the old bigint packing under ANSI; the
+    struct key must handle any doc_id."""
+    import tempfile, os
+
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_ext import (
+        substring_dedup_spans,
+    )
+
+    span = " ".join(f"dup{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [
+            (10_000_000_000_000, span + " x", "en", "s", 0),
+            (10_000_000_000_001, "y " + span, "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r.doc_id: r for r in substring_dedup_spans(spark, d).collect()
+        }
+    assert got[10_000_000_000_000].n_removed == 0
+    assert got[10_000_000_000_001].n_removed == 50
