@@ -2177,10 +2177,16 @@ def _bpe_train_oracle(k: int = 5) -> str:
     consecutive occurrences don't share characters — SQL replace's
     left-to-right non-overlap IS greedy BPE application. A different
     mechanism from the Spark fold on purpose: hash-equality certifies
-    two independent greedy-merge implementations."""
+    two independent greedy-merge implementations.
+
+    Every chain CTE is ``AS MATERIALIZED``: each m{{r}} is referenced
+    by 2-3 scalar subqueries downstream, and DuckDB otherwise
+    re-evaluates the whole upstream chain per reference —
+    exponential-in-k blowup (measured 30s → 0.1s at sf0.01 for the
+    k=5 encoder, identical rows)."""
     u = "chr(31)"
     parts = [
-        f"""WITH t1 AS (
+        f"""WITH t1 AS MATERIALIZED (
         SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
         FROM documents
         WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 2
@@ -2190,13 +2196,13 @@ def _bpe_train_oracle(k: int = 5) -> str:
         parts.append(f""", p{r} AS (
         SELECT t[i] AS a, t[i + 1] AS b
         FROM (SELECT t, unnest(range(1, len(t))) AS i FROM t{r})
-    ), m{r} AS (
+    ), m{r} AS MATERIALIZED (
         SELECT a, b, count(*) AS n_pairs
         FROM p{r} GROUP BY a, b
         ORDER BY n_pairs DESC, a, b LIMIT 1
     )""")
         if r < k:
-            parts.append(f""", t{r + 1} AS (
+            parts.append(f""", t{r + 1} AS MATERIALIZED (
         SELECT string_split(substring(s, 2, length(s) - 2), {u}||{u}) AS t
         FROM (
             SELECT replace(
@@ -2217,9 +2223,52 @@ def _bpe_train_oracle(k: int = 5) -> str:
 EXT_ORACLES["bpe_train_merges"] = _bpe_train_oracle()
 
 
+def _bpe_encode_oracle(k: int = 5) -> str:
+    """Encoder twin of :func:`_bpe_train_oracle`: the same k-round
+    training CTE chain (m1..mk), then ONE pass applying all k merges in
+    priority order to EVERY document — including the size<2 docs the
+    trainer never scores — via the same separator-delimited nested
+    ``replace``. The Spark side chains its fold-based greedy merges
+    instead; hash-equality certifies the two encoders agree corpus-wide."""
+    u = "chr(31)"
+    train = _bpe_train_oracle(k)
+    # keep only the WITH chain (drop the trainer's final SELECT)
+    chain = train[: train.rindex("\n    SELECT CAST(1 AS INTEGER)")]
+    s = f"{u} || array_to_string(t, {u}||{u}) || {u}"
+    for r in range(1, k + 1):
+        s = f"""replace({s},
+                {u} || (SELECT a FROM m{r}) || {u}||{u}
+                    || (SELECT b FROM m{r}) || {u},
+                {u} || (SELECT a || b FROM m{r}) || {u})"""
+    return chain + f""", alltoks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ), enc AS (
+        SELECT doc_id, t,
+               CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+                    ELSE string_split(
+                        substring(s, 2, length(s) - 2), {u}||{u})
+               END AS e
+        FROM (SELECT doc_id, t, {s} AS s FROM alltoks)
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_raw,
+           CAST(len(e) AS BIGINT) AS n_enc,
+           array_to_string(e, ' ') AS enc_text
+    FROM enc ORDER BY doc_id
+"""
+
+
+EXT_ORACLES["bpe_encode_corpus"] = _bpe_encode_oracle()
+
+
 # ExactSubstr span removal — same rule as the Spark side but coverage by
-# EXPLODED positions + anti-join (a deliberately different mechanism
-# from the in-row position filter; hash-equality proves both).
+# EXPLODED positions + anti-join, and canonical-first by a WINDOW
+# row_number over (doc_id, i) — two deliberately different mechanisms
+# from the in-row position filter + struct-min groupBy; hash-equality
+# proves both. (The window form is exact for any doc length, matching
+# the Spark side's struct min — VERDICT r08 item 5.)
 EXT_ORACLES["substring_dedup_spans"] = """
     WITH t AS (
         SELECT doc_id,
@@ -2227,16 +2276,17 @@ EXT_ORACLES["substring_dedup_spans"] = """
         FROM documents
     ), g AS (
         SELECT doc_id, i,
-               md5(array_to_string(t[i:i+49], ' ')) AS h,
-               doc_id * 1000000 + i AS k
+               md5(array_to_string(t[i:i+49], ' ')) AS h
         FROM (SELECT doc_id, t, unnest(range(1, len(t) - 50 + 2)) AS i
               FROM t WHERE len(t) >= 50)
-    ), stats AS (
-        SELECT h, count(*) AS c, min(k) AS mk FROM g GROUP BY h
+    ), ranked AS (
+        SELECT doc_id, i,
+               count(*) OVER (PARTITION BY h) AS c,
+               row_number() OVER (
+                   PARTITION BY h ORDER BY doc_id, i) AS rn
+        FROM g
     ), removable AS (
-        SELECT g.doc_id, g.i
-        FROM g JOIN stats USING (h)
-        WHERE c >= 2 AND k <> mk
+        SELECT doc_id, i FROM ranked WHERE c >= 2 AND rn > 1
     ), covered AS (
         SELECT DISTINCT doc_id, i + off AS p
         FROM (SELECT doc_id, i, unnest(range(0, 50)) AS off FROM removable)

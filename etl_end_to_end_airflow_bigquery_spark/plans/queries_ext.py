@@ -2106,6 +2106,71 @@ def _bpe_apply_merge(t, a: str, b: str):
     return F.aggregate(t, zero, step, finish)
 
 
+def _bpe_apply_merge_sparse(t, a: str, b: str):
+    """Same greedy left-to-right non-overlapping merge semantics as
+    :func:`_bpe_apply_merge`, but O(n + n·m) per row instead of the
+    dense fold's O(n²): the dense version rebuilds the output array by
+    concat at EVERY token, while corpora match a given pair at few
+    positions (m ≪ n). Here the fold runs only over candidate match
+    positions with a scalar consume cursor (greedy = take a match iff
+    its start is past the last consumed token), and the output is
+    rebuilt with one filter/transform pass. Equivalence to the dense
+    fold is pytest-proven on randomized inputs; both are certified
+    against the oracle's string-replace mechanism by the gate.
+
+    The input array is bound ONCE through a lambda variable (the
+    ``transform(array(t), tt -> …)[1]`` idiom): the body references the
+    tokens ~6 times, and naive column references would copy the
+    upstream expression subtree each time — chaining k merge stages
+    then grows the plan ~6^k and stalls codegen. Lambda-variable
+    references are named bindings, not subtree copies, so chained
+    stages stay linear (the dense fold gets this for free by passing
+    ``t`` to ``aggregate`` exactly once)."""
+    merged = F.lit(a + b)
+
+    def body(tt):
+        n = F.size(tt)
+        cand = F.filter(
+            F.sequence(F.lit(1), n - 1),
+            lambda p: (F.element_at(tt, p) == F.lit(a))
+            & (F.element_at(tt, p + 1) == F.lit(b)),
+        )
+        zero = F.struct(
+            F.expr("cast(array() as array<int>)").alias("taken"),
+            F.lit(0).alias("e"),
+        )
+
+        def step(s, p):
+            return F.when(
+                p > s["e"],
+                F.struct(
+                    F.concat(s["taken"], F.array(p)).alias("taken"),
+                    (p + 1).alias("e"),
+                ),
+            ).otherwise(s)
+
+        def finish(s):
+            tk = s["taken"]
+            return F.transform(
+                F.filter(
+                    F.sequence(F.lit(1), n),
+                    lambda p: ~F.array_contains(tk, p - 1),
+                ),
+                lambda p: F.when(
+                    F.array_contains(tk, p), merged
+                ).otherwise(F.element_at(tt, p)),
+            )
+
+        # CASE evaluates branches lazily, so the descending
+        # sequence(1, 0) of a size<2 doc is never built (the ADVICE r8
+        # ANSI trap).
+        return F.when(
+            n >= 2, F.aggregate(cand, zero, step, finish)
+        ).otherwise(tt)
+
+    return F.element_at(F.transform(F.array(t), body), 1)
+
+
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ACTUAL tokenizer-training kernel (VERDICT r07 item 5):
     K = 5 applied BPE merge rounds, not just one scoring pass. Each
@@ -2137,10 +2202,20 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.filter(F.split("text", " "), lambda x: x != "").alias("t")
     ).filter(F.size("t") >= 2)
+    learned = _bpe_train_loop(toks, k=5)
+    return spark.createDataFrame(
+        learned, "merge_round int, a string, b string, n_pairs bigint"
+    ).orderBy("merge_round")
 
+
+def _bpe_train_loop(toks, k: int) -> list[tuple[int, str, str, int]]:
+    """K score→argmax→apply rounds over a ``t array<string>`` frame —
+    the shared trainer kernel behind :func:`bpe_train_merges` and
+    :func:`bpe_encode_corpus`. Each argmax is ONE row of driver
+    metadata (the bounded-collect pattern)."""
     learned: list[tuple[int, str, str, int]] = []
     cur = toks
-    for rnd in range(1, 6):
+    for rnd in range(1, k + 1):
         top = (
             cur.select(
                 F.explode(
@@ -2165,14 +2240,55 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # no pairs in the oracle either, so dropping them preserves
         # hash-equality.
         cur = cur.select(
-            _bpe_apply_merge(F.col("t"), top["a"], top["b"]).alias("t")
+            _bpe_apply_merge_sparse(F.col("t"), top["a"], top["b"]).alias("t")
         ).filter(F.size("t") >= 2)
-    return spark.createDataFrame(
-        learned, "merge_round int, a string, b string, n_pairs bigint"
-    ).orderBy("merge_round")
+    return learned
 
 
 EXT_QUERIES["bpe_train_merges"] = bpe_train_merges
+
+
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE ENCODER twin (VERDICT r08 item 4) — the operator a
+    training pipeline actually runs at 100 TB: the trainer runs once,
+    the encoder runs on everything. Trains the K=5 merge table exactly
+    like :func:`bpe_train_merges` (shared :func:`_bpe_train_loop`),
+    then applies the merges IN PRIORITY ORDER to EVERY document —
+    including the size<2 docs the trainer never scores — in ONE final
+    corpus pass: the :func:`_bpe_apply_merge` greedy folds chain
+    in-row, so the encode pass is a single scan with zero shuffles
+    (the only exchange in the final plan is the output sort).
+
+    Returns per-doc raw/encoded token counts + the encoded text. The
+    oracle trains through the same SQL CTE chain and applies the same
+    5 merges via the separator-delimited string-replace mechanism —
+    hash-equality certifies trainer AND encoder agree end-to-end
+    across two independent greedy-merge implementations.
+
+    Scale: K bounded training passes (see bpe_train_merges) + one
+    encode scan; the merge table rides in the plan as literals (at
+    vocab-scale K it becomes a broadcast trie applied by a pandas UDF
+    — documented swap, same contract). Reference analog: the batch
+    transform step of the load pipeline (`dags/README.md`), applied
+    corpus-wide.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("t")
+    )
+    merges = _bpe_train_loop(toks.select("t").filter(F.size("t") >= 2), k=5)
+    enc = F.col("t")
+    for _, a, b, _n in merges:
+        enc = _bpe_apply_merge_sparse(enc, a, b)
+    return toks.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_raw"),
+        F.size(enc).cast("bigint").alias("n_enc"),
+        F.array_join(enc, " ").alias("enc_text"),
+    ).orderBy("doc_id")
+
+
+EXT_QUERIES["bpe_encode_corpus"] = bpe_encode_corpus
 
 
 def token_diversity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -474,3 +474,36 @@ def test_substring_dedup_huge_doc_ids_no_overflow(spark):
         }
     assert got[10_000_000_000_000].n_removed == 0
     assert got[10_000_000_000_001].n_removed == 50
+
+
+def test_bpe_sparse_fold_equals_dense_fold(spark):
+    """_bpe_apply_merge_sparse (match-position fold + rebuild) must be
+    extensionally equal to the dense per-token fold on adversarial and
+    randomized inputs — overlapping runs, back-to-back matches, edges."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_ext import (
+        _bpe_apply_merge,
+        _bpe_apply_merge_sparse,
+    )
+
+    rng = random.Random(709)
+    cases = [
+        [], ["a"], ["b"], ["a", "b"], ["b", "a"],
+        ["a", "a", "a"], ["a", "a", "a", "a"],
+        ["a", "b", "a", "b"], ["a", "b", "b", "a", "b"],
+        ["x", "a", "b", "a", "b", "y", "a", "b"],
+    ] + [
+        [rng.choice("aabx") for _ in range(rng.randrange(0, 25))]
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "t array<string>")
+    for a, b in [("a", "b"), ("a", "a"), ("b", "x")]:
+        rows = df.select(
+            _bpe_apply_merge(F.col("t"), a, b).alias("dense"),
+            _bpe_apply_merge_sparse(F.col("t"), a, b).alias("sparse"),
+        ).collect()
+        for c, r in zip(cases, rows):
+            assert r.dense == r.sparse, (a, b, c, r.dense, r.sparse)
