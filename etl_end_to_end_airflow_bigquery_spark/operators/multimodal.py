@@ -189,3 +189,119 @@ def text_as_assets(docs: DataFrame) -> DataFrame:
             F.sha2(F.encode(F.col("text"), "UTF-8"), 256).alias("sha256"),
         ).alias("meta"),
     )
+
+
+PHASH_BITS = 64
+PHASH_BANDS = 4
+PHASH_BAND_BITS = 16
+PHASH_MAX_HAMMING = 16
+
+
+def phash_stub(payload: bytes) -> int:
+    """Deterministic blockhash-style perceptual fingerprint over raw
+    payload bytes — the pHash stand-in for this codec-less container.
+
+    The real thing decodes pixels first (resize → grayscale → DCT or
+    block means); this stub runs the SAME blockhash recipe over the
+    byte stream: split the payload into 64 equal relative blocks and
+    set bit i iff block i's mean byte exceeds the global mean
+    (exact integer cross-multiplication ``s_i·n > total·c_i`` — no
+    float ties). Scale-normalized like real blockhash (relative
+    blocks), so truncation/padding-free payload variants land nearby;
+    swap in a pixel decoder and nothing downstream changes. Returned
+    as SIGNED int64 (two's complement) so the hash, its 16-bit bands
+    and XOR/bit_count Hamming distances evaluate identically in
+    Spark, DuckDB, and Python.
+    """
+    n = len(payload)
+    if n == 0:
+        return 0
+    total = sum(payload)
+    h = 0
+    for i in range(PHASH_BITS):
+        s, e = (i * n) // PHASH_BITS, ((i + 1) * n) // PHASH_BITS
+        if sum(payload[s:e]) * n > total * (e - s):
+            h |= 1 << i
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return h
+
+
+def perceptual_hash(assets: DataFrame) -> DataFrame:
+    """payload → 64-bit perceptual hash via Arrow-batched mapInPandas
+    (same decode-path shape as :func:`decode_assets`: the codec library
+    runs once per batch, never per row; peak memory = one Arrow batch
+    per task)."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].values,
+                    "modality": pdf["modality"].values,
+                    "phash": [
+                        phash_stub(p if p is not None else b"")
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return assets.mapInPandas(
+        _hash, schema="asset_id long, modality string, phash long"
+    )
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
+) -> DataFrame:
+    """Hamming-banded LSH near-dup pairs over perceptual hashes —
+    NEVER all-pairs: the 64-bit hash splits into 4 disjoint 16-bit
+    bands; two assets become a candidate pair only if some band
+    matches exactly (any pair within Hamming distance 3 is guaranteed
+    caught — 4 bands, pigeonhole; farther pairs degrade gracefully),
+    then the exact ``bit_count(xor)`` distance verifies candidates.
+    The same banding scheme as ``dedup.minhash_candidate_pairs``, with
+    bit-slices instead of minhash bands; the self-join shuffles on
+    (band_idx, band_val), so cost tracks collision density, not n².
+    The explicit repartition is the exchange barrier that lets both
+    join sides reuse ONE hash computation (ReusedExchange)."""
+    band_struct = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.expr(
+                    f"cast(shiftright(phash, {b * PHASH_BAND_BITS})"
+                    f" & {(1 << PHASH_BAND_BITS) - 1} as int)"
+                ).alias("band_val"),
+            )
+            for b in range(PHASH_BANDS)
+        ]
+    )
+    banded = (
+        hashes.repartition("asset_id")
+        .select("asset_id", "phash", F.explode(band_struct).alias("bs"))
+        .select(
+            "asset_id",
+            "phash",
+            F.col("bs.band_idx").alias("band_idx"),
+            F.col("bs.band_val").alias("band_val"),
+        )
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("asset_a"),
+            F.col("b.asset_id").alias("asset_b"),
+            F.expr("cast(bit_count(a.phash ^ b.phash) as int)").alias(
+                "hamming"
+            ),
+        )
+        .dropDuplicates(["asset_a", "asset_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

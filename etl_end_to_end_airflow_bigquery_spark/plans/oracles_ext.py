@@ -773,6 +773,50 @@ EXT_ORACLES: dict[str, str] = {
         FROM d
         ORDER BY asset_id, frame_idx
     """,
+    # pHash near-dup: identical 64-bit blockhash recomputed from the
+    # text column (payload = UTF-8 bytes of ASCII text, so ord(char) =
+    # byte value), pairing by OR-of-band-equalities (vs Spark's band
+    # explode+equi-join), Hamming via bit_count(xor) on the signed
+    # two's-complement hash — bit 63 enters as -2^63 so the packing
+    # matches Python's wrap-to-signed exactly.
+    "phash_near_dup_assets": """
+        WITH byt AS MATERIALIZED (
+            SELECT doc_id,
+                   strlen(text) AS n,
+                   list_transform(range(1, strlen(text) + 1),
+                                  i -> ord(substr(text, CAST(i AS INT), 1)))
+                       AS by
+            FROM documents
+        ), hh AS MATERIALIZED (
+            SELECT doc_id,
+                   CASE WHEN n = 0 THEN 0 ELSE CAST(
+                     list_sum(list_transform(range(0, 64), i ->
+                       CASE WHEN coalesce(list_sum(
+                                    by[CAST(i * n // 64 + 1 AS BIGINT):
+                                       CAST((i + 1) * n // 64 AS BIGINT)]), 0)
+                                  * n
+                                > list_sum(by)
+                                  * ((i + 1) * n // 64 - i * n // 64)
+                            THEN CASE WHEN i = 63
+                                      THEN -9223372036854775808
+                                      ELSE (CAST(1 AS BIGINT)
+                                            << CAST(i AS INT)) END
+                            ELSE 0 END))
+                   AS BIGINT) END AS phash
+            FROM byt
+        )
+        SELECT a.doc_id AS asset_a,
+               b.doc_id AS asset_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+        FROM hh a JOIN hh b
+          ON a.doc_id < b.doc_id
+         AND ((a.phash & 65535) = (b.phash & 65535)
+           OR ((a.phash >> 16) & 65535) = ((b.phash >> 16) & 65535)
+           OR ((a.phash >> 32) & 65535) = ((b.phash >> 32) & 65535)
+           OR ((a.phash >> 48) & 65535) = ((b.phash >> 48) & 65535))
+        WHERE bit_count(xor(a.phash, b.phash)) <= 16
+        ORDER BY asset_a, asset_b
+    """,
     "curated_corpus": f"""
         WITH s AS (
             SELECT doc_id, text,

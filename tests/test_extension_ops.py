@@ -344,3 +344,57 @@ def test_bloom_has_no_false_negatives(spark):
     out = {r.k: r.hit for r in probe.select(
         "k", bloom_probe("k", mask).alias("hit")).collect()}
     assert all(out[k] for k in range(0, 300, 3))  # no false negatives
+
+
+def test_phash_stub_blockhash_properties():
+    """Blockhash contract: empty payload -> 0; identical payloads ->
+    identical hashes; a few flipped bytes move few bits while an
+    unrelated payload moves many; signed-int64 range."""
+    from etl_end_to_end_airflow_bigquery_spark.operators.multimodal import (
+        phash_stub,
+    )
+
+    assert phash_stub(b"") == 0
+    p = bytes(range(256)) * 8
+    h = phash_stub(p)
+    assert phash_stub(p) == h
+    assert -(1 << 63) <= h < (1 << 63)
+    # perturb a single block's bytes: few bits flip
+    q = bytearray(p)
+    for i in range(32):
+        q[i] = 255
+    close = bin((h ^ phash_stub(bytes(q))) & ((1 << 64) - 1)).count("1")
+    import hashlib
+
+    far_payload = hashlib.sha256(b"unrelated").digest() * 64
+    far = bin(
+        (h ^ phash_stub(far_payload)) & ((1 << 64) - 1)
+    ).count("1")
+    assert close <= 8
+    assert far > close
+
+
+def test_phash_banded_pairs_catch_small_hamming(spark):
+    """Pigeonhole guarantee: any pair within Hamming<=3 of a 4x16-band
+    split shares a band and must surface; a far pair must not pass the
+    verify filter."""
+    from pyspark.sql import functions as F
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.multimodal import (
+        phash_near_dup_pairs,
+    )
+
+    base = 0x0123_4567_89AB_CDEF
+    near = base ^ 0b101  # hamming 2, same three upper bands
+    far = ~base & ((1 << 64) - 1)  # hamming 64
+    far -= 1 << 64  # to signed
+    df = spark.createDataFrame(
+        [(1, "x", base), (2, "x", near), (3, "x", far)],
+        "asset_id long, modality string, phash long",
+    )
+    got = {
+        (r.asset_a, r.asset_b): r.hamming
+        for r in phash_near_dup_pairs(df).collect()
+    }
+    assert got.get((1, 2)) == 2
+    assert (1, 3) not in got and (2, 3) not in got

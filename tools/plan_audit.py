@@ -33,6 +33,7 @@ ARROW_OK = {
     "multimodal_resize",
     "multimodal_meta",
     "frame_sample_assets",
+    "phash_near_dup_assets",  # perceptual hash rides the Arrow decode path
     "grouped_stats_pandas",
     # §2.10 Spark-4 Python UDTF surface demo (Arrow-batched table
     # function, oracle-equal to the JVM chunker by design)
