@@ -130,3 +130,11 @@ STREAM_ORACLES["streaming_burst_pairs"] = """
 from .oracles import ORACLES as _CORE  # noqa: E402
 
 STREAM_ORACLES["streaming_ohlc_daily"] = _CORE["ohlc_daily"]
+
+# Streaming IVM shares the batch retraction twin's oracle VERBATIM (the
+# full post-CDC recompute): hash-equality proves the micro-batched
+# signed fold lands bit-identically regardless of how the engine slices
+# the CDC feed (r5/r6 shared-oracle pattern).
+from .oracles_olap import OLAP_ORACLES as _OLAP  # noqa: E402
+
+STREAM_ORACLES["streaming_ivm_revenue"] = _OLAP["ivm_join_revenue_retract"]
