@@ -150,6 +150,16 @@ GATED_THROUGH_R07: frozenset[str] = GATED_THROUGH_R06 | frozenset(
     }
 )
 
+# Round-8 fold (CORRECTNESS_r08: 50/50 green). Anchors and the 25
+# backfill re-proofs were already in the R07 ledger; the union adds
+# exactly the 3 rotation rows (the r8-new queries).
+GATED_THROUGH_R08: frozenset[str] = GATED_THROUGH_R07 | frozenset(
+    {
+        "ivm_minmax_recompute", "bpe_train_merges",
+        "substring_dedup_spans",
+    }
+)
+
 _GATE_ANCHORS: tuple[str, ...] = (
     "daily_avg_report",        # flagship grouped avg + time bucket (A2)
     "topk_recent_events",      # projection + ORDER BY DESC LIMIT (P1/O1)
@@ -175,14 +185,12 @@ _GATE_ANCHORS: tuple[str, ...] = (
     "scd2_orders_status",      # SCD2 history merge
 )
 
-# Round 8: the rotation pool is empty (every registered query has a
-# green driver row, union r01–r07), so rotation slots hold exactly the
-# round's NEW queries — never-proven by construction. Filled as r8
-# queries land; each new name displaces one backfill re-proof.
+# Round 9 (same post-exhaustion policy): rotation slots hold exactly
+# the round's NEW queries — never-proven by construction.
 _GATE_ROTATION: tuple[str, ...] = (
-    "ivm_minmax_recompute",   # min/max IVM under deletes (VERDICT r07 item 6)
-    "bpe_train_merges",       # iterated K=5 BPE trainer (VERDICT r07 item 5)
-    "substring_dedup_spans",  # ExactSubstr span removal (VERDICT r07 item 8)
+    "bpe_encode_corpus",       # BPE encoder twin (VERDICT r08 item 4)
+    "phash_near_dup_assets",   # multimodal pHash near-dup (VERDICT r08 item 6)
+    "streaming_ivm_revenue",   # streaming IVM fold (VERDICT r08 item 7)
 )
 
 # Backfill to 50 (r8 policy, see module docstring): tier (a) re-proofs
@@ -191,22 +199,19 @@ _GATE_ROTATION: tuple[str, ...] = (
 # since. Swapped out one-for-one as new r8 queries take rotation slots,
 # tier (b) first.
 _REPROOF_BACKFILL: tuple[str, ...] = (
-    # tier (a) — code/oracle touched in r8
-    "jsonl_commit_roundtrip",   # jsonl_sink overwrite two-phase fix (ADVICE r7)
-    "ivm_join_revenue",          # incremental.py NULL-weight gating (ADVICE r7)
-    "ivm_join_revenue_retract",  # same helper, retraction path
-    "incremental_daily_state",   # same module
-    "bpe_merge_candidates",      # BPE section extended (iterated merges)
-    "rfm_segments",              # newly benched at sf0.1 (VERDICT r07 item 7)
-    "revenue_gini",              # newly benched at sf0.1
-    "session_paths_top",         # newly benched at sf0.1
-    # tier (b) — stalest evidence: r01/r02-only rows + early greens
-    "avg_last10", "cube_counts", "curated_corpus", "doc_fingerprint",
-    "forecast_revenue", "json_field_extract", "label_centroids",
-    "lang_id_heuristic", "multimodal_features", "report_exists_guard",
-    "session_window_native", "setops_except", "setops_union",
-    "small_qty_revenue", "token_count_bpe", "top_orders_by_date",
-    "views_before_purchase",
+    # tier (a) — code/oracle touched in r9
+    "jsonl_commit_roundtrip",   # sink overwrite-intent sweep (ADVICE r8)
+    "bpe_train_merges",          # sparse greedy fold + size-1 refilter
+    "substring_dedup_spans",     # struct-min canonical + empty-doc guard
+    "ivm_minmax_recompute",      # checkpointed base / broadcast CDC keys
+    # tier (b) — stalest evidence: r03-era greens never re-proven since
+    "count_guard_inlist", "window_topk_per_customer", "shipping_priority",
+    "distinct_parts_per_supplier", "rollup_qty", "pivot_event_counts",
+    "reorder_gap_by_segment", "cumulative_monthly_revenue",
+    "order_priority_exists", "median_price_by_status", "minhash_pairs",
+    "jaccard_near_dups", "dedup_clusters", "simhash_docs", "ann_lsh_topk",
+    "ivf_topk", "embedding_near_dups", "multimodal_meta",
+    "vocab_top_tokens", "multimodal_resize", "streaming_report_merge",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (
@@ -231,7 +236,7 @@ if len(_GATE_PRIORITY) != 50:
     raise RuntimeError(
         f"gate priority list must be exactly 50 names, got {len(_GATE_PRIORITY)}"
     )
-_stale = [n for n in _GATE_ROTATION if n in GATED_THROUGH_R07]
+_stale = [n for n in _GATE_ROTATION if n in GATED_THROUGH_R08]
 if _stale:
     raise RuntimeError(
         f"rotation slots must hold never-gated names, got: {_stale}"
@@ -239,7 +244,7 @@ if _stale:
 # Backfill names are the opposite: each must be a deliberate RE-proof
 # (previously green) — a never-proven name hiding there would dodge the
 # stale-slot bookkeeping.
-_not_reproof = [n for n in _REPROOF_BACKFILL if n not in GATED_THROUGH_R07]
+_not_reproof = [n for n in _REPROOF_BACKFILL if n not in GATED_THROUGH_R08]
 if _not_reproof:
     raise RuntimeError(
         f"backfill slots must hold previously-green names, got: {_not_reproof}"
@@ -249,7 +254,7 @@ if _not_reproof:
 def rotation_candidates() -> list[str]:
     """Registered queries that have never had a driver row and are not
     in the current gate — the pool for next round's rotation slots."""
-    gated = set(_GATE_PRIORITY) | GATED_THROUGH_R07
+    gated = set(_GATE_PRIORITY) | GATED_THROUGH_R08
     return [n for n in _ALL_QUERIES if n not in gated]
 
 
@@ -267,5 +272,6 @@ ORACLES = {
 
 __all__ = [
     "QUERIES", "ORACLES", "GATED_THROUGH_R06", "GATED_THROUGH_R07",
+    "GATED_THROUGH_R08",
     "rotation_candidates",
 ]

@@ -52,7 +52,7 @@ def test_gate_first_50_spans_families_and_rotates():
        re-verifying the same 50 forever.
     """
     from etl_end_to_end_airflow_bigquery_spark.plans import (
-        GATED_THROUGH_R07,
+        GATED_THROUGH_R08,
         _GATE_ANCHORS,
         _GATE_ROTATION,
         _REPROOF_BACKFILL,
@@ -69,11 +69,12 @@ def test_gate_first_50_spans_families_and_rotates():
     assert {"cosine_topk", "ivf_topk_kmeans"} <= got         # ANN
     assert {"merge_upsert_orders", "idempotent_append_orders"} <= got
     assert "scd2_orders_status" in got                       # SCD2/CDC
-    # r8 policy (VERDICT r07 item 1): the registry is 100% driver-proven
-    # through r7, so rotation slots hold exactly the round's NEW queries
-    # and every backfill slot is a deliberate re-proof of a prior green.
-    assert all(n not in GATED_THROUGH_R07 for n in _GATE_ROTATION)
-    assert all(n in GATED_THROUGH_R07 for n in _REPROOF_BACKFILL)
+    # r8+ policy (VERDICT r07 item 1): the registry is 100% driver-proven
+    # through the last folded round, so rotation slots hold exactly the
+    # round's NEW queries and every backfill slot is a deliberate
+    # re-proof of a prior green.
+    assert all(n not in GATED_THROUGH_R08 for n in _GATE_ROTATION)
+    assert all(n in GATED_THROUGH_R08 for n in _REPROOF_BACKFILL)
     from etl_end_to_end_airflow_bigquery_spark.plans import rotation_candidates
 
     assert rotation_candidates() == [], (
