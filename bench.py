@@ -114,9 +114,24 @@ BENCH_QUERIES = [
     "bpe_train_merges",
     "substring_dedup_spans",
     "ivm_minmax_recompute",
+    # round 9 additions: the BPE encoder (train + one encode scan — the
+    # pass that runs corpus-wide in production), the multimodal pHash
+    # banded near-dup, and the micro-batched streaming IVM fold;
+    # everything above stays a prefix.
+    "bpe_encode_corpus",
+    "phash_near_dup_assets",
+    "streaming_ivm_revenue",
 ]
 
 N_RUNS = 3
+
+# Healthy-machine canary reference (min sec): r07's record — r08 ran on
+# a visibly degraded machine (canary 0.265 → 0.355 median with the
+# canary's code unchanged since r01). canary_normalized_total rescales
+# this run's total by (CANARY_REF_MIN / this run's canary min) so
+# cross-round comparisons separate machine drift from code drift
+# (VERDICT r08 item 3).
+CANARY_REF_MIN = 0.265
 
 
 def _measure_fn(spark, fn, sf_dir: str) -> tuple[float, float]:
@@ -198,20 +213,40 @@ def main() -> None:
     # fixed-size tail of stdout, and BENCH_r07's full line overflowed it
     # (parsed: null, VERDICT r07 item 4). queries_median lives in
     # BENCH_LOCAL.json only.
+    # Machine-drift-corrected total (VERDICT r08 item 3): rescale by the
+    # stored healthy-machine canary. Per-query normalized mins live in
+    # BENCH_LOCAL.json; the compact stdout line carries the two scalars
+    # (keeping it inside the driver's tail capture, VERDICT r07 item 4).
+    drift = canary_min / CANARY_REF_MIN if CANARY_REF_MIN else 1.0
+    normalized_total = round(total / drift, 3) if drift else total
     record = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "sf": sf,
-        "canary": {"name": CANARY, "min": canary_min, "median": canary_median},
+        "canary": {
+            "name": CANARY,
+            "min": canary_min,
+            "median": canary_median,
+            "ref_min": CANARY_REF_MIN,
+            "drift": round(drift, 3),
+        },
+        "canary_normalized_total": normalized_total,
         "queries": mins,
         "queries_median": medians,
+        "queries_normalized": {
+            n: round(v / drift, 3) for n, v in mins.items()
+        },
     }
     local = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "BENCH_LOCAL.json")
     with open(local, "w") as f:
         json.dump(record, f, indent=1)
-    compact = {k: v for k, v in record.items() if k != "queries_median"}
+    compact = {
+        k: v
+        for k, v in record.items()
+        if k not in ("queries_median", "queries_normalized")
+    }
     print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
