@@ -62,6 +62,17 @@ DEFAULT = [
     "decontaminate_embeddings",  # asymmetric train x eval bucket join
     "basket_part_pairs",     # within-order pair fan-out (bounded k^2)
     "funnel_view_click_purchase",  # stacked conditional window-mins
+    # round 7-8 heavies
+    "rfm_segments",          # chained distributed ranks + ntile buckets
+    "revenue_gini",          # global-rank prefix sum + rational finish
+    "session_paths_top",     # in-row path sort per gap session
+    "bpe_train_merges",      # K merge rounds: score/argmax/fold-apply
+    "substring_dedup_spans", # window fingerprints + in-row coverage
+    "ivm_minmax_recompute",  # checkpointed base + broadcast-pruned legs
+    # round 9
+    "bpe_encode_corpus",     # train + single chained-fold encode scan
+    "phash_near_dup_assets", # Arrow pHash + Hamming-banded self-join
+    "streaming_ivm_revenue", # micro-batched signed fold into state
 ]
 
 
