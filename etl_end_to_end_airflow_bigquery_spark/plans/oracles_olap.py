@@ -550,6 +550,23 @@ OLAP_ORACLES: dict[str, str] = {
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
     """,
+    # Full post-CDC recompute: the Spark side reaches this via the
+    # maintained support-count state ⊕ signed deltas; a reprice (%11)
+    # keeps the customer key, so only the %13 deletes can change
+    # distinct membership — the oracle recomputes from scratch and
+    # hash-equality certifies the support algebra (including the
+    # reprice's -1/+1 net-zero invariant).
+    "ivm_distinct_support": """
+        WITH post AS (
+            SELECT o_custkey FROM orders WHERE o_orderkey % 13 <> 0
+        )
+        SELECT c_mktsegment,
+               count(DISTINCT o_custkey) AS n_distinct_custs,
+               count(*) AS n_orders
+        FROM post JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
     "regression_trend_events": """
         WITH m AS (
             SELECT event_type,
