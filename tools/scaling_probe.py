@@ -73,6 +73,7 @@ DEFAULT = [
     "bpe_encode_corpus",     # train + single chained-fold encode scan
     "phash_near_dup_assets", # Arrow pHash + Hamming-banded self-join
     "streaming_ivm_revenue", # micro-batched signed fold into state
+    "ivm_distinct_support",  # support-count distinct maintenance
 ]
 
 
