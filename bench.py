@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "bpe_encode_corpus",
     "phash_near_dup_assets",
     "streaming_ivm_revenue",
+    "ivm_distinct_support",
 ]
 
 N_RUNS = 3

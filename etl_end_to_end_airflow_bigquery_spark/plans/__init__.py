@@ -192,6 +192,7 @@ _GATE_ROTATION: tuple[str, ...] = (
     "phash_near_dup_assets",   # multimodal pHash near-dup (VERDICT r08 item 6)
     "streaming_ivm_revenue",   # streaming IVM fold (VERDICT r08 item 7)
     "ivm_distinct_support",    # exact distinct-count IVM (support counts)
+    "streaming_phash_assets",  # ingest-time Arrow fingerprint stage
 )
 
 # Backfill to 50 (r8 policy, see module docstring): tier (a) re-proofs
@@ -211,7 +212,7 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "reorder_gap_by_segment", "cumulative_monthly_revenue",
     "order_priority_exists", "median_price_by_status", "minhash_pairs",
     "jaccard_near_dups", "dedup_clusters", "simhash_docs", "ann_lsh_topk",
-    "ivf_topk", "embedding_near_dups", "multimodal_meta",
+    "ivf_topk", "embedding_near_dups",
     "vocab_top_tokens", "streaming_report_merge",
 )
 

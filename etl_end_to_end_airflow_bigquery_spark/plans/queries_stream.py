@@ -890,3 +890,47 @@ def streaming_ivm_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_QUERIES["streaming_ivm_revenue"] = streaming_ivm_revenue
+
+
+def streaming_phash_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal fingerprinting AT INGEST: the Arrow-batched
+    perceptual-hash stage (``operators.multimodal.perceptual_hash``)
+    run INSIDE the streaming engine — a file stream of assets flows
+    through the same ``mapInPandas`` decode path the batch query uses
+    (stateless Python stage on an unbounded frame), so near-dup
+    fingerprints exist the moment an asset lands instead of waiting
+    for a batch sweep. Shares the batch pHash computation's oracle
+    mechanism (the pure-SQL blockhash recomputation): the gate proves
+    the streamed Arrow stage emits bit-identical 64-bit hashes.
+
+    Scale: pure map stage — no state store, no shuffle before the
+    sink; per-micro-batch memory is one Arrow batch per task. The
+    banded pair join (``phash_near_dup_pairs``) then runs downstream
+    on the accumulated hash table per maintenance tick — the
+    ingest/pair split every production fingerprint pipeline uses.
+    """
+    from ..operators.multimodal import perceptual_hash, text_as_assets
+
+    sink = _sink_name("stream_phash")
+    docs = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    hashes = perceptual_hash(text_as_assets(docs))
+    q = (
+        hashes.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    _capture_plan(q, "streaming_phash_assets")
+    return spark.table(sink).orderBy("asset_id")
+
+
+STREAM_QUERIES["streaming_phash_assets"] = streaming_phash_assets

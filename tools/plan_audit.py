@@ -187,6 +187,9 @@ STREAM_STATELESS_OK: dict[str, str] = {
     # per-batch foreachBatch fold; the durable state is the versioned
     # parquet state table, not the engine state store — by design
     "streaming_ivm_revenue": "foreachBatch IVM fold into parquet state",
+    # pure map fingerprint stage at ingest — no keyed state by design;
+    # the banded pair join runs downstream on the accumulated table
+    "streaming_phash_assets": "stateless Arrow map stage (ingest pHash)",
 }
 
 

@@ -74,6 +74,7 @@ DEFAULT = [
     "phash_near_dup_assets", # Arrow pHash + Hamming-banded self-join
     "streaming_ivm_revenue", # micro-batched signed fold into state
     "ivm_distinct_support",  # support-count distinct maintenance
+    "streaming_phash_assets",  # ingest-time Arrow fingerprint map
 ]
 
 
