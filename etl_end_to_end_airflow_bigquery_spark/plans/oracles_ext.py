@@ -179,6 +179,47 @@ EXT_ORACLES: dict[str, str] = {
         FROM pairs
         ORDER BY doc_a, doc_b
     """,
+    # Triangle census over the SAME verified edge set as the Spark
+    # side (shared pair pipeline + threshold cut); triangles by the
+    # a<b<c 3-way self-join, wedges from the degree table, clustering
+    # as the cross-multiplied 6-dp integer rational.
+    "triangle_count_dedup": f"""
+        WITH {_PAIRS_CTE}, cand AS (
+            SELECT DISTINCT doc_a, doc_b FROM pairs
+        ), joined AS (
+            SELECT c.doc_a, c.doc_b, sa.shingles AS sh_a, sb.shingles AS sh_b
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b
+        ), edges AS MATERIALIZED (
+            SELECT doc_a AS a, doc_b AS b
+            FROM joined
+            WHERE ({_JACCARD_EXPR}) >= {NEAR_DUP_JACCARD}
+        ), deg AS (
+            SELECT v, count(*) AS d
+            FROM (SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)
+            GROUP BY v
+        ), tri AS (
+            SELECT count(*) AS t
+            FROM edges e1
+            JOIN edges e2 ON e2.a = e1.b
+            JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+        ), stats AS (
+            SELECT count(*) AS n_nodes,
+                   CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+                   CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS n_wedges
+            FROM deg
+        )
+        SELECT n_nodes, n_edges, n_wedges,
+               t AS n_triangles,
+               CASE WHEN n_wedges = 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE CAST(CAST((2 * CAST(3 * t AS HUGEINT) * 1000000
+                                    + n_wedges)
+                                   // (2 * CAST(n_wedges AS HUGEINT))
+                              AS BIGINT) AS DOUBLE) / 1000000.0
+               END AS clustering
+        FROM stats, tri
+    """,
     "jaccard_near_dups": f"""
         WITH {_PAIRS_CTE}, cand AS (
             SELECT DISTINCT doc_a, doc_b FROM pairs

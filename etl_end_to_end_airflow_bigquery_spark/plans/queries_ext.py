@@ -123,6 +123,81 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs).orderBy("node")
 
 
+def triangle_count_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the verified near-dup graph — the graph
+    statistic that tells a dedup pipeline whether its duplicate
+    neighborhoods are CLIQUES (the same source copied everywhere:
+    transitive, safe to collapse to one representative) or CHAINS
+    (A~B~C drift where A and C may not be duplicates — collapsing by
+    connected component alone over-merges). Reports nodes, edges,
+    wedges (open+closed 2-paths), triangles, and the global clustering
+    coefficient 3·T/W as an exact integer rational (6-dp cross-
+    multiplied half-up round, ONE final double division).
+
+    Plan: edges are (doc_a < doc_b) once, ``localCheckpoint``-pinned
+    (the LSH verify pipeline above them must not run three times);
+    triangles = edges ⋈ edges on the shared middle vertex (wedge build)
+    ⋈ edges on the closing pair — each triangle counted exactly once by
+    the a<b<c total order, no distinct pass. Wedge totals come from the
+    degree table (Σ d·(d−1)/2), never from materialized 2-paths.
+
+    Scale: wedge fan-out is Σ_v deg(v)² — bounded by near-dup cluster
+    size exactly like the LSH band joins; for power-law graphs the
+    standard degree-orientation refinement (orient edges toward the
+    higher-degree endpoint) caps it at O(E^1.5) with the same join
+    shape. Oracle: same census from the SQL pair pipeline + a 3-way
+    self-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = (
+        D.jaccard_verify(docs)
+        .filter(F.col("is_near_dup"))
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    tri = (
+        edges.alias("e1")
+        .join(
+            edges.alias("e2"),
+            F.col("e1.doc_b") == F.col("e2.doc_a"),
+        )
+        .join(
+            edges.alias("e3"),
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    und = edges.unionByName(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    deg = und.groupBy("doc_a").agg(F.count(F.lit(1)).alias("d"))
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.expr("d * (d - 1)")) / F.lit(2))
+        .cast("bigint")
+        .alias("n_wedges"),
+        (F.sum("d") / F.lit(2)).cast("bigint").alias("n_edges"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(tri))  # two 1-row frames
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr(
+                "CASE WHEN n_wedges = 0 THEN CAST(0.0 AS DOUBLE) ELSE"
+                " CAST((2 * CAST(3 * n_triangles AS DECIMAL(38,0)) * 1000000"
+                "       + CAST(n_wedges AS DECIMAL(38,0)))"
+                "      div (2 * CAST(n_wedges AS DECIMAL(38,0)))"
+                "      AS DOUBLE) / 1000000.0 END"
+            ).alias("clustering"),
+        )
+    )
+
+
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints (near-dup via Hamming distance)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -672,6 +747,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "minhash_pairs": minhash_pairs,
     "jaccard_near_dups": jaccard_near_dups,
     "dedup_clusters": dedup_clusters,
+    "triangle_count_dedup": triangle_count_dedup,
     "simhash_docs": simhash_docs,
     "doc_fingerprint": doc_fingerprint,
     "text_stats_quality": text_stats_quality,

@@ -69,6 +69,7 @@ BNLJ_OK = {
     "dq_expectations_orders",  # 1-row totals frame joined to the report
     "ivfpq_rerank_topk",  # same bounded broadcasts as ivfpq_topk_adc
     "hybrid_rrf_retrieval",  # 1-row dense query vector broadcast cross
+    "triangle_count_dedup",  # two 1-row census frames crossed at the end
 }
 
 # Structurally-high exchange counts with a justification.
@@ -143,6 +144,10 @@ EXCHANGES_OK = {
     # the per-doc mean: fixed LM-pipeline depth, never data-size
     # amplification.
     "bigram_logprob_docs",
+    # triangle census over the CHECKPOINTED edge list: wedge join,
+    # closing join, degree/und aggregates — fixed census depth; the
+    # wedge fan-out is bounded by dup-cluster degree, not corpus size.
+    "triangle_count_dedup",
     # composes the full BM25 leg (exempted above) with a single-query
     # dense leg and a 10-row fusion join; fixed pipeline depth.
     "hybrid_rrf_retrieval",

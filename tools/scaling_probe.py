@@ -75,6 +75,7 @@ DEFAULT = [
     "streaming_ivm_revenue", # micro-batched signed fold into state
     "ivm_distinct_support",  # support-count distinct maintenance
     "streaming_phash_assets",  # ingest-time Arrow fingerprint map
+    "triangle_count_dedup",  # wedge/closing joins on checkpointed edges
 ]
 
 
