@@ -1047,6 +1047,26 @@ OLAP_ORACLES["parameterized_sql_pack"] = """
     ORDER BY o_orderstatus
 """
 
+# Classic nested spelling of the pipe-syntax statement — hash-equality
+# proves Spark's |> sugar lowers to identical semantics.
+OLAP_ORACLES["pipe_syntax_pack"] = """
+    WITH agg AS (
+        SELECT c_mktsegment, o_orderstatus,
+               count(*) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                   AS BIGINT) AS total_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderdate >= '1996-01-01'
+          AND o_orderdate < '1997-01-01'
+        GROUP BY c_mktsegment, o_orderstatus
+    )
+    SELECT c_mktsegment, o_orderstatus, n_orders,
+           CAST(total_cents AS DOUBLE) / 100.0 AS total_price
+    FROM agg
+    WHERE n_orders >= 10
+    ORDER BY c_mktsegment, o_orderstatus
+"""
+
 OLAP_ORACLES["string_agg_pack"] = """
     SELECT r_name,
            count(*) AS n_nations,

@@ -2227,6 +2227,45 @@ def parameterized_sql_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 OLAP_QUERIES["parameterized_sql_pack"] = parameterized_sql_pack
 
 
+def pipe_syntax_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL PIPE syntax (``|>``) — the linear query spelling
+    (FROM → WHERE → JOIN → AGGREGATE → ORDER BY in execution order)
+    that BigQuery and Spark 4.0 both adopted. The statement chains a
+    filter, a broadcast-eligible dimension join, a grouped exact-cents
+    aggregate, a post-aggregation HAVING-equivalent filter stage, and
+    an ordered projection — each as one pipe stage. Catalyst lowers
+    pipes to the SAME logical plan as the nested spelling (pushdown,
+    broadcast, partial aggregation all intact — plan-audited), and the
+    oracle is the equivalent classic ANSI query, so hash-equality
+    proves the sugar changes nothing semantically.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_pipe_v"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_pipe_v"
+    )
+    return spark.sql(
+        """
+        FROM orders_pipe_v
+        |> WHERE o_orderdate >= DATE '1996-01-01'
+               AND o_orderdate < DATE '1997-01-01'
+        |> JOIN customer_pipe_v ON o_custkey = c_custkey
+        |> AGGREGATE count(*) AS n_orders,
+                     CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS total_cents
+           GROUP BY c_mktsegment, o_orderstatus
+        |> WHERE n_orders >= 10
+        |> SELECT c_mktsegment, o_orderstatus, n_orders,
+                  CAST(total_cents AS DOUBLE) / 100.0 AS total_price
+        |> ORDER BY c_mktsegment, o_orderstatus
+        """
+    )
+
+
+OLAP_QUERIES["pipe_syntax_pack"] = pipe_syntax_pack
+
+
 def string_agg_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 ``listagg(... ) WITHIN GROUP (ORDER BY ...)`` — ordered
     string aggregation, the reporting surface BigQuery exposes as
