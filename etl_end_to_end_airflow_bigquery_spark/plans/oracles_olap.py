@@ -1067,6 +1067,20 @@ OLAP_ORACLES["pipe_syntax_pack"] = """
     ORDER BY c_mktsegment, o_orderstatus
 """
 
+# Recomputes the observed in-flight metrics with a real scan — hash
+# equality proves df.observe aggregates exactly like a dedicated query.
+OLAP_ORACLES["observed_write_metrics"] = """
+    SELECT count(*) AS n_rows,
+           count(CASE WHEN o_custkey IS NULL THEN 1 END) AS null_custkey,
+           count(CASE WHEN o_totalprice <= 0 THEN 1 END)
+               AS nonpositive_price,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+               AS BIGINT) AS total_cents,
+           CAST(min(o_orderdate) AS DATE) AS first_date,
+           CAST(max(o_orderdate) AS DATE) AS last_date
+    FROM orders
+"""
+
 OLAP_ORACLES["string_agg_pack"] = """
     SELECT r_name,
            count(*) AS n_nations,

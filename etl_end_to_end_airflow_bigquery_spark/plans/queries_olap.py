@@ -2266,6 +2266,63 @@ def pipe_syntax_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 OLAP_QUERIES["pipe_syntax_pack"] = pipe_syntax_pack
 
 
+def observed_write_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.observe`` / ``Observation`` — in-flight data-quality
+    metrics collected DURING a write action with ZERO extra pass over
+    the data (the reference's load-job validation, without BigQuery's
+    second job or our DQ pack's separate aggregate scan): row count,
+    null-key count, out-of-range count, exact-cents revenue total and
+    the date span all accumulate inside the very task pass that feeds
+    the sink, and surface driver-side as one bounded row.
+
+    The write here is the ``noop`` sink (the metrics contract is
+    identical under any sink); the gate hash-checks the observed
+    metrics against the oracle recomputing the same aggregates with a
+    real scan — proving the observation path aggregates exactly like a
+    dedicated query. Scale: observed metrics are accumulator-style
+    per-task partials merged on the driver — no shuffle, no second
+    read of a 100 TB table just to know what was written.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("ingest_dq")
+    orders = load_table(spark, sf_dir, "orders")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias(
+            "null_custkey"
+        ),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias(
+            "nonpositive_price"
+        ),
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5))
+        .cast("bigint")
+        .alias("total_cents"),
+        F.min(F.to_date("o_orderdate")).alias("first_date"),
+        F.max(F.to_date("o_orderdate")).alias("last_date"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["null_custkey"],
+                m["nonpositive_price"],
+                m["total_cents"],
+                m["first_date"],
+                m["last_date"],
+            )
+        ],
+        "n_rows bigint, null_custkey bigint, nonpositive_price bigint, "
+        "total_cents bigint, first_date date, last_date date",
+    )
+
+
+OLAP_QUERIES["observed_write_metrics"] = observed_write_metrics
+
+
 def string_agg_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 ``listagg(... ) WITHIN GROUP (ORDER BY ...)`` — ordered
     string aggregation, the reporting surface BigQuery exposes as
