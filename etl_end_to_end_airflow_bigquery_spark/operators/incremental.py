@@ -98,3 +98,27 @@ def finish_avg(state: DataFrame, digits: int = 6, out: str = "avg_value",
     p = float(10**digits)
     avg: Column = F.col("sum_u").cast("double") / F.lit(p) / F.col("n")
     return state.withColumn(out, round_half_up(avg, round_to))
+
+
+def fold_signed_batch_versioned(
+    spark,
+    batch_state: DataFrame,
+    keys: list[str],
+    prev_path: str,
+    next_path: str,
+) -> None:
+    """Fold ONE micro-batch of mergeable (signed) state into a
+    VERSIONED parquet state table: read the previous version, ⊕ the
+    batch, OVERWRITE the next version.
+
+    The output version is keyed by the batch id and computed only from
+    (previous version, batch), so a redelivered batch — foreachBatch's
+    at-least-once window between sink commit and checkpoint write —
+    recomputes ``next_path`` byte-identically instead of folding twice:
+    replay-idempotent BY CONSTRUCTION, the same guarantee
+    ``report_merge_batch`` proves for the merge sink (pytest-verified
+    in ``tests/test_incremental.py``)."""
+    stored = spark.read.parquet(prev_path)
+    merge_avg_state(stored, batch_state, keys).write.mode(
+        "overwrite"
+    ).parquet(next_path)

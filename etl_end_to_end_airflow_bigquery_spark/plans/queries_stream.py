@@ -790,9 +790,12 @@ def streaming_ivm_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescan) replaced by bounded per-batch maintenance on the streaming
     engine.
 
-    State evolves through VERSIONED directories (write-new then
-    advance a pointer — the crash-safe shape; a retried micro-batch
-    re-derives from its input version, so replay is idempotent). The
+    State evolves through BATCH-ID-KEYED versioned directories
+    (``incremental.fold_signed_batch_versioned``): version k is
+    computed only from (version k−1, batch k) and written with
+    overwrite, so a redelivered batch — foreachBatch's at-least-once
+    window — recomputes its version identically instead of folding
+    twice; replay-idempotent by construction, pytest-proven. The
     final report filters fully-retracted groups (n > 0) and SHARES THE
     BATCH TWIN'S ORACLE VERBATIM (the full post-CDC recompute): the
     gate proves the ⊕ algebra lands bit-identically no matter how the
@@ -808,17 +811,20 @@ def streaming_ivm_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.incremental import (
         finish_avg,
-        merge_avg_state,
         partial_avg_state,
         signed_partial_state,
     )
     from ..io import load_table
     from ..tmputil import session_tmpdir
 
+    from ..operators.incremental import fold_signed_batch_versioned
+
     base_dir = session_tmpdir("stream_ivm_")
     cdc_dir = os.path.join(base_dir, "cdc")
     ckpt = os.path.join(base_dir, "ckpt")
-    state_dirs = [os.path.join(base_dir, "state_v0")]
+    init_path = os.path.join(base_dir, "state_init")
+    # batch id → committed state version path; -1 = the initial build
+    versions: dict[int, str] = {-1: init_path}
 
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -829,7 +835,7 @@ def streaming_ivm_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(dim, orders["o_custkey"] == dim["c_custkey"]),
         ["c_mktsegment"],
         "o_totalprice",
-    ).write.parquet(state_dirs[0])
+    ).write.parquet(init_path)
 
     # CDC feed: signed delta rows, deliberately split across 4 files so
     # availableNow + maxFilesPerTrigger=1 yields 4 real micro-batches
@@ -851,7 +857,7 @@ def streaming_ivm_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cdc.repartition(4).write.parquet(cdc_dir)
 
-    def _fold(batch: DataFrame, _batch_id: int) -> None:
+    def _fold(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         delta = signed_partial_state(
@@ -859,10 +865,14 @@ def streaming_ivm_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["c_mktsegment"],
             "o_totalprice",
         )
-        stored = spark.read.parquet(state_dirs[-1])
-        nxt = os.path.join(base_dir, f"state_v{len(state_dirs)}")
-        merge_avg_state(stored, delta, ["c_mktsegment"]).write.parquet(nxt)
-        state_dirs.append(nxt)
+        # previous committed version = the greatest id below this batch
+        # (empty/skipped batches leave gaps in the id sequence)
+        prev = versions[max(k for k in versions if k < batch_id)]
+        nxt = os.path.join(base_dir, f"state_b{batch_id}")
+        fold_signed_batch_versioned(
+            spark, delta, ["c_mktsegment"], prev, nxt
+        )
+        versions[batch_id] = nxt
 
     stream = (
         spark.readStream.schema(
@@ -881,7 +891,9 @@ def streaming_ivm_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     _capture_plan(q, "streaming_ivm_revenue")
 
-    final = spark.read.parquet(state_dirs[-1]).filter(F.col("n") > 0)
+    final = spark.read.parquet(versions[max(versions)]).filter(
+        F.col("n") > 0
+    )
     return (
         finish_avg(final, round_to=2, out="avg_price")
         .select("c_mktsegment", "n", "sum_u", "avg_price")

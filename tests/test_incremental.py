@@ -127,3 +127,46 @@ def test_null_valued_retraction_is_a_noop(spark):
     )
     got = {(r.k, r.sum_u, r.n) for r in merged.collect()}
     assert got == {("a", 4_000_000, 2)}  # unchanged: NULL never counted
+
+
+def test_versioned_fold_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch's at-least-once window: re-delivering the same
+    micro-batch must recompute its state version identically instead of
+    folding twice (fold_signed_batch_versioned keys the output version
+    by batch id and overwrites)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.incremental import (
+        fold_signed_batch_versioned,
+        merge_avg_state,
+        partial_avg_state,
+        signed_partial_state,
+    )
+
+    base = spark.createDataFrame(
+        [("A", 10.0), ("A", 20.0), ("B", 5.0)], "seg string, v double"
+    )
+    prev = str(tmp_path / "state_init")
+    partial_avg_state(base, ["seg"], "v").write.parquet(prev)
+
+    cdc = spark.createDataFrame(
+        [("A", 10.0, -1), ("B", 7.0, 1)], "seg string, v double, __w int"
+    )
+    delta = signed_partial_state(cdc, ["seg"], "v")
+    nxt = str(tmp_path / "state_b0")
+
+    fold_signed_batch_versioned(spark, delta, ["seg"], prev, nxt)
+    once = sorted(
+        spark.read.parquet(nxt).collect(), key=lambda r: r.seg
+    )
+    # redeliver the SAME batch → same version recomputed, not re-folded
+    fold_signed_batch_versioned(spark, delta, ["seg"], prev, nxt)
+    twice = sorted(
+        spark.read.parquet(nxt).collect(), key=lambda r: r.seg
+    )
+    assert once == twice
+    got = {r.seg: (r.sum_u, r.n) for r in twice}
+    assert got["A"] == (20_000_000, 1)   # 10 retracted from {10, 20}
+    assert got["B"] == (12_000_000, 2)   # 5 + inserted 7
