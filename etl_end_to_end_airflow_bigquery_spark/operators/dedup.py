@@ -417,3 +417,56 @@ def pagerank(
         ranks.join(deg, "node")
         .select("node", "deg", "rank")
     )
+
+
+def triangle_census(edges: DataFrame) -> DataFrame:
+    """Triangle census over an undirected edge list given as one row
+    per edge with ``doc_a < doc_b`` — nodes, edges, wedges (open+closed
+    2-paths), triangles, and the global clustering coefficient 3·T/W as
+    an exact cross-multiplied 6-dp integer rational.
+
+    Triangles come from the wedge self-join (e1.b = e2.a) closed by a
+    third equi-join on (e1.a, e2.b): the a<b<c total order counts each
+    triangle exactly once with no distinct pass. Wedges come from the
+    degree table (Σ d·(d−1)/2), never from materialized 2-paths.
+    Callers should materialize (``localCheckpoint``) an edge list that
+    sits atop an expensive pipeline — three joins read it. Fan-out is
+    Σ deg² — bounded by cluster degree; the degree-orientation
+    refinement (orient toward the higher-degree endpoint) caps it at
+    O(E^1.5) for power-law graphs with the same join shape."""
+    tri = (
+        edges.alias("e1")
+        .join(edges.alias("e2"), F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .join(
+            edges.alias("e3"),
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    und = edges.unionByName(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    deg = und.groupBy("doc_a").agg(F.count(F.lit(1)).alias("d"))
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.expr("d * (d - 1)")) / F.lit(2))
+        .cast("bigint")
+        .alias("n_wedges"),
+        (F.sum("d") / F.lit(2)).cast("bigint").alias("n_edges"),
+    )
+    return stats.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.expr(
+            "CASE WHEN n_wedges = 0 THEN CAST(0.0 AS DOUBLE) ELSE"
+            " CAST((2 * CAST(3 * n_triangles AS DECIMAL(38,0)) * 1000000"
+            "       + CAST(n_wedges AS DECIMAL(38,0)))"
+            "      div (2 * CAST(n_wedges AS DECIMAL(38,0)))"
+            "      AS DOUBLE) / 1000000.0 END"
+        ).alias("clustering"),
+    )

@@ -154,48 +154,7 @@ def triangle_count_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
-    tri = (
-        edges.alias("e1")
-        .join(
-            edges.alias("e2"),
-            F.col("e1.doc_b") == F.col("e2.doc_a"),
-        )
-        .join(
-            edges.alias("e3"),
-            (F.col("e3.doc_a") == F.col("e1.doc_a"))
-            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
-        )
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
-    und = edges.unionByName(
-        edges.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    )
-    deg = und.groupBy("doc_a").agg(F.count(F.lit(1)).alias("d"))
-    stats = deg.agg(
-        F.count(F.lit(1)).alias("n_nodes"),
-        (F.sum(F.expr("d * (d - 1)")) / F.lit(2))
-        .cast("bigint")
-        .alias("n_wedges"),
-        (F.sum("d") / F.lit(2)).cast("bigint").alias("n_edges"),
-    )
-    return (
-        stats.crossJoin(F.broadcast(tri))  # two 1-row frames
-        .select(
-            "n_nodes",
-            "n_edges",
-            "n_wedges",
-            "n_triangles",
-            F.expr(
-                "CASE WHEN n_wedges = 0 THEN CAST(0.0 AS DOUBLE) ELSE"
-                " CAST((2 * CAST(3 * n_triangles AS DECIMAL(38,0)) * 1000000"
-                "       + CAST(n_wedges AS DECIMAL(38,0)))"
-                "      div (2 * CAST(n_wedges AS DECIMAL(38,0)))"
-                "      AS DOUBLE) / 1000000.0 END"
-            ).alias("clustering"),
-        )
-    )
+    return D.triangle_census(edges)
 
 
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -398,3 +398,81 @@ def test_phash_banded_pairs_catch_small_hamming(spark):
     }
     assert got.get((1, 2)) == 2
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_triangle_census_matches_bruteforce(spark):
+    """Census laws on randomized graphs: triangles, wedges, degrees and
+    clustering must equal a brute-force itertools enumeration."""
+    import itertools
+    import random
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.dedup import (
+        triangle_census,
+    )
+
+    rng = random.Random(911)
+    for trial in range(4):
+        n = rng.randrange(4, 14)
+        all_pairs = list(itertools.combinations(range(n), 2))
+        edges = sorted(rng.sample(all_pairs, rng.randrange(1, len(all_pairs))))
+        eset = set(edges)
+        tri = sum(
+            1
+            for a, b, c in itertools.combinations(range(n), 3)
+            if (a, b) in eset and (b, c) in eset and (a, c) in eset
+        )
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        wedges = sum(d * (d - 1) // 2 for d in deg.values())
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = triangle_census(df).collect()[0]
+        assert got.n_nodes == len(deg), (trial, edges)
+        assert got.n_edges == len(edges)
+        assert got.n_wedges == wedges
+        assert got.n_triangles == tri, (trial, edges)
+        if wedges:
+            assert abs(got.clustering - 3 * tri / wedges) <= 5e-7
+
+
+def test_phash_banded_pairs_match_bruteforce(spark):
+    """phash_near_dup_pairs must return exactly the brute-force pair
+    set {a<b : some 16-bit band equal AND popcount(xor) <= max_h}."""
+    import itertools
+    import random
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.multimodal import (
+        phash_near_dup_pairs,
+        phash_stub,
+    )
+
+    rng = random.Random(412)
+    payloads = {}
+    base = bytes(rng.randrange(256) for _ in range(400))
+    for i in range(30):
+        b = bytearray(base)
+        # clustered perturbations so some pairs are genuinely near
+        for _ in range(rng.randrange(0, 200)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        payloads[i] = bytes(b)
+    hashes = {i: phash_stub(p) for i, p in payloads.items()}
+
+    def bands(h):
+        return {(b, (h >> (16 * b)) & 0xFFFF) for b in range(4)}
+
+    expect = {}
+    for a, b in itertools.combinations(sorted(hashes), 2):
+        if bands(hashes[a]) & bands(hashes[b]):
+            hd = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+            if hd <= 16:
+                expect[(a, b)] = hd
+    df = spark.createDataFrame(
+        [(i, "x", h) for i, h in hashes.items()],
+        "asset_id long, modality string, phash long",
+    )
+    got = {
+        (r.asset_a, r.asset_b): r.hamming
+        for r in phash_near_dup_pairs(df).collect()
+    }
+    assert got == expect

@@ -507,3 +507,72 @@ def test_bpe_sparse_fold_equals_dense_fold(spark):
         ).collect()
         for c, r in zip(cases, rows):
             assert r.dense == r.sparse, (a, b, c, r.dense, r.sparse)
+
+
+def test_bpe_encoder_matches_python_reference(spark):
+    """End-to-end trainer+encoder vs an independent pure-Python greedy
+    BPE: train K merges by (count DESC, a, b) argmax over size>=2 docs,
+    apply greedily left-to-right non-overlapping, encode ALL docs."""
+    import os
+    import tempfile
+    from collections import Counter
+
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_ext import (
+        bpe_encode_corpus,
+    )
+
+    corpus = [
+        "the cat sat on the mat",
+        "the cat ran to the cat tree",
+        "a dog sat on a log",
+        "the the the the cat cat",
+        "solo",
+        "",
+    ]
+
+    def py_merge(seq, a, b):
+        out, i = [], 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        return out
+
+    docs = {i: [t for t in s.split(" ") if t] for i, s in enumerate(corpus)}
+    train = {i: list(t) for i, t in docs.items() if len(t) >= 2}
+    merges = []
+    for _ in range(5):
+        counts = Counter()
+        for t in train.values():
+            for x, y in zip(t, t[1:]):
+                counts[(x, y)] += 1
+        (a, b), _n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((a, b))
+        train = {
+            i: m
+            for i, t in train.items()
+            if len(m := py_merge(t, a, b)) >= 2
+        }
+    expect = {}
+    for i, t in docs.items():
+        e = list(t)
+        for a, b in merges:
+            e = py_merge(e, a, b)
+        expect[i] = (len(t), len(e), " ".join(e))
+
+    df = spark.createDataFrame(
+        [(i, s, "en", "s", 0) for i, s in enumerate(corpus)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r.doc_id: (r.n_raw, r.n_enc, r.enc_text)
+            for r in bpe_encode_corpus(spark, d).collect()
+        }
+    assert got == expect
