@@ -127,24 +127,35 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     return _candidate_pairs_from_sig(sig)
 
 
-def _candidate_pairs_from_sig(sig: DataFrame) -> DataFrame:
-    """Band self-join over a signature frame that already sits behind an
-    exchange barrier (callers repartition; both join sides then resolve
-    to a ReusedExchange of the same signature computation)."""
-    bands = sig.select(
+def _explode_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, mh, band_0..n) → one row per (doc_id, band_idx, sig)."""
+    return sig.select(
         "doc_id",
         "mh",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("sig")
+                        F.lit(b).alias("band_idx"),
+                        F.col(f"band_{b}").alias("sig"),
                     )
                     for b in range(N_BANDS)
                 ]
             )
         ).alias("bs"),
-    ).select("doc_id", "mh", F.col("bs.band_idx").alias("band_idx"), F.col("bs.sig").alias("sig"))
+    ).select(
+        "doc_id",
+        "mh",
+        F.col("bs.band_idx").alias("band_idx"),
+        F.col("bs.sig").alias("sig"),
+    )
+
+
+def _candidate_pairs_from_sig(sig: DataFrame) -> DataFrame:
+    """Band self-join over a signature frame that already sits behind an
+    exchange barrier (callers repartition; both join sides then resolve
+    to a ReusedExchange of the same signature computation)."""
+    bands = _explode_bands(sig)
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (
@@ -469,4 +480,106 @@ def triangle_census(edges: DataFrame) -> DataFrame:
             "      div (2 * CAST(n_wedges AS DECIMAL(38,0)))"
             "      AS DOUBLE) / 1000000.0 END"
         ).alias("clustering"),
+    )
+
+
+def incremental_dedup(
+    base_docs: DataFrame,
+    batch_docs: DataFrame,
+    threshold: float = NEAR_DUP_JACCARD,
+) -> DataFrame:
+    """Batch-vs-corpus dedup — the PRODUCTION shape: today's crawl
+    (small) checked against the accumulated corpus (the 100 TB side)
+    without ever re-pairing the corpus with itself. Corpus-wide
+    re-dedup is a backfill job; this is what runs per ingest tick.
+
+    Two asymmetric probes, both keyed so the BASE side streams and the
+    BATCH side broadcasts:
+
+    - **exact**: content hash equi-join (batch hashes broadcast into
+      the base scan — one pass over base, no shuffle of it);
+    - **near**: MinHash band join batch×base (batch bands broadcast;
+      only base rows whose band collides ever surface), then the exact
+      shingle-Jaccard verify on the candidate list only.
+
+    Returns one row per batch doc: ``is_exact_dup``, ``n_near_base``
+    (verified near-dup partners in base), and ``keep`` (neither).
+    Same signatures/threshold as the corpus-wide pipeline, so a doc
+    admitted here and re-checked by the backfill gets the same verdict.
+    """
+    batch_h = batch_docs.select(
+        "doc_id", F.md5(F.lower("text")).alias("h")
+    )
+    base_h = base_docs.select(F.md5(F.lower("text")).alias("h"))
+    exact_ids = (
+        base_h.join(F.broadcast(batch_h), "h")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_exact_dup", F.lit(True))
+    )
+
+    # base tokenized ONCE: the signature fold and the verify join both
+    # hang off this exchange (ReusedExchange — the jaccard_verify
+    # pattern); the batch side is small, checkpoint it for its three
+    # readers (bands, verify, output spine share the batch scan anyway)
+    sh_base = shingle_docs(base_docs).repartition("doc_id")
+    sh_batch = shingle_docs(batch_docs).localCheckpoint(eager=True)
+    bands_base = _explode_bands(minhash_signatures_from_shingles(sh_base))
+    bands_batch = _explode_bands(minhash_signatures_from_shingles(sh_batch))
+    cands = (
+        bands_base.alias("base")
+        .join(
+            F.broadcast(bands_batch.alias("bat")),
+            (F.col("base.band_idx") == F.col("bat.band_idx"))
+            & (F.col("base.sig") == F.col("bat.sig")),
+        )
+        .select(
+            F.col("bat.doc_id").alias("batch_id"),
+            F.col("base.doc_id").alias("base_id"),
+        )
+        .distinct()
+    )
+    verified = (
+        cands.join(
+            F.broadcast(
+                sh_batch.withColumnsRenamed(
+                    {"doc_id": "batch_id", "shingles": "sh_a"}
+                )
+            ),
+            "batch_id",
+        )
+        .join(
+            sh_base.withColumnsRenamed(
+                {"doc_id": "base_id", "shingles": "sh_b"}
+            ),
+            "base_id",
+        )
+        .filter(
+            F.expr("size(array_intersect(sh_a, sh_b))").cast("double")
+            / (
+                F.expr("size(sh_a) + size(sh_b)").cast("double")
+                - F.expr("size(array_intersect(sh_a, sh_b))").cast("double")
+            )
+            >= F.lit(threshold)
+        )
+        .groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("n_near_base"))
+    )
+    return (
+        batch_docs.select("doc_id")
+        .join(exact_ids, "doc_id", "left")
+        .join(
+            verified.withColumnRenamed("batch_id", "doc_id"), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce("is_exact_dup", F.lit(False)).alias("is_exact_dup"),
+            F.coalesce("n_near_base", F.lit(0)).cast("bigint").alias(
+                "n_near_base"
+            ),
+            (
+                ~F.coalesce("is_exact_dup", F.lit(False))
+                & (F.coalesce("n_near_base", F.lit(0)) == 0)
+            ).alias("keep"),
+        )
     )

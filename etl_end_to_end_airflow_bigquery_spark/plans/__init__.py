@@ -196,6 +196,7 @@ _GATE_ROTATION: tuple[str, ...] = (
     "triangle_count_dedup",    # near-dup graph triangle census
     "pipe_syntax_pack",        # Spark 4 SQL |> pipe surface
     "observed_write_metrics",  # df.observe in-flight DQ metrics
+    "incremental_dedup_batch", # batch-vs-base asymmetric dedup probes
 )
 
 # Backfill to 50 (r8 policy, see module docstring): tier (a) re-proofs
@@ -214,7 +215,7 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "distinct_parts_per_supplier", "rollup_qty", "pivot_event_counts",
     "reorder_gap_by_segment", "cumulative_monthly_revenue",
     "order_priority_exists", "median_price_by_status", "minhash_pairs",
-    "jaccard_near_dups", "dedup_clusters", "simhash_docs", "ann_lsh_topk",
+    "jaccard_near_dups", "dedup_clusters", "simhash_docs",
     "streaming_report_merge",
 )
 

@@ -179,6 +179,45 @@ EXT_ORACLES: dict[str, str] = {
         FROM pairs
         ORDER BY doc_a, doc_b
     """,
+    # Asymmetric batch-vs-base dedup: the corpus-wide pair pipeline
+    # restricted to cross pairs + a content-hash equi-join; per batch
+    # doc the verified-near count and the exact-dup flag.
+    "incremental_dedup_batch": f"""
+        WITH {_PAIRS_CTE}, cross_cand AS (
+            SELECT CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END
+                       AS batch_id,
+                   CASE WHEN doc_a % 5 = 0 THEN doc_b ELSE doc_a END
+                       AS base_id
+            FROM pairs
+            WHERE (doc_a % 5 = 0) <> (doc_b % 5 = 0)
+        ), joined AS (
+            SELECT c.batch_id, c.base_id,
+                   sa.shingles AS sh_a, sb.shingles AS sh_b
+            FROM cross_cand c
+            JOIN sh sa ON sa.doc_id = c.batch_id
+            JOIN sh sb ON sb.doc_id = c.base_id
+        ), near AS (
+            SELECT batch_id, count(*) AS n_near
+            FROM joined
+            WHERE ({_JACCARD_EXPR}) >= {NEAR_DUP_JACCARD}
+            GROUP BY batch_id
+        ), exact AS (
+            SELECT DISTINCT b.doc_id
+            FROM documents b
+            JOIN documents o
+              ON md5(lower(b.text)) = md5(lower(o.text))
+            WHERE b.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
+        )
+        SELECT d.doc_id,
+               (e.doc_id IS NOT NULL) AS is_exact_dup,
+               CAST(coalesce(n.n_near, 0) AS BIGINT) AS n_near_base,
+               (e.doc_id IS NULL AND coalesce(n.n_near, 0) = 0) AS keep
+        FROM documents d
+        LEFT JOIN exact e ON e.doc_id = d.doc_id
+        LEFT JOIN near n ON n.batch_id = d.doc_id
+        WHERE d.doc_id % 5 = 0
+        ORDER BY d.doc_id
+    """,
     # Triangle census over the SAME verified edge set as the Spark
     # side (shared pair pipeline + threshold cut); triangles by the
     # a<b<c 3-way self-join, wedges from the degree table, clustering

@@ -157,6 +157,26 @@ def triangle_count_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.triangle_census(edges)
 
 
+def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus incremental dedup — the shape dedup actually
+    runs in production (per ingest tick: today's crawl against the
+    accumulated corpus), vs. the corpus-wide backfill the rest of the
+    family demonstrates. ``doc_id % 5 == 0`` plays the arriving batch;
+    the rest is the base. See ``operators.dedup.incremental_dedup``:
+    both probes stream the 100 TB base side exactly once and broadcast
+    the batch (content hashes, bands, batch shingles) — the base is
+    never self-paired and never shuffled.
+
+    Oracle: the corpus-wide SQL pair pipeline restricted to
+    batch×base cross pairs + a hash equi-join for the exact probe —
+    hash-equality proves the asymmetric plan admits exactly the docs
+    the full-corpus pipeline would."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return D.incremental_dedup(base, batch).orderBy("doc_id")
+
+
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints (near-dup via Hamming distance)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -707,6 +727,7 @@ EXT_QUERIES: dict[str, QueryFn] = {
     "jaccard_near_dups": jaccard_near_dups,
     "dedup_clusters": dedup_clusters,
     "triangle_count_dedup": triangle_count_dedup,
+    "incremental_dedup_batch": incremental_dedup_batch,
     "simhash_docs": simhash_docs,
     "doc_fingerprint": doc_fingerprint,
     "text_stats_quality": text_stats_quality,

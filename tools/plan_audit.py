@@ -82,6 +82,11 @@ EXCHANGES_OK = {
     # ReusedExchange (asserted in test_plan_shapes) keeps each corpus
     # derivation computed once; the count is stages, not amplification.
     "jaccard_near_dups",
+    # the asymmetric batch-vs-base variant of the same pipeline (exact
+    # probe + band join + verify, base tokenized once behind a reused
+    # exchange, batch side broadcast); fixed depth, base never paired
+    # with itself.
+    "incremental_dedup_batch",
     "embedding_near_dups",
     # near_dups' pipeline with the bucketed frame filtered into train /
     # eval sides (one extra keyed exchange); fixed depth, no blowup.

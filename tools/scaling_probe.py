@@ -76,6 +76,7 @@ DEFAULT = [
     "ivm_distinct_support",  # support-count distinct maintenance
     "streaming_phash_assets",  # ingest-time Arrow fingerprint map
     "triangle_count_dedup",  # wedge/closing joins on checkpointed edges
+    "incremental_dedup_batch",  # asymmetric batch-vs-base dedup probes
 ]
 
 
