@@ -197,6 +197,7 @@ _GATE_ROTATION: tuple[str, ...] = (
     "pipe_syntax_pack",        # Spark 4 SQL |> pipe surface
     "observed_write_metrics",  # df.observe in-flight DQ metrics
     "incremental_dedup_batch", # batch-vs-base asymmetric dedup probes
+    "streaming_incremental_dedup",  # the same probes per ingest tick
 )
 
 # Backfill to 50 (r8 policy, see module docstring): tier (a) re-proofs
@@ -215,7 +216,7 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "distinct_parts_per_supplier", "rollup_qty", "pivot_event_counts",
     "reorder_gap_by_segment", "cumulative_monthly_revenue",
     "order_priority_exists", "median_price_by_status", "minhash_pairs",
-    "jaccard_near_dups", "dedup_clusters", "simhash_docs",
+    "jaccard_near_dups", "dedup_clusters",
     "streaming_report_merge",
 )
 

@@ -169,3 +169,12 @@ STREAM_ORACLES["streaming_phash_assets"] = """
     FROM byt
     ORDER BY asset_id
 """
+
+# Streaming incremental dedup shares the batch twin's oracle VERBATIM:
+# per-doc verdicts depend only on the base corpus, so micro-batch
+# slicing cannot change them — the gate proves it.
+from .oracles_ext import EXT_ORACLES as _EXT  # noqa: E402
+
+STREAM_ORACLES["streaming_incremental_dedup"] = _EXT[
+    "incremental_dedup_batch"
+]

@@ -946,3 +946,68 @@ def streaming_phash_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_QUERIES["streaming_phash_assets"] = streaming_phash_assets
+
+
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest-tick dedup LIVE: the arriving-doc feed streams in
+    micro-batches and ``foreachBatch`` runs
+    ``operators.dedup.incremental_dedup`` — exact-hash probe +
+    asymmetric MinHash band join + Jaccard verify — against the static
+    accumulated corpus, admitting/rejecting each doc the moment it
+    lands. Per-doc verdicts depend ONLY on the base corpus, so any
+    micro-batch slicing yields identical rows; the query SHARES THE
+    BATCH TWIN'S ORACLE VERBATIM and the gate proves exactly that.
+    Per-batch results land in batch-id-keyed overwrite directories
+    (the ``streaming_ivm_revenue`` idempotency scheme), so an
+    at-least-once redelivery recomputes its directory instead of
+    duplicating rows.
+
+    Scale: each tick streams the base side once through the broadcast
+    probes (the asymmetric plan); the stream itself carries only the
+    batch. This and the batch twin are the admit-time/backfill pair a
+    production corpus runs.
+    """
+    from ..operators.dedup import incremental_dedup
+    from ..io import load_table
+    from ..tmputil import session_tmpdir
+
+    base_dir = session_tmpdir("stream_incdedup_")
+    feed_dir = os.path.join(base_dir, "feed")
+    ckpt = os.path.join(base_dir, "ckpt")
+    out_dirs: dict[int, str] = {}
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    docs.filter(F.col("doc_id") % 5 == 0).repartition(4).write.parquet(
+        feed_dir
+    )
+
+    def _tick(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        out = os.path.join(base_dir, f"out_b{batch_id}")
+        incremental_dedup(base, batch).write.mode("overwrite").parquet(out)
+        out_dirs[batch_id] = out
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_tick)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    _capture_plan(q, "streaming_incremental_dedup")
+
+    return spark.read.parquet(*out_dirs.values()).orderBy("doc_id")
+
+
+STREAM_QUERIES["streaming_incremental_dedup"] = streaming_incremental_dedup

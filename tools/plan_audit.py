@@ -200,6 +200,9 @@ STREAM_STATELESS_OK: dict[str, str] = {
     # pure map fingerprint stage at ingest — no keyed state by design;
     # the banded pair join runs downstream on the accumulated table
     "streaming_phash_assets": "stateless Arrow map stage (ingest pHash)",
+    # per-tick batch-vs-base dedup probes in foreachBatch; verdicts
+    # depend only on the static base — no keyed state by design
+    "streaming_incremental_dedup": "foreachBatch asymmetric dedup probes",
 }
 
 
