@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     "phash_near_dup_assets",
     "streaming_ivm_revenue",
     "ivm_distinct_support",
+    "triangle_count_dedup",
+    "incremental_dedup_batch",
 ]
 
 N_RUNS = 3
