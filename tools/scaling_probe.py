@@ -77,6 +77,9 @@ DEFAULT = [
     "streaming_phash_assets",  # ingest-time Arrow fingerprint map
     "triangle_count_dedup",  # wedge/closing joins on checkpointed edges
     "incremental_dedup_batch",  # asymmetric batch-vs-base dedup probes
+    "pipe_syntax_pack",      # |> sugar lowered to the nested plan
+    "observed_write_metrics",  # df.observe in-flight accumulators
+    "streaming_incremental_dedup",  # ingest-tick dedup in foreachBatch
 ]
 
 
