@@ -238,7 +238,7 @@ def main() -> None:
         "queries": mins,
         "queries_median": medians,
         "queries_normalized": {
-            n: round(v / drift, 3) for n, v in mins.items()
+            n: (round(v / drift, 3) if drift else v) for n, v in mins.items()
         },
     }
     local = os.path.join(os.path.dirname(os.path.abspath(__file__)),

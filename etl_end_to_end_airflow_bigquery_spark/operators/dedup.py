@@ -461,12 +461,13 @@ def triangle_census(edges: DataFrame) -> DataFrame:
         )
     )
     deg = und.groupBy("doc_a").agg(F.count(F.lit(1)).alias("d"))
+    # integer `div`, never `/`: bigint→double→bigint loses exactness
+    # past 2^53, and a single ~210k-doc boilerplate cluster already
+    # pushes sum(d·(d−1)) past that; both sums are even by construction
     stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        (F.sum(F.expr("d * (d - 1)")) / F.lit(2))
-        .cast("bigint")
-        .alias("n_wedges"),
-        (F.sum("d") / F.lit(2)).cast("bigint").alias("n_edges"),
+        F.expr("sum(d * (d - 1)) div 2").alias("n_wedges"),
+        F.expr("sum(d) div 2").alias("n_edges"),
     )
     return stats.crossJoin(F.broadcast(tri)).select(
         "n_nodes",

@@ -122,3 +122,31 @@ def fold_signed_batch_versioned(
     merge_avg_state(stored, batch_state, keys).write.mode(
         "overwrite"
     ).parquet(next_path)
+
+
+def signed_cdc_batch(
+    fact: DataFrame, value: str | None = None, reprice: float = 1000.0
+) -> DataFrame:
+    """The SHARED CDC recipe binding every IVM twin to the same
+    full-recompute oracle (batch sum/avg retractions, min/max split,
+    distinct support counts, the streaming fold): delete every row with
+    ``o_orderkey % 13 == 0`` (weight −1), and reprice every surviving
+    ``% 11 == 0`` row as delete-old (−1) + insert-new (+1). When
+    ``value`` is given the insert-new leg adds ``reprice`` to it; for
+    key-only maintenance (distinct support) the row re-emits unchanged
+    and the −1/+1 pair must net to zero — the gates prove it. Single
+    definition so the recipe can never silently diverge between twins
+    (it is the contract the oracles' ``%13``/``%11`` predicates mirror).
+    """
+    deletes = fact.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+        "__w", F.lit(-1)
+    )
+    upd = fact.filter(
+        (F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") % 13 != 0)
+    )
+    new = upd if value is None else upd.withColumn(
+        value, F.col(value) + F.lit(reprice)
+    )
+    return deletes.unionByName(upd.withColumn("__w", F.lit(-1))).unionByName(
+        new.withColumn("__w", F.lit(1))
+    )

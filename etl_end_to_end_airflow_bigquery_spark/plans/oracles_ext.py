@@ -161,6 +161,37 @@ _MT_PLANES_VALUES = ",\n            ".join(
     )
 )
 
+# The 64-bit blockhash recomputed in pure SQL from the text bytes —
+# SHARED between the batch pair oracle and the streaming ingest oracle
+# so the two pHash twins can never silently diverge (a fix to the
+# packing/slice arithmetic lands in both). byt + hh CTEs, MATERIALIZED
+# (hh is referenced twice by the pair join).
+BLOCKHASH_HH_CTE = """byt AS MATERIALIZED (
+            SELECT doc_id,
+                   strlen(text) AS n,
+                   list_transform(range(1, strlen(text) + 1),
+                                  i -> ord(substr(text, CAST(i AS INT), 1)))
+                       AS by
+            FROM documents
+        ), hh AS MATERIALIZED (
+            SELECT doc_id,
+                   CASE WHEN n = 0 THEN 0 ELSE CAST(
+                     list_sum(list_transform(range(0, 64), i ->
+                       CASE WHEN coalesce(list_sum(
+                                    by[CAST(i * n // 64 + 1 AS BIGINT):
+                                       CAST((i + 1) * n // 64 AS BIGINT)]), 0)
+                                  * n
+                                > list_sum(by)
+                                  * ((i + 1) * n // 64 - i * n // 64)
+                            THEN CASE WHEN i = 63
+                                      THEN -9223372036854775808
+                                      ELSE (CAST(1 AS BIGINT)
+                                            << CAST(i AS INT)) END
+                            ELSE 0 END))
+                   AS BIGINT) END AS phash
+            FROM byt
+        )"""
+
 EXT_ORACLES: dict[str, str] = {
     "dedup_exact_docs": """
         SELECT md5(lower(text)) AS text_hash,
@@ -859,32 +890,8 @@ EXT_ORACLES: dict[str, str] = {
     # explode+equi-join), Hamming via bit_count(xor) on the signed
     # two's-complement hash — bit 63 enters as -2^63 so the packing
     # matches Python's wrap-to-signed exactly.
-    "phash_near_dup_assets": """
-        WITH byt AS MATERIALIZED (
-            SELECT doc_id,
-                   strlen(text) AS n,
-                   list_transform(range(1, strlen(text) + 1),
-                                  i -> ord(substr(text, CAST(i AS INT), 1)))
-                       AS by
-            FROM documents
-        ), hh AS MATERIALIZED (
-            SELECT doc_id,
-                   CASE WHEN n = 0 THEN 0 ELSE CAST(
-                     list_sum(list_transform(range(0, 64), i ->
-                       CASE WHEN coalesce(list_sum(
-                                    by[CAST(i * n // 64 + 1 AS BIGINT):
-                                       CAST((i + 1) * n // 64 AS BIGINT)]), 0)
-                                  * n
-                                > list_sum(by)
-                                  * ((i + 1) * n // 64 - i * n // 64)
-                            THEN CASE WHEN i = 63
-                                      THEN -9223372036854775808
-                                      ELSE (CAST(1 AS BIGINT)
-                                            << CAST(i AS INT)) END
-                            ELSE 0 END))
-                   AS BIGINT) END AS phash
-            FROM byt
-        )
+    "phash_near_dup_assets": f"""
+        WITH {BLOCKHASH_HH_CTE}
         SELECT a.doc_id AS asset_a,
                b.doc_id AS asset_b,
                CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming

@@ -139,34 +139,17 @@ from .oracles_olap import OLAP_ORACLES as _OLAP  # noqa: E402
 
 STREAM_ORACLES["streaming_ivm_revenue"] = _OLAP["ivm_join_revenue_retract"]
 
-# Streaming pHash shares the batch blockhash recomputation mechanism:
-# identical 64-bit hash derived from the text bytes in pure SQL.
-STREAM_ORACLES["streaming_phash_assets"] = """
-    WITH byt AS MATERIALIZED (
-        SELECT doc_id,
-               strlen(text) AS n,
-               list_transform(range(1, strlen(text) + 1),
-                              i -> ord(substr(text, CAST(i AS INT), 1)))
-                   AS by
-        FROM documents
-    )
+# Streaming pHash shares the batch blockhash recomputation MECHANISM
+# AND TEXT: the byt+hh CTE chain is the single shared constant in
+# oracles_ext, so the two pHash twins can never silently diverge.
+from .oracles_ext import BLOCKHASH_HH_CTE as _HH  # noqa: E402
+
+STREAM_ORACLES["streaming_phash_assets"] = f"""
+    WITH {_HH}
     SELECT doc_id AS asset_id,
            'text' AS modality,
-           CASE WHEN n = 0 THEN 0 ELSE CAST(
-             list_sum(list_transform(range(0, 64), i ->
-               CASE WHEN coalesce(list_sum(
-                            by[CAST(i * n // 64 + 1 AS BIGINT):
-                               CAST((i + 1) * n // 64 AS BIGINT)]), 0)
-                          * n
-                        > list_sum(by)
-                          * ((i + 1) * n // 64 - i * n // 64)
-                    THEN CASE WHEN i = 63
-                              THEN -9223372036854775808
-                              ELSE (CAST(1 AS BIGINT)
-                                    << CAST(i AS INT)) END
-                    ELSE 0 END))
-           AS BIGINT) END AS phash
-    FROM byt
+           phash
+    FROM hh
     ORDER BY asset_id
 """
 

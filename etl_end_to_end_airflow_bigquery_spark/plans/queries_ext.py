@@ -2359,7 +2359,7 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     like :func:`bpe_train_merges` (shared :func:`_bpe_train_loop`),
     then applies the merges IN PRIORITY ORDER to EVERY document —
     including the size<2 docs the trainer never scores — in ONE final
-    corpus pass: the :func:`_bpe_apply_merge` greedy folds chain
+    corpus pass: the :func:`_bpe_apply_merge_sparse` greedy folds chain
     in-row, so the encode pass is a single scan with zero shuffles
     (the only exchange in the final plan is the output sort).
 

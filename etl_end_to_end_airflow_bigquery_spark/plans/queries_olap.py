@@ -995,19 +995,12 @@ def ivm_join_revenue_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).write.parquet(state_path)
     stored = spark.read.parquet(state_path)
 
-    # CDC batch → signed delta rows
+    # CDC batch → signed delta rows (the shared recipe — the contract
+    # every IVM twin's oracle mirrors; see incremental.signed_cdc_batch)
+    from ..operators.incremental import signed_cdc_batch
+
     base = orders.select("o_orderkey", "o_custkey", "o_totalprice")
-    deletes = base.filter(F.col("o_orderkey") % 13 == 0).withColumn(
-        "__w", F.lit(-1)
-    )
-    upd = base.filter(
-        (F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") % 13 != 0)
-    )
-    upd_old = upd.withColumn("__w", F.lit(-1))
-    upd_new = upd.withColumn(
-        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
-    ).withColumn("__w", F.lit(1))
-    cdc = deletes.unionByName(upd_old).unionByName(upd_new)
+    cdc = signed_cdc_batch(base, "o_totalprice")
 
     delta = signed_partial_state(
         cdc.join(dim, cdc["o_custkey"] == dim["c_custkey"]),
@@ -1056,11 +1049,12 @@ def ivm_minmax_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``localCheckpoint``ed — the state build, the delete leg, the insert
     leg and the recompute leg all read the cached blocks instead of
     re-deriving the orders ⋈ customer subtree (the r8 plan re-derived
-    it four times: 56 scans / 13 exchanges). The CDC key set is bounded
-    (a CDC batch, not the base) and rides as a BROADCAST to both its
-    semi- and anti-join, so the base is never re-shuffled on
-    ``o_orderkey`` — in production the batch arrives as input and the
-    same broadcast applies.
+    it four times: 56 scans / 13 exchanges). The CDC key set joins the
+    base WITHOUT a forced broadcast hint: in this simulation the %13/%11
+    predicates select ~15% of the base, so a hard broadcast would OOM
+    at billion-row scale — AQE broadcasts it at the probed sizes anyway
+    and degrades to a shuffle join gracefully beyond (a production CDC
+    batch is bounded and the caller may re-add the hint there).
     """
     import os
     from ..tmputil import session_tmpdir
@@ -1093,7 +1087,7 @@ def ivm_minmax_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    del_rows = base.join(F.broadcast(deleted_keys), "o_orderkey", "left_semi")
+    del_rows = base.join(deleted_keys, "o_orderkey", "left_semi")
     ins_rows = base.filter(
         (F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") % 13 != 0)
     ).withColumn("price", F.col("price") + F.lit(1000.0))
@@ -1126,7 +1120,7 @@ def ivm_minmax_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment"
     )
     recomputed = (
-        base.join(F.broadcast(deleted_keys), "o_orderkey", "left_anti")
+        base.join(deleted_keys, "o_orderkey", "left_anti")
         .unionByName(ins_rows)
         .join(F.broadcast(affected), "c_mktsegment", "left_semi")
         .groupBy("c_mktsegment")
@@ -1184,16 +1178,11 @@ def ivm_distinct_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).write.parquet(state_path)
     stored = spark.read.parquet(state_path)
 
-    # CDC batch → signed support deltas (reprice keeps the key: -1 +1)
-    deletes = base.filter(F.col("o_orderkey") % 13 == 0).withColumn(
-        "__w", F.lit(-1)
-    )
-    upd = base.filter(
-        (F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") % 13 != 0)
-    )
-    cdc = deletes.unionByName(upd.withColumn("__w", F.lit(-1))).unionByName(
-        upd.withColumn("__w", F.lit(1))
-    )
+    # CDC batch → signed support deltas via the shared recipe; no value
+    # column, so the reprice legs re-emit the key and must net to zero
+    from ..operators.incremental import signed_cdc_batch
+
+    cdc = signed_cdc_batch(base)
     delta = cdc.groupBy("c_mktsegment", "o_custkey").agg(
         F.sum("__w").cast("bigint").alias("cnt")
     )

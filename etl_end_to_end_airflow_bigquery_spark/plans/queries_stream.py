@@ -837,23 +837,14 @@ def streaming_ivm_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
     ).write.parquet(init_path)
 
-    # CDC feed: signed delta rows, deliberately split across 4 files so
-    # availableNow + maxFilesPerTrigger=1 yields 4 real micro-batches
+    # CDC feed: the shared signed-delta recipe, deliberately split
+    # across 4 files so availableNow + maxFilesPerTrigger=1 yields 4
+    # real micro-batches
+    from ..operators.incremental import signed_cdc_batch
+
     fact = orders.select("o_orderkey", "o_custkey", "o_totalprice")
-    deletes = fact.filter(F.col("o_orderkey") % 13 == 0).withColumn(
-        "__w", F.lit(-1)
-    )
-    upd = fact.filter(
-        (F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") % 13 != 0)
-    )
-    cdc = (
-        deletes.unionByName(upd.withColumn("__w", F.lit(-1)))
-        .unionByName(
-            upd.withColumn(
-                "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
-            ).withColumn("__w", F.lit(1))
-        )
-        .select("o_custkey", "o_totalprice", "__w")
+    cdc = signed_cdc_batch(fact, "o_totalprice").select(
+        "o_custkey", "o_totalprice", "__w"
     )
     cdc.repartition(4).write.parquet(cdc_dir)
 
