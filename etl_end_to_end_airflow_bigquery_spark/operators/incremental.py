@@ -124,6 +124,42 @@ def fold_signed_batch_versioned(
     ).parquet(next_path)
 
 
+def latest_committed_state(
+    base_dir: str, init_path: str, below: int | None = None
+) -> str:
+    """Resolve the most recent COMMITTED versioned-state directory under
+    ``base_dir`` by scanning the filesystem — never an in-memory map, so
+    the answer survives a driver restart (ADVICE r9: foreachBatch's
+    at-least-once window spans process death; a replayed batch must fold
+    onto the version its first delivery saw, not onto whatever a fresh
+    process remembers).
+
+    A version k is committed iff ``state_b{k}/_SUCCESS`` exists —
+    Spark's parquet commit marker, written last by the overwrite job, so
+    a fold that died mid-write is invisible here and the replay simply
+    recomputes it. ``below`` restricts the scan to versions < below (the
+    lookup a fold for batch k performs); ``None`` returns the newest
+    overall (the final read). Falls back to ``init_path`` (version −1,
+    the initial build) when no later committed version qualifies."""
+    import os
+    import re
+
+    best = -1
+    for name in os.listdir(base_dir):
+        m = re.fullmatch(r"state_b(\d+)", name)
+        if not m:
+            continue
+        k = int(m.group(1))
+        if below is not None and k >= below:
+            continue
+        if not os.path.exists(os.path.join(base_dir, name, "_SUCCESS")):
+            continue
+        best = max(best, k)
+    if best < 0:
+        return init_path
+    return os.path.join(base_dir, f"state_b{best}")
+
+
 def signed_cdc_batch(
     fact: DataFrame, value: str | None = None, reprice: float = 1000.0
 ) -> DataFrame:

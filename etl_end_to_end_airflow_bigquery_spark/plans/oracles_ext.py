@@ -166,9 +166,21 @@ _MT_PLANES_VALUES = ",\n            ".join(
 # so the two pHash twins can never silently diverge (a fix to the
 # packing/slice arithmetic lands in both). byt + hh CTEs, MATERIALIZED
 # (hh is referenced twice by the pair join).
+#
+# ASCII guard (ADVICE r9): the CTE equates DuckDB's per-CHARACTER
+# ord(substr(…)) code points with the Spark side's UTF-8 payload
+# BYTES, and strlen (bytes) with substr indexing (characters) — both
+# only hold for pure-ASCII text. strlen(text) = length(text) iff every
+# code point is single-byte; any non-ASCII doc now raises loudly via
+# error() instead of silently hash-mismatching at the gate.
 BLOCKHASH_HH_CTE = """byt AS MATERIALIZED (
             SELECT doc_id,
-                   strlen(text) AS n,
+                   CASE WHEN strlen(text) = length(text)
+                        THEN strlen(text)
+                        ELSE CAST(error(
+                          'BLOCKHASH_HH_CTE requires pure-ASCII text: '
+                          || 'doc ' || doc_id) AS BIGINT)
+                   END AS n,
                    list_transform(range(1, strlen(text) + 1),
                                   i -> ord(substr(text, CAST(i AS INT), 1)))
                        AS by
@@ -2299,7 +2311,24 @@ EXT_ORACLES["token_diversity_docs"] = """
 """
 
 
-def _bpe_train_oracle(k: int = 5) -> str:
+def _bpe_train_parts(k: int = 5) -> tuple[str, str]:
+    """Build the k-round BPE training oracle as (cte_chain,
+    final_select) so the trainer and encoder oracles compose from the
+    SAME parts instead of string surgery on the assembled SQL (ADVICE
+    r9: the old ``rindex`` splice on a literal whitespace pattern was
+    one reformat away from silently truncating the chain at the wrong
+    point)."""
+    return _bpe_train_chain(k), _bpe_train_select(k)
+
+
+def _bpe_train_select(k: int) -> str:
+    return " UNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS merge_round, a, b, n_pairs FROM m{r}"
+        for r in range(1, k + 1)
+    )
+
+
+def _bpe_train_chain(k: int = 5) -> str:
     """Unroll k BPE merge rounds in SQL. Each round scores adjacent
     pairs from the current token lists, takes the (count DESC, a, b)
     argmax, and applies it via the separator-delimited string-replace
@@ -2344,11 +2373,12 @@ def _bpe_train_oracle(k: int = 5) -> str:
             FROM t{r}
         )
     )""")
-    selects = " UNION ALL ".join(
-        f"SELECT CAST({r} AS INTEGER) AS merge_round, a, b, n_pairs FROM m{r}"
-        for r in range(1, k + 1)
-    )
-    return "".join(parts) + f"\n    {selects}\n    ORDER BY merge_round"
+    return "".join(parts)
+
+
+def _bpe_train_oracle(k: int = 5) -> str:
+    chain, select = _bpe_train_parts(k)
+    return chain + f"\n    {select}\n    ORDER BY merge_round"
 
 
 EXT_ORACLES["bpe_train_merges"] = _bpe_train_oracle()
@@ -2362,9 +2392,8 @@ def _bpe_encode_oracle(k: int = 5) -> str:
     ``replace``. The Spark side chains its fold-based greedy merges
     instead; hash-equality certifies the two encoders agree corpus-wide."""
     u = "chr(31)"
-    train = _bpe_train_oracle(k)
-    # keep only the WITH chain (drop the trainer's final SELECT)
-    chain = train[: train.rindex("\n    SELECT CAST(1 AS INTEGER)")]
+    # the training WITH chain, shared by construction (no final SELECT)
+    chain, _ = _bpe_train_parts(k)
     s = f"{u} || array_to_string(t, {u}||{u}) || {u}"
     for r in range(1, k + 1):
         s = f"""replace({s},

@@ -2309,7 +2309,7 @@ def _bpe_train_loop(toks, k: int) -> list[tuple[int, str, str, int]]:
     learned: list[tuple[int, str, str, int]] = []
     cur = toks
     for rnd in range(1, k + 1):
-        top = (
+        rows = (
             cur.select(
                 F.explode(
                     F.expr(
@@ -2323,8 +2323,15 @@ def _bpe_train_loop(toks, k: int) -> list[tuple[int, str, str, int]]:
             .agg(F.count(F.lit(1)).alias("n_pairs"))
             .orderBy(F.desc("n_pairs"), "a", "b")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not rows:
+            # Degenerate corpus (ADVICE r9): every doc collapsed below
+            # 2 tokens before round k — no pairs left to score. Emit
+            # the rounds learned so far, matching the oracle, whose
+            # m{rnd} CTE is empty and contributes no row.
+            break
+        top = rows[0]
         learned.append((rnd, top["a"], top["b"], top["n_pairs"]))
         # Re-filter after every merge round (ADVICE r8): a repetitive
         # doc can collapse to 1 token, and the next round's pair

@@ -796,6 +796,11 @@ def streaming_ivm_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     overwrite, so a redelivered batch — foreachBatch's at-least-once
     window — recomputes its version identically instead of folding
     twice; replay-idempotent by construction, pytest-proven. The
+    previous version is resolved FROM DISK per fold (``_SUCCESS``
+    commit markers, ``incremental.latest_committed_state``), never an
+    in-memory map, so the guarantee holds across driver restarts too —
+    a replay in a fresh process folds onto the same committed version
+    its first delivery saw (ADVICE r9). The
     final report filters fully-retracted groups (n > 0) and SHARES THE
     BATCH TWIN'S ORACLE VERBATIM (the full post-CDC recompute): the
     gate proves the ⊕ algebra lands bit-identically no matter how the
@@ -819,12 +824,12 @@ def streaming_ivm_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.incremental import fold_signed_batch_versioned
 
+    from ..operators.incremental import latest_committed_state
+
     base_dir = session_tmpdir("stream_ivm_")
     cdc_dir = os.path.join(base_dir, "cdc")
     ckpt = os.path.join(base_dir, "ckpt")
     init_path = os.path.join(base_dir, "state_init")
-    # batch id → committed state version path; -1 = the initial build
-    versions: dict[int, str] = {-1: init_path}
 
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -856,14 +861,15 @@ def streaming_ivm_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["c_mktsegment"],
             "o_totalprice",
         )
-        # previous committed version = the greatest id below this batch
-        # (empty/skipped batches leave gaps in the id sequence)
-        prev = versions[max(k for k in versions if k < batch_id)]
+        # previous committed version = the greatest COMMITTED id below
+        # this batch, resolved FROM DISK (_SUCCESS markers) so a replay
+        # after driver restart folds onto the same version its first
+        # delivery saw (ADVICE r9); gaps from empty batches are fine
+        prev = latest_committed_state(base_dir, init_path, below=batch_id)
         nxt = os.path.join(base_dir, f"state_b{batch_id}")
         fold_signed_batch_versioned(
             spark, delta, ["c_mktsegment"], prev, nxt
         )
-        versions[batch_id] = nxt
 
     stream = (
         spark.readStream.schema(
@@ -882,9 +888,9 @@ def streaming_ivm_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     _capture_plan(q, "streaming_ivm_revenue")
 
-    final = spark.read.parquet(versions[max(versions)]).filter(
-        F.col("n") > 0
-    )
+    final = spark.read.parquet(
+        latest_committed_state(base_dir, init_path)
+    ).filter(F.col("n") > 0)
     return (
         finish_avg(final, round_to=2, out="avg_price")
         .select("c_mktsegment", "n", "sum_u", "avg_price")

@@ -476,3 +476,28 @@ def test_phash_banded_pairs_match_bruteforce(spark):
         for r in phash_near_dup_pairs(df).collect()
     }
     assert got == expect
+
+
+def test_blockhash_oracle_rejects_non_ascii_loudly():
+    """ADVICE r9: the pure-SQL blockhash oracle equates DuckDB character
+    code points with UTF-8 payload bytes — valid only for pure ASCII. A
+    non-ASCII doc must raise via the in-CTE error() guard instead of
+    silently hash-mismatching at the gate."""
+    import duckdb
+    import pytest
+
+    from etl_end_to_end_airflow_bigquery_spark.plans.oracles_ext import (
+        BLOCKHASH_HH_CTE,
+    )
+
+    sql = f"WITH {BLOCKHASH_HH_CTE} SELECT doc_id, phash FROM hh ORDER BY doc_id"
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(0, 'plain ascii text'), (1, 'café au lait')) t(doc_id, text)"
+    )
+    with pytest.raises(duckdb.Error, match="pure-ASCII"):
+        con.execute(sql).fetchall()
+    con.execute("DELETE FROM documents WHERE doc_id = 1")
+    rows = con.execute(sql).fetchall()
+    assert len(rows) == 1 and rows[0][0] == 0

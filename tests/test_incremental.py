@@ -170,3 +170,53 @@ def test_versioned_fold_replay_is_idempotent(spark, tmp_path):
     got = {r.seg: (r.sum_u, r.n) for r in twice}
     assert got["A"] == (20_000_000, 1)   # 10 retracted from {10, 20}
     assert got["B"] == (12_000_000, 2)   # 5 + inserted 7
+
+
+def test_latest_committed_state_survives_restart(spark, tmp_path):
+    """ADVICE r9: the previous-version lookup must come from DISK, not
+    driver memory — after a restart, a replayed batch k must fold onto
+    the committed version < k its first delivery saw, and a half-written
+    version (no _SUCCESS marker) must be invisible."""
+    import os
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.incremental import (
+        fold_signed_batch_versioned,
+        latest_committed_state,
+        partial_avg_state,
+        signed_partial_state,
+    )
+
+    base_dir = str(tmp_path)
+    init = os.path.join(base_dir, "state_init")
+    base = spark.createDataFrame(
+        [("A", 10.0), ("B", 5.0)], "seg string, v double"
+    )
+    partial_avg_state(base, ["seg"], "v").write.parquet(init)
+
+    # no versions yet → the initial build, from any process
+    assert latest_committed_state(base_dir, init) == init
+    assert latest_committed_state(base_dir, init, below=3) == init
+
+    d0 = signed_partial_state(
+        spark.createDataFrame([("A", 2.0, 1)], "seg string, v double, __w int"),
+        ["seg"], "v",
+    )
+    b0 = os.path.join(base_dir, "state_b0")
+    fold_signed_batch_versioned(spark, d0, ["seg"], init, b0)
+    d2 = signed_partial_state(
+        spark.createDataFrame([("B", 3.0, 1)], "seg string, v double, __w int"),
+        ["seg"], "v",
+    )
+    b2 = os.path.join(base_dir, "state_b2")  # batch 1 was empty: gap
+    fold_signed_batch_versioned(spark, d2, ["seg"], b0, b2)
+
+    # a FRESH process (no in-memory map) replaying batch 2 resolves b0
+    assert latest_committed_state(base_dir, init, below=2) == b0
+    # and the final read resolves the newest committed version
+    assert latest_committed_state(base_dir, init) == b2
+
+    # a crashed fold leaves no _SUCCESS → invisible to the lookup
+    half = os.path.join(base_dir, "state_b5")
+    os.makedirs(half)
+    assert latest_committed_state(base_dir, init) == b2
+    assert latest_committed_state(base_dir, init, below=6) == b2

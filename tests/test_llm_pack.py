@@ -576,3 +576,30 @@ def test_bpe_encoder_matches_python_reference(spark):
             for r in bpe_encode_corpus(spark, d).collect()
         }
     assert got == expect
+
+
+def test_bpe_train_breaks_cleanly_on_pair_exhaustion(spark):
+    """ADVICE r9: if EVERY doc collapses below 2 tokens before round k,
+    the argmax collect comes back empty; the trainer must emit the
+    rounds learned so far (the oracle's empty m{r} CTE contributes no
+    row) instead of raising IndexError."""
+    import tempfile, os
+
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_ext import (
+        bpe_train_merges,
+    )
+
+    rows = [
+        # every doc is "a a": round 1 merges (a,a), every doc collapses
+        # to the single token "aa", and rounds 2..5 have nothing to score
+        (i, "a a", "en", "s", 0) for i in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = bpe_train_merges(spark, d).collect()
+    assert [(r.merge_round, r.a, r.b, r.n_pairs) for r in out] == [
+        (1, "a", "a", 4)
+    ]
