@@ -1107,3 +1107,107 @@ OLAP_ORACLES["lateral_topk_orders"] = """
     WHERE c.c_acctbal > 9000.0
     ORDER BY c.c_custkey, l.o_totalprice DESC, l.o_orderkey
 """
+
+
+# Deliberately different mechanism from the Spark side's day-grain
+# offset explode: a day × pair RANGE join (DuckDB's IEJoin handles the
+# interval predicate) — hash-equality certifies the two trailing-window
+# constructions agree on every horizon.
+OLAP_ORACLES["trailing_active_users"] = """
+    WITH pairs AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ), days AS (
+        SELECT DISTINCT d FROM pairs
+    )
+    SELECT r.d AS report_d,
+           count(DISTINCT CASE WHEN p.d = r.d THEN p.user_id END) AS dau,
+           count(DISTINCT CASE WHEN p.d > r.d - 7 THEN p.user_id END) AS wau,
+           count(DISTINCT p.user_id) AS mau
+    FROM days r JOIN pairs p ON p.d <= r.d AND p.d > r.d - 28
+    GROUP BY r.d
+    ORDER BY report_d
+"""
+
+
+# Direct day-grain aggregate from RAW events — the cascade (hour →
+# day re-merge) on the Spark side must land bit-identically on it:
+# hash-equality certifies the mergeable-state algebra is lossless.
+OLAP_ORACLES["rollup_cascade_daily"] = f"""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           count(*) AS n_events,
+           {_round(_dsum('value'), 2)} AS sum_value,
+           {_round(_dsum('value') + ' / count(*)', 4)} AS avg_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+"""
+
+
+# Same rank-arithmetic quantiles (unique total order, even-n averaging,
+# ceil(p·n) disc cuts) spelled as SQL windows; winsorized mean clamps
+# into [p10, p90] then runs the exact fixed-point average.
+OLAP_ORACLES["robust_stats_orders"] = f"""
+    WITH r AS (
+        SELECT o_orderstatus, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY o_orderstatus) AS n
+        FROM orders
+    ), med AS (
+        SELECT o_orderstatus,
+               sum(o_totalprice) / count(*) AS median_price
+        FROM r
+        WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+        GROUP BY o_orderstatus
+    ), cuts AS (
+        SELECT o_orderstatus,
+               min(o_totalprice) AS p10,
+               max(o_totalprice) AS p90
+        FROM r
+        WHERE rn = greatest(1, CAST(ceil(0.10 * n) AS BIGINT))
+           OR rn = greatest(1, CAST(ceil(0.90 * n) AS BIGINT))
+        GROUP BY o_orderstatus
+    ), dr AS (
+        SELECT o.o_orderstatus,
+               abs(o.o_totalprice - m.median_price) AS dev,
+               row_number() OVER (PARTITION BY o.o_orderstatus
+                                  ORDER BY abs(o.o_totalprice - m.median_price),
+                                           o.o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY o.o_orderstatus) AS n
+        FROM orders o JOIN med m USING (o_orderstatus)
+    ), mad AS (
+        SELECT o_orderstatus, sum(dev) / count(*) AS mad
+        FROM dr
+        WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+        GROUP BY o_orderstatus
+    ), winsor AS (
+        SELECT o.o_orderstatus,
+               {_round(_dsum('greatest(c.p10, least(c.p90, o.o_totalprice))')
+                       + ' / count(*)', 4)} AS winsor_mean
+        FROM orders o JOIN cuts c USING (o_orderstatus)
+        GROUP BY o.o_orderstatus
+    )
+    SELECT m.o_orderstatus, m.median_price, d.mad, c.p10, c.p90,
+           w.winsor_mean
+    FROM med m
+    JOIN mad d USING (o_orderstatus)
+    JOIN cuts c USING (o_orderstatus)
+    JOIN winsor w USING (o_orderstatus)
+    ORDER BY m.o_orderstatus
+"""
+
+
+# The plain declarative join — bucketing on the Spark side must be a
+# pure physical optimization (zero semantic drift).
+OLAP_ORACLES["bucketed_colocated_join"] = f"""
+    SELECT o.o_orderpriority,
+           count(*) AS n_lines,
+           {_round(_dsum('l.l_extendedprice * (1 - l.l_discount)'), 2)}
+               AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+"""

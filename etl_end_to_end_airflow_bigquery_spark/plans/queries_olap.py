@@ -2386,3 +2386,309 @@ def lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 OLAP_QUERIES["lateral_topk_orders"] = lateral_topk_orders
+
+
+def trailing_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement report — per activity day, the trailing
+    1-day (DAU), 7-day (WAU) and 28-day (MAU) distinct active users:
+    the operational dashboard every event pipeline publishes, and a
+    windowed-DISTINCT shape Spark's range windows cannot express
+    directly (COUNT(DISTINCT) over a RANGE frame is unsupported in
+    every SQL engine, so naive implementations fall back to a per-day
+    self-join over raw events).
+
+    Scale shape: collapse first, expand second. Raw events reduce to
+    DAY-GRAIN distinct (user, day) pairs (one hash aggregate — at
+    100 TB this is the only pass over the fact table), and only that
+    bounded pair set is replicated ×28 via an in-row ``sequence``
+    explode onto the report days it contributes to. A broadcast
+    semi-join against the tiny activity-day dimension trims the spill
+    past the last day, and one grouped conditional COUNT(DISTINCT)
+    finishes all three horizons (Catalyst plans the 3 distinct
+    branches as one Expand ×3 — still pair-grain, never event-grain).
+    Reference analog: the daily report DAG's GROUP-BY-day publish
+    (`dags/ FXRate_Reporting_Pipeline.py:128-141`), widened to the
+    trailing-horizon form BigQuery users write with a self-join.
+    """
+    ev = load_events(spark, sf_dir)
+    pairs = (
+        ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    )
+    days = pairs.select("d").distinct().withColumnRenamed("d", "report_d")
+    expanded = pairs.select(
+        "user_id",
+        "d",
+        F.explode(F.sequence(F.lit(0), F.lit(27))).alias("off"),
+    ).withColumn("report_d", F.expr("date_add(d, off)"))
+    return (
+        expanded.join(F.broadcast(days), "report_d")
+        .groupBy("report_d")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("off") == 0, F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct(
+                F.when(F.col("off") < 7, F.col("user_id"))
+            ).alias("wau"),
+            F.countDistinct("user_id").alias("mau"),
+        )
+        .orderBy("report_d")
+    )
+
+
+OLAP_QUERIES["trailing_active_users"] = trailing_active_users
+
+
+def rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical downsample cascade — the hypertable/materialized-
+    rollup pattern: the DAILY report is computed FROM the HOURLY
+    rollup, never from raw events. Hourly state is kept in mergeable
+    form (exact scaled-integer sum + count + min/max, the same algebra
+    as ``operators.incremental``), so re-aggregating it upward is pure
+    partial-aggregate merge: counts add, fixed-point sums add, min/max
+    re-min/re-max, and the average is a projection of the merged state.
+    The driver gate proves the cascade exactly equals the direct
+    day-grain aggregate (the oracle computes from raw), i.e. the merge
+    algebra loses nothing — the license to serve dashboards from
+    rollups instead of rescanning the fact table.
+
+    Scale: at 100 TB the hourly layer is what you materialize
+    (24×|types| rows/day); every coarser grain (day here; week, month
+    the same way) reads ONLY the next-finer rollup — each level is
+    ~24× smaller than the last, so the cascade's total cost is a
+    fraction of one raw rescan. Both aggregations are single-shuffle
+    hash aggregates with map-side partials. Reference analog: the
+    report DAG recomputes day aggregates from raw ticks every run
+    (`dags/ FXRate_Reporting_Pipeline.py:128-141`) — this is the form
+    that stops doing that.
+    """
+    ev = load_events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("h"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("sum_u"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+    )
+    daily = (
+        hourly.groupBy(
+            F.to_date("h").alias("day"),
+            "event_type",
+        ).agg(
+            F.sum("n").alias("n_events"),
+            F.sum("sum_u").alias("sum_u"),
+            F.min("min_v").alias("min_value"),
+            F.max("max_v").alias("max_value"),
+        )
+    )
+    return daily.select(
+        "day",
+        "event_type",
+        "n_events",
+        round_half_up(
+            F.col("sum_u").cast("double") / F.lit(1e6), 2
+        ).alias("sum_value"),
+        round_half_up(
+            F.col("sum_u").cast("double") / F.lit(1e6) / F.col("n_events"), 4
+        ).alias("avg_value"),
+        "min_value",
+        "max_value",
+    ).orderBy("day", "event_type")
+
+
+OLAP_QUERIES["rollup_cascade_daily"] = rollup_cascade_daily
+
+
+def robust_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group statistics — the outlier-resistant profile a
+    data-quality monitor publishes where mean/stddev would be skewed by
+    heavy tails: exact median, MAD (median absolute deviation from the
+    median), percentile_disc-style p10/p90 cut values, and the
+    winsorized mean (values clamped into [p10, p90] before an exact
+    fixed-point average). Every quantile is spelled as RANK ARITHMETIC
+    over a unique total order (value, o_orderkey) — engine quantile
+    functions disagree on interpolation, rank picks are bit-portable
+    (the ``median_price_by_status`` convention; even-n medians average
+    the two middle rows, one IEEE add + exact halving).
+
+    Scale: two windowed rank passes partitioned by the group key (the
+    second ranks |x − median| after the tiny per-group median frame
+    broadcasts back), then one grouped aggregate over the clamped
+    values — all shuffles are on ``o_orderstatus``, and AQE broadcasts
+    the 3-row median/cut frames. No sort of the full table beyond the
+    per-group window order a 1000-executor cluster runs per partition.
+    Reference analog: the report DAG's AVG (`dags/
+    FXRate_Reporting_Pipeline.py:135`) — the robust forms a production
+    monitor replaces it with when ticks spike.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    wo = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wp = Window.partitionBy("o_orderstatus")
+    ranked = orders.select(
+        "o_orderstatus",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.expr("(n + 1) div 2"))
+            | (F.col("rn") == F.expr("n div 2 + 1"))
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            (F.sum("o_totalprice") / F.count(F.lit(1))).alias("median_price")
+        )
+    )
+    cuts = (
+        ranked.filter(
+            (F.col("rn") == F.greatest(F.lit(1), F.ceil(0.10 * F.col("n"))))
+            | (F.col("rn") == F.greatest(F.lit(1), F.ceil(0.90 * F.col("n"))))
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.min("o_totalprice").alias("p10"),
+            F.max("o_totalprice").alias("p90"),
+        )
+    )
+    dev = orders.join(F.broadcast(med), "o_orderstatus").select(
+        "o_orderstatus",
+        "o_orderkey",
+        "o_totalprice",
+        "median_price",
+        F.abs(F.col("o_totalprice") - F.col("median_price")).alias("dev"),
+    )
+    wd = Window.partitionBy("o_orderstatus").orderBy("dev", "o_orderkey")
+    dev_ranked = dev.select(
+        "o_orderstatus",
+        "dev",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    mad = (
+        dev_ranked.filter(
+            (F.col("rn") == F.expr("(n + 1) div 2"))
+            | (F.col("rn") == F.expr("n div 2 + 1"))
+        )
+        .groupBy("o_orderstatus")
+        .agg((F.sum("dev") / F.count(F.lit(1))).alias("mad"))
+    )
+    winsor = (
+        orders.join(F.broadcast(cuts), "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            F.greatest(
+                F.col("p10"), F.least(F.col("p90"), F.col("o_totalprice"))
+            ).alias("w"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(round_half_up(decimal_avg(F.col("w")), 4).alias("winsor_mean"))
+    )
+    return (
+        med.join(mad, "o_orderstatus")
+        .join(cuts, "o_orderstatus")
+        .join(winsor, "o_orderstatus")
+        .select(
+            "o_orderstatus", "median_price", "mad", "p10", "p90",
+            "winsor_mean",
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+OLAP_QUERIES["robust_stats_orders"] = robust_stats_orders
+
+
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-to-fact join via BUCKETED table layout — the
+    storage-level co-location strategy for the joins too big to
+    broadcast AND too hot to re-shuffle every query: both sides are
+    written ``bucketBy(orderkey).sortBy(orderkey)`` (Spark's
+    hash-bucketed layout, the open analog of BigQuery clustering), so
+    the sort-merge join consumes bucket files directly — ZERO Exchange
+    on either side of the join in the physical plan; the only shuffle
+    left is the final small group-by. (A cheap in-partition Sort
+    remains: Spark trusts bucket sort order only under the legacy
+    ``bucketedTableScan.outputOrdering`` flag — the expensive part,
+    the network shuffle, is what the layout removes.) At 100 TB you pay
+    the layout cost once at ingest and every subsequent orderkey join
+    is shuffle-free — the single biggest recurring-cost lever for a
+    star-schema fact pair queried daily.
+
+    The one-time bucketed write here IS part of the operator (external
+    tables under a session temp location via ``option("path")``, so
+    re-runs in a fresh session never trip over stale managed-table
+    dirs; ``catalog.drop_table`` S5 reuse for same-session re-runs).
+    The gate proves layout + join against the plain declarative join
+    oracle: bucketing must be a pure physical optimization with zero
+    semantic drift. Buckets must agree on count (8) and key on both
+    sides — mismatched bucket counts silently fall back to shuffle,
+    which the plan audit would flag.
+    """
+    import os
+
+    from ..catalog import drop_table
+    from ..tmputil import session_tmpdir
+
+    root = session_tmpdir("bucketed_join_")
+    for name, df, key in (
+        (
+            "bkt_lineitem",
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            "l_orderkey",
+        ),
+        (
+            "bkt_orders",
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority"
+            ),
+            "o_orderkey",
+        ),
+    ):
+        drop_table(spark, name, if_exists=True)
+        (
+            df.repartition(8, key)  # one file per bucket, not tasks×buckets
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(root, name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    li = spark.table("bkt_lineitem")
+    od = spark.table("bkt_orders")
+    # MERGE hint: at test sf the orders side is broadcast-small and AQE
+    # would (correctly) skip the bucketed machinery; the hint pins the
+    # sort-merge path this operator exists for — at 100 TB neither side
+    # broadcasts and SMJ-over-buckets is what runs unhinted.
+    return (
+        li.join(od.hint("merge"), li["l_orderkey"] == od["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            round_half_up(
+                decimal_sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+OLAP_QUERIES["bucketed_colocated_join"] = bucketed_colocated_join
