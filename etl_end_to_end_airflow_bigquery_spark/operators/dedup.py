@@ -584,3 +584,94 @@ def incremental_dedup(
             ).alias("keep"),
         )
     )
+
+
+CONTAINMENT_DF_CAP = 20     # posting-list document-frequency cap
+CONTAINMENT_T = 0.8         # |A∩B| / min(|A|,|B|) keep threshold
+
+
+def containment_pairs(
+    docs: DataFrame,
+    df_cap: int = CONTAINMENT_DF_CAP,
+    threshold: float = CONTAINMENT_T,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup join — the quote/boilerplate
+    detector Jaccard misses: a short doc fully embedded in a long one
+    has containment |A∩B|/|A| ≈ 1 while Jaccard ≈ |A|/|B| can sit far
+    below any near-dup cut (and the size-skewed pair rarely collides
+    in minhash bands, whose collision probability tracks Jaccard).
+
+    Candidate generation is a DF-CAPPED INVERTED-INDEX join, the
+    standard copy-detection shape: explode distinct shingles to
+    postings, drop shingles whose document frequency exceeds
+    ``df_cap`` (boilerplate-universal shingles that would quadratically
+    blow up the self-join), and pair documents sharing a surviving
+    shingle. Fanout is bounded by df_cap²/2 pairs per shingle —
+    proportional to true duplication density, never all-pairs. The
+    exact shingle-set verify then runs only on candidates (the
+    ``jaccard_verify`` economy: one corpus tokenization, pinned behind
+    one exchange, feeds postings AND both verify sides).
+
+    Coverage caveat, by design: a doc ALL of whose shingles are more
+    common than df_cap cannot be caught (pure-boilerplate text) — at
+    100 TB you raise df_cap per corpus slice or add a minhash leg;
+    both legs share this verify. Direction: the smaller shingle set is
+    the contained side (integer-size compare, no FP tie ambiguity).
+    """
+    sh = shingle_docs(docs).repartition("doc_id")
+    posts = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    rare = (
+        posts.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("shingle")
+    )
+    rposts = posts.join(rare, "shingle")
+    cand = (
+        rposts.alias("a")
+        .join(
+            rposts.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    j = (
+        cand.join(
+            sh.withColumnsRenamed({"doc_id": "doc_a", "shingles": "sh_a"}).hint(
+                "merge"
+            ),
+            "doc_a",
+        )
+        .join(
+            sh.withColumnsRenamed({"doc_id": "doc_b", "shingles": "sh_b"}).hint(
+                "merge"
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("size(array_intersect(sh_a, sh_b))").alias("inter"),
+            F.expr("size(sh_a)").alias("na"),
+            F.expr("size(sh_b)").alias("nb"),
+        )
+    )
+    cont_a = F.col("inter").cast("double") / F.col("na").cast("double")
+    cont_b = F.col("inter").cast("double") / F.col("nb").cast("double")
+    return (
+        j.filter(F.greatest(cont_a, cont_b) >= F.lit(threshold))
+        .select(
+            "doc_a",
+            "doc_b",
+            cont_a.alias("cont_a"),
+            cont_b.alias("cont_b"),
+            F.when(F.col("na") <= F.col("nb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_id"),
+        )
+    )

@@ -2470,3 +2470,113 @@ EXT_ORACLES["substring_dedup_spans"] = """
                FROM kept GROUP BY doc_id) kp USING (doc_id)
     ORDER BY tt.doc_id
 """
+
+
+# Containment: same DF-capped posting join + exact verify; smaller
+# shingle set is the contained side (integer-size compare both sides).
+_CONT_INTER = "len(list_filter(sh_a, x -> list_contains(sh_b, x)))"
+EXT_ORACLES["containment_near_dups"] = f"""
+    WITH {_SHINGLES_CTE.strip()}, posts AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), rare AS (
+        SELECT shingle FROM posts GROUP BY shingle HAVING count(*) <= 20
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM posts a
+        JOIN rare r ON a.shingle = r.shingle
+        JOIN posts b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+    ), joined AS (
+        SELECT c.doc_a, c.doc_b,
+               sa.shingles AS sh_a, sb.shingles AS sh_b
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+    ), m AS (
+        SELECT doc_a, doc_b,
+               CAST({_CONT_INTER} AS DOUBLE) AS inter,
+               CAST(len(sh_a) AS DOUBLE) AS na,
+               CAST(len(sh_b) AS DOUBLE) AS nb,
+               len(sh_a) AS ia, len(sh_b) AS ib
+        FROM joined
+    )
+    SELECT doc_a, doc_b,
+           {_round('inter / na', 6)} AS cont_a,
+           {_round('inter / nb', 6)} AS cont_b,
+           CASE WHEN ia <= ib THEN doc_a ELSE doc_b END AS contained_id
+    FROM m
+    WHERE greatest(inter / na, inter / nb) >= 0.8
+    ORDER BY doc_a, doc_b
+"""
+
+
+# Next-fit packing replayed as a recursive CTE: one row per (shard,
+# rank) step, the running (bin_id, fill) carried through the
+# recurrence — the sequential greedy decision sequence, independently
+# re-implemented.
+EXT_ORACLES["bin_pack_nextfit"] = """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               CAST(doc_id % 8 AS INTEGER) AS shard,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), ord AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY shard
+                                  ORDER BY n_tokens DESC, doc_id) AS rn
+        FROM toks
+    ), packed AS (
+        SELECT shard, rn, doc_id, n_tokens,
+               CAST(0 AS BIGINT) AS bin_id,
+               CAST(0 AS BIGINT) AS "offset",
+               n_tokens AS fill
+        FROM ord WHERE rn = 1
+        UNION ALL
+        SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+               CASE WHEN p.fill + o.n_tokens > 256
+                    THEN p.bin_id + 1 ELSE p.bin_id END,
+               CASE WHEN p.fill + o.n_tokens > 256
+                    THEN CAST(0 AS BIGINT) ELSE p.fill END,
+               CASE WHEN p.fill + o.n_tokens > 256
+                    THEN o.n_tokens ELSE p.fill + o.n_tokens END
+        FROM packed p
+        JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1
+    )
+    SELECT doc_id, shard, n_tokens, bin_id, "offset" AS offset
+    FROM packed
+    ORDER BY doc_id
+"""
+
+
+# Same integer-rational chi-square (HUGEINT mirror of DECIMAL(38,0);
+# DuckDB `//` = Spark `div` on positives — den and the rounded
+# numerator are non-negative because d enters squared).
+EXT_ORACLES["corpus_drift_chi2"] = """
+    WITH tok AS (
+        SELECT doc_id % 2 = 0 AS is_a,
+               unnest(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS token
+        FROM documents
+    ), counts AS (
+        SELECT token,
+               CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS o1,
+               CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS o2
+        FROM tok GROUP BY token
+    ), tot AS (
+        SELECT sum(o1) AS s1, sum(o2) AS s2 FROM counts
+    ), m AS (
+        SELECT token, o1, o2,
+               CAST(o1 AS HUGEINT) * (s1 + s2)
+                 - CAST(s1 AS HUGEINT) * (o1 + o2) AS d,
+               CAST(o1 + o2 AS HUGEINT) * s1 * s2 AS den,
+               CAST(s1 + s2 AS HUGEINT) AS n
+        FROM counts, tot
+        WHERE o1 + o2 >= 20
+    )
+    SELECT token, o1, o2,
+           CAST((2 * (d * d * n) * 1000000 + den) // (2 * den)
+                AS DOUBLE) / 1000000.0 AS chi2
+    FROM m
+    ORDER BY chi2 DESC, token
+    LIMIT 40
+"""

@@ -1211,3 +1211,26 @@ OLAP_ORACLES["bucketed_colocated_join"] = f"""
     GROUP BY o.o_orderpriority
     ORDER BY o.o_orderpriority
 """
+
+
+# Variables inlined: same dates, same exact-fixed-point threshold
+# subquery text, same integer-rational 2-dp round (positive sums:
+# Spark `div` = DuckDB `//`), ONE final double division.
+OLAP_ORACLES["sql_variables_pack"] = """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST((sum(CAST(floor(o_totalprice * 1000000.0 + 0.5)
+                          AS BIGINT)) * 2 + 10000) // 20000
+                AS DOUBLE) / 100.0 AS sum_price
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE'1996-01-01'
+      AND CAST(o_orderdate AS DATE) <  DATE'1998-01-01'
+      AND o_totalprice > (
+          SELECT CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5)
+                               AS BIGINT)) AS DOUBLE)
+                 / 1000000.0 / count(*)
+          FROM orders
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""

@@ -2471,3 +2471,175 @@ def token_diversity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT_QUERIES["token_diversity_docs"] = token_diversity_docs
+
+
+def containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (``operators.dedup
+    .containment_pairs``): quote/boilerplate inclusion pairs the
+    Jaccard cut misses — candidate pairs from a DF-capped
+    inverted-index join (never all-pairs; fanout bounded by df_cap²
+    per shingle), exact shingle verify on candidates only, smaller
+    set = contained side. Completes the dedup family's sixth modality
+    (exact, MinHash-LSH, SimHash, Jaccard, ExactSubstr spans → now
+    containment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = D.containment_pairs(docs)
+    return p.select(
+        "doc_a",
+        "doc_b",
+        round_half_up(F.col("cont_a"), 6).alias("cont_a"),
+        round_half_up(F.col("cont_b"), 6).alias("cont_b"),
+        "contained_id",
+    ).orderBy("doc_a", "doc_b")
+
+
+EXT_QUERIES["containment_near_dups"] = containment_near_dups
+
+
+PACK_NF_CAPACITY = 256  # context-window token budget per bin
+PACK_NF_SHARDS = 8
+
+
+def bin_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing WITHOUT document splitting — the other standard
+    packing mode next to ``pack_training_sequences``' concat-and-chop:
+    greedy NEXT-FIT-DECREASING bin packing of whole documents into
+    fixed token-budget bins (capacity {cap}): docs sort by (n_tokens
+    DESC, doc_id) within a shard, and each doc goes into the current
+    bin unless it would overflow, which closes the bin and opens the
+    next. No document crosses a bin boundary — the mode used when
+    attention must never span two documents and truncation is
+    unacceptable (eval sets, instruction tuning).
+
+    Genuinely SEQUENTIAL logic (each decision depends on the running
+    fill), so it cannot be a window expression: this is the legitimate
+    ``applyInPandas`` case — deterministic shards (``doc_id % {sh}``,
+    engine-portable, NOT a hash) bound each pandas group, and the
+    greedy loop runs per shard in one Arrow batch. Bin ids are
+    per-shard, exactly how a 1000-executor cluster runs it (global bin
+    ids would serialize the whole corpus through one task; per-shard
+    packing is embarrassingly parallel and loses at most one
+    partially-filled bin per shard). Oversized docs (> capacity) get a
+    bin alone — loudly visible as fill > capacity, never dropped.
+
+    The oracle replays the same greedy recurrence as a RECURSIVE CTE
+    stepping rank-by-rank within each shard — two independent
+    sequential-fold implementations, hash-equality certified.
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    sharded = docs.withColumn(
+        "shard", (F.col("doc_id") % PACK_NF_SHARDS).cast("int")
+    )
+
+    cap = PACK_NF_CAPACITY
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        bins, offs = [], []
+        bin_id, fill = 0, 0
+        for n in pdf["n_tokens"]:
+            if bins and fill + n > cap:
+                bin_id += 1
+                fill = 0
+            bins.append(bin_id)
+            offs.append(fill)
+            fill += n
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        pdf["offset"] = pd.Series(offs, dtype="int64")
+        return pdf[["doc_id", "shard", "n_tokens", "bin_id", "offset"]]
+
+    return (
+        sharded.groupBy("shard")
+        .applyInPandas(
+            pack,
+            schema=(
+                "doc_id long, shard int, n_tokens long,"
+                " bin_id long, offset long"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+bin_pack_nextfit.__doc__ = bin_pack_nextfit.__doc__.format(
+    cap=PACK_NF_CAPACITY, sh=PACK_NF_SHARDS
+)
+EXT_QUERIES["bin_pack_nextfit"] = bin_pack_nextfit
+
+
+def corpus_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor — the distribution-shift report a training
+    pipeline runs between yesterday's corpus and today's (here the
+    deterministic even/odd doc_id halves): per-token chi-square
+    divergence of the two unigram distributions, top drifted tokens
+    first. For a 2×2 contingency (token vs rest, side A vs B) the
+    statistic collapses to χ² = D²·N / (t·S₁·S₂) with
+    D = O₁·N − S₁·t — ALL INTEGER terms, so the whole statistic is an
+    exact integer rational finished with the repo's half-up 6-dp
+    single-division pattern: no logs, no engine-dependent float
+    accumulation anywhere (the reason chi-square beats KL here — KL's
+    ln() is not exactness-portable).
+
+    Scale: one tokenize+explode pass → one grouped count per token
+    (map-side partials) → a 1-row totals aggregate broadcast back (the
+    bounded-scalar cross pattern) → per-token in-row arithmetic +
+    TakeOrdered top-40. The DECIMAL(38,0) intermediates hold to ~1e12
+    tokens per side; past that, finish in double (the statistic is a
+    rank signal at that point, not a hash-gated value) — documented
+    swap, same plan shape. Reference analog: the daily report diff a
+    BigQuery user schedules between staging and prod tables.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("is_a"),
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("token"),
+    )
+    counts = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("o1"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("o2"),
+    )
+    totals = counts.agg(
+        F.sum("o1").alias("s1"), F.sum("o2").alias("s2")
+    )
+    dec = "decimal(38,0)"
+    m = (
+        counts.crossJoin(F.broadcast(totals))
+        .filter(F.col("o1") + F.col("o2") >= 20)
+        .select(
+            "token",
+            "o1",
+            "o2",
+            F.expr(
+                f"CAST(o1 AS {dec}) * (s1 + s2)"
+                f" - CAST(s1 AS {dec}) * (o1 + o2)"
+            ).alias("d"),
+            F.expr(
+                f"CAST(o1 + o2 AS {dec}) * s1 * s2"
+            ).alias("den"),
+            F.expr(f"CAST(s1 + s2 AS {dec})").alias("n"),
+        )
+    )
+    chi = m.select(
+        "token",
+        "o1",
+        "o2",
+        F.expr(
+            "CAST((2 * (d * d * n) * 1000000 + den) div (2 * den)"
+            " AS DOUBLE) / 1000000.0"
+        ).alias("chi2"),
+    )
+    return chi.orderBy(F.desc("chi2"), "token").limit(40)
+
+
+EXT_QUERIES["corpus_drift_chi2"] = corpus_drift_chi2

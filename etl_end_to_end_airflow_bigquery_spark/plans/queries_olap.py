@@ -2692,3 +2692,66 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 OLAP_QUERIES["bucketed_colocated_join"] = bucketed_colocated_join
+
+
+def sql_variables_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL session-variable surface (`DECLARE OR REPLACE
+    VARIABLE`, `SET VAR … = (scalar subquery)`, `EXECUTE IMMEDIATE …
+    USING var`) — the scripting glue the reference keeps in Airflow
+    task parameters and Jinja templating (`dags/fx_pipeline_with_merge
+    .py` passes run dates/thresholds into SQL strings): here the
+    pipeline parameters live IN the SQL session, typed and
+    injection-proof, and a data-derived threshold (`SET VAR … =
+    (SELECT …)`) closes the loop a templated string can't.
+
+    The threshold subquery uses the engine-exact fixed-point average
+    formula (identical text both engines) so the variable's VALUE is
+    bit-identical to the oracle's inlined scalar subquery. The final
+    report runs through EXECUTE IMMEDIATE with positional markers
+    bound from session variables — the dynamic-SQL path, proven
+    equivalent to the static form by the gate.
+
+    Scale: variables are driver-side scalars (one 1-row subquery —
+    the bounded-collect pattern); the report is one scan + grouped
+    aggregate with both predicates pushed down.
+    """
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE cut_lo DATE DEFAULT DATE'1996-01-01'"
+    )
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE cut_hi DATE DEFAULT DATE'1998-01-01'"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_var_v")
+    spark.sql(
+        """
+        SET VAR price_floor = (
+            SELECT CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5)
+                                 AS BIGINT)) AS DOUBLE)
+                   / 1000000.0 / count(*)
+            FROM orders_var_v
+        )
+        """
+    )
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+        'SELECT o_orderpriority,
+                count(*) AS n_orders,
+                CAST((sum(CAST(floor(o_totalprice * 1000000.0 + 0.5)
+                               AS BIGINT)) * 2 + 10000) div 20000
+                     AS DOUBLE) / 100.0
+                    AS sum_price
+         FROM orders_var_v
+         WHERE CAST(o_orderdate AS DATE) >= ?
+           AND CAST(o_orderdate AS DATE) <  ?
+           AND o_totalprice > ?
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority'
+        USING cut_lo, cut_hi, price_floor
+        """
+    )
+
+
+OLAP_QUERIES["sql_variables_pack"] = sql_variables_pack
