@@ -618,15 +618,24 @@ def containment_pairs(
     both legs share this verify. Direction: the smaller shingle set is
     the contained side (integer-size compare, no FP tie ambiguity).
     """
-    sh = shingle_docs(docs).repartition("doc_id")
-    posts = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    rare = (
-        posts.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    # one tokenization, pinned: postings, the df window, the self-join
+    # sides and both verify sides all hang off this materialization
+    sh = shingle_docs(docs).repartition("doc_id").localCheckpoint(eager=False)
+    # document frequency as a WINDOW over the posting partition — the
+    # cap filter rides the same shingle-keyed exchange the self-join
+    # needs, so candidate generation costs ONE shuffle of the postings
+    # (a separate df aggregate + join would re-shuffle them twice)
+    rposts = (
+        sh.select("doc_id", F.explode("shingles").alias("shingle"))
+        .repartition("shingle")
+        .withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
         .filter(F.col("df") <= df_cap)
-        .select("shingle")
+        .drop("df")
     )
-    rposts = posts.join(rare, "shingle")
     cand = (
         rposts.alias("a")
         .join(

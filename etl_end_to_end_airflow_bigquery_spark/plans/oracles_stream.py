@@ -161,3 +161,8 @@ from .oracles_ext import EXT_ORACLES as _EXT  # noqa: E402
 STREAM_ORACLES["streaming_incremental_dedup"] = _EXT[
     "incremental_dedup_batch"
 ]
+
+# Streaming rollup cascade shares the batch cascade's oracle VERBATIM
+# (direct day-grain recompute from raw events): micro-batch slicing
+# must be invisible in the maintained state.
+STREAM_ORACLES["streaming_rollup_cascade"] = _OLAP["rollup_cascade_daily"]

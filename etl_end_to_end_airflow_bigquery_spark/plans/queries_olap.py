@@ -2411,8 +2411,15 @@ def trailing_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     trailing-horizon form BigQuery users write with a self-join.
     """
     ev = load_events(spark, sf_dir)
+    # day-grain pairs pinned once (lazy localCheckpoint): both the
+    # offset expansion and the activity-day dimension hang off the SAME
+    # materialized distinct — without the pin, Catalyst re-derives the
+    # full event scan + distinct for each reference (the rfm_segments
+    # lesson)
     pairs = (
-        ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+        ev.select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     days = pairs.select("d").distinct().withColumnRenamed("d", "report_d")
     expanded = pairs.select(
@@ -2538,41 +2545,53 @@ def robust_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     wp = Window.partitionBy("o_orderstatus")
     ranked = orders.select(
         "o_orderstatus",
-        "o_orderkey",
         "o_totalprice",
         F.row_number().over(wo).alias("rn"),
         F.count(F.lit(1)).over(wp).alias("n"),
     )
-    med = (
-        ranked.filter(
-            (F.col("rn") == F.expr("(n + 1) div 2"))
-            | (F.col("rn") == F.expr("n div 2 + 1"))
-        )
-        .groupBy("o_orderstatus")
-        .agg(
-            (F.sum("o_totalprice") / F.count(F.lit(1))).alias("median_price")
-        )
+    # ONE conditional aggregate finishes median + both disc cuts from a
+    # single reference to the ranked frame (a second reference would
+    # re-derive the whole scan+window subtree — the rfm_segments
+    # lesson); the |groups|-row result is eagerly checkpointed (bounded
+    # driver-side materialization) so the two downstream passes
+    # broadcast it instead of recomputing it.
+    is_mid = (F.col("rn") == F.expr("(n + 1) div 2")) | (
+        F.col("rn") == F.expr("n div 2 + 1")
     )
-    cuts = (
-        ranked.filter(
-            (F.col("rn") == F.greatest(F.lit(1), F.ceil(0.10 * F.col("n"))))
-            | (F.col("rn") == F.greatest(F.lit(1), F.ceil(0.90 * F.col("n"))))
-        )
-        .groupBy("o_orderstatus")
+    q = (
+        ranked.groupBy("o_orderstatus")
         .agg(
-            F.min("o_totalprice").alias("p10"),
-            F.max("o_totalprice").alias("p90"),
+            (
+                F.sum(F.when(is_mid, F.col("o_totalprice")))
+                / F.count(F.when(is_mid, F.lit(1)))
+            ).alias("median_price"),
+            F.min(
+                F.when(
+                    F.col("rn")
+                    == F.greatest(F.lit(1), F.ceil(0.10 * F.col("n"))),
+                    F.col("o_totalprice"),
+                )
+            ).alias("p10"),
+            F.min(
+                F.when(
+                    F.col("rn")
+                    == F.greatest(F.lit(1), F.ceil(0.90 * F.col("n"))),
+                    F.col("o_totalprice"),
+                )
+            ).alias("p90"),
         )
+        .localCheckpoint()
     )
-    dev = orders.join(F.broadcast(med), "o_orderstatus").select(
+    j = orders.join(F.broadcast(q), "o_orderstatus").select(
         "o_orderstatus",
         "o_orderkey",
         "o_totalprice",
-        "median_price",
+        "p10",
+        "p90",
         F.abs(F.col("o_totalprice") - F.col("median_price")).alias("dev"),
     )
     wd = Window.partitionBy("o_orderstatus").orderBy("dev", "o_orderkey")
-    dev_ranked = dev.select(
+    dev_ranked = j.select(
         "o_orderstatus",
         "dev",
         F.row_number().over(wd).alias("rn"),
@@ -2587,8 +2606,7 @@ def robust_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum("dev") / F.count(F.lit(1))).alias("mad"))
     )
     winsor = (
-        orders.join(F.broadcast(cuts), "o_orderstatus")
-        .select(
+        j.select(
             "o_orderstatus",
             F.greatest(
                 F.col("p10"), F.least(F.col("p90"), F.col("o_totalprice"))
@@ -2598,8 +2616,7 @@ def robust_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(round_half_up(decimal_avg(F.col("w")), 4).alias("winsor_mean"))
     )
     return (
-        med.join(mad, "o_orderstatus")
-        .join(cuts, "o_orderstatus")
+        q.join(mad, "o_orderstatus")
         .join(winsor, "o_orderstatus")
         .select(
             "o_orderstatus", "median_price", "mad", "p10", "p90",

@@ -1008,3 +1008,120 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_QUERIES["streaming_incremental_dedup"] = streaming_incremental_dedup
+
+
+def streaming_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming twin of :func:`..queries_olap.rollup_cascade_daily`
+    — the HOURLY rollup maintained BY THE STREAM as events land,
+    the daily report a projection of that state: events arrive as a
+    file stream in 4 real micro-batches (``maxFilesPerTrigger=1``);
+    ``foreachBatch`` folds each batch's hourly partials (count +
+    fixed-point sum + min/max — all mergeable) into a versioned
+    parquet state table via disk-resolved committed versions
+    (``incremental.latest_committed_state``, replay-idempotent across
+    driver restarts like ``streaming_ivm_revenue``). SHARES THE BATCH
+    CASCADE'S ORACLE VERBATIM (direct day-grain recompute from raw):
+    hash-equality proves the ⊕ algebra lands bit-identically no matter
+    how the engine slices events into micro-batches — and since min/max
+    ride alongside sum/count, this is the non-invertible-aggregate
+    streaming twin (insert-only stream: no retraction boundary to
+    recompute).
+
+    Scale: per batch, one grouped partial over the batch slice ⊕ the
+    24×|types|-rows/day state — the fact table is never rescanned; the
+    daily projection reads only the hourly state. Stateless micro-batch
+    plan (durable state in parquet, not the state store) — exempted in
+    ``plan_audit.STREAM_STATELESS_OK``.
+    """
+    from ..io import load_table
+    from ..operators.incremental import latest_committed_state
+    from ..operators.relational import round_half_up
+    from ..tmputil import session_tmpdir
+
+    base_dir = session_tmpdir("stream_rollup_")
+    feed_dir = os.path.join(base_dir, "feed")
+    ckpt = os.path.join(base_dir, "ckpt")
+    init_path = os.path.join(base_dir, "state_init")
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    )
+    ev.repartition(4).write.parquet(feed_dir)
+
+    def _hourly(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", "ts").alias("h"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("sum_u"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+
+    # empty initial state with the right schema
+    _hourly(ev.limit(0)).write.parquet(init_path)
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        prev = latest_committed_state(base_dir, init_path, below=batch_id)
+        nxt = os.path.join(base_dir, f"state_b{batch_id}")
+        merged = (
+            spark.read.parquet(prev)
+            .unionByName(_hourly(batch))
+            .groupBy("h", "event_type")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sum_u").alias("sum_u"),
+                F.min("min_v").alias("min_v"),
+                F.max("max_v").alias("max_v"),
+            )
+        )
+        merged.write.mode("overwrite").parquet(nxt)
+
+    stream = (
+        spark.readStream.schema(
+            "ts timestamp_ntz, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_fold)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    _capture_plan(q, "streaming_rollup_cascade")
+
+    hourly = spark.read.parquet(latest_committed_state(base_dir, init_path))
+    daily = hourly.groupBy(
+        F.to_date("h").alias("day"), "event_type"
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.sum("sum_u").alias("sum_u"),
+        F.min("min_v").alias("min_value"),
+        F.max("max_v").alias("max_value"),
+    )
+    return daily.select(
+        "day",
+        "event_type",
+        "n_events",
+        round_half_up(
+            F.col("sum_u").cast("double") / F.lit(1e6), 2
+        ).alias("sum_value"),
+        round_half_up(
+            F.col("sum_u").cast("double") / F.lit(1e6) / F.col("n_events"), 4
+        ).alias("avg_value"),
+        "min_value",
+        "max_value",
+    ).orderBy("day", "event_type")
+
+
+STREAM_QUERIES["streaming_rollup_cascade"] = streaming_rollup_cascade

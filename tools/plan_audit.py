@@ -38,6 +38,9 @@ ARROW_OK = {
     # §2.10 Spark-4 Python UDTF surface demo (Arrow-batched table
     # function, oracle-equal to the JVM chunker by design)
     "chunk_documents_udtf",
+    # genuinely sequential per-shard greedy packing loop — the
+    # legitimate applyInPandas case, oracle-matched to a recursive CTE
+    "bin_pack_nextfit",
 }
 
 # Queries whose BroadcastNestedLoopJoin builds a ≤-handful-of-rows side —
@@ -70,6 +73,7 @@ BNLJ_OK = {
     "ivfpq_rerank_topk",  # same bounded broadcasts as ivfpq_topk_adc
     "hybrid_rrf_retrieval",  # 1-row dense query vector broadcast cross
     "triangle_count_dedup",  # two 1-row census frames crossed at the end
+    "corpus_drift_chi2",  # 1-row (S1, S2) side-totals scalar broadcast
 }
 
 # Structurally-high exchange counts with a justification.
@@ -87,6 +91,11 @@ EXCHANGES_OK = {
     # exchange, batch side broadcast); fixed depth, base never paired
     # with itself.
     "incremental_dedup_batch",
+    # the containment variant: df-capped posting self-join + two verify
+    # joins, ALL hanging off the one checkpointed tokenization (audit
+    # row shows scans=0); fixed candidate-verify depth, never
+    # data-size amplification.
+    "containment_near_dups",
     "embedding_near_dups",
     # near_dups' pipeline with the bucketed frame filtered into train /
     # eval sides (one extra keyed exchange); fixed depth, no blowup.
@@ -203,6 +212,9 @@ STREAM_STATELESS_OK: dict[str, str] = {
     # per-tick batch-vs-base dedup probes in foreachBatch; verdicts
     # depend only on the static base — no keyed state by design
     "streaming_incremental_dedup": "foreachBatch asymmetric dedup probes",
+    # per-batch foreachBatch fold of mergeable hourly partials into the
+    # versioned parquet rollup state — durable state on disk by design
+    "streaming_rollup_cascade": "foreachBatch rollup fold into parquet state",
 }
 
 
