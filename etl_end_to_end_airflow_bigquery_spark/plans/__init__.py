@@ -160,6 +160,19 @@ GATED_THROUGH_R08: frozenset[str] = GATED_THROUGH_R07 | frozenset(
     }
 )
 
+# Round-9 fold (CORRECTNESS_r09: 50/50 green). Anchors and the 18
+# backfill re-proofs were already in the R08 ledger; the union adds
+# exactly the 10 rotation rows (the r9-new queries).
+GATED_THROUGH_R09: frozenset[str] = GATED_THROUGH_R08 | frozenset(
+    {
+        "bpe_encode_corpus", "phash_near_dup_assets",
+        "streaming_ivm_revenue", "ivm_distinct_support",
+        "streaming_phash_assets", "triangle_count_dedup",
+        "pipe_syntax_pack", "observed_write_metrics",
+        "incremental_dedup_batch", "streaming_incremental_dedup",
+    }
+)
+
 _GATE_ANCHORS: tuple[str, ...] = (
     "daily_avg_report",        # flagship grouped avg + time bucket (A2)
     "topk_recent_events",      # projection + ORDER BY DESC LIMIT (P1/O1)
@@ -185,19 +198,18 @@ _GATE_ANCHORS: tuple[str, ...] = (
     "scd2_orders_status",      # SCD2 history merge
 )
 
-# Round 9 (same post-exhaustion policy): rotation slots hold exactly
+# Round 10 (same post-exhaustion policy): rotation slots hold exactly
 # the round's NEW queries — never-proven by construction.
 _GATE_ROTATION: tuple[str, ...] = (
-    "bpe_encode_corpus",       # BPE encoder twin (VERDICT r08 item 4)
-    "phash_near_dup_assets",   # multimodal pHash near-dup (VERDICT r08 item 6)
-    "streaming_ivm_revenue",   # streaming IVM fold (VERDICT r08 item 7)
-    "ivm_distinct_support",    # exact distinct-count IVM (support counts)
-    "streaming_phash_assets",  # ingest-time Arrow fingerprint stage
-    "triangle_count_dedup",    # near-dup graph triangle census
-    "pipe_syntax_pack",        # Spark 4 SQL |> pipe surface
-    "observed_write_metrics",  # df.observe in-flight DQ metrics
-    "incremental_dedup_batch", # batch-vs-base asymmetric dedup probes
-    "streaming_incremental_dedup",  # the same probes per ingest tick
+    "trailing_active_users",    # rolling DAU/WAU/MAU windowed distinct
+    "rollup_cascade_daily",     # hour→day mergeable-state downsample
+    "streaming_rollup_cascade", # the cascade maintained by the stream
+    "robust_stats_orders",      # median/MAD/winsorized mean, rank-exact
+    "bucketed_colocated_join",  # shuffle-free SMJ over bucketBy layout
+    "sql_variables_pack",       # Spark 4 DECLARE/SET VAR/EXECUTE IMMEDIATE
+    "containment_near_dups",    # asymmetric containment dedup (posting join)
+    "bin_pack_nextfit",         # next-fit packing vs recursive-CTE oracle
+    "corpus_drift_chi2",        # integer-rational chi-square drift monitor
 )
 
 # Backfill to 50 (r8 policy, see module docstring): tier (a) re-proofs
@@ -206,18 +218,22 @@ _GATE_ROTATION: tuple[str, ...] = (
 # since. Swapped out one-for-one as new r8 queries take rotation slots,
 # tier (b) first.
 _REPROOF_BACKFILL: tuple[str, ...] = (
-    # tier (a) — code/oracle touched in r9
-    "jsonl_commit_roundtrip",   # sink overwrite-intent sweep (ADVICE r8)
-    "bpe_train_merges",          # sparse greedy fold + size-1 refilter
-    "substring_dedup_spans",     # struct-min canonical + empty-doc guard
-    "ivm_minmax_recompute",      # checkpointed base / broadcast CDC keys
-    # tier (b) — stalest evidence: r03-era greens never re-proven since
-    "count_guard_inlist", "window_topk_per_customer", "shipping_priority",
-    "distinct_parts_per_supplier", "rollup_qty", "pivot_event_counts",
-    "reorder_gap_by_segment", "cumulative_monthly_revenue",
-    "order_priority_exists", "median_price_by_status", "minhash_pairs",
-    "jaccard_near_dups", "dedup_clusters",
-    "streaming_report_merge",
+    # tier (a) — code/oracle touched in r10 (ADVICE r9 fixes: the BPE
+    # trainer exhaustion guard + composable oracle parts, the blockhash
+    # ASCII guard shared by both pHash twins, the disk-resolved IVM
+    # state-version lookup)
+    "bpe_train_merges",
+    "bpe_encode_corpus",
+    "phash_near_dup_assets",
+    "streaming_phash_assets",
+    "streaming_ivm_revenue",
+    # tier (b) — stalest evidence: r03-era greens (plus the oldest
+    # r04 row) never re-proven since
+    "ann_lsh_topk", "embedding_near_dups", "fuzzy_name_pairs",
+    "ivf_topk", "multimodal_meta", "multimodal_resize",
+    "q18_big_orders", "q5_local_supplier_volume", "resample_daily_rates",
+    "simhash_docs", "snapshot_diff_orders", "streaming_dedup_events",
+    "vocab_top_tokens", "ann_lsh_multiprobe",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (
@@ -242,7 +258,7 @@ if len(_GATE_PRIORITY) != 50:
     raise RuntimeError(
         f"gate priority list must be exactly 50 names, got {len(_GATE_PRIORITY)}"
     )
-_stale = [n for n in _GATE_ROTATION if n in GATED_THROUGH_R08]
+_stale = [n for n in _GATE_ROTATION if n in GATED_THROUGH_R09]
 if _stale:
     raise RuntimeError(
         f"rotation slots must hold never-gated names, got: {_stale}"
@@ -250,7 +266,7 @@ if _stale:
 # Backfill names are the opposite: each must be a deliberate RE-proof
 # (previously green) — a never-proven name hiding there would dodge the
 # stale-slot bookkeeping.
-_not_reproof = [n for n in _REPROOF_BACKFILL if n not in GATED_THROUGH_R08]
+_not_reproof = [n for n in _REPROOF_BACKFILL if n not in GATED_THROUGH_R09]
 if _not_reproof:
     raise RuntimeError(
         f"backfill slots must hold previously-green names, got: {_not_reproof}"
@@ -260,7 +276,7 @@ if _not_reproof:
 def rotation_candidates() -> list[str]:
     """Registered queries that have never had a driver row and are not
     in the current gate — the pool for next round's rotation slots."""
-    gated = set(_GATE_PRIORITY) | GATED_THROUGH_R08
+    gated = set(_GATE_PRIORITY) | GATED_THROUGH_R09
     return [n for n in _ALL_QUERIES if n not in gated]
 
 
@@ -278,6 +294,6 @@ ORACLES = {
 
 __all__ = [
     "QUERIES", "ORACLES", "GATED_THROUGH_R06", "GATED_THROUGH_R07",
-    "GATED_THROUGH_R08",
+    "GATED_THROUGH_R08", "GATED_THROUGH_R09",
     "rotation_candidates",
 ]
