@@ -124,6 +124,17 @@ BENCH_QUERIES = [
     "ivm_distinct_support",
     "triangle_count_dedup",
     "incremental_dedup_batch",
+    # round 10 additions: the trailing-distinct engagement report (×28
+    # day-grain expansion), the containment posting join (new dedup
+    # modality), the hour→day cascade and its streaming twin's batch
+    # anchor, the chi-square drift scan, and the next-fit packer
+    # (Arrow-batched sequential stage); everything above stays a prefix.
+    "trailing_active_users",
+    "containment_near_dups",
+    "rollup_cascade_daily",
+    "corpus_drift_chi2",
+    "bin_pack_nextfit",
+    "robust_stats_orders",
 ]
 
 N_RUNS = 3

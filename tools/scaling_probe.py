@@ -80,6 +80,16 @@ DEFAULT = [
     "pipe_syntax_pack",      # |> sugar lowered to the nested plan
     "observed_write_metrics",  # df.observe in-flight accumulators
     "streaming_incremental_dedup",  # ingest-tick dedup in foreachBatch
+    # round 10
+    "trailing_active_users",   # day-grain pairs ×28 offset expansion
+    "rollup_cascade_daily",    # hour→day mergeable-state re-merge
+    "streaming_rollup_cascade",  # foreachBatch fold of hourly partials
+    "robust_stats_orders",     # ranked quantile agg + dev/clamp passes
+    "bucketed_colocated_join", # bucketed write + exchange-free SMJ
+    "containment_near_dups",   # df-capped posting self-join + verify
+    "bin_pack_nextfit",        # per-shard sequential Arrow packing loop
+    "corpus_drift_chi2",       # token counts + 1-row totals broadcast
+    "sql_variables_pack",      # scalar-subquery variable + exec immediate
 ]
 
 
