@@ -2580,3 +2580,40 @@ EXT_ORACLES["corpus_drift_chi2"] = """
     ORDER BY chi2 DESC, token
     LIMIT 40
 """
+
+
+from .queries_ext import PMI_MIN_SUPPORT  # noqa: E402  (shared tunable)
+
+# Lift as the same HUGEINT rational; bigrams via the same shifted-zip
+# construction bigram_logprob_docs' oracle uses.
+EXT_ORACLES["pmi_collocations"] = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), bg_counts AS (
+        SELECT bg, count(*) AS c_ab FROM (
+            SELECT unnest(list_transform(range(1, len(tk)),
+                       i -> concat(tk[i], ' ', tk[i+1]))) AS bg
+            FROM t WHERE len(tk) >= 2
+        ) GROUP BY bg
+        HAVING count(*) >= {PMI_MIN_SUPPORT}
+    ), uni AS (
+        SELECT token, count(*) AS c_uni FROM (
+            SELECT unnest(tk) AS token FROM t
+        ) GROUP BY token
+    ), totals AS (
+        SELECT sum(c_uni) AS n_tokens FROM uni
+    )
+    SELECT string_split(bg, ' ')[1] AS w1,
+           string_split(bg, ' ')[2] AS w2,
+           c_ab,
+           CAST((2 * CAST(c_ab AS HUGEINT) * n_tokens * 1000000
+                 + CAST(u1.c_uni AS HUGEINT) * u2.c_uni)
+                // (2 * CAST(u1.c_uni AS HUGEINT) * u2.c_uni)
+                AS DOUBLE) / 1000000.0 AS lift
+    FROM bg_counts
+    JOIN uni u1 ON u1.token = string_split(bg, ' ')[1]
+    JOIN uni u2 ON u2.token = string_split(bg, ' ')[2]
+    CROSS JOIN totals
+    ORDER BY lift DESC, w1, w2
+    LIMIT 40
+"""

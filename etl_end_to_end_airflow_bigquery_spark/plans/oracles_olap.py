@@ -1234,3 +1234,74 @@ OLAP_ORACLES["sql_variables_pack"] = """
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
 """
+
+
+# Same micros-of-day / lead-weighting / sign-safe rational spelled in
+# DuckDB: microsecond(ts) is the engine's sub-minute micros (seconds
+# fraction included), so (h*3600+m*60)*1e6 + microsecond(ts) equals
+# Spark's hour/minute/date_part('SECOND') composition exactly.
+OLAP_ORACLES["time_weighted_avg_daily"] = """
+    WITH s AS (
+        SELECT event_type,
+               CAST(ts AS DATE) AS d,
+               (hour(ts) * 3600 + minute(ts) * 60) * 1000000
+                 + microsecond(ts) AS us,
+               CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v6,
+               event_id
+        FROM events
+    ), wtd AS (
+        SELECT event_type, d, v6,
+               coalesce(lead(us) OVER (PARTITION BY event_type, d
+                                       ORDER BY us, event_id),
+                        86400000000) - us AS w_us
+        FROM s
+    ), agg AS (
+        SELECT event_type, d,
+               count(*) AS n_samples,
+               sum(CAST(v6 AS HUGEINT) * w_us) AS num,
+               sum(CAST(w_us AS HUGEINT)) AS den_us
+        FROM wtd GROUP BY event_type, d
+    )
+    SELECT event_type, d, n_samples,
+           CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END
+                * ((2 * abs(num) + den_us) // (2 * den_us))
+                AS DOUBLE) / 1000000.0 AS twa_value
+    FROM agg
+    ORDER BY event_type, d
+"""
+
+
+# The same scrape grid, reset-aware fold and integer arithmetic; the
+# ordering inside both windows is the unique (ts, event_id) pair.
+OLAP_ORACLES["counter_rate_resets"] = """
+    WITH counters AS (
+        SELECT user_id, event_id, ts,
+               sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                   OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                         ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS c6
+        FROM events
+    ), scraped AS (
+        SELECT * FROM counters WHERE event_id % 3 = 0
+    ), deltas AS (
+        SELECT user_id,
+               CASE WHEN prev_c6 IS NULL OR c6 < prev_c6 THEN c6
+                    ELSE c6 - prev_c6 END AS inc6,
+               CASE WHEN prev_c6 IS NOT NULL AND c6 < prev_c6
+                    THEN 1 ELSE 0 END AS is_reset
+        FROM (
+            SELECT user_id, c6,
+                   lag(c6) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_c6
+            FROM scraped
+        )
+    )
+    SELECT user_id,
+           count(*) AS n_samples,
+           CAST(sum(is_reset) AS BIGINT) AS n_resets,
+           CAST(sum(inc6) AS DOUBLE) / 1000000.0 AS total_increase
+    FROM deltas
+    GROUP BY user_id
+    ORDER BY total_increase DESC, user_id
+    LIMIT 100
+"""

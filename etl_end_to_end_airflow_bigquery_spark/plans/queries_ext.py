@@ -2643,3 +2643,79 @@ def corpus_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT_QUERIES["corpus_drift_chi2"] = corpus_drift_chi2
+
+
+PMI_MIN_SUPPORT = 5
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining — the PMI-ranked bigram report (Church &
+    Hanks' association ratio) every corpus-analysis pipeline runs to
+    find multiword expressions worth protecting from tokenization
+    ('new york', 'machine learning'). PMI = log lift with
+    lift = c(w1,w2)·N / (c(w1)·c(w2)); since log is monotone, ranking
+    by the LIFT itself needs no transcendentals — and the lift is a
+    pure integer rational, finished with the repo's half-up 6-dp
+    single-division pattern, so the whole report is engine-exact
+    (the same reason ``corpus_drift_chi2`` chose χ² over KL).
+
+    Scale: one tokenize pass feeds BOTH the bigram and unigram grouped
+    counts (each a map-side-combining hash aggregate on its own key),
+    the support filter (≥{sup}) prunes the long tail before any join,
+    and the two unigram probe joins are broadcasts of the
+    vocabulary-bounded count table — never a fact-fact shuffle. The
+    DECIMAL(38,0) cross-product c_ab·N·1e6 holds to ~1e12-token
+    corpora. TakeOrdered top-40 with the (w1, w2) unique tiebreak.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bg_counts = (
+        docs.filter(F.expr("size(split(text, ' ')) >= 2"))
+        .select(F.explode(F.expr(ngram_expr(2))).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_SUPPORT)
+    )
+    uni = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c_uni"))
+    )
+    totals = uni.agg(F.sum("c_uni").alias("n_tokens"))
+    dec = "decimal(38,0)"
+    scored = (
+        bg_counts.withColumn("w1", F.expr("split(bg, ' ')[0]"))
+        .withColumn("w2", F.expr("split(bg, ' ')[1]"))
+        .join(
+            F.broadcast(
+                uni.select(F.col("token").alias("w1"),
+                           F.col("c_uni").alias("c_w1"))
+            ),
+            "w1",
+        )
+        .join(
+            F.broadcast(
+                uni.select(F.col("token").alias("w2"),
+                           F.col("c_uni").alias("c_w2"))
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.expr(
+                f"CAST((2 * CAST(c_ab AS {dec}) * n_tokens * 1000000"
+                f" + CAST(c_w1 AS {dec}) * c_w2)"
+                f" div (2 * CAST(c_w1 AS {dec}) * c_w2)"
+                " AS DOUBLE) / 1000000.0"
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), "w1", "w2").limit(40)
+
+
+pmi_collocations.__doc__ = pmi_collocations.__doc__.format(
+    sup=PMI_MIN_SUPPORT
+)
+EXT_QUERIES["pmi_collocations"] = pmi_collocations

@@ -2772,3 +2772,144 @@ def sql_variables_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 OLAP_QUERIES["sql_variables_pack"] = sql_variables_pack
+
+
+DAY_US = 86_400_000_000
+
+
+def time_weighted_avg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted daily average — the irregular-sampling aggregate
+    (TimescaleDB's ``time_weight('locf')``, kdb's wavg-over-intervals):
+    each observation's value holds until the NEXT observation, so the
+    day's average weights every sample by how long it was current, not
+    by how often the feed ticked. A plain AVG over-counts bursty
+    periods; the time-weighted form is what pricing/telemetry reports
+    actually need. The reference's BigQuery SQL would write this as a
+    LEAD self-window — same shape here, proven cross-engine.
+
+    Exactness: all arithmetic is integer. Timestamps reduce to
+    MICROS-OF-DAY extracted from the NTZ value itself
+    (``hour/minute/date_part('SECOND')``) — no epoch conversion, so the
+    result is identical under ANY driver session timezone (the
+    ``unix_micros(cast(ntz as timestamp))`` idiom used where only
+    *differences* matter would shift the day-end boundary under a
+    non-UTC session). Values become 1e6-scaled BIGINTs (the
+    ``decimal_sum`` convention), weights are BIGINT micros (the last
+    sample of a day carries to midnight), and the weighted mean is the
+    repo's sign-safe half-up 6-dp integer rational — ONE final double
+    division.
+
+    Scale: one hash exchange on ``event_type`` serves BOTH the LEAD
+    window (ClusteredDistribution of (type, day) is satisfied by
+    hash(type)) and the (type, day) rollup — the fact table is scanned
+    once and shuffled once; per-group state is one row. Weights never
+    leave the row they're computed on.
+    """
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir).select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.expr(
+            "CAST(hour(ts) * 3600 + minute(ts) * 60 AS BIGINT) * 1000000"
+            " + CAST(date_part('SECOND', ts) * 1000000 AS BIGINT)"
+        ).alias("us"),
+        F.expr(
+            "CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("v6"),
+        "event_id",
+    ).repartition("event_type")
+    w = Window.partitionBy("event_type", "d").orderBy("us", "event_id")
+    weighted = ev.withColumn(
+        "w_us",
+        F.coalesce(F.lead("us").over(w), F.lit(DAY_US)) - F.col("us"),
+    )
+    dec = "decimal(38,0)"
+    agg = weighted.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.expr(f"sum(CAST(v6 AS {dec}) * w_us)").alias("num"),
+        F.expr(f"sum(CAST(w_us AS {dec}))").alias("den_us"),
+    )
+    return agg.select(
+        "event_type",
+        "d",
+        "n_samples",
+        F.expr(
+            "CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END"
+            " * ((2 * abs(num) + den_us) div (2 * den_us))"
+            " AS DOUBLE) / 1000000.0"
+        ).alias("twa_value"),
+    ).orderBy("event_type", "d")
+
+
+OLAP_QUERIES["time_weighted_avg_daily"] = time_weighted_avg_daily
+
+
+def counter_rate_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-aware counter increase — the Prometheus ``increase()`` /
+    ``resets()`` semantics every telemetry pipeline reimplements: a
+    monotone-within-epoch cumulative counter is scraped at irregular
+    instants; between consecutive scrapes the contribution is the delta
+    when the counter moved forward, or the CURRENT reading when it went
+    backward (a restart happened — the pre-reset tail is unknowable and
+    the post-reset accumulation counts from zero). The first scrape of
+    a series contributes its full reading (counter born at 0).
+
+    The fixture is honest about the hard part: the counter is each
+    user's within-day running total of ``value`` (resets at midnight),
+    but only every 3rd sample survives (``event_id % 3 = 0`` — a
+    deterministic scrape grid). A missed midnight sample makes the next
+    delta span the reset, so naive last-minus-first or a plain SUM is
+    WRONG; the gate certifies the fold over exactly the retained
+    samples, including the undercount Prometheus itself exhibits when a
+    reset hides between scrapes. All arithmetic is integer (1e6-scaled
+    readings), one final double division.
+
+    Scale: one hash exchange on ``user_id`` serves the within-day
+    cumsum window, the cross-day lag window AND the per-user rollup
+    (ClusteredDistribution subsumption); the scrape filter rides after
+    the cumsum so dropped rows still shape the counter. TakeOrdered
+    top-100 with a unique tiebreak.
+    """
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.to_date("ts").alias("d"),
+        F.expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").alias("v6"),
+    ).repartition("user_id")
+    cum = Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
+    counters = ev.withColumn(
+        "c6",
+        F.sum("v6").over(
+            cum.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).filter(F.col("event_id") % 3 == 0)
+    lagw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    deltas = counters.withColumn("prev_c6", F.lag("c6").over(lagw)).select(
+        "user_id",
+        F.when(
+            F.col("prev_c6").isNull() | (F.col("c6") < F.col("prev_c6")),
+            F.col("c6"),
+        ).otherwise(F.col("c6") - F.col("prev_c6")).alias("inc6"),
+        F.when(
+            F.col("prev_c6").isNotNull() & (F.col("c6") < F.col("prev_c6")), 1
+        ).otherwise(0).alias("is_reset"),
+    )
+    return (
+        deltas.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum("is_reset").cast("bigint").alias("n_resets"),
+            F.expr(
+                "CAST(sum(inc6) AS DOUBLE) / 1000000.0"
+            ).alias("total_increase"),
+        )
+        .orderBy(F.desc("total_increase"), "user_id")
+        .limit(100)
+    )
+
+
+OLAP_QUERIES["counter_rate_resets"] = counter_rate_resets
