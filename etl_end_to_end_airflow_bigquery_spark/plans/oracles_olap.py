@@ -1305,3 +1305,40 @@ OLAP_ORACLES["counter_rate_resets"] = """
     ORDER BY total_increase DESC, user_id
     LIMIT 100
 """
+
+
+# Same version fixture spelled as UNION ALL legs (an oracle may
+# re-scan), applied independently via arg_max-by-seq.
+OLAP_ORACLES["cdc_out_of_order_apply"] = """
+    WITH stream AS (
+        SELECT o_orderkey, 0 AS seq, 'I' AS op,
+               o_orderstatus AS status, o_totalprice AS price FROM orders
+        UNION ALL
+        SELECT o_orderkey, 2, 'U', 'P3', o_totalprice + 100.0
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, 1, 'U', 'P6', o_totalprice + 50.0
+        FROM orders WHERE o_orderkey % 6 = 0
+        UNION ALL
+        SELECT o_orderkey, 3, 'D', NULL, NULL
+        FROM orders WHERE o_orderkey % 13 = 0
+        UNION ALL
+        SELECT o_orderkey, 5, 'U', 'P7', o_totalprice + 200.0
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, 4, 'D', NULL, NULL
+        FROM orders WHERE o_orderkey % 14 = 0
+    ), applied AS (
+        SELECT o_orderkey,
+               arg_max(op, seq) AS win_op,
+               arg_max(status, seq) AS final_status,
+               arg_max(price, seq) AS final_price,
+               CAST(max(seq) AS BIGINT) AS winning_seq,
+               count(*) AS n_versions
+        FROM stream GROUP BY o_orderkey
+    )
+    SELECT o_orderkey, final_status, final_price, winning_seq, n_versions
+    FROM applied
+    WHERE win_op <> 'D'
+    ORDER BY o_orderkey
+"""

@@ -166,3 +166,7 @@ STREAM_ORACLES["streaming_incremental_dedup"] = _EXT[
 # (direct day-grain recompute from raw events): micro-batch slicing
 # must be invisible in the maintained state.
 STREAM_ORACLES["streaming_rollup_cascade"] = _OLAP["rollup_cascade_daily"]
+
+# Shared verbatim with the batch twin: the gate proves micro-batch
+# slicing (and the latest-wins ⊕ fold) is invisible to the applied view.
+STREAM_ORACLES["streaming_cdc_apply"] = _OLAP["cdc_out_of_order_apply"]

@@ -2913,3 +2913,93 @@ def counter_rate_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 OLAP_QUERIES["counter_rate_resets"] = counter_rate_resets
+
+
+def cdc_version_stream(orders: DataFrame) -> DataFrame:
+    """The SHARED out-of-order CDC fixture (single definition so the
+    batch apply and its streaming twin can never silently diverge —
+    the ``signed_cdc_batch`` precedent): per order key, an insert at
+    seq 0; for %3 an update at seq 2 plus, for %6, a STALE update at
+    seq 1; for %13 a delete at seq 3; for %7 an update at seq 5 that
+    resurrects the %14 delete at seq 4. Built IN-ROW (one array of
+    version structs, null-compacted, exploded) — one fact scan, never
+    a UNION of per-leg re-scans."""
+    return orders.select(
+        "o_orderkey",
+        F.explode(
+            F.expr(
+                """
+                filter(array(
+                  named_struct('seq', 0L, 'op', 'I',
+                               'status', o_orderstatus,
+                               'price', o_totalprice),
+                  CASE WHEN o_orderkey % 3 = 0 THEN
+                    named_struct('seq', 2L, 'op', 'U',
+                                 'status', 'P3',
+                                 'price', o_totalprice + 100.0) END,
+                  CASE WHEN o_orderkey % 6 = 0 THEN
+                    named_struct('seq', 1L, 'op', 'U',
+                                 'status', 'P6',
+                                 'price', o_totalprice + 50.0) END,
+                  CASE WHEN o_orderkey % 13 = 0 THEN
+                    named_struct('seq', 3L, 'op', 'D',
+                                 'status', CAST(NULL AS STRING),
+                                 'price', CAST(NULL AS DOUBLE)) END,
+                  CASE WHEN o_orderkey % 7 = 0 THEN
+                    named_struct('seq', 5L, 'op', 'U',
+                                 'status', 'P7',
+                                 'price', o_totalprice + 200.0) END,
+                  CASE WHEN o_orderkey % 14 = 0 THEN
+                    named_struct('seq', 4L, 'op', 'D',
+                                 'status', CAST(NULL AS STRING),
+                                 'price', CAST(NULL AS DOUBLE)) END
+                ), x -> x IS NOT NULL)
+                """
+            )
+        ).alias("v"),
+    )
+
+
+def cdc_out_of_order_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order CDC apply — the log-compaction step every
+    replication consumer runs: a change stream carries multiple
+    versions per key tagged with a SOURCE sequence number, the
+    transport reorders them, and apply must keep the max-seq version
+    per key regardless of arrival order, with deletes terminal ONLY
+    when they are the latest version. The fixture exercises every
+    branch deterministically: each order emits its insert (seq 0);
+    keys %3 an update at seq 2 plus, for %6, a STALE update at seq 1
+    that must lose; keys %13 a delete at seq 3; keys %7 an update at
+    seq 5 that RESURRECTS any %14 delete at seq 4 (and outlives the
+    %13 delete). Latest-wins here is the same versioned-layout
+    semantics ``operators/writers.py`` merge implements at the file
+    level; this query proves the row-level algebra.
+
+    Scale: the whole multi-version stream is built IN-ROW (one array
+    of version structs per base row, null-compacted and exploded) — at
+    100 TB that is ONE fact scan, not a UNION of per-leg re-scans —
+    and apply is a single ``max_by(struct, seq)`` hash aggregate on
+    the key: one exchange, no window sort, no self-join. Price edits
+    are pure double additions (exact IEEE, cross-engine).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    versions = cdc_version_stream(orders)
+    applied = versions.groupBy("o_orderkey").agg(
+        F.expr("max_by(v, v.seq)").alias("win"),
+        F.count(F.lit(1)).alias("n_versions"),
+        F.max("v.seq").alias("winning_seq"),
+    )
+    return (
+        applied.filter(F.col("win.op") != "D")
+        .select(
+            "o_orderkey",
+            F.col("win.status").alias("final_status"),
+            F.col("win.price").alias("final_price"),
+            "winning_seq",
+            "n_versions",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+OLAP_QUERIES["cdc_out_of_order_apply"] = cdc_out_of_order_apply

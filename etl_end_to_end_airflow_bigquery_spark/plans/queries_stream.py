@@ -1125,3 +1125,113 @@ def streaming_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_QUERIES["streaming_rollup_cascade"] = streaming_rollup_cascade
+
+
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming out-of-order CDC apply — the streaming twin of
+    :func:`..queries_olap.cdc_out_of_order_apply`: the SAME seq-tagged
+    version stream (``queries_olap.cdc_version_stream``, single shared
+    definition) arrives as a file stream in 4 micro-batches, and
+    ``foreachBatch`` folds each one into a keyed latest-wins state
+    table. The ⊕ is ``max_by(version, seq)`` plus a version counter —
+    associative and commutative, so ANY slicing of the stream lands on
+    the same state; the gate proves it by SHARING THE BATCH TWIN'S
+    ORACLE VERBATIM. Because seq order is independent of arrival
+    order, a version delivered batches late (the transport reorder the
+    batch twin simulates in one pass) still loses to the higher seq
+    already in state — log compaction semantics on the streaming
+    engine.
+
+    State evolves through batch-id-keyed versioned directories with
+    the previous version resolved FROM DISK (``_SUCCESS`` markers,
+    ``incremental.latest_committed_state``) — replay-idempotent across
+    driver restarts, the ADVICE-r9 contract every foreachBatch fold in
+    this repo honors. Scale: each fold shuffles only the micro-batch's
+    per-key winners plus the |live keys|-row state; deletes stay IN
+    state as tombstones (filtered at serve time) so a late lower-seq
+    update can never resurrect a newer delete.
+    """
+    from ..io import load_table
+    from ..operators.incremental import latest_committed_state
+    from ..tmputil import session_tmpdir
+    from .queries_olap import cdc_version_stream
+
+    base_dir = session_tmpdir("stream_cdc_")
+    cdc_dir = os.path.join(base_dir, "cdc")
+    ckpt = os.path.join(base_dir, "ckpt")
+    init_path = os.path.join(base_dir, "state_init")
+
+    orders = load_table(spark, sf_dir, "orders")
+    flat = cdc_version_stream(orders).select(
+        "o_orderkey",
+        F.col("v.seq").alias("seq"),
+        F.col("v.op").alias("op"),
+        F.col("v.status").alias("status"),
+        F.col("v.price").alias("price"),
+    )
+    flat.repartition(4).write.parquet(cdc_dir)
+
+    state_schema = (
+        "o_orderkey long,"
+        " win struct<seq:bigint,op:string,status:string,price:double>,"
+        " n_versions bigint"
+    )
+    spark.createDataFrame([], state_schema).write.parquet(init_path)
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        delta = batch.groupBy("o_orderkey").agg(
+            F.expr(
+                "max_by(named_struct('seq', seq, 'op', op,"
+                " 'status', status, 'price', price), seq)"
+            ).alias("win"),
+            F.count(F.lit(1)).alias("n_versions"),
+        )
+        prev = latest_committed_state(base_dir, init_path, below=batch_id)
+        merged = (
+            batch.sparkSession.read.parquet(prev)
+            .unionByName(delta)
+            .groupBy("o_orderkey")
+            .agg(
+                F.expr("max_by(win, win.seq)").alias("win"),
+                F.sum("n_versions").alias("n_versions"),
+            )
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(base_dir, f"state_b{batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "o_orderkey long, seq long, op string,"
+            " status string, price double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(cdc_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_fold)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    _capture_plan(q, "streaming_cdc_apply")
+
+    state = spark.read.parquet(latest_committed_state(base_dir, init_path))
+    return (
+        state.filter(F.col("win.op") != "D")
+        .select(
+            "o_orderkey",
+            F.col("win.status").alias("final_status"),
+            F.col("win.price").alias("final_price"),
+            F.col("win.seq").alias("winning_seq"),
+            "n_versions",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+STREAM_QUERIES["streaming_cdc_apply"] = streaming_cdc_apply

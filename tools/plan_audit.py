@@ -215,6 +215,9 @@ STREAM_STATELESS_OK: dict[str, str] = {
     # per-batch foreachBatch fold of mergeable hourly partials into the
     # versioned parquet rollup state — durable state on disk by design
     "streaming_rollup_cascade": "foreachBatch rollup fold into parquet state",
+    # per-batch foreachBatch latest-wins fold (max_by seq) into the
+    # versioned parquet state table — durable state on disk by design
+    "streaming_cdc_apply": "foreachBatch latest-wins CDC fold into parquet state",
 }
 
 
