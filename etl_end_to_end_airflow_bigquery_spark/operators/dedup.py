@@ -684,3 +684,55 @@ def containment_pairs(
             .alias("contained_id"),
         )
     )
+
+
+def bfs_levels(
+    pairs: DataFrame, seeds: DataFrame, max_hops: int
+) -> DataFrame:
+    """Level-synchronous distributed BFS — minimum hop distance from a
+    seed set over an undirected pair graph (``(doc_a, doc_b)`` rows),
+    the contamination-radius / blast-radius query a dedup or lineage
+    pipeline answers ("everything within k hops of a flagged
+    document"). Classic Pregel-style frontier expansion expressed as
+    DataFrame ops: each round joins the CURRENT frontier to the edge
+    list, anti-joins the visited set, and tags survivors with the
+    round number — by induction the first round that reaches a node is
+    its minimum distance, so no per-node min is ever recomputed.
+
+    Scale: per round, ONE edge-keyed shuffle join (frontier ⋈ edges) +
+    one anti-join against visited — never the whole graph re-derived:
+    ``edges`` and each round's accumulated ``visited`` are pinned via
+    ``localCheckpoint`` (the iterative-lineage lesson: without the pin,
+    round k replays rounds 1..k−1's joins). The frontier is eagerly
+    checkpointed so the empty-frontier early exit costs one bounded
+    ``isEmpty`` probe, and hop count is capped at ``max_hops``.
+    ``seeds`` must carry a ``node`` column; returns (node, dist).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    visited = (
+        seeds.select("node").distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=False)
+    )
+    frontier = visited.select("node")
+    for k in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(k))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("node")
+    return visited

@@ -2617,3 +2617,36 @@ EXT_ORACLES["pmi_collocations"] = f"""
     ORDER BY lift DESC, w1, w2
     LIMIT 40
 """
+
+
+from .queries_ext import BFS_MAX_HOPS, BFS_SEED_MOD  # noqa: E402
+
+# BFS min-distance as a RECURSIVE CTE with UNION (set) semantics: the
+# working table carries (node, d) pairs, the d < cap guard bounds the
+# walk, and min(d) per node is the BFS level — a wholly different
+# fixed-point mechanism from the Spark side's frontier expansion.
+EXT_ORACLES["bfs_dedup_distance"] = f"""
+    WITH RECURSIVE {_PAIRS_CTE}, cand AS (
+        SELECT DISTINCT doc_a, doc_b FROM pairs
+    ), joined AS (
+        SELECT c.doc_a, c.doc_b, sa.shingles AS sh_a, sb.shingles AS sh_b
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+    ), nd AS (
+        SELECT doc_a, doc_b FROM joined
+        WHERE ({_JACCARD_EXPR}) >= {NEAR_DUP_JACCARD}
+    ), e AS (
+        SELECT doc_a AS a, doc_b AS b FROM nd
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM nd
+    ), walk(node, d) AS (
+        SELECT doc_id AS node, 0 AS d FROM documents
+        WHERE doc_id % {BFS_SEED_MOD} = 0
+        UNION
+        SELECT e.b, w.d + 1 FROM walk w JOIN e ON e.a = w.node
+        WHERE w.d < {BFS_MAX_HOPS}
+    )
+    SELECT node, CAST(min(d) AS INT) AS dist
+    FROM walk GROUP BY node ORDER BY node
+"""

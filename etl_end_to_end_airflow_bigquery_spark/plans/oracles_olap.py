@@ -1342,3 +1342,35 @@ OLAP_ORACLES["cdc_out_of_order_apply"] = """
     WHERE win_op <> 'D'
     ORDER BY o_orderkey
 """
+
+
+# Direct-from-raw cuts: rank arithmetic over the QUANTIZED value (the
+# same floor(v*100+0.5) grain the histogram stores — quantization is
+# monotone, so ranks are preserved; comparing against the raw double
+# would differ wherever the stored 2-dp literal is not exactly
+# representable). ceil(p*n) spelled as (a + b - 1) // b integers.
+OLAP_ORACLES["quantile_rollup_cascade"] = """
+    WITH q AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               event_type,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cent
+        FROM events
+    ), r AS (
+        SELECT day, event_type, cent,
+               row_number() OVER (PARTITION BY day, event_type
+                                  ORDER BY cent) AS rn,
+               count(*) OVER (PARTITION BY day, event_type) AS n_total
+        FROM q
+    )
+    SELECT day, event_type,
+           max(n_total) AS n_events,
+           CAST(max(CASE WHEN rn = (n_total + 1) // 2
+                    THEN cent END) AS DOUBLE) / 100.0 AS p50,
+           CAST(max(CASE WHEN rn = (9 * n_total + 9) // 10
+                    THEN cent END) AS DOUBLE) / 100.0 AS p90,
+           CAST(max(CASE WHEN rn = (99 * n_total + 99) // 100
+                    THEN cent END) AS DOUBLE) / 100.0 AS p99
+    FROM r
+    GROUP BY day, event_type
+    ORDER BY day, event_type
+"""

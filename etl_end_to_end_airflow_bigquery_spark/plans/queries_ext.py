@@ -2719,3 +2719,40 @@ pmi_collocations.__doc__ = pmi_collocations.__doc__.format(
     sup=PMI_MIN_SUPPORT
 )
 EXT_QUERIES["pmi_collocations"] = pmi_collocations
+
+
+BFS_MAX_HOPS = 6
+BFS_SEED_MOD = 10
+
+
+def bfs_dedup_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination radius — minimum hop distance from a flagged seed
+    set (every 10th document, the deterministic stand-in for "known
+    benchmark/PII documents") over the VERIFIED near-dup graph: the
+    transitive-exposure query a training pipeline runs after
+    decontamination flags land ("which documents sit within k hops of
+    a flagged one, and how close"). Connected components answer
+    membership; BFS answers PROXIMITY, which is what graded retention
+    policies key on (drop dist ≤ 1, down-weight dist ≤ 3, keep the
+    rest).
+
+    Spark side: level-synchronous frontier expansion
+    (``operators.dedup.bfs_levels`` — one edge-keyed join + one
+    anti-join per round, lineage pinned per level, empty-frontier
+    early exit, {hops}-hop cap). Oracle: the same reachability as a
+    DuckDB RECURSIVE CTE with UNION (set) semantics and a min-dist
+    rollup — two entirely different fixed-point mechanisms, hash-equal.
+    Isolated seeds legitimately report dist 0 (the flag itself).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_verify(docs).filter(F.col("is_near_dup"))
+    seeds = docs.filter(F.col("doc_id") % BFS_SEED_MOD == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    return D.bfs_levels(pairs, seeds, BFS_MAX_HOPS).orderBy("node")
+
+
+bfs_dedup_distance.__doc__ = bfs_dedup_distance.__doc__.format(
+    hops=BFS_MAX_HOPS
+)
+EXT_QUERIES["bfs_dedup_distance"] = bfs_dedup_distance

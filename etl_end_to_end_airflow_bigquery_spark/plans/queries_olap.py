@@ -3003,3 +3003,70 @@ def cdc_out_of_order_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 OLAP_QUERIES["cdc_out_of_order_apply"] = cdc_out_of_order_apply
+
+
+def quantile_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles served FROM MERGEABLE STATE — the aggregate that
+    makes rollup architectures hard: count/sum/min/max fold trivially
+    (``rollup_cascade_daily``), but a quantile has no bounded partial
+    state in general, which is why engines ship t-digest/KLL sketches.
+    Here the repo exploits what a 100 TB pipeline usually can: the
+    measure is FIXED-POINT (2-dp readings), so the exact mergeable
+    state is the VALUE-GRAIN HISTOGRAM — (hour, type, cent, n) — and
+    merging rollups is just summing counts. The daily p50/p90/p99 is
+    then a cumulative walk over the merged histogram: the smallest
+    cent whose running count reaches ceil(p·n), the percentile_disc
+    definition spelled as integer rank arithmetic (no interpolation,
+    no floats until one final /100.0).
+
+    The oracle computes the same cuts DIRECTLY FROM RAW rows (ranked
+    conditional aggregate, the ``robust_stats_orders`` pattern) — so
+    hash-equality certifies the histogram cascade is LOSSLESS, the
+    license to serve latency dashboards from hourly rollups without
+    ever rescanning raw. Scale: the raw scan partial-aggregates
+    map-side into histogram cells (the only fact-table pass); every
+    later exchange moves only histogram-grain rows (|cents present| ≤
+    56k per group, bounded by the value domain, ~17.8k observed at
+    sf0.1); the window walk and the cut extraction ride one
+    (day, type) clustering.
+    """
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"),
+        "event_type",
+        F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("cent"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    daily_hist = hourly.groupBy(
+        F.to_date("h").alias("day"), "event_type", "cent"
+    ).agg(F.sum("n").alias("n"))
+    w = Window.partitionBy("day", "event_type").orderBy("cent")
+    walked = daily_hist.withColumn(
+        "cum",
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding,
+                                      Window.currentRow)),
+    ).withColumn("n_total", F.sum("n").over(w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+    return (
+        walked.groupBy("day", "event_type")
+        .agg(
+            F.max("n_total").alias("n_events"),
+            F.expr(
+                "CAST(min(CASE WHEN cum >= (n_total + 1) div 2"
+                " THEN cent END) AS DOUBLE) / 100.0"
+            ).alias("p50"),
+            F.expr(
+                "CAST(min(CASE WHEN cum >= (9 * n_total + 9) div 10"
+                " THEN cent END) AS DOUBLE) / 100.0"
+            ).alias("p90"),
+            F.expr(
+                "CAST(min(CASE WHEN cum >= (99 * n_total + 99) div 100"
+                " THEN cent END) AS DOUBLE) / 100.0"
+            ).alias("p99"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+OLAP_QUERIES["quantile_rollup_cascade"] = quantile_rollup_cascade
