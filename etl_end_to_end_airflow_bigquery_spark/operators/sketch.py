@@ -93,6 +93,53 @@ def cms_estimates(
     )
 
 
+def hll_ranked(
+    items: DataFrame, col: str, cols: list[str], m: int = HLL_M
+) -> DataFrame:
+    """Per-item HLL primitive shared by the one-shot estimator and the
+    mergeable day-state path: (cols..., reg, rank) with reg the md5
+    register index and rank the first-1-bit position of a second md5
+    slice (+1; all-zero slice caps at 33 — bin() drops leading zeros in
+    both engines, so rank = 33 - length(bin(x)) for x > 0)."""
+    reg = _bucket(col, "hllreg", m)
+    rank_src = F.expr(
+        f"conv(substring(md5(concat('hllrank|', CAST({col} AS STRING))),"
+        " 9, 8), 16, 10)"
+    ).cast("bigint")
+    return items.select(
+        *cols,
+        reg.alias("reg"),
+        F.when(rank_src == 0, F.lit(33))
+        .otherwise(F.lit(33) - F.length(F.expr(
+            f"bin(CAST(conv(substring(md5(concat('hllrank|',"
+            f" CAST({col} AS STRING))), 9, 8), 16, 10) AS BIGINT))"
+        )))
+        .cast("bigint")
+        .alias("rank"),
+    )
+
+
+def hll_est_from_registers(
+    registers: DataFrame, group_cols: list[str], m: int = HLL_M
+) -> DataFrame:
+    """Finish an HLL estimate from (group..., reg, mx) register rows —
+    the serve-time step of the mergeable path (register tables fold by
+    MAX, then this computes α·m²/Σ2^−M_j once). Absent registers
+    contribute 2^0 = 1. The 64-term register sum is exact in double
+    (powers of two spanning < 53 exponent bits), order-independent."""
+    sums = registers.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("__s"),
+        F.count(F.lit(1)).alias("__present"),
+    )
+    return sums.select(
+        *group_cols,
+        (
+            F.lit(HLL_ALPHA * m * m)
+            / (F.col("__s") + (F.lit(m) - F.col("__present")))
+        ).alias("hll_estimate"),
+    )
+
+
 def hll_estimate(
     items: DataFrame, col: str, group: str, m: int = HLL_M
 ) -> DataFrame:
@@ -106,39 +153,9 @@ def hll_estimate(
     exponent bits, so double addition is exact and order-independent —
     no fixed-point machinery needed.
     """
-    reg = _bucket(col, "hllreg", m)
-    # rank: position of the first 1-bit of a 32-bit md5 slice (+1);
-    # an all-zero slice caps at 33. bin() drops leading zeros in both
-    # engines, so rank = 33 - length(bin(x)) for x > 0.
-    rank_src = F.expr(
-        f"conv(substring(md5(concat('hllrank|', CAST({col} AS STRING))),"
-        " 9, 8), 16, 10)"
-    ).cast("bigint")
-    ranked = items.select(
-        group,
-        reg.alias("reg"),
-        F.when(rank_src == 0, F.lit(33))
-        .otherwise(F.lit(33) - F.length(F.expr(
-            f"bin(CAST(conv(substring(md5(concat('hllrank|',"
-            f" CAST({col} AS STRING))), 9, 8), 16, 10) AS BIGINT))"
-        )))
-        .cast("bigint")
-        .alias("rank"),
-    )
+    ranked = hll_ranked(items, col, [group], m)
     registers = ranked.groupBy(group, "reg").agg(F.max("rank").alias("mx"))
-    # every group carries m registers conceptually; absent registers
-    # contribute 2^0 = 1 — add (m - present) ones to the sum
-    sums = registers.groupBy(group).agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("__s"),
-        F.count(F.lit(1)).alias("__present"),
-    )
-    est = sums.select(
-        group,
-        (
-            F.lit(HLL_ALPHA * m * m)
-            / (F.col("__s") + (F.lit(m) - F.col("__present")))
-        ).alias("hll_estimate"),
-    )
+    est = hll_est_from_registers(registers, [group], m)
     exact = items.groupBy(group).agg(
         F.countDistinct(col).alias("n_exact")
     )

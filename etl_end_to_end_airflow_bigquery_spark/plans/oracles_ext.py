@@ -2650,3 +2650,45 @@ EXT_ORACLES["bfs_dedup_distance"] = f"""
     SELECT node, CAST(min(d) AS INT) AS dist
     FROM walk GROUP BY node ORDER BY node
 """
+
+
+# Direct whole-period registers (never day-sliced): equality against
+# the Spark side's day-state MAX-merge is the mergeability proof.
+EXT_ORACLES["hll_merge_days"] = f"""
+    WITH ranked AS (
+        SELECT event_type,
+               CAST(concat('0x', substr(md5(concat('hllreg|',
+                   CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % {HLL_M}
+                   AS reg,
+               CASE WHEN CAST(concat('0x', substr(md5(concat('hllrank|',
+                        CAST(user_id AS VARCHAR))), 9, 8)) AS BIGINT) = 0
+                    THEN 33
+                    ELSE 33 - length(bin(CAST(concat('0x',
+                        substr(md5(concat('hllrank|',
+                        CAST(user_id AS VARCHAR))), 9, 8)) AS BIGINT)))
+               END AS rank
+        FROM events
+    ), registers AS (
+        SELECT event_type, reg, MAX(rank) AS mx
+        FROM ranked GROUP BY event_type, reg
+    ), sums AS (
+        SELECT event_type,
+               SUM(pow(2.0, -mx)) AS s,
+               count(*) AS present
+        FROM registers GROUP BY event_type
+    ), est AS (
+        SELECT event_type,
+               {HLL_ALPHA * HLL_M * HLL_M!r}
+                   / (s + ({HLL_M} - present)) AS hll_estimate
+        FROM sums
+    ), facts AS (
+        SELECT event_type,
+               count(DISTINCT CAST(ts AS DATE)) AS n_day_states,
+               count(DISTINCT user_id) AS n_exact
+        FROM events GROUP BY event_type
+    )
+    SELECT f.event_type, f.n_day_states, f.n_exact,
+           {_round('x.hll_estimate', 4)} AS hll_merged
+    FROM facts f JOIN est x USING (event_type)
+    ORDER BY f.event_type
+"""

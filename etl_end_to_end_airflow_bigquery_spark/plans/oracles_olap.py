@@ -1374,3 +1374,19 @@ OLAP_ORACLES["quantile_rollup_cascade"] = """
     GROUP BY day, event_type
     ORDER BY day, event_type
 """
+
+
+from .queries_olap import PRUNE_HI, PRUNE_LO  # noqa: E402
+
+# Direct filtered aggregate on raw events — partitioned layout +
+# pruning on the Spark side must be purely physical.
+OLAP_ORACLES["partition_pruned_scan"] = f"""
+    SELECT CAST(ts AS DATE) AS event_date,
+           event_type,
+           count(*) AS n_events,
+           {_round(_dsum('value'), 2)} AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN '{PRUNE_LO}' AND '{PRUNE_HI}'
+    GROUP BY 1, 2
+    ORDER BY event_date, event_type
+"""

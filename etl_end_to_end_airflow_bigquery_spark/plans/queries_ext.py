@@ -2756,3 +2756,57 @@ bfs_dedup_distance.__doc__ = bfs_dedup_distance.__doc__.format(
     hops=BFS_MAX_HOPS
 )
 EXT_QUERIES["bfs_dedup_distance"] = bfs_dedup_distance
+
+
+def hll_merge_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup proof — HyperLogLog as STATE, not a
+    one-shot answer: per-day register tables (the thing a pipeline
+    would persist next to each day's partition) fold across the month
+    by register-wise MAX, and the month's distinct-user estimate is
+    served from the MERGED registers. The oracle computes the same
+    estimator DIRECTLY over the whole period, so hash-equality
+    certifies the lossless-merge law (max is associative/commutative
+    over day slices) holds through this implementation — the license
+    to answer "distinct users this quarter" from daily rollups without
+    rescanning raw, the same contract ``rollup_cascade_daily`` proves
+    for count/sum/min/max and ``quantile_rollup_cascade`` for
+    percentiles, completing the mergeable-state family with the
+    sketch-backed aggregate (``operators.sketch.hll_ranked`` /
+    ``hll_est_from_registers``).
+
+    Scale: the raw scan partial-aggregates map-side into per-(type,
+    day, register) maxima — ≤ 64 rows per group leave each executor;
+    every later exchange is register-grain. n_exact rides along for
+    the error column (at 100 TB you would drop it — it is the exact
+    COUNT(DISTINCT) shuffle the sketch exists to avoid).
+    """
+    from ..operators.sketch import hll_est_from_registers, hll_ranked
+    from ..sources.events import load_events
+
+    ev = load_events(spark, sf_dir).withColumn("d", F.to_date("ts"))
+    day_states = (
+        hll_ranked(ev, "user_id", ["event_type", "d"])
+        .groupBy("event_type", "d", "reg")
+        .agg(F.max("rank").alias("mx"))
+    )
+    merged = day_states.groupBy("event_type", "reg").agg(
+        F.max("mx").alias("mx")
+    )
+    est = hll_est_from_registers(merged, ["event_type"])
+    facts = ev.groupBy("event_type").agg(
+        F.countDistinct("d").alias("n_day_states"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    return (
+        facts.join(est, "event_type")
+        .select(
+            "event_type",
+            "n_day_states",
+            "n_exact",
+            round_half_up(F.col("hll_estimate"), 4).alias("hll_merged"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EXT_QUERIES["hll_merge_days"] = hll_merge_days

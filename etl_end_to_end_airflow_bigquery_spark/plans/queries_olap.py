@@ -3070,3 +3070,55 @@ def quantile_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 OLAP_QUERIES["quantile_rollup_cascade"] = quantile_rollup_cascade
+
+
+PRUNE_LO = "2024-01-08"
+PRUNE_HI = "2024-01-14"
+
+
+def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout + partition pruning — the OTHER
+    pay-once-at-ingest storage lever next to ``bucketed_colocated_join``
+    (bucketing co-locates JOIN keys; date partitioning prunes TIME
+    ranges): events land partitioned by ``event_date``, and a
+    one-week report touches only those directories — at 100 TB the
+    difference between scanning ~31 days and ~7, decided by the
+    CATALOG (directory listing) before a single row is read. The
+    pytest asserts the executed plan carries the bounds as
+    PartitionFilters with zero data filters left; the gate proves the
+    layout is purely physical against a direct filtered-aggregate
+    oracle on raw events (same exactness machinery, same answer).
+
+    The write repartitions by the partition column first so each day
+    directory holds one file, not one per upstream task — the
+    small-files discipline a daily-partitioned 100 TB table lives or
+    dies by.
+    """
+    import os
+
+    from ..tmputil import session_tmpdir
+
+    root = session_tmpdir("part_prune_")
+    path = os.path.join(root, "events_by_day")
+    ev = load_events(spark, sf_dir).withColumn(
+        "event_date", F.to_date("ts")
+    )
+    ev.repartition("event_date").write.partitionBy("event_date").mode(
+        "overwrite"
+    ).parquet(path)
+    part = spark.read.parquet(path)
+    return (
+        part.filter(
+            (F.col("event_date") >= F.lit(PRUNE_LO).cast("date"))
+            & (F.col("event_date") <= F.lit(PRUNE_HI).cast("date"))
+        )
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round_half_up(decimal_sum(F.col("value")), 2).alias("sum_value"),
+        )
+        .orderBy("event_date", "event_type")
+    )
+
+
+OLAP_QUERIES["partition_pruned_scan"] = partition_pruned_scan

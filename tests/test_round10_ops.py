@@ -236,3 +236,227 @@ def test_streaming_rollup_state_versions_on_disk(spark):
     got = [tuple(r) for r in streaming_rollup_cascade(spark, SF_ORACLE).collect()]
     want = [tuple(r) for r in rollup_cascade_daily(spark, SF_ORACLE).collect()]
     assert got == want
+
+
+# ---------------------------------------------------------------- wave 2
+
+
+def test_bfs_levels_matches_brute_force(spark):
+    """Level-synchronous BFS vs a driver-side Dijkstra-on-unit-weights
+    over a hand-built graph with a cycle, a chain longer than the hop
+    cap, and an isolated seed."""
+    from etl_end_to_end_airflow_bigquery_spark.operators.dedup import (
+        bfs_levels,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 8),
+             (2, 9), (9, 10), (10, 1),   # cycle back to seed
+             (20, 21)]                   # far component, unreachable
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    seeds = spark.createDataFrame([(1,), (30,)], "node long")  # 30 isolated
+    got = {r.node: r.dist for r in bfs_levels(pairs, seeds, 4).collect()}
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {1: 0, 30: 0}
+    frontier = {1}
+    for d in range(1, 5):
+        frontier = {
+            n for f in frontier for n in adj.get(f, ())
+        } - set(want)
+        for n in frontier:
+            want[n] = d
+    assert got == want
+    assert 6 not in got  # beyond the 4-hop cap
+    assert 20 not in got  # disconnected component never reached
+
+
+def test_time_weighted_avg_hand_case(spark, tmp_path):
+    """Two samples at 00:00 and 18:00 with values 1.00 and 5.00: the
+    plain mean is 3.0 but the time-weighted mean is
+    (1*18h + 5*6h)/24h = 2.0 — the operator must weight by holding
+    time, carrying the last sample to midnight."""
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_olap import (
+        time_weighted_avg_daily,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 7, "click", 1.0, "{}"),
+        (2, "2024-01-01 18:00:00", 7, "click", 5.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    df.write.parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = time_weighted_avg_daily(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0].twa_value == 2.0
+    assert out[0].n_samples == 2
+
+
+def test_counter_rate_undercounts_hidden_reset(spark, tmp_path):
+    """When the scrape grid misses a midnight reset AND the new day
+    overtakes the previous reading, the fold must report the
+    Prometheus answer (the positive delta, undercounting the reset)
+    with n_resets = 0 — not the true total."""
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_olap import (
+        counter_rate_resets,
+    )
+
+    # user 7: day1 has events v=2.0 each at ids 3,4,5 (retained: 3);
+    # day2 events at ids 6,7,8,9 v=3.0 (retained: 6,9).
+    # Counters: day1 cum at id3 = 2.0; day2 cum at id6 = 3.0, id9 = 12.0.
+    # Retained stream: 2.0 -> 3.0 -> 12.0: deltas +1.0, +9.0; no reset
+    # seen, first sample contributes 2.0 => total 12.0 (true total 14.0).
+    rows = [
+        (3, "2024-01-01 01:00:00", 7, "click", 2.0, "{}"),
+        (4, "2024-01-01 02:00:00", 7, "click", 2.0, "{}"),
+        (5, "2024-01-01 03:00:00", 7, "click", 2.0, "{}"),
+        (6, "2024-01-02 01:00:00", 7, "click", 3.0, "{}"),
+        (7, "2024-01-02 02:00:00", 7, "click", 3.0, "{}"),
+        (8, "2024-01-02 03:00:00", 7, "click", 3.0, "{}"),
+        (9, "2024-01-02 04:00:00", 7, "click", 3.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    df.write.parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = counter_rate_resets(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_samples == 3
+    assert r.n_resets == 0
+    assert r.total_increase == 12.0
+
+
+def test_counter_rate_detects_visible_reset(spark, tmp_path):
+    """When the post-midnight reading is BELOW the previous scrape the
+    reset is visible: contribution = current reading, n_resets = 1."""
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_olap import (
+        counter_rate_resets,
+    )
+
+    # Retained (id%3==0): day1 cum 6.0 (id 3 after 2.0+2.0+2.0);
+    # day2 first retained cum 1.0 < 6.0 -> reset, contributes 1.0.
+    rows = [
+        (1, "2024-01-01 01:00:00", 7, "click", 2.0, "{}"),
+        (2, "2024-01-01 02:00:00", 7, "click", 2.0, "{}"),
+        (3, "2024-01-01 03:00:00", 7, "click", 2.0, "{}"),
+        (6, "2024-01-02 01:00:00", 7, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    df.write.parquet(os.path.join(str(tmp_path), "events.parquet"))
+    r = counter_rate_resets(spark, str(tmp_path)).collect()[0]
+    assert (r.n_samples, r.n_resets, r.total_increase) == (2, 1, 7.0)
+
+
+def test_cdc_apply_resurrect_and_terminal_delete(spark, tmp_path):
+    """Key 42 (%3,%6,%7,%14 all hit): the seq-5 update must outlive the
+    seq-4 delete. Key 13 (%13 only): the seq-3 delete is terminal."""
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_olap import (
+        cdc_out_of_order_apply,
+    )
+
+    rows = [(42, 1, "O", 100.0, "2024-01-01 00:00:00", "P1"),
+            (13, 2, "O", 50.0, "2024-01-01 00:00:00", "P1"),
+            (5, 3, "O", 10.0, "2024-01-01 00:00:00", "P1")]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    df.write.parquet(os.path.join(str(tmp_path), "orders.parquet"))
+    got = {r.o_orderkey: r for r in
+           cdc_out_of_order_apply(spark, str(tmp_path)).collect()}
+    assert 13 not in got                      # terminal delete
+    assert got[42].final_status == "P7"       # seq 5 beats the seq-4 delete
+    assert got[42].final_price == 300.0
+    assert got[42].winning_seq == 5
+    assert got[42].n_versions == 5            # I + seq 2,1 (%3,%6) + seq 5,4 (%7,%14)
+    assert got[5].final_status == "O"         # untouched key keeps insert
+    assert got[5].n_versions == 1
+
+
+def test_hll_day_merge_equals_direct(spark):
+    """Register-wise MAX over day slices must equal the direct
+    whole-period registers — the mergeability law on a small frame."""
+    from etl_end_to_end_airflow_bigquery_spark.operators.sketch import (
+        hll_est_from_registers,
+        hll_ranked,
+    )
+
+    rows = [(i % 97, "t", f"2024-01-{(i % 9) + 1:02d}") for i in range(400)]
+    df = spark.createDataFrame(rows, "user_id long, g string, d string")
+    direct = (
+        hll_ranked(df, "user_id", ["g"])
+        .groupBy("g", "reg").agg(F.max("rank").alias("mx"))
+    )
+    merged = (
+        hll_ranked(df, "user_id", ["g", "d"])
+        .groupBy("g", "d", "reg").agg(F.max("rank").alias("mx"))
+        .groupBy("g", "reg").agg(F.max("mx").alias("mx"))
+    )
+    e1 = hll_est_from_registers(direct, ["g"]).collect()[0].hll_estimate
+    e2 = hll_est_from_registers(merged, ["g"]).collect()[0].hll_estimate
+    assert e1 == e2  # bit-identical, not approximately
+
+
+def test_quantile_cascade_matches_sorted_list(spark, tmp_path):
+    """Histogram-walk cuts vs a driver-side sorted list on a small
+    skewed sample (ceil(p*n) disc semantics, 2-dp quantization)."""
+    import math
+
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_olap import (
+        quantile_rollup_cascade,
+    )
+
+    vals = [0.01 * (i ** 2 % 157) for i in range(101)]
+    rows = [
+        (i, f"2024-01-01 {i % 24:02d}:{i % 60:02d}:00", 1, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    df.write.parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = quantile_rollup_cascade(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    cents = sorted(int(math.floor(v * 100 + 0.5)) for v in vals)
+    n = len(cents)
+    for col, p in (("p50", 50), ("p90", 90), ("p99", 99)):
+        want = cents[(p * n + 99) // 100 - 1] / 100.0
+        assert getattr(out[0], col) == want, col
+
+
+def test_partition_pruned_scan_plan_prunes(spark):
+    """The executed plan must push the date bounds into
+    PartitionFilters (catalog-level pruning) and read only the 7
+    in-range day directories."""
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_olap import (
+        partition_pruned_scan,
+    )
+
+    df = partition_pruned_scan(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:200]
+    assert "event_date" in seg
+    # count partitions actually read via the optimized plan's scan node
+    scan = [
+        n for n in plan.split("\n")
+        if "FileScan" in n or "Scan parquet" in n
+    ]
+    assert scan, plan
+    assert df.count() == 35  # 7 days x 5 event types at sf0.01
