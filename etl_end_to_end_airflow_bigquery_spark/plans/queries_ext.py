@@ -2675,10 +2675,14 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .filter(F.col("c_ab") >= PMI_MIN_SUPPORT)
     )
+    # pinned: the unigram table feeds BOTH probe joins and the totals
+    # row — without the pin each reference re-derives the tokenize +
+    # count (3 corpus scans instead of 1, the rfm_segments lesson)
     uni = (
         docs.select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("c_uni"))
+        .localCheckpoint(eager=False)
     )
     totals = uni.agg(F.sum("c_uni").alias("n_tokens"))
     dec = "decimal(38,0)"

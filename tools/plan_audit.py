@@ -74,6 +74,7 @@ BNLJ_OK = {
     "hybrid_rrf_retrieval",  # 1-row dense query vector broadcast cross
     "triangle_count_dedup",  # two 1-row census frames crossed at the end
     "corpus_drift_chi2",  # 1-row (S1, S2) side-totals scalar broadcast
+    "pmi_collocations",  # 1-row corpus-token-total scalar broadcast
 }
 
 # Structurally-high exchange counts with a justification.
@@ -117,6 +118,11 @@ EXCHANGES_OK = {
     # stages; exchange count is the sum of its verified sub-pipelines,
     # not data-size amplification.
     "curated_corpus_v2",
+    # two bounded fact passes (register partials; the exact-count rider
+    # the docstring says you'd drop at 100 TB) + register-grain
+    # re-merges and the estimate finish — fixed depth, every post-scan
+    # frame is ≤ |groups|·64 rows, never data-size amplification.
+    "hll_merge_days",
     # the v3 capstone composes the four round-4 signal pipelines
     # (classifier, unigram LM, duplicate spans — each in this list or
     # under 6 exchanges alone) + the dedup window; fixed pipeline
