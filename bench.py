@@ -135,6 +135,19 @@ BENCH_QUERIES = [
     "corpus_drift_chi2",
     "bin_pack_nextfit",
     "robust_stats_orders",
+    # round-10 wave 2: the time-series pack (TWA + counter rate), the
+    # integer-lift collocation miner, the latest-wins CDC fold, the
+    # iterative BFS, and the two mergeable-state proofs (histogram
+    # quantiles, HLL register merge); prefix above unchanged.
+    "time_weighted_avg_daily",
+    "counter_rate_resets",
+    "pmi_collocations",
+    "cdc_out_of_order_apply",
+    "bfs_dedup_distance",
+    "quantile_rollup_cascade",
+    "hll_merge_days",
+    "null_semantics_pack",
+    "er_golden_record",
 ]
 
 N_RUNS = 3

@@ -210,6 +210,18 @@ _GATE_ROTATION: tuple[str, ...] = (
     "containment_near_dups",    # asymmetric containment dedup (posting join)
     "bin_pack_nextfit",         # next-fit packing vs recursive-CTE oracle
     "corpus_drift_chi2",        # integer-rational chi-square drift monitor
+    # wave 2 (built later in the same round)
+    "time_weighted_avg_daily",  # irregular-sampling TWA, tz-free micros
+    "counter_rate_resets",      # Prometheus increase()/resets() fold
+    "pmi_collocations",         # integer-lift collocation mining
+    "cdc_out_of_order_apply",   # latest-wins by source seq + tombstones
+    "streaming_cdc_apply",      # the same fold per micro-batch (shared oracle)
+    "bfs_dedup_distance",       # frontier BFS vs recursive-CTE reachability
+    "quantile_rollup_cascade",  # exact percentiles from histogram state
+    "hll_merge_days",           # sketch mergeability proof (register MAX)
+    "partition_pruned_scan",    # hive date layout + catalog-level pruning
+    "null_semantics_pack",      # IN/NOT IN three-valued logic, null-aware anti join
+    "er_golden_record",         # blocked match → closure → survivorship
 )
 
 # Backfill to 50 (r8 policy, see module docstring): tier (a) re-proofs
@@ -227,13 +239,12 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "phash_near_dup_assets",
     "streaming_phash_assets",
     "streaming_ivm_revenue",
-    # tier (b) — stalest evidence: r03-era greens (plus the oldest
-    # r04 row) never re-proven since
-    "ann_lsh_topk", "embedding_near_dups", "fuzzy_name_pairs",
-    "ivf_topk", "multimodal_meta", "multimodal_resize",
-    "q18_big_orders", "q5_local_supplier_volume", "resample_daily_rates",
-    "simhash_docs", "snapshot_diff_orders", "streaming_dedup_events",
-    "vocab_top_tokens", "ann_lsh_multiprobe",
+    # tier (b) — stalest evidence: r03-era greens never re-proven
+    # since. Eleven slots ceded one-for-one to the round's wave-2 new
+    # queries (rotation always outranks re-proof); the three kept are
+    # the stalest remaining plus fuzzy_name_pairs, whose code
+    # er_golden_record now composes (tier-a-adjacent).
+    "ann_lsh_topk", "fuzzy_name_pairs", "multimodal_meta",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

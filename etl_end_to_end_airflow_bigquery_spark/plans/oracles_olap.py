@@ -1390,3 +1390,95 @@ OLAP_ORACLES["partition_pruned_scan"] = f"""
     GROUP BY 1, 2
     ORDER BY event_date, event_type
 """
+
+
+# The identical ANSI statement (views resolve to the same parquet);
+# hash-equality pins both engines to the same three-valued logic.
+OLAP_ORACLES["null_semantics_pack"] = """
+    SELECT 'not_in_clean' AS case_label, count(*) AS n
+    FROM orders
+    WHERE o_custkey NOT IN (
+        SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    UNION ALL
+    SELECT 'not_exists_clean', count(*)
+    FROM orders o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM customer c
+        WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0)
+    UNION ALL
+    SELECT 'not_in_nullable', count(*)
+    FROM orders
+    WHERE o_custkey NOT IN (
+        SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END
+        FROM customer)
+    UNION ALL
+    SELECT 'in_nullable', count(*)
+    FROM orders
+    WHERE o_custkey IN (
+        SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END
+        FROM customer)
+    UNION ALL
+    SELECT 'not_in_null_probe', count(*)
+    FROM orders
+    WHERE CASE WHEN o_orderkey % 5 = 0 THEN NULL
+               ELSE o_custkey END NOT IN (
+        SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    ORDER BY case_label
+"""
+
+
+from .queries_olap import FUZZY_MAX_EDITS  # noqa: E402  (shared tunable)
+
+# Same variant fixture (UNION ALL legs), same multi-attribute blocking
+# and survivorship, closure as RECURSIVE reachability.
+OLAP_ORACLES["er_golden_record"] = f"""
+    WITH RECURSIVE recs AS (
+        SELECT c_custkey AS rec_key, c_name AS name,
+               c_nationkey AS nk, c_acctbal AS bal
+        FROM customer
+        UNION ALL
+        SELECT c_custkey + 1000000,
+               concat(substr(c_name, 1, length(c_name) - 1), 'X'),
+               c_nationkey, c_acctbal
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey + 2000000,
+               concat(substr(c_name, 1, length(c_name) - 2), 'YX'),
+               c_nationkey, c_acctbal
+        FROM customer WHERE c_custkey % 21 = 0
+    ), keyed AS (
+        SELECT rec_key, name, nk, bal,
+               CAST(floor(bal * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM recs
+    ), matched AS (
+        SELECT a.rec_key AS key_a, b.rec_key AS key_b
+        FROM keyed a
+        JOIN keyed b
+          ON a.nk = b.nk AND a.cents = b.cents
+         AND a.rec_key < b.rec_key
+        WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_EDITS}
+    ), edges AS (
+        SELECT key_a AS a, key_b AS b FROM matched
+        UNION
+        SELECT key_b AS a, key_a AS b FROM matched
+    ), reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), comp AS (
+        SELECT a AS node, least(a, min(b)) AS component
+        FROM reach GROUP BY a
+    ), members AS (
+        SELECT comp.component, k.rec_key, k.name, k.bal,
+               k.cents * 10000000 + k.rec_key AS ordkey
+        FROM comp JOIN keyed k ON k.rec_key = comp.node
+    )
+    SELECT component AS cluster_id,
+           count(*) AS n_members,
+           arg_max(rec_key, ordkey) AS golden_key,
+           arg_max(name, ordkey) AS golden_name,
+           arg_max(bal, ordkey) AS golden_acctbal
+    FROM members
+    GROUP BY component
+    ORDER BY cluster_id
+"""

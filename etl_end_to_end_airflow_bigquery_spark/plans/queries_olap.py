@@ -3122,3 +3122,173 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 OLAP_QUERIES["partition_pruned_scan"] = partition_pruned_scan
+
+
+def null_semantics_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued NULL semantics of IN / NOT IN / NOT EXISTS — the
+    correctness surface that silently separates SQL engines (and the
+    single most common rewrite bug when users hand-convert NOT IN to
+    anti joins): a NULL anywhere in a NOT IN subquery makes EVERY
+    comparison UNKNOWN, so the result is empty; a NULL probe row can
+    never pass IN or NOT IN; NOT EXISTS is immune to both. Five labeled
+    counts over the same tables, UNION ALL of scalar aggregates:
+
+    - not_in_clean     — NOT IN, null-free subquery (plain anti join)
+    - not_exists_clean — the NOT EXISTS spelling, must equal it
+    - not_in_nullable  — subquery contains NULLs → count MUST be 0
+      (Spark plans NOT IN as a null-aware anti join — BroadcastHashJoin
+      LeftAnti with isNullAware=true; AQE even folds this leg to
+      EmptyRelation at runtime once the build side observes a NULL. A
+      naive plain-anti-join rewrite returns thousands of rows — the
+      bug this leg pins)
+    - in_nullable      — IN ignores subquery NULLs, matches the rest
+    - not_in_null_probe — NULLed probe rows drop out of NOT IN
+
+    SQL front end end-to-end (temp views + one statement), so the gate
+    proves Catalyst's null-aware planning against DuckDB's ANSI
+    engine, not a hand-built DataFrame translation. Scale: each leg is
+    one broadcast(-anti) join of the fact against the filtered dim
+    subquery — the NullAwareAntiJoin requirement (broadcast-only in
+    Spark) is exactly how you'd run it at 100 TB, the dim side is
+    bounded.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_null_v"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_null_v"
+    )
+    return spark.sql(
+        """
+        SELECT 'not_in_clean' AS case_label, count(*) AS n
+        FROM orders_null_v
+        WHERE o_custkey NOT IN (
+            SELECT c_custkey FROM customer_null_v WHERE c_acctbal < 0)
+        UNION ALL
+        SELECT 'not_exists_clean', count(*)
+        FROM orders_null_v o
+        WHERE NOT EXISTS (
+            SELECT 1 FROM customer_null_v c
+            WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0)
+        UNION ALL
+        SELECT 'not_in_nullable', count(*)
+        FROM orders_null_v
+        WHERE o_custkey NOT IN (
+            SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END
+            FROM customer_null_v)
+        UNION ALL
+        SELECT 'in_nullable', count(*)
+        FROM orders_null_v
+        WHERE o_custkey IN (
+            SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END
+            FROM customer_null_v)
+        UNION ALL
+        SELECT 'not_in_null_probe', count(*)
+        FROM orders_null_v
+        WHERE CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                   ELSE o_custkey END NOT IN (
+            SELECT c_custkey FROM customer_null_v WHERE c_acctbal < 0)
+        ORDER BY case_label
+        """
+    )
+
+
+OLAP_QUERIES["null_semantics_pack"] = null_semantics_pack
+
+
+def er_records_with_variants(cust: DataFrame) -> DataFrame:
+    """The SHARED ER fixture (single definition, ``cdc_version_stream``
+    precedent): every 7th customer spawns a typo variant (last name
+    char -> 'X', key +1e6) and every 21st a SECOND-generation variant
+    (one more substitution, key +2e6) that matches the first variant
+    at distance 1 but the base only at distance 2 — so transitive
+    closure is load-bearing, not decorative. Built IN-ROW (struct
+    array, null-compacted, exploded): one dim scan. Variants inherit
+    nation and balance — the multi-attribute block keys."""
+    return cust.select(
+        F.explode(
+            F.expr(
+                """
+                filter(array(
+                  named_struct('rec_key', c_custkey, 'name', c_name,
+                               'nk', c_nationkey, 'bal', c_acctbal),
+                  CASE WHEN c_custkey % 7 = 0 THEN
+                    named_struct('rec_key', c_custkey + 1000000L,
+                                 'name', concat(substring(c_name, 1,
+                                         length(c_name) - 1), 'X'),
+                                 'nk', c_nationkey, 'bal', c_acctbal) END,
+                  CASE WHEN c_custkey % 21 = 0 THEN
+                    named_struct('rec_key', c_custkey + 2000000L,
+                                 'name', concat(substring(c_name, 1,
+                                         length(c_name) - 2), 'YX'),
+                                 'nk', c_nationkey, 'bal', c_acctbal) END
+                ), x -> x IS NOT NULL)
+                """
+            )
+        ).alias("r")
+    ).select("r.rec_key", "r.name", "r.nk", "r.bal")
+
+
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end — the golden-record pipeline every
+    customer-data platform runs: deterministic typo variants injected
+    in-row (``er_records_with_variants``), MULTI-ATTRIBUTE BLOCKING
+    (nation x exact balance cents — the realistic candidate bound:
+    name-only blocking over this synthetic name space chains every
+    customer to every other through one-digit edits, exactly the
+    unbounded-component failure mode real ER systems block against),
+    pairwise levenshtein <= 1 within blocks, TRANSITIVE CLOSURE over
+    the match pairs (``operators.dedup.connected_components`` — the
+    second-generation variant matches only the first, never the base,
+    so A~B~C merges purely through closure), then SURVIVORSHIP: the
+    canonical id is the component min and golden attributes come from
+    the max-balance member via a composed integer ordering
+    (cents*1e7 + key, total and engine-identical — the
+    ``richest_customer_per_nation`` idiom).
+
+    Scale: the block key is the shuffle key and block sizes are
+    bounded by construction (a base and its variants share the block;
+    random cross-customer collisions need identical nation AND cents),
+    so closure components have diameter <= ~4 and the verified
+    min-label loop converges in a handful of rounds at ANY sf — the
+    property the name-chain graph lacked, found by the sf0.1
+    selfcheck. Oracle: the same pipeline with closure as a
+    RECURSIVE-CTE reachability fixed point.
+    """
+    from ..operators.dedup import connected_components
+
+    recs = er_records_with_variants(
+        load_table(spark, sf_dir, "customer")
+    ).withColumn(
+        "cents", F.expr("CAST(floor(bal * 100.0 + 0.5) AS BIGINT)")
+    ).localCheckpoint(eager=False)
+    a = recs.select(
+        "nk", "cents",
+        F.col("rec_key").alias("key_a"), F.col("name").alias("name_a"),
+    )
+    b = recs.select(
+        "nk", "cents",
+        F.col("rec_key").alias("key_b"), F.col("name").alias("name_b"),
+    )
+    pairs = (
+        a.join(b, ["nk", "cents"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= FUZZY_MAX_EDITS)
+        .select("key_a", "key_b")
+    )
+    comps = connected_components(pairs, "key_a", "key_b")
+    members = comps.join(recs, comps["node"] == recs["rec_key"])
+    ordkey = F.col("cents") * 10_000_000 + F.col("rec_key")
+    return (
+        members.groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max_by(F.col("rec_key"), ordkey).alias("golden_key"),
+            F.max_by(F.col("name"), ordkey).alias("golden_name"),
+            F.max_by(F.col("bal"), ordkey).alias("golden_acctbal"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+OLAP_QUERIES["er_golden_record"] = er_golden_record

@@ -460,3 +460,37 @@ def test_partition_pruned_scan_plan_prunes(spark):
     ]
     assert scan, plan
     assert df.count() == 35  # 7 days x 5 event types at sf0.01
+
+
+def test_er_closure_merges_second_generation_variant(spark, tmp_path):
+    """Base ~ V1 (1 edit) and V1 ~ V2 (1 edit) but base !~ V2 (2
+    edits): the cluster must still merge all three — transitive
+    closure, not pairwise matching — and survivorship must pick the
+    highest composed ordkey (same cents -> highest key wins)."""
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_olap import (
+        er_golden_record,
+    )
+
+    rows = [
+        (21, "Customer#000000021", 3, 100.00, "BUILDING"),  # %7 and %21
+        (22, "Customer#000000022", 3, 100.00, "BUILDING"),  # same block, 1 edit from 21 -- but base-base pair
+        (5, "Customer#000000005", 9, 50.00, "AUTOMOBILE"),  # no variants
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey long,"
+        " c_acctbal double, c_mktsegment string",
+    )
+    df.write.parquet(os.path.join(str(tmp_path), "customer.parquet"))
+    out = {r.cluster_id: r for r in
+           er_golden_record(spark, str(tmp_path)).collect()}
+    # cluster of 21: base + V1 (1000021) + V2 (2000021) + base 22
+    # (same nation+cents block, levenshtein 1 from 21)
+    assert 21 in out
+    c = out[21]
+    assert c.n_members == 4
+    assert c.golden_key == 2000021       # same cents -> max key wins
+    assert c.golden_name.endswith("YX")  # second-generation variant
+    # customer 5 has no variants and no block-mates: no cluster at all
+    assert all(cid < 1000000 for cid in out)
+    assert 5 not in out

@@ -90,6 +90,18 @@ DEFAULT = [
     "bin_pack_nextfit",        # per-shard sequential Arrow packing loop
     "corpus_drift_chi2",       # token counts + 1-row totals broadcast
     "sql_variables_pack",      # scalar-subquery variable + exec immediate
+    # round 10, wave 2
+    "time_weighted_avg_daily",   # one type-clustered window + rollup
+    "counter_rate_resets",       # user-clustered cumsum/lag/rollup chain
+    "pmi_collocations",          # two grouped counts + pinned vocab joins
+    "cdc_out_of_order_apply",    # in-row explode + one max_by aggregate
+    "streaming_cdc_apply",       # foreachBatch latest-wins fold
+    "bfs_dedup_distance",        # per-level frontier join, pinned lineage
+    "quantile_rollup_cascade",   # histogram-grain exchanges after one pass
+    "hll_merge_days",            # register partials, max-merge, estimate
+    "partition_pruned_scan",     # day-partitioned write + pruned scan
+    "null_semantics_pack",       # five broadcast(-anti) legs, UNION ALL
+    "er_golden_record",          # blocked pairs + closure + one max_by
 ]
 
 
