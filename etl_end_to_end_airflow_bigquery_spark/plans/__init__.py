@@ -222,6 +222,7 @@ _GATE_ROTATION: tuple[str, ...] = (
     "partition_pruned_scan",    # hive date layout + catalog-level pruning
     "null_semantics_pack",      # IN/NOT IN three-valued logic, null-aware anti join
     "er_golden_record",         # blocked match → closure → survivorship
+    "streaming_quantile_cascade",  # exact percentiles from streamed histogram state
 )
 
 # Backfill to 50 (r8 policy, see module docstring): tier (a) re-proofs
@@ -244,7 +245,7 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     # queries (rotation always outranks re-proof); the three kept are
     # the stalest remaining plus fuzzy_name_pairs, whose code
     # er_golden_record now composes (tier-a-adjacent).
-    "ann_lsh_topk", "fuzzy_name_pairs", "multimodal_meta",
+    "ann_lsh_topk", "fuzzy_name_pairs",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

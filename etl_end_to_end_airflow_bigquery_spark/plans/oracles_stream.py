@@ -170,3 +170,7 @@ STREAM_ORACLES["streaming_rollup_cascade"] = _OLAP["rollup_cascade_daily"]
 # Shared verbatim with the batch twin: the gate proves micro-batch
 # slicing (and the latest-wins ⊕ fold) is invisible to the applied view.
 STREAM_ORACLES["streaming_cdc_apply"] = _OLAP["cdc_out_of_order_apply"]
+
+# Shared verbatim with the batch cascade: histogram merging must
+# commute with any micro-batch slicing of the stream.
+STREAM_ORACLES["streaming_quantile_cascade"] = _OLAP["quantile_rollup_cascade"]

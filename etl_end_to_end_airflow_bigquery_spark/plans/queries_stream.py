@@ -1235,3 +1235,121 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_QUERIES["streaming_cdc_apply"] = streaming_cdc_apply
+
+
+def streaming_quantile_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming twin of
+    :func:`..queries_olap.quantile_rollup_cascade` — EXACT percentiles
+    maintained by the stream: each micro-batch's value-grain histogram
+    partials ((hour, type, cent) → n, the mergeable form that makes
+    exact quantiles possible on a 2-dp measure) fold into versioned
+    parquet state via disk-resolved committed versions, and the daily
+    p50/p90/p99 report is a projection of that state — the cumulative
+    rank walk never touches raw events. SHARES THE BATCH CASCADE'S
+    ORACLE VERBATIM (direct-from-raw ranked cuts): hash-equality
+    proves histogram merging commutes with ANY micro-batch slicing —
+    the sketch-free streaming-percentiles story (where engines
+    normally reach for t-digest and give up exactness).
+
+    Scale: per batch, one grouped partial over the slice ⊕ the
+    |cents-present| state rows; serving cost is the histogram walk.
+    Stateless micro-batch plan (durable state in parquet) — exempted
+    in ``plan_audit.STREAM_STATELESS_OK``.
+    """
+    from pyspark.sql import Window
+
+    from ..io import load_table
+    from ..operators.incremental import latest_committed_state
+    from ..tmputil import session_tmpdir
+
+    base_dir = session_tmpdir("stream_quant_")
+    feed_dir = os.path.join(base_dir, "feed")
+    ckpt = os.path.join(base_dir, "ckpt")
+    init_path = os.path.join(base_dir, "state_init")
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    )
+    ev.repartition(4).write.parquet(feed_dir)
+
+    def _hist(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", "ts").alias("h"),
+            "event_type",
+            F.expr(
+                "CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
+            ).alias("cent"),
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    _hist(ev.limit(0)).write.parquet(init_path)
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        prev = latest_committed_state(base_dir, init_path, below=batch_id)
+        nxt = os.path.join(base_dir, f"state_b{batch_id}")
+        merged = (
+            spark.read.parquet(prev)
+            .unionByName(_hist(batch))
+            .groupBy("h", "event_type", "cent")
+            .agg(F.sum("n").alias("n"))
+        )
+        merged.write.mode("overwrite").parquet(nxt)
+
+    stream = (
+        spark.readStream.schema(
+            "ts timestamp_ntz, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_fold)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    _capture_plan(q, "streaming_quantile_cascade")
+
+    hourly = spark.read.parquet(latest_committed_state(base_dir, init_path))
+    daily_hist = hourly.groupBy(
+        F.to_date("h").alias("day"), "event_type", "cent"
+    ).agg(F.sum("n").alias("n"))
+    w = Window.partitionBy("day", "event_type").orderBy("cent")
+    walked = daily_hist.withColumn(
+        "cum",
+        F.sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).withColumn(
+        "n_total",
+        F.sum("n").over(
+            w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    return (
+        walked.groupBy("day", "event_type")
+        .agg(
+            F.max("n_total").alias("n_events"),
+            F.expr(
+                "CAST(min(CASE WHEN cum >= (n_total + 1) div 2"
+                " THEN cent END) AS DOUBLE) / 100.0"
+            ).alias("p50"),
+            F.expr(
+                "CAST(min(CASE WHEN cum >= (9 * n_total + 9) div 10"
+                " THEN cent END) AS DOUBLE) / 100.0"
+            ).alias("p90"),
+            F.expr(
+                "CAST(min(CASE WHEN cum >= (99 * n_total + 99) div 100"
+                " THEN cent END) AS DOUBLE) / 100.0"
+            ).alias("p99"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+STREAM_QUERIES["streaming_quantile_cascade"] = streaming_quantile_cascade

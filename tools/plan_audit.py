@@ -224,6 +224,9 @@ STREAM_STATELESS_OK: dict[str, str] = {
     # per-batch foreachBatch latest-wins fold (max_by seq) into the
     # versioned parquet state table — durable state on disk by design
     "streaming_cdc_apply": "foreachBatch latest-wins CDC fold into parquet state",
+    # per-batch foreachBatch fold of value-grain histogram partials into
+    # the versioned parquet state — durable state on disk by design
+    "streaming_quantile_cascade": "foreachBatch histogram fold into parquet state",
 }
 
 

@@ -102,6 +102,7 @@ DEFAULT = [
     "partition_pruned_scan",     # day-partitioned write + pruned scan
     "null_semantics_pack",       # five broadcast(-anti) legs, UNION ALL
     "er_golden_record",          # blocked pairs + closure + one max_by
+    "streaming_quantile_cascade",  # foreachBatch histogram-state fold
 ]
 
 
