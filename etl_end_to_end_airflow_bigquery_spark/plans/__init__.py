@@ -240,11 +240,12 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "phash_near_dup_assets",
     "streaming_phash_assets",
     "streaming_ivm_revenue",
-    # tier (b) — stalest evidence: r03-era greens never re-proven
-    # since. Eleven slots ceded one-for-one to the round's wave-2 new
-    # queries (rotation always outranks re-proof); the three kept are
-    # the stalest remaining plus fuzzy_name_pairs, whose code
-    # er_golden_record now composes (tier-a-adjacent).
+    # tier (b) — two re-proof slots survive after this round's twelve
+    # wave-2 queries took rotation slots one-for-one (rotation always
+    # outranks re-proof): ann_lsh_topk (an r03-era green, the stalest
+    # evidence left) and fuzzy_name_pairs (tier-a-adjacent: its
+    # blocked-levenshtein recipe is the match step er_golden_record
+    # composes this round).
     "ann_lsh_topk", "fuzzy_name_pairs",
 )
 

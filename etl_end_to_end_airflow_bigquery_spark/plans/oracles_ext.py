@@ -2472,6 +2472,8 @@ EXT_ORACLES["substring_dedup_spans"] = """
 """
 
 
+from ..operators.dedup import CONTAINMENT_DF_CAP, CONTAINMENT_T  # noqa: E402
+
 # Containment: same DF-capped posting join + exact verify; smaller
 # shingle set is the contained side (integer-size compare both sides).
 _CONT_INTER = "len(list_filter(sh_a, x -> list_contains(sh_b, x)))"
@@ -2479,7 +2481,7 @@ EXT_ORACLES["containment_near_dups"] = f"""
     WITH {_SHINGLES_CTE.strip()}, posts AS (
         SELECT doc_id, unnest(shingles) AS shingle FROM sh
     ), rare AS (
-        SELECT shingle FROM posts GROUP BY shingle HAVING count(*) <= 20
+        SELECT shingle FROM posts GROUP BY shingle HAVING count(*) <= {CONTAINMENT_DF_CAP}
     ), cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM posts a
@@ -2504,19 +2506,21 @@ EXT_ORACLES["containment_near_dups"] = f"""
            {_round('inter / nb', 6)} AS cont_b,
            CASE WHEN ia <= ib THEN doc_a ELSE doc_b END AS contained_id
     FROM m
-    WHERE greatest(inter / na, inter / nb) >= 0.8
+    WHERE greatest(inter / na, inter / nb) >= {CONTAINMENT_T}
     ORDER BY doc_a, doc_b
 """
 
+
+from .queries_ext import PACK_NF_CAPACITY, PACK_NF_SHARDS  # noqa: E402
 
 # Next-fit packing replayed as a recursive CTE: one row per (shard,
 # rank) step, the running (bin_id, fill) carried through the
 # recurrence — the sequential greedy decision sequence, independently
 # re-implemented.
-EXT_ORACLES["bin_pack_nextfit"] = """
+EXT_ORACLES["bin_pack_nextfit"] = f"""
     WITH RECURSIVE toks AS (
         SELECT doc_id,
-               CAST(doc_id % 8 AS INTEGER) AS shard,
+               CAST(doc_id % {PACK_NF_SHARDS} AS INTEGER) AS shard,
                CAST(len(list_filter(string_split(text, ' '),
                                     x -> x <> '')) AS BIGINT) AS n_tokens
         FROM documents
@@ -2533,11 +2537,11 @@ EXT_ORACLES["bin_pack_nextfit"] = """
         FROM ord WHERE rn = 1
         UNION ALL
         SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
-               CASE WHEN p.fill + o.n_tokens > 256
+               CASE WHEN p.fill + o.n_tokens > {PACK_NF_CAPACITY}
                     THEN p.bin_id + 1 ELSE p.bin_id END,
-               CASE WHEN p.fill + o.n_tokens > 256
+               CASE WHEN p.fill + o.n_tokens > {PACK_NF_CAPACITY}
                     THEN CAST(0 AS BIGINT) ELSE p.fill END,
-               CASE WHEN p.fill + o.n_tokens > 256
+               CASE WHEN p.fill + o.n_tokens > {PACK_NF_CAPACITY}
                     THEN o.n_tokens ELSE p.fill + o.n_tokens END
         FROM packed p
         JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1
@@ -2571,7 +2575,7 @@ EXT_ORACLES["corpus_drift_chi2"] = """
                CAST(o1 + o2 AS HUGEINT) * s1 * s2 AS den,
                CAST(s1 + s2 AS HUGEINT) AS n
         FROM counts, tot
-        WHERE o1 + o2 >= 20
+        WHERE s1 > 0 AND s2 > 0 AND o1 + o2 >= 20
     )
     SELECT token, o1, o2,
            CAST((2 * (d * d * n) * 1000000 + den) // (2 * den)

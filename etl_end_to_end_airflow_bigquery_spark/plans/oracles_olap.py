@@ -1433,16 +1433,16 @@ from .queries_olap import FUZZY_MAX_EDITS  # noqa: E402  (shared tunable)
 # and survivorship, closure as RECURSIVE reachability.
 OLAP_ORACLES["er_golden_record"] = f"""
     WITH RECURSIVE recs AS (
-        SELECT c_custkey AS rec_key, c_name AS name,
+        SELECT c_custkey * 4 AS rec_key, c_name AS name,
                c_nationkey AS nk, c_acctbal AS bal
         FROM customer
         UNION ALL
-        SELECT c_custkey + 1000000,
+        SELECT c_custkey * 4 + 1,
                concat(substr(c_name, 1, length(c_name) - 1), 'X'),
                c_nationkey, c_acctbal
         FROM customer WHERE c_custkey % 7 = 0
         UNION ALL
-        SELECT c_custkey + 2000000,
+        SELECT c_custkey * 4 + 2,
                concat(substr(c_name, 1, length(c_name) - 2), 'YX'),
                c_nationkey, c_acctbal
         FROM customer WHERE c_custkey % 21 = 0
@@ -1470,7 +1470,8 @@ OLAP_ORACLES["er_golden_record"] = f"""
         FROM reach GROUP BY a
     ), members AS (
         SELECT comp.component, k.rec_key, k.name, k.bal,
-               k.cents * 10000000 + k.rec_key AS ordkey
+               CAST(k.cents AS HUGEINT) * 1099511627776 + k.rec_key
+                   AS ordkey
         FROM comp JOIN keyed k ON k.rec_key = comp.node
     )
     SELECT component AS cluster_id,

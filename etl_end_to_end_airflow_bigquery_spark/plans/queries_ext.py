@@ -2615,6 +2615,11 @@ def corpus_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,0)"
     m = (
         counts.crossJoin(F.broadcast(totals))
+        # degenerate-corpus guard: if either half is EMPTY the 2x2
+        # denominator t*S1*S2 is 0 for every token — report no drift
+        # (an empty frame) instead of a division error; the oracle
+        # carries the same predicate so the gate proves the branch
+        .filter((F.col("s1") > 0) & (F.col("s2") > 0))
         .filter(F.col("o1") + F.col("o2") >= 20)
         .select(
             "token",
@@ -2659,9 +2664,11 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-division pattern, so the whole report is engine-exact
     (the same reason ``corpus_drift_chi2`` chose χ² over KL).
 
-    Scale: one tokenize pass feeds BOTH the bigram and unigram grouped
-    counts (each a map-side-combining hash aggregate on its own key),
-    the support filter (≥{sup}) prunes the long tail before any join,
+    Scale: one corpus pass per grain — the bigram scan and the unigram
+    scan each feed one map-side-combining hash aggregate, and the
+    unigram table is checkpoint-pinned so its THREE consumers (both
+    probe joins and the totals row) reuse one derivation instead of
+    re-tokenizing — the support filter (≥{sup}) prunes the long tail before any join,
     and the two unigram probe joins are broadcasts of the
     vocabulary-bounded count table — never a fact-fact shuffle. The
     DECIMAL(38,0) cross-product c_ab·N·1e6 holds to ~1e12-token

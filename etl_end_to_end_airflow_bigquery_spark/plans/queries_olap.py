@@ -2470,31 +2470,39 @@ def rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     that stops doing that.
     """
     ev = load_events(spark, sf_dir)
-    hourly = (
-        ev.groupBy(
-            F.date_trunc("hour", "ts").alias("h"),
-            "event_type",
-        ).agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast(
-                    "bigint"
-                )
-            ).alias("sum_u"),
-            F.min("value").alias("min_v"),
-            F.max("value").alias("max_v"),
-        )
+    return daily_rollup_report(hourly_rollup_state(ev))
+
+
+def hourly_rollup_state(ev: DataFrame) -> DataFrame:
+    """The SHARED hourly mergeable state (single definition — the
+    batch cascade and the streaming fold both build it, so the twins
+    can never silently diverge on the quantization or the state
+    columns): (hour, type) → count, 1e6-scaled integer sum, min, max."""
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+        ).alias("sum_u"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
     )
-    daily = (
-        hourly.groupBy(
-            F.to_date("h").alias("day"),
-            "event_type",
-        ).agg(
-            F.sum("n").alias("n_events"),
-            F.sum("sum_u").alias("sum_u"),
-            F.min("min_v").alias("min_value"),
-            F.max("max_v").alias("max_value"),
-        )
+
+
+def daily_rollup_report(hourly: DataFrame) -> DataFrame:
+    """The SHARED daily projection of the hourly state (merge counts /
+    sums / min / max upward, finish the fixed-point average) — serves
+    both the batch cascade and the streaming twin's read side."""
+    daily = hourly.groupBy(
+        F.to_date("h").alias("day"),
+        "event_type",
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.sum("sum_u").alias("sum_u"),
+        F.min("min_v").alias("min_value"),
+        F.max("max_v").alias("max_value"),
     )
     return daily.select(
         "day",
@@ -3030,15 +3038,29 @@ def quantile_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1); the window walk and the cut extraction ride one
     (day, type) clustering.
     """
-    from pyspark.sql import Window
-
     ev = load_events(spark, sf_dir)
-    hourly = ev.groupBy(
+    return daily_quantile_report(hourly_hist_state(ev))
+
+
+def hourly_hist_state(ev: DataFrame) -> DataFrame:
+    """The SHARED value-grain histogram state (single definition for
+    the batch cascade and the streaming fold — quantization grain and
+    state columns can never silently diverge): (hour, type, cent) → n."""
+    return ev.groupBy(
         F.date_trunc("hour", "ts").alias("h"),
         "event_type",
         F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("cent"),
     ).agg(F.count(F.lit(1)).alias("n"))
-    daily_hist = hourly.groupBy(
+
+
+def daily_quantile_report(hourly_hist: DataFrame) -> DataFrame:
+    """The SHARED serve-time walk over histogram state: merge hourly
+    cells to day grain, cumulative-walk each (day, type) histogram,
+    and cut p50/p90/p99 at ceil(p*n) in integer rank arithmetic —
+    both the batch cascade and the streaming twin's read side."""
+    from pyspark.sql import Window
+
+    daily_hist = hourly_hist.groupBy(
         F.to_date("h").alias("day"), "event_type", "cent"
     ).agg(F.sum("n").alias("n"))
     w = Window.partitionBy("day", "event_type").orderBy("cent")
@@ -3198,9 +3220,12 @@ OLAP_QUERIES["null_semantics_pack"] = null_semantics_pack
 
 def er_records_with_variants(cust: DataFrame) -> DataFrame:
     """The SHARED ER fixture (single definition, ``cdc_version_stream``
-    precedent): every 7th customer spawns a typo variant (last name
-    char -> 'X', key +1e6) and every 21st a SECOND-generation variant
-    (one more substitution, key +2e6) that matches the first variant
+    precedent): record ids live in the injective space
+    ``c_custkey*4 + generation`` — collision-free at ANY scale factor
+    (the additive +1e6 scheme collided with real keys past sf~7).
+    Every 7th customer spawns a typo variant (last name char -> 'X',
+    generation 1) and every 21st a SECOND-generation variant
+    (one more substitution, generation 2) that matches the first variant
     at distance 1 but the base only at distance 2 — so transitive
     closure is load-bearing, not decorative. Built IN-ROW (struct
     array, null-compacted, exploded): one dim scan. Variants inherit
@@ -3210,15 +3235,15 @@ def er_records_with_variants(cust: DataFrame) -> DataFrame:
             F.expr(
                 """
                 filter(array(
-                  named_struct('rec_key', c_custkey, 'name', c_name,
+                  named_struct('rec_key', c_custkey * 4L, 'name', c_name,
                                'nk', c_nationkey, 'bal', c_acctbal),
                   CASE WHEN c_custkey % 7 = 0 THEN
-                    named_struct('rec_key', c_custkey + 1000000L,
+                    named_struct('rec_key', c_custkey * 4L + 1L,
                                  'name', concat(substring(c_name, 1,
                                          length(c_name) - 1), 'X'),
                                  'nk', c_nationkey, 'bal', c_acctbal) END,
                   CASE WHEN c_custkey % 21 = 0 THEN
-                    named_struct('rec_key', c_custkey + 2000000L,
+                    named_struct('rec_key', c_custkey * 4L + 2L,
                                  'name', concat(substring(c_name, 1,
                                          length(c_name) - 2), 'YX'),
                                  'nk', c_nationkey, 'bal', c_acctbal) END
@@ -3243,8 +3268,10 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     so A~B~C merges purely through closure), then SURVIVORSHIP: the
     canonical id is the component min and golden attributes come from
     the max-balance member via a composed integer ordering
-    (cents*1e7 + key, total and engine-identical — the
-    ``richest_customer_per_nation`` idiom).
+    (cents·2⁴⁰ + key in DECIMAL(38,0)/HUGEINT — balance-major for any
+    record key below 2⁴⁰, i.e. any conceivable sf, where a BIGINT
+    cents·1e7 packing silently stops being balance-major once keys
+    cross 1e7).
 
     Scale: the block key is the shuffle key and block sizes are
     bounded by construction (a base and its variants share the block;
@@ -3278,7 +3305,9 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comps = connected_components(pairs, "key_a", "key_b")
     members = comps.join(recs, comps["node"] == recs["rec_key"])
-    ordkey = F.col("cents") * 10_000_000 + F.col("rec_key")
+    ordkey = F.expr(
+        "CAST(cents AS DECIMAL(38,0)) * 1099511627776 + rec_key"
+    )
     return (
         members.groupBy(F.col("component").alias("cluster_id"))
         .agg(

@@ -1048,19 +1048,7 @@ def streaming_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev.repartition(4).write.parquet(feed_dir)
 
-    def _hourly(df: DataFrame) -> DataFrame:
-        return df.groupBy(
-            F.date_trunc("hour", "ts").alias("h"), "event_type"
-        ).agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast(
-                    "bigint"
-                )
-            ).alias("sum_u"),
-            F.min("value").alias("min_v"),
-            F.max("value").alias("max_v"),
-        )
+    from .queries_olap import hourly_rollup_state as _hourly
 
     # empty initial state with the right schema
     _hourly(ev.limit(0)).write.parquet(init_path)
@@ -1100,28 +1088,10 @@ def streaming_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     _capture_plan(q, "streaming_rollup_cascade")
 
+    from .queries_olap import daily_rollup_report
+
     hourly = spark.read.parquet(latest_committed_state(base_dir, init_path))
-    daily = hourly.groupBy(
-        F.to_date("h").alias("day"), "event_type"
-    ).agg(
-        F.sum("n").alias("n_events"),
-        F.sum("sum_u").alias("sum_u"),
-        F.min("min_v").alias("min_value"),
-        F.max("max_v").alias("max_value"),
-    )
-    return daily.select(
-        "day",
-        "event_type",
-        "n_events",
-        round_half_up(
-            F.col("sum_u").cast("double") / F.lit(1e6), 2
-        ).alias("sum_value"),
-        round_half_up(
-            F.col("sum_u").cast("double") / F.lit(1e6) / F.col("n_events"), 4
-        ).alias("avg_value"),
-        "min_value",
-        "max_value",
-    ).orderBy("day", "event_type")
+    return daily_rollup_report(hourly)
 
 
 STREAM_QUERIES["streaming_rollup_cascade"] = streaming_rollup_cascade
@@ -1256,8 +1226,6 @@ def streaming_quantile_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stateless micro-batch plan (durable state in parquet) — exempted
     in ``plan_audit.STREAM_STATELESS_OK``.
     """
-    from pyspark.sql import Window
-
     from ..io import load_table
     from ..operators.incremental import latest_committed_state
     from ..tmputil import session_tmpdir
@@ -1272,14 +1240,7 @@ def streaming_quantile_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev.repartition(4).write.parquet(feed_dir)
 
-    def _hist(df: DataFrame) -> DataFrame:
-        return df.groupBy(
-            F.date_trunc("hour", "ts").alias("h"),
-            "event_type",
-            F.expr(
-                "CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
-            ).alias("cent"),
-        ).agg(F.count(F.lit(1)).alias("n"))
+    from .queries_olap import hourly_hist_state as _hist
 
     _hist(ev.limit(0)).write.parquet(init_path)
 
@@ -1313,43 +1274,10 @@ def streaming_quantile_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     _capture_plan(q, "streaming_quantile_cascade")
 
+    from .queries_olap import daily_quantile_report
+
     hourly = spark.read.parquet(latest_committed_state(base_dir, init_path))
-    daily_hist = hourly.groupBy(
-        F.to_date("h").alias("day"), "event_type", "cent"
-    ).agg(F.sum("n").alias("n"))
-    w = Window.partitionBy("day", "event_type").orderBy("cent")
-    walked = daily_hist.withColumn(
-        "cum",
-        F.sum("n").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    ).withColumn(
-        "n_total",
-        F.sum("n").over(
-            w.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ),
-    )
-    return (
-        walked.groupBy("day", "event_type")
-        .agg(
-            F.max("n_total").alias("n_events"),
-            F.expr(
-                "CAST(min(CASE WHEN cum >= (n_total + 1) div 2"
-                " THEN cent END) AS DOUBLE) / 100.0"
-            ).alias("p50"),
-            F.expr(
-                "CAST(min(CASE WHEN cum >= (9 * n_total + 9) div 10"
-                " THEN cent END) AS DOUBLE) / 100.0"
-            ).alias("p90"),
-            F.expr(
-                "CAST(min(CASE WHEN cum >= (99 * n_total + 99) div 100"
-                " THEN cent END) AS DOUBLE) / 100.0"
-            ).alias("p99"),
-        )
-        .orderBy("day", "event_type")
-    )
+    return daily_quantile_report(hourly)
 
 
 STREAM_QUERIES["streaming_quantile_cascade"] = streaming_quantile_cascade

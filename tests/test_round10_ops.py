@@ -441,24 +441,41 @@ def test_quantile_cascade_matches_sorted_list(spark, tmp_path):
 
 
 def test_partition_pruned_scan_plan_prunes(spark):
-    """The executed plan must push the date bounds into
-    PartitionFilters (catalog-level pruning) and read only the 7
-    in-range day directories."""
+    """BOTH date bounds must sit in PartitionFilters with DataFilters
+    EMPTY — the catalog-level pruning mechanism itself, so a regression
+    that demotes the range to a post-scan data filter (scanning all ~31
+    day directories) fails even though the row counts would still
+    match. The written layout must hold one parquet file per day
+    directory (the small-files discipline the docstring claims)."""
+    import glob
+    import re
+
     from etl_end_to_end_airflow_bigquery_spark.plans.queries_olap import (
         partition_pruned_scan,
     )
 
     df = partition_pruned_scan(spark, SF_ORACLE)
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan
-    seg = plan.split("PartitionFilters", 1)[1][:200]
-    assert "event_date" in seg
-    # count partitions actually read via the optimized plan's scan node
-    scan = [
-        n for n in plan.split("\n")
-        if "FileScan" in n or "Scan parquet" in n
+    scan_lines = [
+        ln for ln in plan.split("\n")
+        if "FileScan parquet" in ln or "Scan parquet" in ln
     ]
-    assert scan, plan
+    assert scan_lines, plan
+    scan = scan_lines[0]
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", scan)
+    assert pf, scan
+    assert "event_date" in pf.group(1)
+    assert ">= 2024-01-08" in pf.group(1) and "<= 2024-01-14" in pf.group(1)
+    dfil = re.search(r"DataFilters: \[([^\]]*)\]", scan)
+    assert dfil and dfil.group(1).strip() == "", scan  # nothing post-scan
+    # layout: one file per day directory
+    loc = re.search(r"InMemoryFileIndex\(\d+ paths\)\[file:([^\]]+)\]", scan)
+    assert loc, scan
+    day_dirs = glob.glob(loc.group(1) + "/event_date=*")
+    assert len(day_dirs) > 7  # many more days on disk than the range reads
+    for d in day_dirs:
+        assert len(glob.glob(d + "/*.parquet")) == 1  # ...one file each
     assert df.count() == 35  # 7 days x 5 event types at sf0.01
 
 
@@ -484,13 +501,26 @@ def test_er_closure_merges_second_generation_variant(spark, tmp_path):
     df.write.parquet(os.path.join(str(tmp_path), "customer.parquet"))
     out = {r.cluster_id: r for r in
            er_golden_record(spark, str(tmp_path)).collect()}
-    # cluster of 21: base + V1 (1000021) + V2 (2000021) + base 22
-    # (same nation+cents block, levenshtein 1 from 21)
-    assert 21 in out
-    c = out[21]
+    # cluster of 21 (record ids: base 84, V1 85, V2 86, plus base 22 ->
+    # 88, same nation+cents block at levenshtein 1 from 21); V2 reaches
+    # the cluster only through V1 (2 edits from base) — pure closure
+    assert 84 in out
+    c = out[84]
     assert c.n_members == 4
-    assert c.golden_key == 2000021       # same cents -> max key wins
-    assert c.golden_name.endswith("YX")  # second-generation variant
-    # customer 5 has no variants and no block-mates: no cluster at all
-    assert all(cid < 1000000 for cid in out)
-    assert 5 not in out
+    assert c.golden_key == 88            # same cents -> max record key
+    assert c.golden_name == "Customer#000000022"
+    # customer 5 (record 20) has no variants and no block-mates: no
+    # cluster at all
+    assert 20 not in out and len(out) == 1
+
+
+def test_corpus_drift_empty_half_reports_no_drift(spark, tmp_path):
+    """A corpus whose docs are all even-id (one side empty) must return
+    an empty drift report, not a division error."""
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_ext import (
+        corpus_drift_chi2,
+    )
+
+    rows = [(2, " ".join(["tok"] * 25), "en", "s", 0)]
+    _write_docs(spark, rows, str(tmp_path))
+    assert corpus_drift_chi2(spark, str(tmp_path)).count() == 0
