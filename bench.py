@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "hll_merge_days",
     "null_semantics_pack",
     "er_golden_record",
+    "skyline_pareto_orders",
 ]
 
 N_RUNS = 3

@@ -223,6 +223,7 @@ _GATE_ROTATION: tuple[str, ...] = (
     "null_semantics_pack",      # IN/NOT IN three-valued logic, null-aware anti join
     "er_golden_record",         # blocked match → closure → survivorship
     "streaming_quantile_cascade",  # exact percentiles from streamed histogram state
+    "skyline_pareto_orders",    # Pareto frontier, linear decomposition
 )
 
 # Backfill to 50 (r8 policy, see module docstring): tier (a) re-proofs
@@ -240,13 +241,12 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "phash_near_dup_assets",
     "streaming_phash_assets",
     "streaming_ivm_revenue",
-    # tier (b) — two re-proof slots survive after this round's twelve
+    # tier (b) — one re-proof slot survives after this round's thirteen
     # wave-2 queries took rotation slots one-for-one (rotation always
-    # outranks re-proof): ann_lsh_topk (an r03-era green, the stalest
-    # evidence left) and fuzzy_name_pairs (tier-a-adjacent: its
+    # outranks re-proof): fuzzy_name_pairs, tier-a-adjacent — its
     # blocked-levenshtein recipe is the match step er_golden_record
-    # composes this round).
-    "ann_lsh_topk", "fuzzy_name_pairs",
+    # composes this round.
+    "fuzzy_name_pairs",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

@@ -1483,3 +1483,31 @@ OLAP_ORACLES["er_golden_record"] = f"""
     GROUP BY component
     ORDER BY cluster_id
 """
+
+
+# Frontier via a RANGE frame strictly below the 2-dp price grid: the
+# 0.005 PRECEDING bound excludes equal prices and admits every
+# strictly-cheaper row — a different mechanism from the Spark side's
+# price-grain rollup decomposition. Equal-price strict-date dominance
+# is its own window, as on the Spark side.
+OLAP_ORACLES["skyline_pareto_orders"] = """
+    WITH o AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               CAST(o_orderdate AS DATE) AS d
+        FROM orders
+    ), w AS (
+        SELECT *,
+               max(d) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice
+                            RANGE BETWEEN UNBOUNDED PRECEDING
+                                      AND 0.005 PRECEDING) AS cheaper_max_d,
+               max(d) OVER (PARTITION BY o_orderpriority, o_totalprice)
+                   AS eq_max_d
+        FROM o
+    )
+    SELECT o_orderpriority, o_orderkey, o_totalprice, d
+    FROM w
+    WHERE (cheaper_max_d IS NULL OR cheaper_max_d < d)
+      AND eq_max_d <= d
+    ORDER BY o_orderpriority, o_orderkey
+"""

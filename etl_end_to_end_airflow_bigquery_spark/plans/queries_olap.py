@@ -3321,3 +3321,67 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 OLAP_QUERIES["er_golden_record"] = er_golden_record
+
+
+def skyline_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query (Börzsönyi et al.'s SKYLINE OF
+    operator) — per order priority, the orders not DOMINATED on
+    (minimize price, maximize recency): kept iff no same-priority
+    order is cheaper-or-equal AND at-least-as-recent with one strict
+    inequality; ties on both axes stay on the frontier. The
+    multi-objective "best offers" query every marketplace/report
+    layer reimplements with O(n²) self-joins.
+
+    Spark plan is the LINEAR decomposition: dominance splits into
+    (a) a strictly-cheaper price level with date >= mine — computed on
+    the PRICE-GRAIN rollup (distinct price → max date, tiny) with a
+    ROWS-frame running max over strict predecessor prices, broadcast
+    back; and (b) an equal-price order with a strictly later date —
+    one (priority, price) window. No self-join, no quadratic pair
+    blowup: one fact pass + price-grain frames. The oracle reaches the
+    same frontier through a genuinely different mechanism — a DuckDB
+    RANGE frame offset below the 2-dp price grid (0.005 PRECEDING
+    excludes equals, admits every strictly-cheaper row). Unique
+    orderkey tiebreak on the output order only; membership is
+    tie-complete by construction.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    price_grain = orders.groupBy("o_orderpriority", "o_totalprice").agg(
+        F.max("d").alias("lvl_max_d")
+    )
+    wp = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dominators = price_grain.withColumn(
+        "cheaper_max_d", F.max("lvl_max_d").over(wp)
+    ).select("o_orderpriority", "o_totalprice", "cheaper_max_d")
+    weq = Window.partitionBy("o_orderpriority", "o_totalprice")
+    flagged = (
+        orders.withColumn("eq_max_d", F.max("d").over(weq))
+        .join(
+            F.broadcast(dominators), ["o_orderpriority", "o_totalprice"]
+        )
+        .filter(
+            (F.col("cheaper_max_d").isNull()
+             | (F.col("cheaper_max_d") < F.col("d")))
+            & (F.col("eq_max_d") <= F.col("d"))
+        )
+    )
+    return flagged.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        "d",
+    ).orderBy("o_orderpriority", "o_orderkey")
+
+
+OLAP_QUERIES["skyline_pareto_orders"] = skyline_pareto_orders

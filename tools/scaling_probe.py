@@ -103,6 +103,7 @@ DEFAULT = [
     "null_semantics_pack",       # five broadcast(-anti) legs, UNION ALL
     "er_golden_record",          # blocked pairs + closure + one max_by
     "streaming_quantile_cascade",  # foreachBatch histogram-state fold
+    "skyline_pareto_orders",     # price-grain frontier decomposition
 ]
 
 
