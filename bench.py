@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "null_semantics_pack",
     "er_golden_record",
     "skyline_pareto_orders",
+    "multi_touch_attribution",
 ]
 
 N_RUNS = 3

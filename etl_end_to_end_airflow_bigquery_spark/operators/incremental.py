@@ -186,3 +186,24 @@ def signed_cdc_batch(
     return deletes.unionByName(upd.withColumn("__w", F.lit(-1))).unionByName(
         new.withColumn("__w", F.lit(1))
     )
+
+
+def latest_wins_merge(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """⊕ for seq-versioned CDC state: per key, keep the max-seq version
+    across (previous state ∪ batch partial) and accumulate the version
+    counter. Associative and commutative (max_by over a union with
+    globally unique seqs per key), so ANY micro-batch slicing folds to
+    the same state — the law streaming_cdc_apply's shared-oracle gate
+    certifies end-to-end and tests/test_round10_ops.py pins per-batch
+    (a late LOWER-seq update must lose to a newer delete tombstone
+    already in state; tombstones are retained, not dropped, precisely
+    so this comparison can happen). Frames carry
+    (o_orderkey, win struct<seq,op,status,price>, n_versions)."""
+    return (
+        state.unionByName(delta)
+        .groupBy("o_orderkey")
+        .agg(
+            F.expr("max_by(win, win.seq)").alias("win"),
+            F.sum("n_versions").alias("n_versions"),
+        )
+    )

@@ -224,6 +224,7 @@ _GATE_ROTATION: tuple[str, ...] = (
     "er_golden_record",         # blocked match → closure → survivorship
     "streaming_quantile_cascade",  # exact percentiles from streamed histogram state
     "skyline_pareto_orders",    # Pareto frontier, linear decomposition
+    "multi_touch_attribution",  # trailing-window linear credit split
 )
 
 # Backfill to 50 (r8 policy, see module docstring): tier (a) re-proofs
@@ -241,12 +242,9 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "phash_near_dup_assets",
     "streaming_phash_assets",
     "streaming_ivm_revenue",
-    # tier (b) — one re-proof slot survives after this round's thirteen
-    # wave-2 queries took rotation slots one-for-one (rotation always
-    # outranks re-proof): fuzzy_name_pairs, tier-a-adjacent — its
-    # blocked-levenshtein recipe is the match step er_golden_record
-    # composes this round.
-    "fuzzy_name_pairs",
+    # tier (b) — exhausted: all fourteen wave-2 queries took rotation
+    # slots one-for-one (rotation always outranks re-proof); only the
+    # five tier-a advice-touched re-proofs remain beside them.
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

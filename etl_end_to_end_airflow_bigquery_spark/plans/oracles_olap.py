@@ -1511,3 +1511,42 @@ OLAP_ORACLES["skyline_pareto_orders"] = """
       AND eq_max_d <= d
     ORDER BY o_orderpriority, o_orderkey
 """
+
+
+from .queries_olap import ATTR_N_CHANNELS, ATTR_WINDOW_HOURS  # noqa: E402
+
+# Same trailing-window credit split with the identical per-touch
+# integer rational; unattributed purchases keep full value at -1.
+OLAP_ORACLES["multi_touch_attribution"] = f"""
+    WITH purch AS (
+        SELECT user_id AS p_user, event_id AS p_id, ts AS p_ts,
+               CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v6
+        FROM events WHERE event_type = 'purchase'
+    ), views AS (
+        SELECT user_id AS v_user, event_id AS v_id, ts AS v_ts,
+               CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   % {ATTR_N_CHANNELS} AS channel
+        FROM events WHERE event_type = 'view'
+    ), joined AS (
+        SELECT p.*, v.v_id, v.channel
+        FROM purch p
+        LEFT JOIN views v
+          ON v.v_user = p.p_user
+         AND v.v_ts < p.p_ts
+         AND v.v_ts >= p.p_ts - INTERVAL {ATTR_WINDOW_HOURS} HOUR
+    ), credited AS (
+        SELECT coalesce(channel, -1) AS channel,
+               CASE WHEN v_id IS NULL THEN v6
+                    ELSE (2 * v6 + n_t) // (2 * n_t) END AS credit6
+        FROM (
+            SELECT *, count(v_id) OVER (PARTITION BY p_id) AS n_t
+            FROM joined
+        )
+    )
+    SELECT channel,
+           count(*) AS n_touches,
+           CAST(sum(credit6) AS DOUBLE) / 1000000.0 AS credited_value
+    FROM credited
+    GROUP BY channel
+    ORDER BY channel
+"""

@@ -3385,3 +3385,85 @@ def skyline_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 OLAP_QUERIES["skyline_pareto_orders"] = skyline_pareto_orders
+
+
+ATTR_WINDOW_HOURS = 2
+ATTR_N_CHANNELS = 5
+
+
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — the marketing-analytics
+    operator between first-touch (a plain as-of join,
+    ``asof_attribution``) and data-driven models: each purchase's value
+    splits EQUALLY across every view by the same user in the trailing
+    {h}-hour window (channel = the JSON ``props.k`` payload mod {c} —
+    the P2 extraction reused as a dimension), and purchases with no
+    qualifying touch land in the explicit ``-1`` unattributed bucket
+    at full value, so credit totals reconcile against revenue by
+    construction. Fractional credit is the exactness trap: value/n is
+    not engine-portable in double, so each touch's credit is the
+    half-up integer rational (2·v6 + n) div (2·n) — every engine
+    computes the identical per-touch integer and sums of identical
+    integers are exact.
+
+    Scale: ONE equi-join on ``user_id`` (per-user event counts bound
+    the range residual — never a time-bucket cross join), one
+    purchase-keyed window for the touch count, one channel rollup.
+    hash(user) clusters purchases with their candidate views, so the
+    join is the only fact-grain shuffle.
+    """
+    ev = load_events(spark, sf_dir)
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").alias("v6"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("v_id"),
+        F.col("ts").alias("v_ts"),
+        (
+            F.get_json_object("props", "$.k").cast("bigint")
+            % ATTR_N_CHANNELS
+        ).alias("channel"),
+    )
+    joined = purch.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") < F.col("p_ts"))
+        & (
+            F.col("v_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_HOURS} HOURS")
+        ),
+        "left",
+    )
+    from pyspark.sql import Window
+
+    wn = Window.partitionBy("p_id")
+    credited = joined.withColumn(
+        "n_t", F.count("v_id").over(wn)
+    ).select(
+        F.coalesce(F.col("channel"), F.lit(-1)).alias("channel"),
+        F.when(F.col("v_id").isNull(), F.col("v6"))
+        .otherwise(
+            F.expr("(2 * v6 + n_t) div (2 * n_t)")
+        )
+        .alias("credit6"),
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.expr(
+                "CAST(sum(credit6) AS DOUBLE) / 1000000.0"
+            ).alias("credited_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+multi_touch_attribution.__doc__ = multi_touch_attribution.__doc__.format(
+    h=ATTR_WINDOW_HOURS, c=ATTR_N_CHANNELS
+)
+OLAP_QUERIES["multi_touch_attribution"] = multi_touch_attribution

@@ -1158,17 +1158,12 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("win"),
             F.count(F.lit(1)).alias("n_versions"),
         )
+        from ..operators.incremental import latest_wins_merge
+
         prev = latest_committed_state(base_dir, init_path, below=batch_id)
-        merged = (
-            batch.sparkSession.read.parquet(prev)
-            .unionByName(delta)
-            .groupBy("o_orderkey")
-            .agg(
-                F.expr("max_by(win, win.seq)").alias("win"),
-                F.sum("n_versions").alias("n_versions"),
-            )
-        )
-        merged.write.mode("overwrite").parquet(
+        latest_wins_merge(
+            batch.sparkSession.read.parquet(prev), delta
+        ).write.mode("overwrite").parquet(
             os.path.join(base_dir, f"state_b{batch_id}")
         )
 

@@ -524,3 +524,36 @@ def test_corpus_drift_empty_half_reports_no_drift(spark, tmp_path):
     rows = [(2, " ".join(["tok"] * 25), "en", "s", 0)]
     _write_docs(spark, rows, str(tmp_path))
     assert corpus_drift_chi2(spark, str(tmp_path)).count() == 0
+
+
+def test_latest_wins_merge_tombstone_beats_late_update(spark):
+    """A delete tombstone at seq 4 already in state must defeat a
+    LATER-ARRIVING batch carrying seq 3 for the same key (transport
+    reorder across micro-batches) — and lose to a later seq-5 update
+    arriving after that. Exercises the associativity the shared-oracle
+    gate certifies, at the single-fold grain."""
+    from etl_end_to_end_airflow_bigquery_spark.operators.incremental import (
+        latest_wins_merge,
+    )
+
+    schema = (
+        "o_orderkey long,"
+        " win struct<seq:bigint,op:string,status:string,price:double>,"
+        " n_versions bigint"
+    )
+    state = spark.createDataFrame(
+        [(1, (4, "D", None, None), 2)], schema
+    )
+    late_update = spark.createDataFrame(
+        [(1, (3, "U", "OLD", 9.0), 1)], schema
+    )
+    s1 = latest_wins_merge(state, late_update)
+    (r,) = s1.collect()
+    assert (r.win.seq, r.win.op, r.n_versions) == (4, "D", 3)  # tombstone holds
+    resurrect = spark.createDataFrame(
+        [(1, (5, "U", "NEW", 11.0), 1)], schema
+    )
+    (r2,) = latest_wins_merge(s1, resurrect).collect()
+    assert (r2.win.seq, r2.win.op, r2.win.status, r2.n_versions) == (
+        5, "U", "NEW", 4
+    )

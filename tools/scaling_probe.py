@@ -104,6 +104,7 @@ DEFAULT = [
     "er_golden_record",          # blocked pairs + closure + one max_by
     "streaming_quantile_cascade",  # foreachBatch histogram-state fold
     "skyline_pareto_orders",     # price-grain frontier decomposition
+    "multi_touch_attribution",   # user-keyed trailing-window credit join
 ]
 
 
