@@ -190,3 +190,99 @@ def test_duplicate_spans_bounds(spark, texts):
     if 0 in got:  # doc 0 had ≥3 tokens → its twin shares everything
         assert got[0].n_shared_spans == got[0].n_spans
         assert got[0].shared_frac == 1.0
+
+
+# ---------------------------------------------------------------- round 10
+
+edge = st.tuples(
+    st.integers(min_value=0, max_value=11),
+    st.integers(min_value=0, max_value=11),
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(edge, min_size=0, max_size=14),
+    seeds=st.sets(st.integers(min_value=0, max_value=11), min_size=1, max_size=3),
+    hops=st.integers(min_value=1, max_value=4),
+)
+def test_bfs_levels_matches_python_bfs(spark, edges, seeds, hops):
+    """Frontier-expansion BFS ≡ a driver-side level BFS on arbitrary
+    small graphs (self-loops and duplicate edges included)."""
+    from etl_end_to_end_airflow_bigquery_spark.operators.dedup import (
+        bfs_levels,
+    )
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [], "doc_a long, doc_b long"
+    )
+    seed_df = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {r.node: r.dist for r in bfs_levels(pairs, seed_df, hops).collect()}
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for d in range(1, hops + 1):
+        frontier = {
+            n for f in frontier for n in adj.get(f, ())
+        } - set(want)
+        for n in frontier:
+            want[n] = d
+    assert got == want
+
+
+version = st.tuples(
+    st.integers(min_value=0, max_value=5),    # key (collisions)
+    st.integers(min_value=0, max_value=30),   # seq
+    st.sampled_from(["I", "U", "D"]),
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    stream=st.lists(version, min_size=1, max_size=12, unique_by=lambda v: (v[0], v[1])),
+    cut=st.integers(min_value=0, max_value=12),
+)
+def test_latest_wins_merge_slicing_invariant(spark, stream, cut):
+    """Folding the version stream in two arbitrary batches through
+    latest_wins_merge ≡ one single-shot fold — the associativity the
+    streaming_cdc_apply gate certifies, on arbitrary inputs."""
+    from pyspark.sql import functions as F
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.incremental import (
+        latest_wins_merge,
+    )
+
+    schema = (
+        "o_orderkey long,"
+        " win struct<seq:bigint,op:string,status:string,price:double>,"
+        " n_versions bigint"
+    )
+
+    def partial(rows):
+        flat = spark.createDataFrame(
+            [(k, s, op, f"s{s}", float(s)) for k, s, op in rows] or [],
+            "o_orderkey long, seq long, op string, status string,"
+            " price double",
+        )
+        return flat.groupBy("o_orderkey").agg(
+            F.expr(
+                "max_by(named_struct('seq', seq, 'op', op,"
+                " 'status', status, 'price', price), seq)"
+            ).alias("win"),
+            F.count(F.lit(1)).alias("n_versions"),
+        )
+
+    empty = spark.createDataFrame([], schema)
+    cut = min(cut, len(stream))
+    b1, b2 = stream[:cut], stream[cut:]
+    sliced = latest_wins_merge(latest_wins_merge(empty, partial(b1)), partial(b2)) \
+        if b1 and b2 else latest_wins_merge(empty, partial(stream))
+    direct = latest_wins_merge(empty, partial(stream))
+    key = lambda r: (r.o_orderkey, tuple(r.win), r.n_versions)  # noqa: E731
+    assert sorted(map(key, sliced.collect())) == sorted(
+        map(key, direct.collect())
+    )
