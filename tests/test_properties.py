@@ -286,3 +286,87 @@ def test_latest_wins_merge_slicing_invariant(spark, stream, cut):
     assert sorted(map(key, sliced.collect())) == sorted(
         map(key, direct.collect())
     )
+
+
+point = st.tuples(
+    st.integers(min_value=1, max_value=9),      # price units (ties likely)
+    st.integers(min_value=0, max_value=9),      # day offset (ties likely)
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(points=st.lists(point, min_size=1, max_size=12))
+def test_skyline_decomposition_matches_bruteforce(spark, points, tmp_path_factory):
+    """The linear price-grain decomposition ≡ the O(n²) dominance
+    definition on arbitrary (price, date) multisets with heavy ties."""
+    import datetime
+    import os
+
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_olap import (
+        skyline_pareto_orders,
+    )
+
+    base = datetime.datetime(1996, 1, 1)
+    rows = [
+        (i, 1, "O", float(p) + 0.25, base + datetime.timedelta(days=d),
+         "1-URGENT")
+        for i, (p, d) in enumerate(points)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    d = tmp_path_factory.mktemp("sky")
+    df.write.parquet(os.path.join(str(d), "orders.parquet"))
+    got = {r.o_orderkey for r in skyline_pareto_orders(spark, str(d)).collect()}
+
+    def dominated(i):
+        pi, di = points[i]
+        return any(
+            (pj <= pi and dj >= di and (pj < pi or dj > di))
+            for j, (pj, dj) in enumerate(points) if j != i
+        )
+
+    want = {i for i in range(len(points)) if not dominated(i)}
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=300),  # cents (2-dp grid)
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_quantile_histogram_walk_matches_sorted_list(spark, vals, tmp_path_factory):
+    """The histogram-state rank walk ≡ ceil(p·n) disc cuts on the
+    sorted multiset, for arbitrary 2-dp value multisets."""
+    import math
+    import os
+
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_olap import (
+        quantile_rollup_cascade,
+    )
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, f"2024-01-01 {i % 24:02d}:00:00", 1, "t", c / 100.0, "{}")
+        for i, c in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    d = tmp_path_factory.mktemp("qh")
+    df.write.parquet(os.path.join(str(d), "events.parquet"))
+    (r,) = quantile_rollup_cascade(spark, str(d)).collect()
+    cents = sorted(int(math.floor((c / 100.0) * 100 + 0.5)) for c in vals)
+    n = len(cents)
+    for col, p in (("p50", 50), ("p90", 90), ("p99", 99)):
+        want = cents[(p * n + 99) // 100 - 1] / 100.0
+        assert getattr(r, col) == want, (col, vals)
