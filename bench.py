@@ -44,9 +44,30 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from etl_end_to_end_airflow_bigquery_spark.plans import QUERIES
 from etl_end_to_end_airflow_bigquery_spark.session import get_spark
 
-# Calibration canary: measured identically to the bench queries, stored
-# separately so the r03 prefix stays byte-comparable.
-CANARY = "topk_recent_events"
+# Calibration canary BASKET (VERDICT r10 item 1). The single-query
+# canary under-determined machine drift: in r10 it read "machine 16%
+# faster" (0.223 vs ref 0.265) while the 47-query common set ran 0.94×
+# raw — a 0.22s TakeOrdered plan measures scheduler latency, not
+# shuffle or CPU throughput, so normalizing 85s of heavy queries by it
+# amplified its own noise. The basket spans the three cost regimes:
+#   latency   — topk_recent_events: tiny scan + TakeOrdered, all fixed
+#               overhead (the original canary, kept for continuity);
+#   shuffle   — star_join_revenue: broadcast star join + wide groupBy,
+#               exchange-bound;
+#   barrier   — ivf_topk_kmeans: iterative k-means training, collect
+#               barriers + repeated stage launches.
+# Each regime gets a stored healthy-machine reference (this machine's
+# r10 raw mins — the r10/r9 common set ran 0.94× raw, i.e. the r10
+# machine was healthy; refs are re-stampable when hardware changes).
+# Per-regime drift is reported; the basket drift used for
+# normalization is the MEDIAN of the three, so one regime's noise
+# can't swing the normalized total in either direction.
+CANARY = "topk_recent_events"  # retained key: latency regime
+CANARY_BASKET = {
+    "topk_recent_events": 0.223,   # latency  (r10 min)
+    "star_join_revenue": 0.898,    # shuffle  (r10 min)
+    "ivf_topk_kmeans": 1.960,      # barrier  (r10 min)
+}
 
 # Headliners: the reference-surface aggregate/join/window core plus the
 # heavy extension operators (LSH dedup, vector search).
@@ -154,12 +175,9 @@ BENCH_QUERIES = [
 
 N_RUNS = 3
 
-# Healthy-machine canary reference (min sec): r07's record — r08 ran on
-# a visibly degraded machine (canary 0.265 → 0.355 median with the
-# canary's code unchanged since r01). canary_normalized_total rescales
-# this run's total by (CANARY_REF_MIN / this run's canary min) so
-# cross-round comparisons separate machine drift from code drift
-# (VERDICT r08 item 3).
+# Legacy single-canary reference (r07 record), kept so the historical
+# "canary" stdout block stays byte-comparable with r08–r10; the
+# normalized total now uses the basket median drift instead.
 CANARY_REF_MIN = 0.265
 
 
@@ -195,7 +213,22 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    canary_min, canary_median = _measure(spark, CANARY, sf_dir)
+    # Canary basket first (cold-ish machine state, before the heavy
+    # queries warm caches unevenly). Per-regime drift = this min / ref.
+    basket: dict[str, dict[str, float]] = {}
+    for cname, ref in CANARY_BASKET.items():
+        cmin, cmed = _measure(spark, cname, sf_dir)
+        basket[cname] = {
+            "min": cmin,
+            "median": cmed,
+            "ref_min": ref,
+            "drift": round(cmin / ref, 3),
+        }
+    canary_min = basket[CANARY]["min"]
+    canary_median = basket[CANARY]["median"]
+    basket_drift = round(
+        statistics.median(b["drift"] for b in basket.values()), 3
+    )
 
     mins: dict[str, float] = {}
     medians: dict[str, float] = {}
@@ -246,8 +279,14 @@ def main() -> None:
     # stored healthy-machine canary. Per-query normalized mins live in
     # BENCH_LOCAL.json; the compact stdout line carries the two scalars
     # (keeping it inside the driver's tail capture, VERDICT r07 item 4).
-    drift = canary_min / CANARY_REF_MIN if CANARY_REF_MIN else 1.0
-    normalized_total = round(total / drift, 3) if drift else total
+    # Machine-drift correction (VERDICT r10 item 1): normalize by the
+    # basket MEDIAN drift — three cost regimes must agree before the
+    # normalized total moves. The legacy single-canary drift is still
+    # reported for continuity with r04–r10 records.
+    legacy_drift = canary_min / CANARY_REF_MIN if CANARY_REF_MIN else 1.0
+    normalized_total = (
+        round(total / basket_drift, 3) if basket_drift else total
+    )
     record = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -258,13 +297,16 @@ def main() -> None:
             "min": canary_min,
             "median": canary_median,
             "ref_min": CANARY_REF_MIN,
-            "drift": round(drift, 3),
+            "drift": round(legacy_drift, 3),
         },
+        "canary_basket": basket,
+        "basket_drift": basket_drift,
         "canary_normalized_total": normalized_total,
         "queries": mins,
         "queries_median": medians,
         "queries_normalized": {
-            n: (round(v / drift, 3) if drift else v) for n, v in mins.items()
+            n: (round(v / basket_drift, 3) if basket_drift else v)
+            for n, v in mins.items()
         },
     }
     local = os.path.join(os.path.dirname(os.path.abspath(__file__)),

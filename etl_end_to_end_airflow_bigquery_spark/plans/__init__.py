@@ -173,6 +173,26 @@ GATED_THROUGH_R09: frozenset[str] = GATED_THROUGH_R08 | frozenset(
     }
 )
 
+# Round-10 fold (CORRECTNESS_r10: 50/50 green). Anchors and the 5
+# tier-a backfill re-proofs were already in the R09 ledger; the union
+# adds exactly the 23 rotation rows (the r10-new queries).
+GATED_THROUGH_R10: frozenset[str] = GATED_THROUGH_R09 | frozenset(
+    {
+        "trailing_active_users", "rollup_cascade_daily",
+        "streaming_rollup_cascade", "robust_stats_orders",
+        "bucketed_colocated_join", "sql_variables_pack",
+        "containment_near_dups", "bin_pack_nextfit",
+        "corpus_drift_chi2", "time_weighted_avg_daily",
+        "counter_rate_resets", "pmi_collocations",
+        "cdc_out_of_order_apply", "streaming_cdc_apply",
+        "bfs_dedup_distance", "quantile_rollup_cascade",
+        "hll_merge_days", "partition_pruned_scan",
+        "null_semantics_pack", "er_golden_record",
+        "streaming_quantile_cascade", "skyline_pareto_orders",
+        "multi_touch_attribution",
+    }
+)
+
 _GATE_ANCHORS: tuple[str, ...] = (
     "daily_avg_report",        # flagship grouped avg + time bucket (A2)
     "topk_recent_events",      # projection + ORDER BY DESC LIMIT (P1/O1)
@@ -198,53 +218,53 @@ _GATE_ANCHORS: tuple[str, ...] = (
     "scd2_orders_status",      # SCD2 history merge
 )
 
-# Round 10 (same post-exhaustion policy): rotation slots hold exactly
+# Round 11 (same post-exhaustion policy): rotation slots hold exactly
 # the round's NEW queries — never-proven by construction.
 _GATE_ROTATION: tuple[str, ...] = (
-    "trailing_active_users",    # rolling DAU/WAU/MAU windowed distinct
-    "rollup_cascade_daily",     # hour→day mergeable-state downsample
-    "streaming_rollup_cascade", # the cascade maintained by the stream
-    "robust_stats_orders",      # median/MAD/winsorized mean, rank-exact
-    "bucketed_colocated_join",  # shuffle-free SMJ over bucketBy layout
-    "sql_variables_pack",       # Spark 4 DECLARE/SET VAR/EXECUTE IMMEDIATE
-    "containment_near_dups",    # asymmetric containment dedup (posting join)
-    "bin_pack_nextfit",         # next-fit packing vs recursive-CTE oracle
-    "corpus_drift_chi2",        # integer-rational chi-square drift monitor
-    # wave 2 (built later in the same round)
-    "time_weighted_avg_daily",  # irregular-sampling TWA, tz-free micros
-    "counter_rate_resets",      # Prometheus increase()/resets() fold
-    "pmi_collocations",         # integer-lift collocation mining
-    "cdc_out_of_order_apply",   # latest-wins by source seq + tombstones
-    "streaming_cdc_apply",      # the same fold per micro-batch (shared oracle)
-    "bfs_dedup_distance",       # frontier BFS vs recursive-CTE reachability
-    "quantile_rollup_cascade",  # exact percentiles from histogram state
-    "hll_merge_days",           # sketch mergeability proof (register MAX)
-    "partition_pruned_scan",    # hive date layout + catalog-level pruning
-    "null_semantics_pack",      # IN/NOT IN three-valued logic, null-aware anti join
-    "er_golden_record",         # blocked match → closure → survivorship
-    "streaming_quantile_cascade",  # exact percentiles from streamed histogram state
-    "skyline_pareto_orders",    # Pareto frontier, linear decomposition
-    "multi_touch_attribution",  # trailing-window linear credit split
 )
 
 # Backfill to 50 (r8 policy, see module docstring): tier (a) re-proofs
-# of previously-green names whose code/oracle r8 touches, then tier (b)
-# the stalest driver evidence — the r01/r02-only rows, never re-proven
-# since. Swapped out one-for-one as new r8 queries take rotation slots,
-# tier (b) first.
+# of previously-green names whose code/oracle r11 touches, then tier
+# (b) the stalest driver evidence — the r03/r04-only rows, never
+# re-proven since. Swapped out one-for-one as new r11 queries take
+# rotation slots, tier (b) from the end first.
 _REPROOF_BACKFILL: tuple[str, ...] = (
-    # tier (a) — code/oracle touched in r10 (ADVICE r9 fixes: the BPE
-    # trainer exhaustion guard + composable oracle parts, the blockhash
-    # ASCII guard shared by both pHash twins, the disk-resolved IVM
-    # state-version lookup)
-    "bpe_train_merges",
-    "bpe_encode_corpus",
-    "phash_near_dup_assets",
-    "streaming_phash_assets",
-    "streaming_ivm_revenue",
-    # tier (b) — exhausted: all fourteen wave-2 queries took rotation
-    # slots one-for-one (rotation always outranks re-proof); only the
-    # five tier-a advice-touched re-proofs remain beside them.
+    # tier (a) — code this round touches: the MERGE writer family
+    # (change-data-feed emission + multi-clause SQL MERGE extend
+    # operators/writers.py and operators/merge_sql.py) and the IVM
+    # signed-retraction consumer the new feed drives
+    # (operators/incremental.py).
+    "merge_sql_orders",
+    "merge_sql_sync_orders",
+    "ivm_join_revenue",
+    "ivm_join_revenue_retract",
+    # tier (b) — stalest driver evidence: the thirteen r03-only rows,
+    # then r04-only rows (alphabetical), swapped out from the END as
+    # rotation fills.
+    "ann_lsh_topk",
+    "embedding_near_dups",
+    "fuzzy_name_pairs",
+    "ivf_topk",
+    "multimodal_meta",
+    "multimodal_resize",
+    "q18_big_orders",
+    "q5_local_supplier_volume",
+    "resample_daily_rates",
+    "simhash_docs",
+    "snapshot_diff_orders",
+    "streaming_dedup_events",
+    "vocab_top_tokens",
+    "ann_lsh_multiprobe",
+    "ann_lsh_multitable",
+    "bitwise_function_pack",
+    "chunk_documents",
+    "dataset_split",
+    "decontaminate_ngrams",
+    "ewma_daily_rates",
+    "hash_sample_docs",
+    "interpolate_daily_rates",
+    "ivf_topk_nprobe",
+    "pack_training_sequences",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (
@@ -269,7 +289,7 @@ if len(_GATE_PRIORITY) != 50:
     raise RuntimeError(
         f"gate priority list must be exactly 50 names, got {len(_GATE_PRIORITY)}"
     )
-_stale = [n for n in _GATE_ROTATION if n in GATED_THROUGH_R09]
+_stale = [n for n in _GATE_ROTATION if n in GATED_THROUGH_R10]
 if _stale:
     raise RuntimeError(
         f"rotation slots must hold never-gated names, got: {_stale}"
@@ -277,7 +297,7 @@ if _stale:
 # Backfill names are the opposite: each must be a deliberate RE-proof
 # (previously green) — a never-proven name hiding there would dodge the
 # stale-slot bookkeeping.
-_not_reproof = [n for n in _REPROOF_BACKFILL if n not in GATED_THROUGH_R09]
+_not_reproof = [n for n in _REPROOF_BACKFILL if n not in GATED_THROUGH_R10]
 if _not_reproof:
     raise RuntimeError(
         f"backfill slots must hold previously-green names, got: {_not_reproof}"
@@ -287,7 +307,7 @@ if _not_reproof:
 def rotation_candidates() -> list[str]:
     """Registered queries that have never had a driver row and are not
     in the current gate — the pool for next round's rotation slots."""
-    gated = set(_GATE_PRIORITY) | GATED_THROUGH_R09
+    gated = set(_GATE_PRIORITY) | GATED_THROUGH_R10
     return [n for n in _ALL_QUERIES if n not in gated]
 
 
@@ -305,6 +325,6 @@ ORACLES = {
 
 __all__ = [
     "QUERIES", "ORACLES", "GATED_THROUGH_R06", "GATED_THROUGH_R07",
-    "GATED_THROUGH_R08", "GATED_THROUGH_R09",
+    "GATED_THROUGH_R08", "GATED_THROUGH_R09", "GATED_THROUGH_R10",
     "rotation_candidates",
 ]

@@ -77,6 +77,16 @@ def test_readme_counts_match_registry():
         f"{len(bench.BENCH_QUERIES) + 1} — update README.md"
     )
 
+    # VERDICT r10 item 7: the prose two paragraphs down repeated a
+    # stale count ("~75 s total for 46 queries") for two rounds because
+    # only the first sentence was pinned. Pin EVERY "NN headline
+    # entries/queries" mention in the bench section.
+    for m in re.finditer(r"for the (\d+) headline", readme):
+        assert int(m.group(1)) == len(bench.BENCH_QUERIES) + 1, (
+            f"README bench prose says {m.group(1)} headline entries, "
+            f"bench runs {len(bench.BENCH_QUERIES) + 1} — update README.md"
+        )
+
 
 def test_survey_ledger_mentions_every_rotation_query():
     """Every query currently in the gate's rotation tier (the round's
