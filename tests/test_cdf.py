@@ -1,0 +1,184 @@
+"""MERGE change-data-feed emission (VERDICT r10 item 2): the feed a
+merge induces must be the EXACT signed delta between the old and new
+table state — the producer side of the IVM retraction family.
+
+Reference basis: the MERGE at ``dags/fx_pipeline_with_merge.py:90-103``
+runs on an engine (BigQuery/Delta-class) that offers a change data feed
+for exactly this statement; the emitter here is that feature rebuilt on
+the sentinel-tracked full-outer merge plan."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_end_to_end_airflow_bigquery_spark.operators.incremental import (
+    cdf_to_signed,
+    merge_avg_state,
+    partial_avg_state,
+    signed_partial_state,
+)
+from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+    CDF_DIR,
+    merge_upsert,
+    merge_upsert_cdf_df,
+    merge_upsert_df,
+    read_table,
+    read_table_changes,
+    table_versions,
+)
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "k int, day string, v double")
+
+
+def _sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def target(spark):
+    return _frame(spark, [(1, "d1", 1.0), (2, "d1", 2.0), (3, "d2", 3.0)])
+
+
+@pytest.fixture()
+def source(spark):
+    return _frame(spark, [(2, "d1", 20.0), (4, "d2", 40.0)])
+
+
+def test_merged_output_identical_to_plain_merge(spark, target, source):
+    merged, _ = merge_upsert_cdf_df(target, source, keys=["k"])
+    assert _sorted(merged) == _sorted(merge_upsert_df(target, source, keys=["k"]))
+
+
+def test_change_rows_are_the_exact_delta(spark, target, source):
+    _, cdf = merge_upsert_cdf_df(target, source, keys=["k"], commit_version=7)
+    rows = {(r.k, r._change_type): (r.day, r.v, r._commit_version) for r in cdf.collect()}
+    assert rows == {
+        (2, "update_preimage"): ("d1", 2.0, 7),
+        (2, "update_postimage"): ("d1", 20.0, 7),
+        (4, "insert"): ("d2", 40.0, 7),
+    }
+
+
+def test_unchanged_value_update_still_emits_pre_post(spark, target):
+    # Delta's UPDATE SET * contract: matched rows emit even when every
+    # value is unchanged — this is what keeps the feed self-inverse.
+    source = _frame(spark, [(2, "d1", 2.0)])
+    _, cdf = merge_upsert_cdf_df(target, source, keys=["k"])
+    types = sorted(r._change_type for r in cdf.collect())
+    assert types == ["update_postimage", "update_preimage"]
+
+
+def test_delete_unmatched_target_full_sync(spark, target, source):
+    merged, cdf = merge_upsert_cdf_df(
+        target, source, keys=["k"], delete_unmatched_target=True
+    )
+    assert sorted(r.k for r in merged.collect()) == [2, 4]
+    deletes = {r.k for r in cdf.filter(F.col("_change_type") == "delete").collect()}
+    assert deletes == {1, 3}
+
+
+def test_source_subset_columns_post_image_keeps_target_values(spark, target):
+    source = spark.createDataFrame([(2, 99.0), (5, 50.0)], "k int, v double")
+    merged, cdf = merge_upsert_cdf_df(target, source, keys=["k"])
+    post = {r.k: (r.day, r.v) for r in
+            cdf.filter(F.col("_change_type") == "update_postimage").collect()}
+    assert post == {2: ("d1", 99.0)}  # day passes through from target
+    ins = {r.k: (r.day, r.v) for r in
+           cdf.filter(F.col("_change_type") == "insert").collect()}
+    assert ins == {5: (None, 50.0)}
+    assert _sorted(merged) == _sorted(
+        merge_upsert_df(target, source, keys=["k"])
+    )
+
+
+def test_source_extra_columns_rejected(spark, target):
+    source = spark.createDataFrame([(2, "x")], "k int, extra string")
+    with pytest.raises(ValueError, match="not in the target schema"):
+        merge_upsert_cdf_df(target, source, keys=["k"])
+
+
+def test_null_key_rows_flow_the_update_path(spark):
+    target = _frame(spark, [(None, "d1", 1.0), (2, "d1", 2.0)])
+    source = _frame(spark, [(None, "d1", 10.0)])
+    merged, cdf = merge_upsert_cdf_df(target, source, keys=["k"])
+    # eqNullSafe: the NULL-keyed source row is an UPDATE, not an insert
+    types = sorted(r._change_type for r in cdf.collect())
+    assert types == ["update_postimage", "update_preimage"]
+    assert {r.v for r in merged.collect()} == {10.0, 2.0}
+
+
+def test_fold_invariant_state_plus_feed_equals_new_state(spark, target, source):
+    """The load-bearing identity: state(target) ⊕ signed(feed) ==
+    state(merged) — per group, exactly."""
+    merged, cdf = merge_upsert_cdf_df(target, source, keys=["k"])
+    before = partial_avg_state(target, ["day"], "v")
+    folded = merge_avg_state(
+        before,
+        signed_partial_state(cdf_to_signed(cdf), ["day"], "v"),
+        ["day"],
+    ).filter(F.col("n") > 0)
+    direct = partial_avg_state(merged, ["day"], "v")
+    assert _sorted(folded) == _sorted(direct)
+
+
+def test_cdf_to_signed_rejects_unknown_change_type(spark):
+    bad = spark.createDataFrame(
+        [(1, "truncate")], "k int, _change_type string"
+    )
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    with pytest.raises((Py4JJavaError, PySparkException)):
+        cdf_to_signed(bad).collect()
+
+
+def test_versioned_writer_emits_feed_per_commit(spark, tmp_path, target, source):
+    path = os.path.join(str(tmp_path), "tbl")
+    merge_upsert(spark, path, target, keys=["k"], keep_versions=4, emit_cdf=True)
+    merge_upsert(spark, path, source, keys=["k"], keep_versions=4, emit_cdf=True)
+    v1, v2 = table_versions(path)
+    feed1 = read_table_changes(spark, path, version=v1)
+    assert sorted(r._change_type for r in feed1.collect()) == ["insert"] * 3
+    feed2 = read_table_changes(spark, path, version=v2)
+    assert {r._commit_version for r in feed2.collect()} == {v2}
+    # all-versions read = union of both feeds
+    assert read_table_changes(spark, path).count() == feed1.count() + feed2.count()
+    # the feed dir is invisible to plain snapshot scans
+    assert read_table(spark, path).columns == ["k", "day", "v"]
+    # and the folded feed reproduces the stored table's state exactly
+    all_signed = signed_partial_state(
+        cdf_to_signed(read_table_changes(spark, path)), ["day"], "v"
+    ).filter(F.col("n") > 0)
+    direct = partial_avg_state(read_table(spark, path), ["day"], "v")
+    assert _sorted(all_signed) == _sorted(direct)
+
+
+def test_feed_missing_version_raises(spark, tmp_path, target):
+    path = os.path.join(str(tmp_path), "tbl")
+    merge_upsert(spark, path, target, keys=["k"])  # no feed
+    with pytest.raises(ValueError, match="no change feed"):
+        read_table_changes(spark, path)
+    with pytest.raises(ValueError, match="no change feed"):
+        read_table_changes(spark, path, version=table_versions(path)[0])
+
+
+def test_feed_swept_with_its_version_by_retention(spark, tmp_path, target, source):
+    path = os.path.join(str(tmp_path), "tbl")
+    merge_upsert(spark, path, target, keys=["k"], keep_versions=1, emit_cdf=True)
+    merge_upsert(spark, path, source, keys=["k"], keep_versions=1, emit_cdf=True)
+    vs = table_versions(path)
+    assert len(vs) == 1  # old snapshot (and its feed) swept
+    assert read_table_changes(spark, path).count() == 3  # v2's feed only
+
+
+def test_emit_cdf_rejected_on_partitioned_path(spark, tmp_path, target):
+    with pytest.raises(ValueError, match="unpartitioned"):
+        merge_upsert(
+            spark, os.path.join(str(tmp_path), "t"), target, keys=["k"],
+            partition_col="day", emit_cdf=True,
+        )
