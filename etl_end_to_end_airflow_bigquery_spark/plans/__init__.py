@@ -222,6 +222,7 @@ _GATE_ANCHORS: tuple[str, ...] = (
 # the round's NEW queries — never-proven by construction.
 _GATE_ROTATION: tuple[str, ...] = (
     "merge_cdf_ivm_roundtrip",  # MERGE change-data-feed → IVM fold, end-to-end
+    "merge_sql_multi_clause",   # conditional clause ladder, first-match-wins
 )
 
 # Backfill to 50 (r8 policy, see module docstring): tier (a) re-proofs
@@ -264,7 +265,6 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "ewma_daily_rates",
     "hash_sample_docs",
     "interpolate_daily_rates",
-    "ivf_topk_nprobe",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

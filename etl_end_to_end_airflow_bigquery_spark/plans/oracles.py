@@ -366,6 +366,48 @@ ORACLES: dict[str, str] = {
         RIGHT JOIN source s ON t.o_orderkey = s.o_orderkey
         ORDER BY o_orderkey
     """,
+    # The conditional clause ladder spelled as explicit CASE logic, in
+    # the statement's clause order (delete → urgent-status-only →
+    # general update → guarded insert). A clause-precedence bug in the
+    # lowering flips the price of every matched urgent row.
+    "merge_sql_multi_clause": f"""
+        WITH target AS (
+            SELECT * FROM orders WHERE o_orderkey % 3 <> 0
+        ), source AS (
+            SELECT o_orderkey, o_custkey,
+                   'M' AS o_orderstatus,
+                   {_round('o_totalprice * 1.1', 2)} AS o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 2 = 0
+        ), j AS (
+            SELECT t.o_orderkey AS tk, s.o_orderkey AS sk,
+                   t.o_custkey AS t_custkey, s.o_custkey AS s_custkey,
+                   t.o_orderstatus AS t_status, s.o_orderstatus AS s_status,
+                   t.o_totalprice AS t_price, s.o_totalprice AS s_price,
+                   t.o_orderdate AS t_date, s.o_orderdate AS s_date,
+                   t.o_orderpriority AS t_prio, s.o_orderpriority AS s_prio
+            FROM target t
+            FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+        )
+        SELECT COALESCE(sk, tk) AS o_orderkey,
+               CASE WHEN tk IS NOT NULL THEN t_custkey
+                    ELSE s_custkey END AS o_custkey,
+               CASE WHEN tk IS NOT NULL AND sk IS NOT NULL THEN s_status
+                    WHEN tk IS NULL THEN s_status
+                    ELSE t_status END AS o_orderstatus,
+               CASE WHEN tk IS NOT NULL AND sk IS NOT NULL
+                         AND t_prio = '1-URGENT' THEN t_price
+                    WHEN tk IS NOT NULL AND sk IS NOT NULL THEN s_price
+                    WHEN tk IS NULL THEN s_price
+                    ELSE t_price END AS o_totalprice,
+               CASE WHEN tk IS NULL THEN s_date ELSE t_date END AS o_orderdate,
+               CASE WHEN tk IS NULL THEN s_prio ELSE t_prio END
+                   AS o_orderpriority
+        FROM j
+        WHERE NOT (tk IS NOT NULL AND sk IS NOT NULL AND s_price > 400000)
+          AND NOT (tk IS NULL AND NOT (s_price < 150000))
+        ORDER BY o_orderkey
+    """,
     "idempotent_append_orders": """
         WITH target AS (
             SELECT * FROM orders WHERE o_orderkey % 3 <> 0

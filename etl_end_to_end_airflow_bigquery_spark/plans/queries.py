@@ -548,6 +548,62 @@ def merge_sql_sync_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.orderBy("o_orderkey")
 
 
+def merge_sql_multi_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 extension #2 — the CONDITIONAL multi-clause MERGE (VERDICT
+    r10 item 4): the BigQuery/Delta surface one step past the
+    reference's single-clause statement (``README.md:50-64``). Ordered
+    clause ladder, first-match-wins per SQL MERGE precedence:
+
+    1. ``WHEN MATCHED AND S.o_totalprice > 400000 THEN DELETE`` —
+       expensive repriced matches are dropped;
+    2. ``WHEN MATCHED AND T.o_orderpriority = '1-URGENT'`` — urgent
+       rows take the new status but KEEP their old price (observable
+       precedence: clause 3 would overwrite it);
+    3. ``WHEN MATCHED`` — everything else takes status + price;
+    4. ``WHEN NOT MATCHED AND S.o_totalprice < 150000 THEN INSERT`` —
+       the guarded insert (cheap orders only).
+
+    The oracle spells the identical ladder as CASE logic over the same
+    full-outer join, so a clause-order bug (e.g. clause 3 evaluated
+    before clause 2) flips thousands of prices and fails the hash. The
+    lowering stays ONE sentinel-tracked full-outer equi-join — clause
+    count adds CASE branches, never joins or passes.
+    """
+    from ..operators.merge_sql import merge_into
+
+    orders = load_table(spark, sf_dir, "orders")
+    orders.filter(F.col("o_orderkey") % 3 != 0).createOrReplaceTempView(
+        "merge_mc_target"
+    )
+    (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("o_totalprice", round_half_up(F.col("o_totalprice") * 1.1, 2))
+        .withColumn("o_orderstatus", F.lit("M"))
+        .createOrReplaceTempView("merge_mc_staging")
+    )
+    merged = merge_into(
+        spark,
+        """
+        MERGE `merge_mc_target` T
+        USING `merge_mc_staging` S
+        ON T.o_orderkey = S.o_orderkey
+        WHEN MATCHED AND S.o_totalprice > 400000 THEN DELETE
+        WHEN MATCHED AND T.o_orderpriority = '1-URGENT' THEN
+            UPDATE SET T.o_orderstatus = S.o_orderstatus
+        WHEN MATCHED THEN
+            UPDATE SET
+                T.o_orderstatus = S.o_orderstatus,
+                T.o_totalprice = S.o_totalprice
+        WHEN NOT MATCHED AND S.o_totalprice < 150000 THEN
+            INSERT (o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                    o_orderdate, o_orderpriority)
+            VALUES (S.o_orderkey, S.o_custkey, S.o_orderstatus,
+                    S.o_totalprice, S.o_orderdate, S.o_orderpriority)
+        """,
+    )
+    return merged.orderBy("o_orderkey")
+
+
 def idempotent_append_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 — check-then-insert (``dags/idempotent_fx_pipeline.py:73-87``)
     strengthened to per-row left-anti: only keys absent from the target
@@ -1290,6 +1346,7 @@ QUERIES: dict[str, QueryFn] = {
     "merge_upsert_orders": merge_upsert_orders,
     "merge_sql_orders": merge_sql_orders,
     "merge_sql_sync_orders": merge_sql_sync_orders,
+    "merge_sql_multi_clause": merge_sql_multi_clause,
     "idempotent_append_orders": idempotent_append_orders,
     "time_travel_orders": time_travel_orders,
     "jsonl_commit_roundtrip": jsonl_commit_roundtrip,

@@ -7,6 +7,7 @@ from __future__ import annotations
 import pytest
 
 from etl_end_to_end_airflow_bigquery_spark.operators.merge_sql import (
+    MatchedClause,
     MergeSpec,
     merge_into,
     parse_merge,
@@ -30,13 +31,17 @@ REFERENCE_SHAPE = """
 
 def test_parse_reference_statement():
     spec = parse_merge(REFERENCE_SHAPE)
-    assert spec == MergeSpec(
-        target="fx_rates",
-        source="fx_staging",
-        keys=("date", "from_cur", "to_cur"),
-        update_cols=("rate", "timestamp"),
-        insert_cols=("date", "from_cur", "to_cur", "rate", "timestamp"),
+    assert spec.target == "fx_rates"
+    assert spec.source == "fx_staging"
+    assert spec.keys == ("date", "from_cur", "to_cur")
+    # single unconditional UPDATE clause — the reference's shape
+    assert spec.matched_clauses == (
+        MatchedClause("update", ("rate", "timestamp"), None),
     )
+    assert spec.update_cols == ("rate", "timestamp")  # compat view
+    assert spec.insert_cols == ("date", "from_cur", "to_cur", "rate", "timestamp")
+    assert spec.insert_condition is None
+    assert not spec.delete_unmatched_target
 
 
 @pytest.mark.parametrize(
@@ -216,3 +221,181 @@ def test_merge_into_delete_unmatched_target(spark):
     }
     # rows 1 and 9 (target-only) deleted; 2 updated (v kept); 3 inserted
     assert got == {2: ("B", 20.0), 3: ("c", 30.0)}
+
+
+# --- multi-clause conditional MERGE (VERDICT r10 item 4) -----------------
+
+
+def _mk_views(spark, tname, sname):
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k int, status string, v double",
+    ).createOrReplaceTempView(tname)
+    spark.createDataFrame(
+        [(2, "B", 99.0), (3, "C", 5.0), (5, "e", 50.0), (6, "f", 1.0)],
+        "k int, status string, v double",
+    ).createOrReplaceTempView(sname)
+
+
+def test_matched_and_delete_clause(spark):
+    _mk_views(spark, "mc_t1", "mc_s1")
+    got = {
+        r.k: (r.status, r.v)
+        for r in merge_into(
+            spark,
+            "MERGE mc_t1 T USING mc_s1 S ON T.k = S.k "
+            "WHEN MATCHED AND S.v < 10 THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET T.status = S.status, T.v = S.v "
+            "WHEN NOT MATCHED THEN INSERT (k, status, v) "
+            "VALUES (S.k, S.status, S.v)",
+        ).collect()
+    }
+    # k=3 matched with S.v=5 < 10 → deleted; k=2 matched → updated;
+    # 5,6 inserted; 1,4 pass through
+    assert got == {
+        1: ("a", 10.0), 2: ("B", 99.0), 4: ("d", 40.0),
+        5: ("e", 50.0), 6: ("f", 1.0),
+    }
+
+
+def test_clause_order_precedence_first_match_wins(spark):
+    _mk_views(spark, "mc_t2", "mc_s2")
+    # both clauses' predicates hold for k=3 (S.v=5): first one (status
+    # update) must win — swap the clauses and v updates instead
+    a = {
+        r.k: (r.status, r.v)
+        for r in merge_into(
+            spark,
+            "MERGE mc_t2 T USING mc_s2 S ON T.k = S.k "
+            "WHEN MATCHED AND S.v < 10 THEN UPDATE SET T.status = S.status "
+            "WHEN MATCHED THEN UPDATE SET T.v = S.v",
+        ).collect()
+    }
+    assert a[3] == ("C", 30.0)  # status clause applied, v untouched
+    assert a[2] == ("b", 99.0)  # fell through to the v clause
+    _mk_views(spark, "mc_t2", "mc_s2")
+    b = {
+        r.k: (r.status, r.v)
+        for r in merge_into(
+            spark,
+            "MERGE mc_t2 T USING mc_s2 S ON T.k = S.k "
+            "WHEN MATCHED AND S.v >= 10 THEN UPDATE SET T.v = S.v "
+            "WHEN MATCHED THEN UPDATE SET T.status = S.status",
+        ).collect()
+    }
+    assert b[3] == ("C", 30.0)
+    assert b[2] == ("b", 99.0)
+    # source-only rows are ignored without an INSERT clause
+    assert set(b) == {1, 2, 3, 4}
+
+
+def test_conditional_insert(spark):
+    _mk_views(spark, "mc_t3", "mc_s3")
+    got = merge_into(
+        spark,
+        "MERGE mc_t3 T USING mc_s3 S ON T.k = S.k "
+        "WHEN MATCHED THEN UPDATE SET T.v = S.v "
+        "WHEN NOT MATCHED AND S.v >= 10 THEN INSERT (k, status, v) "
+        "VALUES (S.k, S.status, S.v)",
+    )
+    ks = sorted(r.k for r in got.collect())
+    assert ks == [1, 2, 3, 4, 5]  # k=6 (v=1.0) failed the insert guard
+
+
+def test_conditional_by_source_delete(spark):
+    _mk_views(spark, "mc_t4", "mc_s4")
+    got = merge_into(
+        spark,
+        "MERGE mc_t4 T USING mc_s4 S ON T.k = S.k "
+        "WHEN MATCHED THEN UPDATE SET T.v = S.v "
+        "WHEN NOT MATCHED BY SOURCE AND T.v > 15 THEN DELETE",
+    )
+    ks = sorted(r.k for r in got.collect())
+    # target-only rows: 1 (v=10, kept), 4 (v=40, deleted)
+    assert ks == [1, 2, 3]
+
+
+def test_null_predicate_means_clause_does_not_apply(spark):
+    spark.createDataFrame([(1, None), (2, 20.0)], "k int, v double"
+                          ).createOrReplaceTempView("mc_t5")
+    spark.createDataFrame([(1, 5.0), (2, 5.0)], "k int, v double"
+                          ).createOrReplaceTempView("mc_s5")
+    got = {
+        r.k: r.v
+        for r in merge_into(
+            spark,
+            "MERGE mc_t5 T USING mc_s5 S ON T.k = S.k "
+            "WHEN MATCHED AND T.v > 10 THEN UPDATE SET T.v = S.v",
+        ).collect()
+    }
+    # T.v NULL → predicate NULL → clause does not apply (3VL)
+    assert got == {1: None, 2: 5.0}
+
+
+def test_unconditional_non_last_matched_clause_rejected():
+    with pytest.raises(ValueError, match="unreachable"):
+        parse_merge(
+            "MERGE a T USING b S ON T.k = S.k "
+            "WHEN MATCHED THEN UPDATE SET T.v = S.v "
+            "WHEN MATCHED AND S.v < 10 THEN DELETE"
+        )
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # arbitrary expression in predicate (arithmetic)
+        "MERGE a T USING b S ON T.k = S.k "
+        "WHEN MATCHED AND S.v + 1 > 2 THEN DELETE",
+        # unqualified column reference (ambiguous)
+        "MERGE a T USING b S ON T.k = S.k "
+        "WHEN MATCHED AND v > 2 THEN DELETE",
+        # function call
+        "MERGE a T USING b S ON T.k = S.k "
+        "WHEN MATCHED AND abs(S.v) > 2 THEN DELETE",
+        # alias other than the declared two
+        "MERGE a T USING b S ON T.k = S.k "
+        "WHEN MATCHED AND X.v > 2 THEN DELETE",
+        # S.col in a BY SOURCE predicate (sees only target rows)
+        "MERGE a T USING b S ON T.k = S.k "
+        "WHEN MATCHED THEN UPDATE SET T.v = S.v "
+        "WHEN NOT MATCHED BY SOURCE AND S.v > 2 THEN DELETE",
+        # T.col in a NOT MATCHED predicate (sees only source rows)
+        "MERGE a T USING b S ON T.k = S.k "
+        "WHEN NOT MATCHED AND T.v > 2 THEN INSERT (k) VALUES (S.k)",
+        # two INSERT clauses
+        "MERGE a T USING b S ON T.k = S.k "
+        "WHEN NOT MATCHED AND S.v > 2 THEN INSERT (k) VALUES (S.k) "
+        "WHEN NOT MATCHED THEN INSERT (k) VALUES (S.k)",
+    ],
+)
+def test_parse_rejects_unsupported_multiclause(bad):
+    with pytest.raises(ValueError):
+        parse_merge(bad)
+
+
+def test_predicate_column_checked_against_schema(spark):
+    spark.createDataFrame([(1, 1.0)], "k int, v double"
+                          ).createOrReplaceTempView("mc_t6")
+    spark.createDataFrame([(1, 1.0)], "k int, v double"
+                          ).createOrReplaceTempView("mc_s6")
+    with pytest.raises(ValueError, match="not in source schema"):
+        merge_into(
+            spark,
+            "MERGE mc_t6 T USING mc_s6 S ON T.k = S.k "
+            "WHEN MATCHED AND S.nope > 1 THEN DELETE",
+        )
+
+
+def test_string_literal_and_in_list_predicates(spark):
+    _mk_views(spark, "mc_t7", "mc_s7")
+    got = {
+        r.k: r.v
+        for r in merge_into(
+            spark,
+            "MERGE mc_t7 T USING mc_s7 S ON T.k = S.k "
+            "WHEN MATCHED AND S.status IN ('B', 'Z') THEN UPDATE SET T.v = S.v "
+            "WHEN MATCHED AND T.status = 'c' THEN DELETE",
+        ).collect()
+    }
+    assert got == {1: 10.0, 2: 99.0, 4: 40.0}  # 2 updated, 3 deleted
