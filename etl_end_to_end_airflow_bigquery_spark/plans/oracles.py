@@ -284,6 +284,27 @@ ORACLES: dict[str, str] = {
     "jsonl_commit_roundtrip": """
         SELECT doc_id, source, text FROM documents ORDER BY doc_id
     """,
+    # The oracle KNOWS the injection (event_id % 7 truncates the
+    # payload) and recomputes both halves relationally: clean-row
+    # aggregate from the uncorrupted complement, quarantine count from
+    # the corrupted slice. The Spark side must get there through
+    # PERMISSIVE from_json + the dead-letter sink roundtrip.
+    "quarantine_ingest_events": """
+        SELECT event_type,
+               count(*) AS n_rows,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                   AS BIGINT) AS sum_k
+        FROM events
+        WHERE event_id % 7 <> 0
+        GROUP BY event_type
+        UNION ALL
+        SELECT '_quarantined' AS event_type,
+               count(*) AS n_rows,
+               CAST(NULL AS BIGINT) AS sum_k
+        FROM events
+        WHERE event_id % 7 = 0
+        ORDER BY event_type
+    """,
     "time_travel_orders": f"""
         WITH target AS (
             SELECT * FROM orders WHERE o_orderkey % 3 <> 0

@@ -705,6 +705,69 @@ def jsonl_commit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quarantine_ingest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-payload ingestion through the gate (VERDICT r10 item
+    3): every 7th event's JSON payload ships TRUNCATED (closing brace
+    cut — the classic mid-transfer corruption), plus the engine-side
+    PERMISSIVE parse (``sources.quarantine``), the quarantine diversion
+    into the manifest-committed JSONL dead-letter sink, and the
+    read-back. Output: the per-type report computed from CLEAN rows
+    only, plus a ``_quarantined`` bucket row whose count is read back
+    FROM the dead-letter sink — so the hash proves (a) no malformed row
+    leaked into the aggregate, (b) no clean row was dropped, and (c)
+    the quarantine sink captured exactly the bad rows. The oracle knows
+    which rows were corrupted (the same ``event_id % 7`` injection) and
+    recomputes both halves relationally.
+
+    Reference basis: ``dags/ FXRate_Reporting_Pipeline.py:27,46-48`` —
+    arbitrary REST JSON guarded only by ``if not data``; this is the
+    ingestion behavior the engine must own at scale.
+
+    Scale: parse + split are row-local codegen expressions (no UDF, no
+    shuffle); the dead-letter write streams executor-side shards with a
+    KB-scale driver manifest; the report is one grouped aggregate.
+    """
+    import os
+
+    from ..sources.jsonl_sink import JsonlCommitDataSource, read_jsonl_commit
+    from ..sources.quarantine import parse_json_quarantine, quarantine_split
+    from ..tmputil import session_tmpdir
+
+    ev = load_events(spark, sf_dir)
+    raw = ev.select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.expr("substring(props, 1, length(props) - 1)"),
+        )
+        .otherwise(F.col("props"))
+        .alias("payload"),
+    )
+    parsed = parse_json_quarantine(raw, "payload", "k BIGINT")
+    clean, bad = quarantine_split(parsed)
+
+    spark.dataSource.register(JsonlCommitDataSource)
+    qpath = os.path.join(session_tmpdir("quarantine_"), "dead_letter")
+    os.makedirs(qpath, exist_ok=True)
+    bad.select("event_id", "event_type", "payload").write.format(
+        "jsonl_commit"
+    ).mode("append").option("path", qpath).save()
+
+    report = clean.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+    )
+    quarantined = read_jsonl_commit(
+        spark, qpath, schema="event_id long, event_type string, payload string"
+    ).agg(
+        F.lit("_quarantined").alias("event_type"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(None).cast("bigint").alias("sum_k"),
+    )
+    return report.unionByName(quarantined).orderBy("event_type")
+
+
 # --- sessionization (window-function showcase over the tick stream) ------
 
 
@@ -1350,6 +1413,7 @@ QUERIES: dict[str, QueryFn] = {
     "idempotent_append_orders": idempotent_append_orders,
     "time_travel_orders": time_travel_orders,
     "jsonl_commit_roundtrip": jsonl_commit_roundtrip,
+    "quarantine_ingest_events": quarantine_ingest_events,
     "sessionize_events": sessionize_events,
     "session_window_native": session_window_native,
     "asof_attribution": asof_attribution,

@@ -1,0 +1,116 @@
+"""Malformed-input ingestion: PERMISSIVE JSON parsing with
+corrupt-record quarantine (VERDICT r10 item 3).
+
+The reference ingests arbitrary REST JSON and its only guard is
+``if not data`` (``dags/ FXRate_Reporting_Pipeline.py:27,46-48``) — a
+malformed payload either kills the task or silently drops rows. The
+engine should own the rest, the way production lakehouse ingestion
+does:
+
+- ``from_json`` in PERMISSIVE mode with ``columnNameOfCorruptRecord``:
+  a row that fails to parse keeps flowing, its raw text captured in
+  ``_corrupt_record`` and every data field NULL — the job never dies on
+  one bad payload (FAILFAST's behavior), and the bad row is never
+  silently dropped (DROPMALFORMED's).
+- a QUARANTINE split: clean rows continue to the business aggregate,
+  corrupt rows are diverted to a dead-letter sink (the manifest-
+  committed JSONL sink — ``sources/jsonl_sink.py`` — so the quarantine
+  itself is atomic and replay-safe) for inspection/repair/replay.
+- per-batch good/bad counters via ``df.observe`` — one pass, no extra
+  job, the operational signal ("5% of today's payloads are garbage")
+  that pages someone before the report is wrong.
+
+Scale: the parse is a row-local JVM expression (whole-stage codegen,
+no UDF); the split is two filters over one parsed frame — Catalyst
+prunes each side's columns independently; observe adds accumulator
+traffic only. Nothing here shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import functions as F
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def parse_json_quarantine(
+    df: DataFrame,
+    json_col: str,
+    schema: str,
+    corrupt_col: str = CORRUPT_COL,
+) -> DataFrame:
+    """Parse ``json_col`` against ``schema`` (a DDL fragment of the
+    EXPECTED fields, e.g. ``"k BIGINT, name STRING"``) in PERMISSIVE
+    mode. Output: the input columns plus one column per schema field
+    plus ``corrupt_col`` — NULL for clean rows, the raw payload text
+    for malformed ones (unparseable JSON or a field that failed type
+    coercion).
+
+    The corrupt field must be part of the parse schema for Spark to
+    populate it — appended here so callers pass data fields only.
+    """
+    if corrupt_col in df.columns:
+        raise ValueError(f"column {corrupt_col!r} already present in frame")
+    full_schema = f"{schema}, {corrupt_col} STRING"
+    parsed = df.withColumn(
+        "__parsed",
+        F.from_json(
+            F.col(json_col),
+            full_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
+        ),
+    )
+    # A NULL input payload parses to a NULL struct (not a corrupt
+    # record) — surface it AS corrupt: an ingestion pipeline must never
+    # silently widen "payload missing" into "all fields null, looks
+    # clean". A NULL marker can't flag it (the payload IS null), so it
+    # quarantines under the empty-string marker — same bucket an
+    # empty-string payload lands in. from_json also returns a NULL
+    # struct (rather than a populated corrupt field) for non-object
+    # top-level text under some schemas; the json_col fallback catches
+    # that. Struct-star expansion (not DDL string surgery) so nested
+    # field types pass through.
+    return (
+        parsed.select("*", "__parsed.*")
+        .withColumn(
+            corrupt_col,
+            F.when(F.col(json_col).isNull(), F.lit(""))
+            .when(F.col("__parsed").isNull(), F.col(json_col))
+            .otherwise(F.col(corrupt_col)),
+        )
+        .drop("__parsed")
+    )
+
+
+def quarantine_split(
+    parsed: DataFrame, corrupt_col: str = CORRUPT_COL
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantined): two filters over the one parsed frame.
+    Clean rows drop the corrupt column (always NULL there); quarantined
+    rows keep it — it IS the payload to repair/replay."""
+    is_bad = F.col(corrupt_col).isNotNull()
+    return parsed.filter(~is_bad).drop(corrupt_col), parsed.filter(is_bad)
+
+
+def observed_parse(
+    df: DataFrame,
+    json_col: str,
+    schema: str,
+    corrupt_col: str = CORRUPT_COL,
+) -> tuple[DataFrame, Observation]:
+    """:func:`parse_json_quarantine` plus the per-batch health counters
+    (``n_rows`` / ``n_corrupt`` / ``n_clean``) attached via
+    ``df.observe`` — collected as a side effect of whatever action the
+    caller runs, no second pass. Read them from the returned
+    :class:`Observation` after an action completes."""
+    obs = Observation("quarantine_ingest")
+    parsed = parse_json_quarantine(df, json_col, schema, corrupt_col)
+    bad: Column = F.col(corrupt_col).isNotNull().cast("long")
+    parsed = parsed.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(bad).alias("n_corrupt"),
+        (F.count(F.lit(1)) - F.sum(bad)).alias("n_clean"),
+    )
+    return parsed, obs
