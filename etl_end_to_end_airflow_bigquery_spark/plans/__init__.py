@@ -224,6 +224,7 @@ _GATE_ROTATION: tuple[str, ...] = (
     "merge_cdf_ivm_roundtrip",  # MERGE change-data-feed → IVM fold, end-to-end
     "merge_sql_multi_clause",   # conditional clause ladder, first-match-wins
     "quarantine_ingest_events", # PERMISSIVE parse + dead-letter sink roundtrip
+    "skew_join_hot_keys",       # fact-fact hot-key join, AQE skew-split eligible
 )
 
 # Backfill to 50 (r8 policy, see module docstring): tier (a) re-proofs
@@ -264,7 +265,6 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "dataset_split",
     "decontaminate_ngrams",
     "ewma_daily_rates",
-    "hash_sample_docs",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

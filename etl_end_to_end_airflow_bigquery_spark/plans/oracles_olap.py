@@ -1590,3 +1590,24 @@ OLAP_ORACLES["merge_cdf_ivm_roundtrip"] = f"""
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
 """
+
+# Same hot-key remap, same fact-fact fanout, recomputed relationally.
+OLAP_ORACLES["skew_join_hot_keys"] = """
+    WITH lf AS (
+        SELECT CASE WHEN user_id % 10 < 7 THEN -1 ELSE user_id END AS sk,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v2
+        FROM events
+    ), rt AS (
+        SELECT CASE WHEN user_id % 10 < 7 THEN -1 ELSE user_id END AS sk,
+               CAST(ts AS DATE) AS day,
+               count(*) AS n_day
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT lf.sk AS sk,
+           count(*) AS n_pairs,
+           CAST(sum(v2) AS DOUBLE) / 100.0 AS sum_value
+    FROM lf JOIN rt ON lf.sk = rt.sk
+    GROUP BY lf.sk
+    ORDER BY sk
+"""
