@@ -1122,3 +1122,160 @@ def zorder_write(
         .drop("__z")
     )
     shaped.write.mode("overwrite").parquet(path)
+
+
+def _grid_norm_expr(col: str, lo, hi, bits: int) -> str:
+    """min/max normalization to ``bits`` integer levels — the SAME
+    formula (and double-op order) zorder_write uses, shared by the
+    deterministic grid writers so the relational oracle can reproduce
+    file assignment exactly."""
+    lvl = (1 << bits) - 1
+    span = float(hi - lo) if hi != lo else 1.0
+    return (
+        f"CAST(floor((CAST({col} AS DOUBLE) - {float(lo)!r})"
+        f" / {span!r} * {lvl}) AS BIGINT)"
+    )
+
+
+def _grid_minmax(df: DataFrame, cols: list[str]):
+    """One-row min/max (+ NULL guard) per cluster column — the only
+    driver-side data any grid writer needs."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"{c}__lo"),
+            F.max(c).alias(f"{c}__hi"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+        ]
+    mm = df.agg(*aggs).collect()[0]
+    for c in cols:
+        if mm[f"{c}__nulls"]:
+            raise ValueError(
+                f"grid cluster column {c!r} contains NULLs; filter or "
+                "impute them before clustering"
+            )
+    return mm
+
+
+GRID_FILE_COL = "__zfile"
+
+
+def zorder_write_grid(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """:func:`zorder_write` with DETERMINISTIC file boundaries: the file
+    id is the top ``log2(n_files)`` bits of the Morton key (a fixed
+    grid over the normalized (a, b) plane), written as one parquet file
+    per non-empty grid cell via a hive ``__zfile=K`` layout.
+
+    ``repartitionByRange`` (the production writer) picks boundaries by
+    sampling — right at scale, but the per-file min/max then isn't a
+    pure function of the data, which is exactly what the skipping PROOF
+    needs (``file_skip_report`` vs a relational oracle that recomputes
+    the same grid; VERDICT r10 item 6). Each Morton cell is a rectangle
+    in (a, b) space, so every file carries tight bounds on BOTH columns
+    — 2-D predicates skip cells the way 1-D clustering can't.
+    """
+    if n_files & (n_files - 1) or n_files < 2:
+        raise ValueError(f"n_files must be a power of two >= 2, got {n_files}")
+    top = n_files.bit_length() - 1
+    mm = _grid_minmax(df, [col_a, col_b])
+    na = _grid_norm_expr(col_a, mm[f"{col_a}__lo"], mm[f"{col_a}__hi"], bits)
+    nb = _grid_norm_expr(col_b, mm[f"{col_b}__lo"], mm[f"{col_b}__hi"], bits)
+    interleave = " + ".join(
+        f"(shiftleft((shiftright({na}, {i}) & 1), {2 * i})"
+        f" + shiftleft((shiftright({nb}, {i}) & 1), {2 * i + 1}))"
+        for i in range(bits)
+    )
+    (
+        df.withColumn(
+            GRID_FILE_COL, F.expr(f"({interleave}) >> {2 * bits - top}")
+        )
+        # one shuffle task per grid cell → exactly one file per leaf
+        .repartition(GRID_FILE_COL)
+        .write.mode("overwrite")
+        .partitionBy(GRID_FILE_COL)
+        .parquet(path)
+    )
+
+
+def cluster_write_grid(
+    df: DataFrame, path: str, col: str, n_files: int = 8, bits: int = 16
+) -> None:
+    """The 1-D baseline for :func:`zorder_write_grid`: file id = top
+    bits of the single normalized column (deterministic octile-style
+    zone maps). Same layout mechanics, one clustering dimension — the
+    thing the z-order comparison beats on 2-D predicates."""
+    if n_files & (n_files - 1) or n_files < 2:
+        raise ValueError(f"n_files must be a power of two >= 2, got {n_files}")
+    top = n_files.bit_length() - 1
+    mm = _grid_minmax(df, [col])
+    na = _grid_norm_expr(col, mm[f"{col}__lo"], mm[f"{col}__hi"], bits)
+    (
+        df.withColumn(GRID_FILE_COL, F.expr(f"({na}) >> {bits - top}"))
+        .repartition(GRID_FILE_COL)
+        .write.mode("overwrite")
+        .partitionBy(GRID_FILE_COL)
+        .parquet(path)
+    )
+
+
+def file_skip_report(
+    path: str, bounds: dict[str, tuple[float, float]]
+) -> list[dict]:
+    """Parquet-footer min/max skipping report: for every data file under
+    ``path``, read ONLY the footer (pyarrow; no data pages — the
+    ``variant_io.py`` introspection precedent) and decide whether the
+    file can be skipped for the conjunctive range predicate ``bounds``
+    (col → (lo, hi) inclusive): skip iff ANY bounded column's file
+    min > hi or max < lo.
+
+    Returns one dict per file: path, n_rows, per-column (min, max),
+    skip. Driver-bounded metadata work — one footer per file, which at
+    100 TB is the role a table format's manifest plays; this is that
+    manifest derived from the files themselves.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(
+        _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    ):
+        md = pq.ParquetFile(f).metadata
+        mins: dict[str, object] = {}
+        maxs: dict[str, object] = {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mins[name] = (
+                    st.min if name not in mins else min(mins[name], st.min)
+                )
+                maxs[name] = (
+                    st.max if name not in maxs else max(maxs[name], st.max)
+                )
+        skip = False
+        for c, (lo, hi) in bounds.items():
+            if c in mins and (mins[c] > hi or maxs[c] < lo):
+                skip = True
+                break
+        out.append(
+            {
+                "path": f,
+                "n_rows": md.num_rows,
+                "mins": {c: mins.get(c) for c in bounds},
+                "maxs": {c: maxs.get(c) for c in bounds},
+                "skip": skip,
+            }
+        )
+    return out

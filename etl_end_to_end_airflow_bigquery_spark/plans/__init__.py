@@ -225,6 +225,7 @@ _GATE_ROTATION: tuple[str, ...] = (
     "merge_sql_multi_clause",   # conditional clause ladder, first-match-wins
     "quarantine_ingest_events", # PERMISSIVE parse + dead-letter sink roundtrip
     "skew_join_hot_keys",       # fact-fact hot-key join, AQE skew-split eligible
+    "zorder_skipping_report",   # footer min/max skipping vs relational grid oracle
 )
 
 # Backfill to 50 (r8 policy, see module docstring): tier (a) re-proofs
@@ -264,7 +265,6 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "chunk_documents",
     "dataset_split",
     "decontaminate_ngrams",
-    "ewma_daily_rates",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

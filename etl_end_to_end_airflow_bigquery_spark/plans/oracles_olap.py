@@ -1611,3 +1611,80 @@ OLAP_ORACLES["skew_join_hot_keys"] = """
     GROUP BY lf.sk
     ORDER BY sk
 """
+
+# Relational recomputation of the physical skipping report: same
+# normalization formula (double-op order identical to
+# writers._grid_norm_expr), Morton top-3-bits cell = b15*4+a15*2+b14
+# (= z >> 29 for 16-bit interleave), 1-D cell = na >> 13, same
+# conjunctive min/max skip rule over per-cell data bounds.
+from .queries_olap import (  # noqa: E402
+    ZSKIP_CUST_HI,
+    ZSKIP_CUST_LO,
+    ZSKIP_PRICE_HI,
+    ZSKIP_PRICE_LO,
+)
+
+_ZSKIP_CELLS = f"""
+    s AS (
+        SELECT CAST(min(o_totalprice) AS DOUBLE) AS a_lo,
+               CAST(max(o_totalprice) AS DOUBLE) AS a_hi,
+               CAST(min(o_custkey) AS DOUBLE) AS b_lo,
+               CAST(max(o_custkey) AS DOUBLE) AS b_hi
+        FROM orders
+    ), norm AS (
+        SELECT o_totalprice AS a, o_custkey AS b,
+               CAST(floor((CAST(o_totalprice AS DOUBLE) - s.a_lo)
+                   / (CASE WHEN s.a_hi = s.a_lo THEN 1.0
+                           ELSE s.a_hi - s.a_lo END) * 65535)
+                   AS BIGINT) AS na,
+               CAST(floor((CAST(o_custkey AS DOUBLE) - s.b_lo)
+                   / (CASE WHEN s.b_hi = s.b_lo THEN 1.0
+                           ELSE s.b_hi - s.b_lo END) * 65535)
+                   AS BIGINT) AS nb
+        FROM orders, s
+    ), cells AS (
+        SELECT a, b,
+               ((nb >> 15) & 1) * 4 + ((na >> 15) & 1) * 2
+                   + ((nb >> 14) & 1) AS zf,
+               na >> 13 AS cf
+        FROM norm
+    )
+"""
+
+_ZSKIP_PRED = (
+    f"a BETWEEN {ZSKIP_PRICE_LO} AND {ZSKIP_PRICE_HI} "
+    f"AND b BETWEEN {ZSKIP_CUST_LO} AND {ZSKIP_CUST_HI}"
+)
+_ZSKIP_SKIP = (
+    f"amin > {ZSKIP_PRICE_HI} OR amax < {ZSKIP_PRICE_LO} "
+    f"OR bmin > {ZSKIP_CUST_HI} OR bmax < {ZSKIP_CUST_LO}"
+)
+
+
+def _zskip_layout(layout: str, cell: str) -> str:
+    return f"""
+        SELECT '{layout}' AS layout,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(count(*) FILTER (WHERE {_ZSKIP_SKIP}) AS BIGINT)
+                   AS n_skipped,
+               CAST(COALESCE(sum(n) FILTER (WHERE NOT ({_ZSKIP_SKIP})), 0)
+                   AS BIGINT) AS rows_read,
+               CAST(COALESCE(sum(nm) FILTER (WHERE NOT ({_ZSKIP_SKIP})), 0)
+                   AS BIGINT) AS rows_matched
+        FROM (
+            SELECT {cell} AS f, count(*) AS n,
+                   min(a) AS amin, max(a) AS amax,
+                   min(b) AS bmin, max(b) AS bmax,
+                   count(*) FILTER (WHERE {_ZSKIP_PRED}) AS nm
+            FROM cells GROUP BY 1
+        )
+    """
+
+
+OLAP_ORACLES["zorder_skipping_report"] = f"""
+    WITH {_ZSKIP_CELLS}
+    {_zskip_layout("price1d", "cf")}
+    UNION ALL
+    {_zskip_layout("zorder", "zf")}
+    ORDER BY layout
+"""

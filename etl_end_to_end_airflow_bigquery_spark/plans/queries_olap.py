@@ -3581,3 +3581,81 @@ def skew_join_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 OLAP_QUERIES["skew_join_hot_keys"] = skew_join_hot_keys
+
+
+ZSKIP_PRICE_LO, ZSKIP_PRICE_HI = 60000.0, 230000.0
+ZSKIP_CUST_LO, ZSKIP_CUST_HI = 10, 140
+
+
+def zorder_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level min/max skipping, PROVEN (VERDICT r10 item 6 — the
+    third layout lever beside partition pruning r10 and bucketing r10):
+    write orders twice, z-order-grid clustered on (price, custkey) and
+    1-D clustered on price alone (``writers.zorder_write_grid`` /
+    ``cluster_write_grid`` — deterministic Morton-cell file boundaries,
+    one parquet file per non-empty cell), then evaluate a 2-D range
+    predicate purely from PARQUET FOOTERS (``writers.file_skip_report``
+    — no data pages touched) and physically read only the surviving
+    files. Output per layout: file count, files skipped, rows read
+    (from footer metadata), and matching rows found in the read files.
+
+    The oracle recomputes the whole thing RELATIONALLY — same min/max
+    normalization, same Morton top-bits cell assignment, same skip rule
+    over per-cell data bounds — so hash-equality proves the physical
+    footers match the logical layout and the Morton layout skips where
+    the 1-D layout can't (2-D predicates bound BOTH columns per cell).
+
+    Scale: the report reads one footer per file (the job a table
+    format's manifest does at 100 TB); the writes pay one clustering
+    shuffle each — the pay-once-at-ingest trade the whole layout-lever
+    family makes.
+    """
+    import os
+
+    from ..operators.writers import (
+        cluster_write_grid,
+        file_skip_report,
+        zorder_write_grid,
+    )
+    from ..tmputil import session_tmpdir
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = session_tmpdir("zskip_")
+    zpath = os.path.join(root, "orders_zorder")
+    cpath = os.path.join(root, "orders_price1d")
+    zorder_write_grid(base, zpath, "o_totalprice", "o_custkey")
+    cluster_write_grid(base, cpath, "o_totalprice")
+    bounds = {
+        "o_totalprice": (ZSKIP_PRICE_LO, ZSKIP_PRICE_HI),
+        "o_custkey": (ZSKIP_CUST_LO, ZSKIP_CUST_HI),
+    }
+    pred = (
+        F.col("o_totalprice").between(ZSKIP_PRICE_LO, ZSKIP_PRICE_HI)
+        & F.col("o_custkey").between(ZSKIP_CUST_LO, ZSKIP_CUST_HI)
+    )
+    rows = []
+    for layout, path in (("price1d", cpath), ("zorder", zpath)):
+        rep = file_skip_report(path, bounds)
+        kept = [r["path"] for r in rep if not r["skip"]]
+        matched = (
+            spark.read.parquet(*kept).filter(pred).count() if kept else 0
+        )
+        rows.append(
+            (
+                layout,
+                len(rep),
+                sum(r["skip"] for r in rep),
+                sum(r["n_rows"] for r in rep if not r["skip"]),
+                matched,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "layout string, n_files bigint, n_skipped bigint, "
+        "rows_read bigint, rows_matched bigint",
+    ).orderBy("layout")
+
+
+OLAP_QUERIES["zorder_skipping_report"] = zorder_skipping_report
