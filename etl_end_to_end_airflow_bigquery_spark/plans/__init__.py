@@ -226,6 +226,9 @@ _GATE_ROTATION: tuple[str, ...] = (
     "quarantine_ingest_events", # PERMISSIVE parse + dead-letter sink roundtrip
     "skew_join_hot_keys",       # fact-fact hot-key join, AQE skew-split eligible
     "zorder_skipping_report",   # footer min/max skipping vs relational grid oracle
+    "sql_scripting_pack",       # BEGIN/WHILE/IF scripted binary-search median
+    "bitmap_distinct_users",    # exact-distinct bitmap state, OR-merge law
+    "streaming_bitmap_distinct",  # the same masks folded per micro-batch
 )
 
 # Backfill to 50 (r8 policy, see module docstring): tier (a) re-proofs
@@ -262,9 +265,6 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "ann_lsh_multiprobe",
     "ann_lsh_multitable",
     "bitwise_function_pack",
-    "chunk_documents",
-    "dataset_split",
-    "decontaminate_ngrams",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

@@ -1688,3 +1688,36 @@ OLAP_ORACLES["zorder_skipping_report"] = f"""
     {_zskip_layout("zorder", "zf")}
     ORDER BY layout
 """
+
+# One-pass rank walk to the same 2-dp median the scripted binary search
+# converges to, plus the CDF count at the cut.
+OLAP_ORACLES["sql_scripting_pack"] = """
+    WITH g AS (
+        SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v2
+        FROM events WHERE value IS NOT NULL
+    ), walk AS (
+        SELECT v2,
+               sum(count(*)) OVER (ORDER BY v2) AS rk,
+               sum(count(*)) OVER () AS n
+        FROM g GROUP BY v2
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_values,
+           CAST(min(v2) FILTER (WHERE rk >= (n + 1) // 2) AS DOUBLE) / 100.0
+               AS median_2dp,
+           CAST(max(rk) FILTER (
+               WHERE v2 <= (SELECT min(v2) FROM walk
+                            WHERE rk >= (n + 1) // 2)
+           ) AS BIGINT) AS n_at_or_below
+    FROM walk
+"""
+
+# Direct COUNT(DISTINCT) from raw — the expensive path the bitmap state
+# exists to replace; equality proves the OR-merge algebra lossless.
+OLAP_ORACLES["bitmap_distinct_users"] = """
+    SELECT event_type,
+           count(DISTINCT CAST(ts AS DATE)) AS n_day_states,
+           count(DISTINCT user_id) AS distinct_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""

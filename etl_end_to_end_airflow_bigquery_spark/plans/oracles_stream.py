@@ -174,3 +174,7 @@ STREAM_ORACLES["streaming_cdc_apply"] = _OLAP["cdc_out_of_order_apply"]
 # Shared verbatim with the batch cascade: histogram merging must
 # commute with any micro-batch slicing of the stream.
 STREAM_ORACLES["streaming_quantile_cascade"] = _OLAP["quantile_rollup_cascade"]
+
+# Shared verbatim with the batch twin: OR-merging membership masks must
+# commute with any micro-batch slicing (and replay, by idempotence).
+STREAM_ORACLES["streaming_bitmap_distinct"] = _OLAP["bitmap_distinct_users"]

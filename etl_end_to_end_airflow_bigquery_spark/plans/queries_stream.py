@@ -1276,3 +1276,76 @@ def streaming_quantile_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_QUERIES["streaming_quantile_cascade"] = streaming_quantile_cascade
+
+
+def streaming_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming twin of
+    :func:`..queries_olap.bitmap_distinct_users` — EXACT distinct
+    counts maintained by the stream: each micro-batch's (type, day,
+    bucket) membership masks OR-fold into versioned parquet state via
+    disk-resolved committed versions, and the month report is a
+    popcount projection of that state — raw events are never rescanned
+    and re-delivered users are no-ops BY ALGEBRA (OR is idempotent),
+    so the fold is replay-safe without any dedup bookkeeping. SHARES
+    THE BATCH TWIN'S ORACLE VERBATIM (direct COUNT(DISTINCT) from
+    raw): hash-equality proves mask merging commutes with any
+    micro-batch slicing.
+
+    Scale: per batch, one grouped partial over the slice ⊕ the
+    mask-grain state rows; serving cost is a popcount scan of state.
+    Stateless micro-batch plan (durable state in parquet) — exempted
+    in ``plan_audit.STREAM_STATELESS_OK``.
+    """
+    from ..io import load_table
+    from ..operators.incremental import latest_committed_state
+    from ..tmputil import session_tmpdir
+
+    base_dir = session_tmpdir("stream_bitmap_")
+    feed_dir = os.path.join(base_dir, "feed")
+    ckpt = os.path.join(base_dir, "ckpt")
+    init_path = os.path.join(base_dir, "state_init")
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "user_id"
+    )
+    ev.repartition(4).write.parquet(feed_dir)
+
+    from .queries_olap import bitmap_distinct_report, daily_bitmap_state
+
+    daily_bitmap_state(ev.limit(0)).write.parquet(init_path)
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        prev = latest_committed_state(base_dir, init_path, below=batch_id)
+        nxt = os.path.join(base_dir, f"state_b{batch_id}")
+        merged = (
+            spark.read.parquet(prev)
+            .unionByName(daily_bitmap_state(batch))
+            .groupBy("event_type", "d", "bucket")
+            .agg(F.expr("bit_or(mask)").alias("mask"))
+        )
+        merged.write.mode("overwrite").parquet(nxt)
+
+    stream = (
+        spark.readStream.schema(
+            "ts timestamp_ntz, event_type string, user_id bigint"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_fold)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    _capture_plan(q, "streaming_bitmap_distinct")
+
+    day_states = spark.read.parquet(latest_committed_state(base_dir, init_path))
+    return bitmap_distinct_report(day_states)
+
+
+STREAM_QUERIES["streaming_bitmap_distinct"] = streaming_bitmap_distinct
