@@ -229,6 +229,8 @@ _GATE_ROTATION: tuple[str, ...] = (
     "sql_scripting_pack",       # BEGIN/WHILE/IF scripted binary-search median
     "bitmap_distinct_users",    # exact-distinct bitmap state, OR-merge law
     "streaming_bitmap_distinct",  # the same masks folded per micro-batch
+    "ngram_novelty_docs",       # first-occurrence shingle novelty scoring
+    "funnel_time_to_convert",   # exact conversion-latency percentiles
 )
 
 # Backfill to 50 (r8 policy, see module docstring): tier (a) re-proofs
@@ -263,8 +265,6 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "streaming_dedup_events",
     "vocab_top_tokens",
     "ann_lsh_multiprobe",
-    "ann_lsh_multitable",
-    "bitwise_function_pack",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

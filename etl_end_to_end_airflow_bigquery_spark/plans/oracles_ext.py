@@ -2696,3 +2696,25 @@ EXT_ORACLES["hll_merge_days"] = f"""
     FROM facts f JOIN est x USING (event_type)
     ORDER BY f.event_type
 """
+
+# First-occurrence novelty over the same 3-word shingle definition:
+# MIN(doc_id) per shingle, doc-grain rollup, half-up integer-rational
+# ratio (// on BIGINT, one final double division).
+EXT_ORACLES["ngram_novelty_docs"] = f"""
+    WITH {_SHINGLES_CTE},
+    ex AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), fx AS (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY s) AS first_doc
+        FROM ex
+    )
+    SELECT doc_id,
+           count(*) AS n_shingles,
+           count(*) FILTER (WHERE first_doc = doc_id) AS n_novel,
+           CAST((2 * count(*) FILTER (WHERE first_doc = doc_id) * 1000000
+                 + count(*)) // (2 * count(*)) AS DOUBLE) / 1000000.0
+               AS novelty
+    FROM fx
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""

@@ -1721,3 +1721,32 @@ OLAP_ORACLES["bitmap_distinct_users"] = """
     GROUP BY event_type
     ORDER BY event_type
 """
+
+# Same first-view -> first-subsequent-purchase latency and rank-walk
+# cuts; epoch_us difference mirrors unix_micros on the NTZ pair.
+OLAP_ORACLES["funnel_time_to_convert"] = """
+    WITH tv AS (
+        SELECT user_id, min(ts) AS tv FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), tp AS (
+        SELECT e.user_id, min(e.ts) AS tp
+        FROM events e JOIN tv ON e.user_id = tv.user_id AND e.ts >= tv.tv
+        WHERE e.event_type = 'purchase'
+        GROUP BY e.user_id
+    ), lat AS (
+        SELECT (epoch_us(tp.tp) - epoch_us(tv.tv)) // 1000000 AS s
+        FROM tp JOIN tv USING (user_id)
+    ), walk AS (
+        SELECT s,
+               sum(count(*)) OVER (ORDER BY s) AS rk,
+               sum(count(*)) OVER () AS tot
+        FROM lat GROUP BY s
+    )
+    SELECT (SELECT count(*) FROM tv) AS n_viewed,
+           (SELECT count(*) FROM lat) AS n_converted,
+           CAST(min(s) FILTER (WHERE rk >= (tot + 1) // 2) AS BIGINT)
+               AS median_s,
+           CAST(min(s) FILTER (WHERE rk >= (9 * tot + 9) // 10) AS BIGINT)
+               AS p90_s
+    FROM walk
+"""

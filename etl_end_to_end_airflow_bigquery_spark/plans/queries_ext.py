@@ -2821,3 +2821,54 @@ def hll_merge_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT_QUERIES["hll_merge_days"] = hll_merge_days
+
+
+def ngram_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram NOVELTY scoring — the corpus-curation signal between
+    exact dedup (is this doc a copy?) and decontamination (does it leak
+    eval data?): per document, the fraction of its distinct 3-word
+    shingles that NO earlier document (by doc_id, the ingest order)
+    contains. Boilerplate-heavy late arrivals score near 0 and get
+    down-weighted or dropped; genuinely new text scores near 1 — the
+    standard freshness gate in front of a training mix.
+
+    Mechanism: tokenize once (the shared ``dedup.shingle_docs`` scan),
+    explode, first-occurrence via MIN(doc_id) windowed over the shingle
+    — one shuffle on the shingle key, no self-join, no timeline loop;
+    then one doc-grain rollup. The ratio is the half-up integer
+    rational ((2·novel·10⁶ + n) div (2n)), engine-exact. The oracle
+    recomputes first-occurrence relationally over the same shingle
+    definition.
+
+    Scale: the shingle exchange is the cost (corpus token volume); the
+    window is a partial MIN per key — no skew beyond true shingle
+    frequency (stopword shingles are the hot keys; cap with a DF filter
+    if a corpus makes them pathological).
+    """
+    from ..operators.dedup import shingle_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = shingle_docs(docs).select("doc_id", F.explode("shingles").alias("s"))
+    w = Window.partitionBy("s")
+    per = (
+        ex.withColumn("first_doc", F.min("doc_id").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1)).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.expr(
+            "CAST((2 * n_novel * 1000000 + n_shingles)"
+            " div (2 * n_shingles) AS DOUBLE) / 1000000.0"
+        ).alias("novelty"),
+    ).orderBy("doc_id")
+
+
+EXT_QUERIES["ngram_novelty_docs"] = ngram_novelty_docs

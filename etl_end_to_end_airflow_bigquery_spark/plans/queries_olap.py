@@ -26,7 +26,7 @@ engine's verified surface to match.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -3808,3 +3808,65 @@ def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 OLAP_QUERIES["bitmap_distinct_users"] = bitmap_distinct_users
+
+
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution — the product-analytics question
+    after the funnel COUNTS (``funnel_view_click_purchase``): for users
+    whose first purchase follows their first view, how long did
+    conversion take?  Exact integer-second latencies (microsecond NTZ
+    difference — the session-timezone shift cancels in the
+    subtraction), and EXACT median/p90 via the value-grain rank walk
+    (the ``quantile_rollup_cascade`` mechanism) — no approx_percentile
+    error bar in a metric teams alert on.
+
+    Scale: two keyed min-aggregates + one equi-join on user (hash(user)
+    clusters all three), then the walk runs on latency-GRAIN rows (≤
+    distinct second values) — the single-partition window touches state
+    the size of the value domain, never the fact table. The two 1-row
+    funnel counters ride a broadcast scalar cross.
+    """
+    ev = load_events(spark, sf_dir)
+    tv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    tp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(tv, "user_id")
+        .filter(F.col("ts") >= F.col("tv"))
+        .groupBy("user_id", "tv")
+        .agg(F.min("ts").alias("tp"))
+    )
+    lat = tp.select(
+        F.expr(
+            "(unix_micros(CAST(tp AS TIMESTAMP))"
+            " - unix_micros(CAST(tv AS TIMESTAMP))) div 1000000"
+        ).alias("s")
+    )
+    g = lat.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
+    w_cum = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    walk = g.withColumn("rk", F.sum("n").over(w_cum)).withColumn(
+        "tot", F.sum("n").over(w_all)
+    )
+    cuts = walk.agg(
+        F.min(F.when(F.col("rk") >= F.expr("(tot + 1) div 2"), F.col("s")))
+        .cast("bigint")
+        .alias("median_s"),
+        F.min(F.when(F.col("rk") >= F.expr("(9 * tot + 9) div 10"), F.col("s")))
+        .cast("bigint")
+        .alias("p90_s"),
+    )
+    counters = tv.agg(F.count(F.lit(1)).alias("n_viewed")).crossJoin(
+        F.broadcast(lat.agg(F.count(F.lit(1)).alias("n_converted")))
+    )
+    return counters.crossJoin(F.broadcast(cuts)).select(
+        "n_viewed", "n_converted", "median_s", "p90_s"
+    )
+
+
+OLAP_QUERIES["funnel_time_to_convert"] = funnel_time_to_convert
