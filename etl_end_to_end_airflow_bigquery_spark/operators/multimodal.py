@@ -305,3 +305,48 @@ def phash_near_dup_pairs(
         .dropDuplicates(["asset_a", "asset_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def byte_stats_arrow(assets: DataFrame) -> DataFrame:
+    """Byte-class statistics over binary payloads via ``mapInArrow`` —
+    the zero-copy sibling of :func:`decode_assets`'s mapInPandas path:
+    batches arrive as Arrow RecordBatches (no pandas materialization,
+    no object boxing for the binary column), counts are computed in
+    numpy over each payload's byte buffer, and a new RecordBatch goes
+    back. Completes the Python-surface matrix (pandas_udf /
+    applyInPandas / cogrouped / UDTF / mapInPandas / mapInArrow).
+
+    Pure map stage — no shuffle, batch-at-a-time memory. The per-row
+    numpy views are cheap (buffer slices); a hotter path would run one
+    ``np.add.reduceat`` over the batch's flat value buffer.
+    """
+    import pyarrow as pa
+
+    def _stats(batches):
+        import numpy as np
+
+        for b in batches:
+            ids = b.column("asset_id")
+            n_bytes, n_lower, n_space, n_digit = [], [], [], []
+            for v in b.column("payload"):
+                a = np.frombuffer(v.as_py() or b"", dtype=np.uint8)
+                n_bytes.append(int(a.size))
+                n_lower.append(int(((a >= 97) & (a <= 122)).sum()))
+                n_space.append(int((a == 32).sum()))
+                n_digit.append(int(((a >= 48) & (a <= 57)).sum()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(n_bytes, pa.int64()),
+                    pa.array(n_lower, pa.int64()),
+                    pa.array(n_space, pa.int64()),
+                    pa.array(n_digit, pa.int64()),
+                ],
+                names=["asset_id", "n_bytes", "n_lower", "n_space", "n_digit"],
+            )
+
+    return assets.select("asset_id", "payload").mapInArrow(
+        _stats,
+        "asset_id long, n_bytes long, n_lower long, n_space long, "
+        "n_digit long",
+    )

@@ -231,6 +231,9 @@ _GATE_ROTATION: tuple[str, ...] = (
     "streaming_bitmap_distinct",  # the same masks folded per micro-batch
     "ngram_novelty_docs",       # first-occurrence shingle novelty scoring
     "funnel_time_to_convert",   # exact conversion-latency percentiles
+    "multimodal_arrow_stats",   # mapInArrow byte-class stats (Arrow-native UDF)
+    "schema_evolution_read",    # mergeSchema NULL-backfill scan
+    "collation_pack",           # UTF8_LCASE grouping/equality
 )
 
 # Backfill to 50 (r8 policy, see module docstring): tier (a) re-proofs
@@ -262,9 +265,6 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "resample_daily_rates",
     "simhash_docs",
     "snapshot_diff_orders",
-    "streaming_dedup_events",
-    "vocab_top_tokens",
-    "ann_lsh_multiprobe",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

@@ -2718,3 +2718,19 @@ EXT_ORACLES["ngram_novelty_docs"] = f"""
     GROUP BY doc_id
     ORDER BY doc_id
 """
+
+# Character-class counts over the source text: for the classes counted
+# ([a-z], space, [0-9]) UTF-8 bytes == characters (continuation bytes
+# are >= 0x80), so these match the Arrow path's byte counts exactly.
+EXT_ORACLES["multimodal_arrow_stats"] = """
+    SELECT doc_id AS asset_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))
+               AS BIGINT) AS n_lower,
+           CAST(length(text) - length(replace(text, ' ', ''))
+               AS BIGINT) AS n_space,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+               AS BIGINT) AS n_digit
+    FROM documents
+    ORDER BY asset_id
+"""

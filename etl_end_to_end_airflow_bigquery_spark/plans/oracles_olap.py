@@ -1750,3 +1750,32 @@ OLAP_ORACLES["funnel_time_to_convert"] = """
                AS p90_s
     FROM walk
 """
+
+# Evolved-scan recompute: the %2 split decides which rows carry the
+# added column; NULL-backfill becomes the explicit '<missing>' bucket.
+OLAP_ORACLES["schema_evolution_read"] = """
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN o_orderstatus
+                ELSE '<missing>' END AS status_bucket,
+           count(*) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+               AS DOUBLE) / 1000000.0 AS sum_price
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+# lower()-based equivalent of the UTF8_LCASE collation (ASCII data).
+OLAP_ORACLES["collation_pack"] = """
+    WITH m AS (
+        SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                    ELSE event_type END AS mixed
+        FROM events
+    )
+    SELECT lower(mixed) AS k,
+           count(*) AS n,
+           count(DISTINCT mixed) AS n_case_variants,
+           count(CASE WHEN lower(mixed) = 'view' THEN 1 END) AS n_eq_view_ci
+    FROM m
+    GROUP BY 1
+    ORDER BY 1
+"""

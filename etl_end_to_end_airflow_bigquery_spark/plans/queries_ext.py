@@ -2872,3 +2872,21 @@ def ngram_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT_QUERIES["ngram_novelty_docs"] = ngram_novelty_docs
+
+
+def multimodal_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``mapInArrow`` surface through the gate (the last missing
+    cell of the Python-batch matrix): binary payload byte-class counts
+    computed on raw Arrow RecordBatches (``multimodal.byte_stats_arrow``
+    — no pandas boxing of the binary column). The oracle re-derives
+    every count from the TEXT the payload encodes (lowercase/space/
+    digit bytes in UTF-8 are always standalone ASCII bytes, so byte
+    counts equal character counts) — a wrong offset, a swapped buffer,
+    or a dropped final batch shifts a count and fails the hash."""
+    from ..operators.multimodal import byte_stats_arrow, text_as_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return byte_stats_arrow(text_as_assets(docs)).orderBy("asset_id")
+
+
+EXT_QUERIES["multimodal_arrow_stats"] = multimodal_arrow_stats

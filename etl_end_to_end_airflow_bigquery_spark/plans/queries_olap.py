@@ -3870,3 +3870,96 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 OLAP_QUERIES["funnel_time_to_convert"] = funnel_time_to_convert
+
+
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution READ path (the other half of
+    ``merge_upsert_df(evolve_schema=True)``'s write story): two append
+    batches land in one table directory with DIFFERENT schemas — the
+    second adds ``o_orderstatus`` — and the scan reconciles them with
+    ``mergeSchema``, NULL-backfilling the column for old files (the
+    Delta/BigQuery add-column contract on plain parquet). The report
+    groups by the evolved column with an explicit ``<missing>`` bucket,
+    so the hash proves (a) both files' rows survive, (b) the backfill
+    is NULL exactly for pre-evolution rows, (c) values through the
+    evolved scan stay exact.
+
+    Scale: mergeSchema unions footers at planning time (driver
+    metadata); per-file reads project their own physical schema — no
+    rewrite of old data, which at 100 TB is the point of add-column
+    evolution.
+    """
+    import os
+
+    from ..operators.relational import decimal_sum
+    from ..tmputil import session_tmpdir
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(session_tmpdir("schema_evo_"), "tbl")
+    (
+        orders.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.mode("append")
+        .parquet(path)
+    )
+    evolved = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        evolved.groupBy(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<missing>")).alias(
+                "status_bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            decimal_sum(F.col("o_totalprice")).alias("sum_price"),
+        )
+        .orderBy("status_bucket")
+    )
+
+
+OLAP_QUERIES["schema_evolution_read"] = schema_evolution_read
+
+
+def collation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATIONS through the gate: case-insensitive GROUP BY
+    and equality via ``COLLATE UTF8_LCASE`` — the engine-level answer
+    to the lower()-wrapping every case-insensitive pipeline hand-rolls
+    (and the BigQuery ``und:ci`` collation surface). Half the rows are
+    upper-cased deterministically; the collated group must fuse the
+    case variants while ``count(DISTINCT mixed)`` (binary) still sees
+    them apart — both facts in one output row per fused group, plus a
+    collated-equality count against a mixed-case literal. The oracle
+    gets the same answer via explicit lower() (equivalent for ASCII).
+
+    Scale: collation is a comparator property of the exchange/sort —
+    same one-shuffle grouped-aggregate plan, no expression wrapping of
+    the key (and so no loss of future stats/pruning on the column).
+    """
+    load_events(spark, sf_dir).select(
+        F.when(
+            F.col("event_id") % 2 == 0, F.upper(F.col("event_type"))
+        )
+        .otherwise(F.col("event_type"))
+        .alias("mixed")
+    ).createOrReplaceTempView("collation_ev")
+    return spark.sql(
+        """
+        SELECT min(lower(mixed)) AS k,
+               count(*) AS n,
+               count(DISTINCT mixed) AS n_case_variants,
+               count(CASE WHEN (mixed COLLATE UTF8_LCASE) = 'ViEw'
+                          THEN 1 END) AS n_eq_view_ci
+        FROM collation_ev
+        GROUP BY mixed COLLATE UTF8_LCASE
+        ORDER BY k
+        """
+    )
+
+
+OLAP_QUERIES["collation_pack"] = collation_pack
