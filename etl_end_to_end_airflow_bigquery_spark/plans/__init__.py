@@ -234,6 +234,8 @@ _GATE_ROTATION: tuple[str, ...] = (
     "multimodal_arrow_stats",   # mapInArrow byte-class stats (Arrow-native UDF)
     "schema_evolution_read",    # mergeSchema NULL-backfill scan
     "collation_pack",           # UTF8_LCASE grouping/equality
+    "bitmap_audience_overlap",  # exact AND/OR/ANDNOT set ops on mask state
+    "merge_cdf_join_ivm",       # change feed -> join-aggregate maintenance
 )
 
 # Backfill to 50 (r8 policy, see module docstring): tier (a) re-proofs
@@ -263,8 +265,6 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "q18_big_orders",
     "q5_local_supplier_volume",
     "resample_daily_rates",
-    "simhash_docs",
-    "snapshot_diff_orders",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

@@ -1779,3 +1779,55 @@ OLAP_ORACLES["collation_pack"] = """
     GROUP BY 1
     ORDER BY 1
 """
+
+# Distinct-set recompute of every overlap count from raw user ids.
+OLAP_ORACLES["bitmap_audience_overlap"] = """
+    WITH a AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+    ), b AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT (SELECT count(*) FROM a) AS n_a,
+           (SELECT count(*) FROM b) AS n_b,
+           (SELECT count(*) FROM a WHERE user_id IN (SELECT user_id FROM b))
+               AS n_and,
+           (SELECT count(*) FROM (SELECT user_id FROM a UNION
+                                  SELECT user_id FROM b)) AS n_or,
+           (SELECT count(*) FROM a
+            WHERE user_id NOT IN (SELECT user_id FROM b)) AS n_a_not_b
+"""
+
+# Join-aggregate over the FINAL post-merge table state (same three
+# commits as merge_cdf_ivm_roundtrip), joined to the customer dim.
+OLAP_ORACLES["merge_cdf_join_ivm"] = f"""
+    WITH target AS (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 3 <> 0
+    ), s1 AS (
+        SELECT o_orderkey, o_custkey,
+               {_round('o_totalprice * 1.1', 2)} AS o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0
+    ), s2 AS (
+        SELECT o_orderkey, o_custkey,
+               {_round('o_totalprice * 0.9', 2)} AS o_totalprice
+        FROM orders WHERE o_orderkey % 5 = 0
+    ), final AS (
+        SELECT * FROM s2
+        UNION ALL
+        SELECT * FROM s1
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s2)
+        UNION ALL
+        SELECT * FROM target
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s1)
+          AND o_orderkey NOT IN (SELECT o_orderkey FROM s2)
+    )
+    SELECT c_mktsegment,
+           count(o_totalprice) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+               AS BIGINT) AS sum_u,
+           {_round("CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(o_totalprice)", 2)}
+               AS avg_price
+    FROM final JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""

@@ -3469,36 +3469,15 @@ multi_touch_attribution.__doc__ = multi_touch_attribution.__doc__.format(
 OLAP_QUERIES["multi_touch_attribution"] = multi_touch_attribution
 
 
-def merge_cdf_ivm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGE change-data-feed → IVM, end-to-end (VERDICT r10 item 2 —
-    the producer the retraction fold was missing): three versioned
-    MERGE commits against a real table (create, reprice evens to
-    status 'M', discount the %5 keys to status 'N'), each emitting its
-    change feed (``writers.merge_upsert(..., emit_cdf=True)``, the
-    Delta/BigQuery change-data-feed production pattern; reference
-    basis: the MERGE at ``dags/fx_pipeline_with_merge.py:90-103`` whose
-    engine offers exactly this feed). The per-status revenue report is
-    then maintained PURELY from the emitted feed — pre-images retract,
-    post-images add, via ``cdf_to_signed`` → ``signed_partial_state``
-    — never reading any table snapshot. The oracle recomputes the
-    aggregate from the FINAL table state relationally; hash-equality
-    proves the emitted feed is the exact signed delta of every commit
-    (a missing/extra/duplicated change row shifts a count or a cent).
-
-    Scale: each commit's feed is bounded by the commit's touched rows,
-    and the maintenance fold touches only the feed plus |status| state
-    rows — the 100 TB table is never rescanned. The three feeds fold in
-    one grouped sum here (⊕ is associative); production folds each
-    commit as it lands.
+def _cdf_orders_table(spark: SparkSession, sf_dir: str) -> str:
+    """Shared fixture (r10 lesson: twins share builders): a versioned
+    orders table built by three CDF-emitting commits — create (%3<>0),
+    upsert evens repriced *1.1 to 'M', upsert %5 keys repriced *0.9 to
+    'N'. Returns the table path; feeds live under ``v_*/_change_data``.
     """
     import os
 
-    from ..operators.incremental import (
-        cdf_to_signed,
-        finish_avg,
-        signed_partial_state,
-    )
-    from ..operators.writers import merge_upsert, read_table_changes
+    from ..operators.writers import merge_upsert
     from ..tmputil import session_tmpdir
 
     orders = load_table(spark, sf_dir, "orders")
@@ -3524,6 +3503,39 @@ def merge_cdf_ivm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge_upsert(
         spark, path, s2, keys=["o_orderkey"], keep_versions=4, emit_cdf=True
     )
+    return path
+
+
+def merge_cdf_ivm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE change-data-feed → IVM, end-to-end (VERDICT r10 item 2 —
+    the producer the retraction fold was missing): three versioned
+    MERGE commits against a real table (create, reprice evens to
+    status 'M', discount the %5 keys to status 'N'), each emitting its
+    change feed (``writers.merge_upsert(..., emit_cdf=True)``, the
+    Delta/BigQuery change-data-feed production pattern; reference
+    basis: the MERGE at ``dags/fx_pipeline_with_merge.py:90-103`` whose
+    engine offers exactly this feed). The per-status revenue report is
+    then maintained PURELY from the emitted feed — pre-images retract,
+    post-images add, via ``cdf_to_signed`` → ``signed_partial_state``
+    — never reading any table snapshot. The oracle recomputes the
+    aggregate from the FINAL table state relationally; hash-equality
+    proves the emitted feed is the exact signed delta of every commit
+    (a missing/extra/duplicated change row shifts a count or a cent).
+
+    Scale: each commit's feed is bounded by the commit's touched rows,
+    and the maintenance fold touches only the feed plus |status| state
+    rows — the 100 TB table is never rescanned. The three feeds fold in
+    one grouped sum here (⊕ is associative); production folds each
+    commit as it lands.
+    """
+    from ..operators.incremental import (
+        cdf_to_signed,
+        finish_avg,
+        signed_partial_state,
+    )
+    from ..operators.writers import read_table_changes
+
+    path = _cdf_orders_table(spark, sf_dir)
     feed = read_table_changes(spark, path)  # all three commits' feeds
     state = signed_partial_state(
         cdf_to_signed(feed), ["o_orderstatus"], "o_totalprice"
@@ -3963,3 +3975,109 @@ def collation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 OLAP_QUERIES["collation_pack"] = collation_pack
+
+
+AUDIENCE_A, AUDIENCE_B = "view", "purchase"
+
+
+def bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET OPERATIONS on the exact-distinct bitmap state — the audience
+    -overlap workload ("how many users did X AND Y / X OR Y / X but not
+    Y") that sketch engines answer with theta sketches and an error
+    bar; the 64-bit membership masks answer it EXACTLY with bitwise
+    algebra: join the two event types' per-bucket masks full-outer on
+    bucket, then popcount ``A&B`` / ``A|B`` / ``A&~B`` — never touching
+    raw user ids again. The oracle recomputes all four counts from raw
+    via distinct-set semijoins; equality proves the mask algebra (and
+    the NULL-bucket handling: a bucket present on one side only) is
+    exact.
+
+    Scale: the overlap join is bucket-grain (|id range|/64 rows per
+    side), so "intersect two 100 TB audiences" costs a join on state,
+    not a shuffle of users — the same reason bitmap indexes win in
+    ClickHouse/Druid audience engines.
+    """
+    ev = load_events(spark, sf_dir)
+    masks = (
+        ev.filter(F.col("event_type").isin(AUDIENCE_A, AUDIENCE_B))
+        .select(
+            "event_type",
+            F.expr("user_id div 64").alias("bucket"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 64) AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("bit_or(bit)").alias("mask"))
+    )
+    a = masks.filter(F.col("event_type") == AUDIENCE_A).select(
+        "bucket", F.col("mask").alias("ma")
+    )
+    b = masks.filter(F.col("event_type") == AUDIENCE_B).select(
+        "bucket", F.col("mask").alias("mb")
+    )
+    j = (
+        a.join(b, "bucket", "full_outer")
+        .select(
+            F.coalesce(F.col("ma"), F.lit(0)).alias("ma"),
+            F.coalesce(F.col("mb"), F.lit(0)).alias("mb"),
+        )
+    )
+    return j.agg(
+        F.sum(F.bit_count("ma")).cast("bigint").alias("n_a"),
+        F.sum(F.bit_count("mb")).cast("bigint").alias("n_b"),
+        F.sum(F.bit_count(F.expr("ma & mb"))).cast("bigint").alias("n_and"),
+        F.sum(F.bit_count(F.expr("ma | mb"))).cast("bigint").alias("n_or"),
+        F.sum(F.bit_count(F.expr("ma & ~mb"))).cast("bigint").alias(
+            "n_a_not_b"
+        ),
+    )
+
+
+OLAP_QUERIES["bitmap_audience_overlap"] = bitmap_audience_overlap
+
+
+def merge_cdf_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF → JOIN-aggregate maintenance, end-to-end: the per-market-
+    segment revenue view (orders ⋈ customer) maintained PURELY from the
+    change feeds the three versioned MERGE commits emit — the delta-
+    propagation identity Δ(T ⋈ S) = ΔT ⋈ S for an unchanged dimension,
+    with the feed's pre-images as retractions (the step past
+    ``merge_cdf_ivm_roundtrip``'s single-table aggregate, and the
+    real-feed replacement for ``ivm_join_revenue_retract``'s synthetic
+    deltas). Shares the commit fixture with the single-table twin. The
+    oracle recomputes the join-aggregate from the FINAL table state.
+
+    Scale: the maintenance pass joins only the FEED (commit-bounded)
+    against the broadcast dim and folds into |segments| state rows —
+    the 100 TB base join is never re-touched; the group key lives on
+    the dim side, so key-moves (a customer changing segment) would
+    arrive as dim-side CDC, a separate feed this identity composes
+    with.
+    """
+    from ..operators.incremental import (
+        cdf_to_signed,
+        finish_avg,
+        signed_partial_state,
+    )
+    from ..operators.writers import read_table_changes
+
+    path = _cdf_orders_table(spark, sf_dir)
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+    )
+    feed = read_table_changes(spark, path)
+    joined = cdf_to_signed(feed).join(
+        dim, F.col("o_custkey") == F.col("c_custkey")
+    )
+    state = signed_partial_state(joined, ["c_mktsegment"], "o_totalprice")
+    return (
+        finish_avg(state.filter(F.col("n") > 0), out="avg_price", round_to=2)
+        .select("c_mktsegment", "n", "sum_u", "avg_price")
+        .orderBy("c_mktsegment")
+    )
+
+
+OLAP_QUERIES["merge_cdf_join_ivm"] = merge_cdf_join_ivm
