@@ -370,3 +370,126 @@ def test_quantile_histogram_walk_matches_sorted_list(spark, vals, tmp_path_facto
     for col, p in (("p50", 50), ("p90", 90), ("p99", 99)):
         want = cents[(p * n + 99) // 100 - 1] / 100.0
         assert getattr(r, col) == want, (col, vals)
+
+
+# --- round-11 operators ----------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(target=batch, source=batch, delete=st.booleans())
+def test_cdf_is_the_exact_signed_delta(spark, target, source, delete):
+    """The load-bearing CDF identity on ARBITRARY tables: folding the
+    emitted change feed into the pre-merge grouped state reproduces the
+    post-merge state exactly — for plain upserts and full-sync deletes,
+    including NULL values and group-moving updates."""
+    from etl_end_to_end_airflow_bigquery_spark.operators.incremental import (
+        cdf_to_signed,
+        merge_avg_state,
+        partial_avg_state,
+        signed_partial_state,
+    )
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        merge_upsert_cdf_df,
+    )
+    from pyspark.sql import functions as F
+
+    t = _df(spark, {k: v for k, v in target}.items())
+    s = _df(spark, {k: v for k, v in source}.items())
+    # group by value parity — updates can MOVE rows between groups
+    grp = (F.col("v") >= 0).cast("int").alias("g")
+    merged, cdf = merge_upsert_cdf_df(
+        t, s, keys=["k"], delete_unmatched_target=delete
+    )
+    before = partial_avg_state(t.select(grp, "v"), ["g"], "v")
+    folded = merge_avg_state(
+        before,
+        signed_partial_state(
+            cdf_to_signed(cdf).select(grp, "v", "__w"), ["g"], "v"
+        ),
+        ["g"],
+    ).filter(F.col("n") > 0)
+    direct = partial_avg_state(merged.select(grp, "v"), ["g"], "v").filter(
+        F.col("n") > 0
+    )
+    assert _sorted(folded) == _sorted(direct)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=300), min_size=0, max_size=40
+    ),
+    n_slices=st.integers(min_value=1, max_value=4),
+)
+def test_bitmap_distinct_matches_set_under_slicing(spark, ids, n_slices):
+    """Exact-distinct masks: popcount of OR-merged per-slice masks ==
+    len(set(ids)) for ANY slicing of the rows — the algebra the batch
+    query and the streaming fold both lean on."""
+    from pyspark.sql import functions as F
+
+    if not ids:
+        return
+    df = spark.createDataFrame([(i,) for i in ids], "user_id bigint")
+    masks = (
+        df.withColumn("slice", F.pmod(F.monotonically_increasing_id(),
+                                      F.lit(n_slices)))
+        .select(
+            "slice",
+            F.expr("user_id div 64").alias("bucket"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 64) AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("slice", "bucket")
+        .agg(F.expr("bit_or(bit)").alias("mask"))
+        # the slice states then OR-merge — the streaming fold's step
+        .groupBy("bucket")
+        .agg(F.expr("bit_or(mask)").alias("mask"))
+    )
+    got = masks.agg(
+        F.sum(F.bit_count("mask")).cast("bigint").alias("n")
+    ).collect()[0].n
+    assert got == len(set(ids))
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.floats(min_value=0, max_value=1000, allow_nan=False, width=32),
+            st.integers(min_value=0, max_value=500),
+        ),
+        min_size=2,
+        max_size=60,
+    ),
+    box=st.tuples(
+        st.floats(min_value=0, max_value=1000, allow_nan=False, width=32),
+        st.floats(min_value=0, max_value=1000, allow_nan=False, width=32),
+        st.integers(min_value=0, max_value=500),
+        st.integers(min_value=0, max_value=500),
+    ),
+)
+def test_grid_skip_report_is_safe_for_any_box(spark, tmp_path_factory, rows, box):
+    """Footer-based skipping must NEVER lose a matching row, for any
+    data and any 2-D box predicate."""
+    from pyspark.sql import functions as F
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        file_skip_report,
+        zorder_write_grid,
+    )
+
+    a_lo, a_hi = sorted(box[:2])
+    b_lo, b_hi = sorted(box[2:])
+    path = str(tmp_path_factory.mktemp("prop_zskip")) + "/t"
+    df = spark.createDataFrame(
+        [(float(a), int(b)) for a, b in rows], "a double, b bigint"
+    )
+    zorder_write_grid(df, path, "a", "b", n_files=4, bits=8)
+    bounds = {"a": (a_lo, a_hi), "b": (b_lo, b_hi)}
+    rep = file_skip_report(path, bounds)
+    kept = [r["path"] for r in rep if not r["skip"]]
+    pred = F.col("a").between(a_lo, a_hi) & F.col("b").between(b_lo, b_hi)
+    want = df.filter(pred).count()
+    got = spark.read.parquet(*kept).filter(pred).count() if kept else 0
+    assert got == want
