@@ -171,6 +171,21 @@ BENCH_QUERIES = [
     "er_golden_record",
     "skyline_pareto_orders",
     "multi_touch_attribution",
+    # round 11 additions — the compute-bound new queries (the
+    # tmpdir-write fixtures — merge CDF roundtrips, quarantine sink,
+    # z-order layout report, schema evolution — and the streaming twin
+    # stay out, same policy that excluded time_travel_orders /
+    # partition_pruned_scan: they measure local disk writes, not plan
+    # cost); prefix above unchanged.
+    "merge_sql_multi_clause",
+    "skew_join_hot_keys",
+    "sql_scripting_pack",
+    "bitmap_distinct_users",
+    "bitmap_audience_overlap",
+    "ngram_novelty_docs",
+    "funnel_time_to_convert",
+    "multimodal_arrow_stats",
+    "collation_pack",
 ]
 
 N_RUNS = 3

@@ -177,3 +177,86 @@ class TestFxRestStream:
         # exactly-once means no duplicates across the restart boundary
         seen = [(r.quote_date, r.rate) for r in rows]
         assert len(seen) == len(set(seen))
+
+
+class TestFetchRetry:
+    """The live-HTTP path's retry/timeout contract (VERDICT r10 gap 2),
+    pinned with a mocked urlopen — no network touched."""
+
+    def _patch(self, monkeypatch, outcomes):
+        """outcomes: list of Exception-to-raise or str-body-to-return."""
+        import io
+        import urllib.request
+
+        calls = []
+
+        def fake_urlopen(url, timeout):
+            calls.append((url, timeout))
+            out = outcomes[min(len(calls) - 1, len(outcomes) - 1)]
+            if isinstance(out, Exception):
+                raise out
+
+            class _Resp(io.BytesIO):
+                def __enter__(self):
+                    return self
+
+                def __exit__(self, *a):
+                    return False
+
+            return _Resp(out.encode())
+
+        monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+        return calls
+
+    def test_transient_errors_retry_then_succeed(self, monkeypatch):
+        import urllib.error
+
+        from etl_end_to_end_airflow_bigquery_spark.sources.rest import (
+            fetch_fx_payload,
+        )
+
+        naps = []
+        calls = self._patch(
+            monkeypatch,
+            [
+                urllib.error.URLError("boom"),
+                TimeoutError("slow"),
+                '{"amount": 1.0, "base": "EUR", "date": "2026-01-05", '
+                '"rates": {"USD": 1.1}}',
+            ],
+        )
+        got = fetch_fx_payload(
+            "USD", retries=2, backoff=0.25, sleep=naps.append
+        )
+        assert got["rates"] == {"USD": 1.1}
+        assert len(calls) == 3
+        assert naps == [0.25, 0.5]  # exponential backoff between tries
+        assert all(t == 10.0 for _, t in calls)  # timeout reaches urlopen
+
+    def test_budget_exhausted_raises_last_error(self, monkeypatch):
+        import urllib.error
+
+        import pytest as _pytest
+
+        from etl_end_to_end_airflow_bigquery_spark.sources.rest import (
+            fetch_fx_payload,
+        )
+
+        calls = self._patch(monkeypatch, [urllib.error.URLError("down")])
+        with _pytest.raises(urllib.error.URLError):
+            fetch_fx_payload("USD", retries=2, backoff=0, sleep=lambda s: None)
+        assert len(calls) == 3  # initial try + 2 retries, then propagate
+
+    def test_malformed_body_is_not_retried(self, monkeypatch):
+        import json as _json
+
+        import pytest as _pytest
+
+        from etl_end_to_end_airflow_bigquery_spark.sources.rest import (
+            fetch_fx_payload,
+        )
+
+        calls = self._patch(monkeypatch, ["{not json"])
+        with _pytest.raises(_json.JSONDecodeError):
+            fetch_fx_payload("USD", retries=5, sleep=lambda s: None)
+        assert len(calls) == 1  # deterministic failure: no retry burn

@@ -227,6 +227,9 @@ STREAM_STATELESS_OK: dict[str, str] = {
     # per-batch foreachBatch fold of value-grain histogram partials into
     # the versioned parquet state — durable state on disk by design
     "streaming_quantile_cascade": "foreachBatch histogram fold into parquet state",
+    # per-batch foreachBatch OR-fold of membership masks into the
+    # versioned parquet state — durable state on disk by design
+    "streaming_bitmap_distinct": "foreachBatch bitmap OR-fold into parquet state",
 }
 
 
