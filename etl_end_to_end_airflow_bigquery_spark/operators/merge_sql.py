@@ -339,17 +339,25 @@ def merge_into(
     Lowering: ONE full-outer equi-join on the key columns (eqNullSafe —
     NULL keys merge like values, as in writers.merge_upsert_df), row
     presence tracked by sentinel columns on each side (never by key
-    nullability — ADVICE r04), and per-column winners:
+    nullability — ADVICE r04), then ordered-clause CASE ladders:
 
     - key:                          COALESCE(source, target)
-    - matched row, col in SET:      source value
-    - matched row, col not in SET:  target value (MERGE leaves it)
-    - source-only row:              INSERT-listed columns, else NULL
-    - target-only row:              target value
+    - matched row:                  the FIRST matched clause whose
+                                    predicate holds (NULL = doesn't
+                                    hold, SQL 3VL) applies — UPDATE
+                                    takes its SET columns from the
+                                    source, DELETE filters the row out,
+                                    no applying clause = row unchanged
+    - source-only row:              kept iff an INSERT clause exists
+                                    and its predicate holds;
+                                    INSERT-listed columns, else NULL
+    - target-only row:              kept unless a (conditional)
+                                    BY SOURCE DELETE applies
 
-    The plan is broadcast-friendly (Catalyst broadcasts a small batch
-    side) and AQE-skew-safe — identical physical shape to the gated
-    ``merge_upsert_orders`` path.
+    Clause count adds CASE branches and one filter — never joins or
+    extra passes. The plan is broadcast-friendly (Catalyst broadcasts a
+    small batch side) and AQE-skew-safe — identical physical shape to
+    the gated ``merge_upsert_orders`` path.
 
     ``validate_source_keys=True`` (default) enforces SQL MERGE's
     cardinality rule: a staging batch with duplicate key tuples would

@@ -3782,18 +3782,30 @@ def daily_bitmap_state(ev: DataFrame) -> DataFrame:
 
 def bitmap_distinct_report(day_states: DataFrame) -> DataFrame:
     """Serve month-level EXACT distincts from the daily bitmap states:
-    bit_or across days, then popcount — never rescanning raw."""
-    merged = day_states.groupBy("event_type", "bucket").agg(
-        F.expr("bit_or(mask)").alias("mask")
+    bit_or across days, then popcount — never rescanning raw.
+
+    Plan shape (r6 lesson — referencing an aggregated frame twice
+    re-derives its subtree): the day-count and the mask merge both hang
+    off ONE repartition("event_type") of the state, the day count as a
+    window collect_set carried through the rollups by max — partitioning
+    on a subset of every later grouping key, so neither the window nor
+    either groupBy adds an exchange. One state-grain shuffle total
+    (plus the state's own build)."""
+    ds = day_states.repartition("event_type")
+    w = Window.partitionBy("event_type")
+    ds = ds.withColumn(
+        "n_day_states", F.size(F.collect_set("d").over(w)).cast("bigint")
     )
-    counts = merged.groupBy("event_type").agg(
-        F.sum(F.bit_count("mask")).cast("bigint").alias("distinct_users")
-    )
-    days = day_states.groupBy("event_type").agg(
-        F.countDistinct("d").alias("n_day_states")
+    merged = ds.groupBy("event_type", "bucket").agg(
+        F.expr("bit_or(mask)").alias("mask"),
+        F.max("n_day_states").alias("n_day_states"),
     )
     return (
-        days.join(counts, "event_type")
+        merged.groupBy("event_type")
+        .agg(
+            F.max("n_day_states").alias("n_day_states"),
+            F.sum(F.bit_count("mask")).cast("bigint").alias("distinct_users"),
+        )
         .select("event_type", "n_day_states", "distinct_users")
         .orderBy("event_type")
     )
@@ -3865,7 +3877,11 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     walk = g.withColumn("rk", F.sum("n").over(w_cum)).withColumn(
         "tot", F.sum("n").over(w_all)
     )
+    # n_converted IS the walk's total — taking it here (not from a third
+    # derivation of the latency subtree) keeps the plan at two scalar
+    # crosses and one latency computation (r6 lesson).
     cuts = walk.agg(
+        F.max("tot").cast("bigint").alias("n_converted"),
         F.min(F.when(F.col("rk") >= F.expr("(tot + 1) div 2"), F.col("s")))
         .cast("bigint")
         .alias("median_s"),
@@ -3873,9 +3889,7 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("p90_s"),
     )
-    counters = tv.agg(F.count(F.lit(1)).alias("n_viewed")).crossJoin(
-        F.broadcast(lat.agg(F.count(F.lit(1)).alias("n_converted")))
-    )
+    counters = tv.agg(F.count(F.lit(1)).alias("n_viewed"))
     return counters.crossJoin(F.broadcast(cuts)).select(
         "n_viewed", "n_converted", "median_s", "p90_s"
     )
@@ -3998,7 +4012,15 @@ def bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ClickHouse/Druid audience engines.
     """
     ev = load_events(spark, sf_dir)
-    masks = (
+    # Both audiences come off one fact scan here, so the mask "join"
+    # collapses to a conditional rollup — ONE bucket-grain shuffle, no
+    # self-join, no re-derived state subtree (r6 lesson: filtering one
+    # aggregated frame twice re-derives it — Catalyst pushes the
+    # event-type filters through the aggregate and breaks reuse).
+    # Separately-STORED audience states (the cross-table case) join
+    # full-outer on bucket instead, hash(bucket)-co-located — the
+    # algebra below is identical from the coalesced (ma, mb) pair on.
+    j = (
         ev.filter(F.col("event_type").isin(AUDIENCE_A, AUDIENCE_B))
         .select(
             "event_type",
@@ -4007,20 +4029,16 @@ def bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 64) AS INT))"
             ).alias("bit"),
         )
-        .groupBy("event_type", "bucket")
-        .agg(F.expr("bit_or(bit)").alias("mask"))
-    )
-    a = masks.filter(F.col("event_type") == AUDIENCE_A).select(
-        "bucket", F.col("mask").alias("ma")
-    )
-    b = masks.filter(F.col("event_type") == AUDIENCE_B).select(
-        "bucket", F.col("mask").alias("mb")
-    )
-    j = (
-        a.join(b, "bucket", "full_outer")
-        .select(
-            F.coalesce(F.col("ma"), F.lit(0)).alias("ma"),
-            F.coalesce(F.col("mb"), F.lit(0)).alias("mb"),
+        .groupBy("bucket")
+        .agg(
+            F.expr(
+                f"bit_or(CASE WHEN event_type = '{AUDIENCE_A}' THEN bit"
+                " ELSE CAST(0 AS BIGINT) END)"
+            ).alias("ma"),
+            F.expr(
+                f"bit_or(CASE WHEN event_type = '{AUDIENCE_B}' THEN bit"
+                " ELSE CAST(0 AS BIGINT) END)"
+            ).alias("mb"),
         )
     )
     return j.agg(

@@ -75,6 +75,7 @@ BNLJ_OK = {
     "triangle_count_dedup",  # two 1-row census frames crossed at the end
     "corpus_drift_chi2",  # 1-row (S1, S2) side-totals scalar broadcast
     "pmi_collocations",  # 1-row corpus-token-total scalar broadcast
+    "funnel_time_to_convert",  # 1-row (cuts, n) scalar broadcast cross
 }
 
 # Structurally-high exchange counts with a justification.
@@ -118,6 +119,10 @@ EXCHANGES_OK = {
     # stages; exchange count is the sum of its verified sub-pipelines,
     # not data-size amplification.
     "curated_corpus_v2",
+    # fixed pipeline depth: first-view window/rollup on user, purchase
+    # rollup on user, value-grain latency rollup, singleton rank walk —
+    # four keyed stages regardless of table size, never amplification.
+    "funnel_time_to_convert",
     # two bounded fact passes (register partials; the exact-count rider
     # the docstring says you'd drop at 100 TB) + register-grain
     # re-merges and the estimate finish — fixed depth, every post-scan
