@@ -228,22 +228,13 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # Canary basket first (cold-ish machine state, before the heavy
-    # queries warm caches unevenly). Per-regime drift = this min / ref.
-    basket: dict[str, dict[str, float]] = {}
-    for cname, ref in CANARY_BASKET.items():
-        cmin, cmed = _measure(spark, cname, sf_dir)
-        basket[cname] = {
-            "min": cmin,
-            "median": cmed,
-            "ref_min": ref,
-            "drift": round(cmin / ref, 3),
-        }
-    canary_min = basket[CANARY]["min"]
-    canary_median = basket[CANARY]["median"]
-    basket_drift = round(
-        statistics.median(b["drift"] for b in basket.values()), 3
-    )
+    # Latency canary first (its r04–r10 refs were all taken at this
+    # first-measurement position). The shuffle/barrier basket members'
+    # drifts REUSE the main-loop measurements below — their stored refs
+    # are r10 main-loop mins taken at the same prefix positions, and
+    # re-measuring them up front both double-times them and pre-warms
+    # their headline entries (code-review r11).
+    canary_min, canary_median = _measure(spark, CANARY, sf_dir)
 
     mins: dict[str, float] = {}
     medians: dict[str, float] = {}
@@ -298,6 +289,19 @@ def main() -> None:
     # basket MEDIAN drift — three cost regimes must agree before the
     # normalized total moves. The legacy single-canary drift is still
     # reported for continuity with r04–r10 records.
+    basket: dict[str, dict[str, float]] = {}
+    for cname, ref in CANARY_BASKET.items():
+        cmin = canary_min if cname == CANARY else mins[cname]
+        cmed = canary_median if cname == CANARY else medians[cname]
+        basket[cname] = {
+            "min": cmin,
+            "median": cmed,
+            "ref_min": ref,
+            "drift": round(cmin / ref, 3),
+        }
+    basket_drift = round(
+        statistics.median(b["drift"] for b in basket.values()), 3
+    )
     legacy_drift = canary_min / CANARY_REF_MIN if CANARY_REF_MIN else 1.0
     normalized_total = (
         round(total / basket_drift, 3) if basket_drift else total

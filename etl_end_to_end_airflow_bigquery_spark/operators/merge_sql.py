@@ -455,16 +455,33 @@ def merge_into(
         cond = c if cond is None else (cond & c)
     matched = F.col(f"t.{t_mark}").isNotNull() & F.col(f"s.{s_mark}").isNotNull()
     src_only = F.col(f"t.{t_mark}").isNull()
-    tgt_only = F.col(f"s.{s_mark}").isNull()
 
     def _pred_col(pred: str | None) -> Column:
         """Predicate text → boolean Column against the join aliases.
         SQL three-valued logic: a NULL predicate means the clause does
-        NOT apply (standard MERGE), hence the coalesce to false."""
+        NOT apply (standard MERGE), hence the coalesce to false.
+
+        The alias rewrite is TOKEN-level, single-pass (code-review r11):
+        two sequential regex substitutions corrupted string literals
+        containing 'T.x' text and, when the user's source alias was
+        literally 't' (or the aliases were swapped), rewrote target
+        references into source references — silently evaluating the
+        predicate against the wrong join side."""
         if pred is None:
             return F.lit(True)
-        rewritten = re.sub(rf"\b{t_al}\.(\w+)", r"t.\1", pred)
-        rewritten = re.sub(rf"\b{s_al}\.(\w+)", r"s.\1", rewritten)
+        out: list[str] = []
+        for tok in _PRED_TOKEN_RE.findall(pred):
+            if tok.startswith("'"):
+                out.append(tok)
+                continue
+            m = re.match(r"^(\w+)\.(\w+)$", tok)
+            if m and m.group(1) == t_al:
+                out.append(f"t.{m.group(2)}")
+            elif m and m.group(1) == s_al:
+                out.append(f"s.{m.group(2)}")
+            else:
+                out.append(tok)
+        rewritten = " ".join(out)
         return F.coalesce(F.expr(rewritten).cast("boolean"), F.lit(False))
 
     # Ordered MATCHED clause precedence: clause i applies to a matched

@@ -445,7 +445,6 @@ def merge_upsert_cdf_df(
             F.col(f"c.{CDF_TYPE}").alias(CDF_TYPE),
             F.lit(commit_version).cast("bigint").alias(CDF_VERSION),
         )
-        .drop(t_flag)
     )
     merged = joined
     if delete_unmatched_target:

@@ -34,6 +34,24 @@ from pyspark.sql import functions as F
 CORRUPT_COL = "_corrupt_record"
 
 
+def _schema_field_names(schema: str) -> set[str]:
+    """Top-level field names of a DDL fragment, angle-bracket aware
+    (``"k BIGINT, m STRUCT<x: INT, y: INT>"`` → {k, m})."""
+    names: set[str] = set()
+    depth, start = 0, 0
+    for i, ch in enumerate(schema + ","):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            field = schema[start:i].strip()
+            if field:
+                names.add(field.split()[0].strip("`"))
+            start = i + 1
+    return names
+
+
 def parse_json_quarantine(
     df: DataFrame,
     json_col: str,
@@ -52,6 +70,17 @@ def parse_json_quarantine(
     """
     if corrupt_col in df.columns:
         raise ValueError(f"column {corrupt_col!r} already present in frame")
+    # Schema fields colliding with input columns would pass the parse
+    # and then die downstream with an opaque AMBIGUOUS_REFERENCE after
+    # the struct-star expansion — reject loudly here instead
+    # (code-review r11). Top-level field names are split depth-aware so
+    # nested STRUCT<a: INT, b: INT> commas don't fool the parser.
+    clash = _schema_field_names(schema) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"schema fields {sorted(clash)} collide with input columns; "
+            "rename or drop them before parsing"
+        )
     full_schema = f"{schema}, {corrupt_col} STRING"
     parsed = df.withColumn(
         "__parsed",

@@ -399,3 +399,42 @@ def test_string_literal_and_in_list_predicates(spark):
         ).collect()
     }
     assert got == {1: 10.0, 2: 99.0, 4: 40.0}  # 2 updated, 3 deleted
+
+
+def test_predicate_alias_collision_with_internal_names(spark):
+    """code-review r11: the old two-pass regex rewrite sent target
+    references through the source when the user's source alias was
+    literally 't' — the DELETE then judged the wrong side's value."""
+    spark.createDataFrame([(1, 10.0), (2, 2.0)], "k int, v double"
+                          ).createOrReplaceTempView("mcx_t")
+    spark.createDataFrame([(1, 1.0), (2, 99.0)], "k int, v double"
+                          ).createOrReplaceTempView("mcx_s")
+    got = {
+        r.k: r.v
+        for r in merge_into(
+            spark,
+            # target alias 'a', source alias 't' — the collision case
+            "MERGE mcx_t a USING mcx_s t ON a.k = t.k "
+            "WHEN MATCHED AND a.v > 5 THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET a.v = t.v",
+        ).collect()
+    }
+    # a.v>5 judges the TARGET value: k=1 (v=10) deleted, k=2 updated
+    assert got == {2: 99.0}
+
+
+def test_predicate_string_literal_not_rewritten(spark):
+    spark.createDataFrame([(1, "T.v1"), (2, "x")], "k int, s string"
+                          ).createOrReplaceTempView("mcl_t")
+    spark.createDataFrame([(1, "z"), (2, "z")], "k int, s string"
+                          ).createOrReplaceTempView("mcl_s")
+    got = {
+        r.k: r.s
+        for r in merge_into(
+            spark,
+            "MERGE mcl_t T USING mcl_s S ON T.k = S.k "
+            "WHEN MATCHED AND T.s = 'T.v1' THEN UPDATE SET T.s = S.s",
+        ).collect()
+    }
+    # the literal 'T.v1' must survive the alias rewrite untouched
+    assert got == {1: "z", 2: "x"}

@@ -417,7 +417,10 @@ def test_cdf_is_the_exact_signed_delta(spark, target, source, delete):
 @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     ids=st.lists(
-        st.integers(min_value=0, max_value=300), min_size=0, max_size=40
+        # NEGATIVE ids included (code-review r11: truncating `div`
+        # bucketing collided -1 with 63; floor-div pairing with pmod is
+        # what this property now guards)
+        st.integers(min_value=-300, max_value=300), min_size=0, max_size=40
     ),
     n_slices=st.integers(min_value=1, max_value=4),
 )
@@ -435,7 +438,7 @@ def test_bitmap_distinct_matches_set_under_slicing(spark, ids, n_slices):
                                       F.lit(n_slices)))
         .select(
             "slice",
-            F.expr("user_id div 64").alias("bucket"),
+            F.expr("(user_id - pmod(user_id, 64)) div 64").alias("bucket"),
             F.expr(
                 "shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 64) AS INT))"
             ).alias("bit"),

@@ -93,3 +93,19 @@ def test_nested_schema_fields_pass_through(spark):
     row = clean.collect()[0]
     assert row.tags == ["a", "b"] and row.m.x == 1
     assert [r.id for r in bad.collect()] == [2]
+
+
+def test_schema_field_collision_rejected(spark):
+    df = spark.createDataFrame([(1, "{}")], "k int, payload string")
+    with pytest.raises(ValueError, match="collide with input columns"):
+        parse_json_quarantine(df, "payload", "k BIGINT")
+
+
+def test_nested_schema_commas_do_not_false_positive(spark):
+    # STRUCT<x: INT, y: INT> commas must not split field parsing
+    df = spark.createDataFrame([(1, '{"m": {"x": 1, "y": 2}}')],
+                               "id int, payload string")
+    clean, bad = quarantine_split(
+        parse_json_quarantine(df, "payload", "m STRUCT<x: INT, y: INT>")
+    )
+    assert clean.collect()[0].m.y == 2 and bad.count() == 0

@@ -260,3 +260,28 @@ class TestFetchRetry:
         with _pytest.raises(_json.JSONDecodeError):
             fetch_fx_payload("USD", retries=5, sleep=lambda s: None)
         assert len(calls) == 1  # deterministic failure: no retry burn
+
+    def test_http_4xx_is_not_retried_5xx_is(self, monkeypatch):
+        import urllib.error
+
+        import pytest as _pytest
+
+        from etl_end_to_end_airflow_bigquery_spark.sources.rest import (
+            fetch_fx_payload,
+        )
+
+        def http_err(code):
+            return urllib.error.HTTPError("u", code, "m", {}, None)
+
+        calls = self._patch(monkeypatch, [http_err(404)])
+        with _pytest.raises(urllib.error.HTTPError):
+            fetch_fx_payload("USD", retries=3, sleep=lambda s: None)
+        assert len(calls) == 1  # deterministic: no retry
+
+        calls = self._patch(
+            monkeypatch,
+            [http_err(503), '{"amount": 1, "base": "EUR", "date": "d", "rates": {}}'],
+        )
+        got = fetch_fx_payload("USD", retries=1, backoff=0, sleep=lambda s: None)
+        assert got["base"] == "EUR"
+        assert len(calls) == 2  # 5xx retried once, then success

@@ -105,6 +105,22 @@ DEFAULT = [
     "streaming_quantile_cascade",  # foreachBatch histogram-state fold
     "skyline_pareto_orders",     # price-grain frontier decomposition
     "multi_touch_attribution",   # user-keyed trailing-window credit join
+    # round 11
+    "merge_cdf_ivm_roundtrip",   # 3 CDF commits + feed-only signed fold
+    "merge_cdf_join_ivm",        # feed ⋈ broadcast dim → segment state
+    "merge_sql_multi_clause",    # clause-ladder CASE over one full-outer
+    "quarantine_ingest_events",  # PERMISSIVE parse + dead-letter sink
+    "skew_join_hot_keys",        # hot-key fact-fact SMJ fanout
+    "zorder_skipping_report",    # 2 grid writes + footer skip report
+    "sql_scripting_pack",        # ~17 scripted probes on histogram state
+    "bitmap_distinct_users",     # mask partials + OR-merge + popcount
+    "streaming_bitmap_distinct", # foreachBatch OR-fold into state
+    "bitmap_audience_overlap",   # one bucket-grain conditional rollup
+    "ngram_novelty_docs",        # shingle-keyed first-occurrence window
+    "funnel_time_to_convert",    # user rollups + value-grain rank walk
+    "multimodal_arrow_stats",    # mapInArrow byte-class map stage
+    "schema_evolution_read",     # two-schema append + mergeSchema scan
+    "collation_pack",            # collated-key grouped aggregate
 ]
 
 
