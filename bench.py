@@ -186,6 +186,10 @@ BENCH_QUERIES = [
     "funnel_time_to_convert",
     "multimodal_arrow_stats",
     "collation_pack",
+    # round-11 wave 3 (cdf_squash shares the tmpdir commit fixture ->
+    # excluded like its siblings)
+    "k_anonymity_report",
+    "udf_iter_text_scores",
 ]
 
 N_RUNS = 3

@@ -238,3 +238,71 @@ def latest_wins_merge(state: DataFrame, delta: DataFrame) -> DataFrame:
             F.sum("n_versions").alias("n_versions"),
         )
     )
+
+
+def cdf_compact_net_changes(
+    feed: DataFrame, keys: list[str], type_col: str = "_change_type",
+    version_col: str = "_commit_version",
+) -> DataFrame:
+    """Squash a multi-commit change feed into its NET per-key changes —
+    the Debezium/Delta "CDC compaction" operator: N commits' worth of
+    pre/post pairs collapse to one row per touched key, first pre-image
+    + last post-image, classified ``insert`` (the key entered within
+    the window) or ``update``. Keys whose net effect is nothing (insert
+    then delete inside the window) drop out.
+
+    The squash preserves the IVM fold by telescoping: retract(first
+    pre) + add(last post) ≡ the sum of every intermediate retract/add
+    pair, so ``signed_partial_state`` over the compacted feed lands on
+    the same state as over the full feed (pytest-pinned; the gated
+    query hashes the net rows against a relational first-vs-last-state
+    oracle).
+
+    One grouped aggregate per key — ``min_by``/``max_by`` on the commit
+    sequence under FILTER clauses; no self-join, no window sort. At
+    scale this is the compaction a downstream consumer runs before
+    shipping a day's feed over the wire: payload shrinks from
+    O(commits x touched keys) to O(net keys).
+    """
+    k = ", ".join(keys)
+    # struct of every non-meta column, picked atomically by seq so a
+    # pre/post image is never stitched from two different commits
+    data_cols = [
+        c for c in feed.columns
+        if c not in (type_col, version_col)
+    ]
+    row = "struct(" + ", ".join(data_cols) + ")"
+    return feed.groupBy(*keys).agg(
+        F.expr(
+            f"min_by({row}, {version_col}) FILTER "
+            f"(WHERE {type_col} IN ('update_preimage', 'delete'))"
+        ).alias("first_pre"),
+        F.expr(
+            f"max_by({row}, {version_col}) FILTER "
+            f"(WHERE {type_col} IN ('update_postimage', 'insert'))"
+        ).alias("last_post"),
+        F.expr(
+            f"bool_or({type_col} = 'insert')"
+        ).alias("entered"),
+        F.expr(
+            f"max_by({type_col}, {version_col})"
+        ).alias("last_type"),
+    ).select(
+        *keys,
+        F.when(F.col("last_type") == "delete", F.lit("delete"))
+        .when(F.col("entered"), F.lit("insert"))
+        .otherwise(F.lit("update"))
+        .alias("net_change"),
+        "first_pre",
+        "last_post",
+    ).filter(
+        # insert-then-delete inside the window: no net change at all
+        ~(F.col("entered") & (F.col("net_change") == "delete"))
+    ).withColumn(
+        # a net INSERT has no meaningful pre-image (any captured pre
+        # belongs to an intra-window update of the new row)
+        "first_pre",
+        F.when(F.col("net_change") == "insert", F.lit(None)).otherwise(
+            F.col("first_pre")
+        ),
+    )

@@ -236,6 +236,9 @@ _GATE_ROTATION: tuple[str, ...] = (
     "collation_pack",           # UTF8_LCASE grouping/equality
     "bitmap_audience_overlap",  # exact AND/OR/ANDNOT set ops on mask state
     "merge_cdf_join_ivm",       # change feed -> join-aggregate maintenance
+    "cdf_squash_roundtrip",     # CDC compaction: net per-key change rows
+    "k_anonymity_report",       # QI-census privacy audit, exact risk counts
+    "udf_iter_text_scores",     # scalar-iterator pandas UDF surface
 )
 
 # Backfill to 50 (r8 policy, see module docstring): tier (a) re-proofs
@@ -262,9 +265,6 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "ivf_topk",
     "multimodal_meta",
     "multimodal_resize",
-    "q18_big_orders",
-    "q5_local_supplier_volume",
-    "resample_daily_rates",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

@@ -2734,3 +2734,14 @@ EXT_ORACLES["multimodal_arrow_stats"] = """
     FROM documents
     ORDER BY asset_id
 """
+
+# Vowel counts via engine string functions (docs are ASCII; char counts
+# == regex findall counts).
+EXT_ORACLES["udf_iter_text_scores"] = """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))
+               AS BIGINT) AS n_vowels
+    FROM documents
+    ORDER BY doc_id
+"""

@@ -1831,3 +1831,41 @@ OLAP_ORACLES["merge_cdf_join_ivm"] = f"""
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
 """
+
+# Net changes of commits 2-3 derived from the commit arithmetic: %3=0
+# keys entered (insert, no pre), others update from their v1 (original)
+# price; the %5 commit wins the post image over the %2 one.
+OLAP_ORACLES["cdf_squash_roundtrip"] = f"""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'insert'
+                ELSE 'update' END AS net_change,
+           CASE WHEN o_orderkey % 3 = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE o_totalprice END AS pre_price,
+           CASE WHEN o_orderkey % 5 = 0 THEN {_round('o_totalprice * 0.9', 2)}
+                ELSE {_round('o_totalprice * 1.1', 2)} END AS post_price,
+           CASE WHEN o_orderkey % 5 = 0 THEN 'N' ELSE 'M' END AS post_status
+    FROM orders
+    WHERE o_orderkey % 2 = 0 OR o_orderkey % 5 = 0
+    ORDER BY o_orderkey
+"""
+
+# Same QI census relationally; floor() on the signed balance matches
+# Spark's floor (both floor toward -inf).
+from .queries_olap import KANON_BAL_BUCKET, KANON_K  # noqa: E402
+
+OLAP_ORACLES["k_anonymity_report"] = f"""
+    WITH cells AS (
+        SELECT c_nationkey,
+               floor(c_acctbal / {KANON_BAL_BUCKET}) AS bal_bucket,
+               count(*) AS n
+        FROM customer
+        GROUP BY 1, 2
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+           count(*) AS n_groups,
+           count(*) FILTER (WHERE n < {KANON_K}) AS n_risky_groups,
+           CAST(COALESCE(sum(n) FILTER (WHERE n < {KANON_K}), 0) AS BIGINT)
+               AS n_risky_rows,
+           CAST(min(n) AS BIGINT) AS min_group_size
+    FROM cells
+"""

@@ -4126,3 +4126,86 @@ def merge_cdf_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 OLAP_QUERIES["merge_cdf_join_ivm"] = merge_cdf_join_ivm
+
+
+def cdf_squash_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC feed COMPACTION (the Debezium/Delta "squash"): the change
+    feeds of commits 2–3 on the shared CDF fixture collapse to one NET
+    row per touched key (``incremental.cdf_compact_net_changes`` — one
+    min_by/max_by aggregate, no self-join), classified insert (the key
+    entered within the window) or update (first pre-image + last
+    post-image; a key repriced in BOTH commits keeps its commit-2 pre
+    and commit-3 post, the telescoped pair that preserves the IVM
+    fold). The oracle derives every net row from the commit arithmetic
+    directly — a squash that stitched a pre and post from different
+    commits, mis-classified an insert-then-update, or dropped a
+    touched key shifts a price or a row and fails the hash.
+
+    Scale: compaction is what a consumer runs before shipping a day's
+    feed — payload shrinks from O(commits x touched keys) to O(net
+    keys), and the single grouped aggregate rides the feed's key
+    distribution.
+    """
+    from ..operators.incremental import cdf_compact_net_changes
+    from ..operators.writers import read_table_changes
+
+    path = _cdf_orders_table(spark, sf_dir)
+    feed = read_table_changes(spark, path).filter(
+        F.col("_commit_version") >= 2
+    )
+    net = cdf_compact_net_changes(feed, ["o_orderkey"])
+    return net.select(
+        "o_orderkey",
+        "net_change",
+        F.col("first_pre.o_totalprice").alias("pre_price"),
+        F.col("last_post.o_totalprice").alias("post_price"),
+        F.col("last_post.o_orderstatus").alias("post_status"),
+    ).orderBy("o_orderkey")
+
+
+OLAP_QUERIES["cdf_squash_roundtrip"] = cdf_squash_roundtrip
+
+
+KANON_K = 5
+KANON_BAL_BUCKET = 1000.0
+
+
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRIVACY AUDIT for release/training data — k-anonymity over a
+    quasi-identifier tuple (the operator next to PII scrubbing in a
+    data-release pipeline): customers grouped by (nation, account-
+    balance bucket of {b}); any group smaller than k={k} is re-
+    identifiable by joining those public attributes. One row out:
+    total rows/groups, risky groups, rows at risk, and the smallest
+    group size — the numbers a release gate thresholds on. The oracle
+    recomputes the census relationally; exactness matters because "how
+    many people are exposed" is not a metric to be approximately right
+    about.
+
+    Scale: one grouped count on the QI tuple + a one-row rollup —
+    partial aggregation bounds the shuffle by |QI cells|, and the same
+    two-level shape serves any wider QI set.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    cells = (
+        cust.groupBy(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / KANON_BAL_BUCKET).alias("bal_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return cells.agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count(F.when(F.col("n") < KANON_K, 1)).alias("n_risky_groups"),
+        F.sum(F.when(F.col("n") < KANON_K, F.col("n")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_risky_rows"),
+        F.min("n").cast("bigint").alias("min_group_size"),
+    )
+
+
+k_anonymity_report.__doc__ = k_anonymity_report.__doc__.format(
+    k=KANON_K, b=int(KANON_BAL_BUCKET)
+)
+OLAP_QUERIES["k_anonymity_report"] = k_anonymity_report

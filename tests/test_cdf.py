@@ -182,3 +182,48 @@ def test_emit_cdf_rejected_on_partitioned_path(spark, tmp_path, target):
             spark, os.path.join(str(tmp_path), "t"), target, keys=["k"],
             partition_col="day", emit_cdf=True,
         )
+
+
+def test_squash_preserves_the_signed_fold(spark, target, source):
+    """cdf_compact_net_changes telescopes: folding the COMPACTED feed
+    lands on the same state as folding the full multi-commit feed —
+    including a second commit that re-updates and deletes."""
+    from etl_end_to_end_airflow_bigquery_spark.operators.incremental import (
+        cdf_compact_net_changes,
+    )
+
+    m1, c1 = merge_upsert_cdf_df(target, source, keys=["k"], commit_version=1)
+    batch2 = _frame(spark, [(2, "d1", 200.0), (9, "d3", 9.0)])
+    m2, c2 = merge_upsert_cdf_df(m1, batch2, keys=["k"], commit_version=2)
+    full = c1.unionByName(c2)
+    net = cdf_compact_net_changes(full, ["k"])
+
+    # expand the net rows back to signed pre/post rows and fold both
+    def fold(signed_rows):
+        return sorted(
+            tuple(r)
+            for r in signed_partial_state(signed_rows, ["day"], "v").filter(
+                F.col("n") != 0
+            ).collect()
+        )
+
+    full_fold = fold(cdf_to_signed(full).select("day", "v", "__w"))
+    pre = net.filter(F.col("net_change") != "insert").select(
+        F.col("first_pre.day").alias("day"),
+        F.col("first_pre.v").alias("v"),
+        F.lit(-1).alias("__w"),
+    )
+    post = net.filter(F.col("net_change") != "delete").select(
+        F.col("last_post.day").alias("day"),
+        F.col("last_post.v").alias("v"),
+        F.lit(1).alias("__w"),
+    )
+    assert fold(pre.unionByName(post)) == full_fold
+    # classification: k=4 entered in commit 1 (insert even though
+    # commit 2 never touched it); k=2 updated twice -> ONE net update
+    # with commit-1 pre and commit-2 post; k=9 entered in commit 2
+    rows = {r.k: r for r in net.collect()}
+    assert rows[4].net_change == "insert"
+    assert rows[9].net_change == "insert" and rows[9].last_post.v == 9.0
+    assert rows[2].net_change == "update"
+    assert rows[2].first_pre.v == 2.0 and rows[2].last_post.v == 200.0

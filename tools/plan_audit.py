@@ -41,6 +41,9 @@ ARROW_OK = {
     # genuinely sequential per-shard greedy packing loop — the
     # legitimate applyInPandas case, oracle-matched to a recursive CTE
     "bin_pack_nextfit",
+    # the scalar-iterator pandas UDF surface demo (r11): Arrow-batched
+    # by construction, value-checked against an engine-function oracle
+    "udf_iter_text_scores",
 }
 
 # Queries whose BroadcastNestedLoopJoin builds a ≤-handful-of-rows side —

@@ -121,6 +121,9 @@ DEFAULT = [
     "multimodal_arrow_stats",    # mapInArrow byte-class map stage
     "schema_evolution_read",     # two-schema append + mergeSchema scan
     "collation_pack",            # collated-key grouped aggregate
+    "cdf_squash_roundtrip",      # net-change min_by/max_by aggregate
+    "k_anonymity_report",        # QI-cell census + one-row rollup
+    "udf_iter_text_scores",      # scalar-iterator pandas UDF map stage
 ]
 
 
