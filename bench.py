@@ -190,6 +190,8 @@ BENCH_QUERIES = [
     # excluded like its siblings)
     "k_anonymity_report",
     "udf_iter_text_scores",
+    "prefix_filter_near_dups",
+    "weighted_median_prices",
 ]
 
 N_RUNS = 3

@@ -91,11 +91,14 @@ _EQ_RE = re.compile(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$")
 _COL_RE = re.compile(r"^\s*(?:(\w+)\.)?(\w+)\s*$")
 
 # Predicate token stream: quoted strings, qualified/bare words &
-# numbers, comparison operators, parens/commas. Anything the tokenizer
-# doesn't cover (arithmetic, functions, subqueries) fails validation.
+# numbers, comparison operators, parens/commas, and `-` (validated as
+# UNARY minus only — binary arithmetic still rejected). Anything the
+# tokenizer doesn't cover (other arithmetic, functions, subqueries)
+# fails validation.
 _PRED_TOKEN_RE = re.compile(
-    r"'(?:[^']|'')*'|[A-Za-z_][\w.]*|\d+(?:\.\d+)?|<=|>=|<>|!=|[<>=]|[(),]"
+    r"'(?:[^']|'')*'|[A-Za-z_][\w.]*|\d+(?:\.\d+)?|<=|>=|<>|!=|[<>=]|[(),-]"
 )
+_PRED_OPERATORS = {"<=", ">=", "<>", "!=", "<", ">", "=", "(", ")", ",", "-"}
 _PRED_KEYWORDS = {
     "and", "or", "not", "is", "null", "in", "between", "like",
     "true", "false",
@@ -160,21 +163,39 @@ def _validate_pred(
             f"unsupported MERGE predicate syntax near "
             f"{stripped.replace(consumed, '', 1)[:30]!r} in: {pred.strip()!r}"
         )
+    prev: str | None = None
     for tok in _PRED_TOKEN_RE.findall(pred):
+        if tok == "-":
+            # unary minus only: legal after an operator/paren/comma/
+            # keyword or at the start; after a value it would be binary
+            # subtraction — arbitrary arithmetic stays rejected
+            if prev is None or prev in _PRED_OPERATORS or (
+                prev.lower() in _PRED_KEYWORDS and not prev.startswith("'")
+            ):
+                prev = tok
+                continue
+            raise ValueError(
+                f"arithmetic is not supported in MERGE predicates "
+                f"(binary '-' near {tok!r}): {pred.strip()!r}"
+            )
         if tok.startswith("'") or tok[0].isdigit():
+            prev = tok
             continue
-        if tok in {"<=", ">=", "<>", "!=", "<", ">", "=", "(", ")", ","}:
+        if tok in _PRED_OPERATORS:
+            prev = tok
             continue
         if tok.lower() in _PRED_KEYWORDS:
+            prev = tok
             continue
         m = re.match(r"^(\w+)\.(\w+)$", tok)
         if m and m.group(1) in (t_alias, s_alias):
+            prev = tok
             continue
         raise ValueError(
             f"unsupported token {tok!r} in MERGE predicate (allowed: "
-            f"{t_alias}.<col> / {s_alias}.<col>, literals, comparison "
-            f"operators, AND/OR/NOT, IS [NOT] NULL, IN lists): "
-            f"{pred.strip()!r}"
+            f"{t_alias}.<col> / {s_alias}.<col>, literals (incl. "
+            f"negative), comparison operators, AND/OR/NOT, IS [NOT] "
+            f"NULL, IN lists): {pred.strip()!r}"
         )
 
 

@@ -239,6 +239,8 @@ _GATE_ROTATION: tuple[str, ...] = (
     "cdf_squash_roundtrip",     # CDC compaction: net per-key change rows
     "k_anonymity_report",       # QI-census privacy audit, exact risk counts
     "udf_iter_text_scores",     # scalar-iterator pandas UDF surface
+    "prefix_filter_near_dups",  # PPJoin lossless candidate generation
+    "weighted_median_prices",   # quantity-weighted exact quantile walk
 )
 
 # Backfill to 50 (r8 policy, see module docstring): tier (a) re-proofs
@@ -263,8 +265,6 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "embedding_near_dups",
     "fuzzy_name_pairs",
     "ivf_topk",
-    "multimodal_meta",
-    "multimodal_resize",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

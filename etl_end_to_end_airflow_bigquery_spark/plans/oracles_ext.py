@@ -2745,3 +2745,28 @@ EXT_ORACLES["udf_iter_text_scores"] = """
     FROM documents
     ORDER BY doc_id
 """
+
+# ALL pairs sharing at least one shingle (a strict superset of any
+# pair with Jaccard > 0), exact-verified and cut at the threshold — a
+# different candidate mechanism than the prefix filter, so equality
+# certifies the pruning lossless.
+EXT_ORACLES["prefix_filter_near_dups"] = f"""
+    WITH {_SHINGLES_CTE},
+    ex AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), joined AS (
+        SELECT c.doc_a, c.doc_b, sa.shingles AS sh_a, sb.shingles AS sh_b
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           {_round(_JACCARD_EXPR, 6)} AS jaccard
+    FROM joined
+    WHERE ({_JACCARD_EXPR}) >= {NEAR_DUP_JACCARD}
+    ORDER BY doc_a, doc_b
+"""

@@ -1869,3 +1869,28 @@ OLAP_ORACLES["k_anonymity_report"] = f"""
            CAST(min(n) AS BIGINT) AS min_group_size
     FROM cells
 """
+
+# Same weighted cumulative walk on the 2-dp grid, integer cuts.
+OLAP_ORACLES["weighted_median_prices"] = """
+    WITH g AS (
+        SELECT l_returnflag,
+               CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS v2,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem
+        GROUP BY 1, 2
+    ), walk AS (
+        SELECT l_returnflag, v2,
+               sum(w) OVER (PARTITION BY l_returnflag ORDER BY v2) AS cw,
+               sum(w) OVER (PARTITION BY l_returnflag) AS tw
+        FROM g
+    )
+    SELECT l_returnflag,
+           CAST(max(tw) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN cw >= (tw + 1) // 2 THEN v2 END) AS DOUBLE)
+               / 100.0 AS wmedian_price,
+           CAST(min(CASE WHEN cw >= (9 * tw + 9) // 10 THEN v2 END) AS DOUBLE)
+               / 100.0 AS wp90_price
+    FROM walk
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""

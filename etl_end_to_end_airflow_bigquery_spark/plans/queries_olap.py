@@ -4209,3 +4209,61 @@ k_anonymity_report.__doc__ = k_anonymity_report.__doc__.format(
     k=KANON_K, b=int(KANON_BAL_BUCKET)
 )
 OLAP_QUERIES["k_anonymity_report"] = k_anonymity_report
+
+
+def weighted_median_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED quantiles — the robust-stats member the plain rank walk
+    can't answer (``median_price_by_status`` weighs every row equally;
+    a price's market weight is its QUANTITY): per return flag, the
+    exact quantity-weighted median and p90 of the extended price, via
+    the value-grain CUMULATIVE-WEIGHT walk — group to the 2-dp price
+    grid summing integer quantity weights, running total per flag, cut
+    at ceil(W/2) and ceil(9W/10). All-integer rank arithmetic (the
+    engine-exact convention every quantile query here uses); no
+    approx_percentile, no per-row expansion of weights (a naive
+    "repeat each row quantity times" explodes 25x at this data — the
+    grain walk touches |distinct prices| rows).
+
+    Scale: one shuffle to (flag, price-grain), then flag-partitioned
+    windows over grain rows — state bounded by the value domain, the
+    same envelope as ``quantile_rollup_cascade``.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    g = (
+        li.select(
+            "l_returnflag",
+            F.expr(
+                "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)"
+            ).alias("v2"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+        )
+        .groupBy("l_returnflag", "v2")
+        .agg(F.sum("q").alias("w"))
+    )
+    wf = Window.partitionBy("l_returnflag").orderBy("v2").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wa = Window.partitionBy("l_returnflag").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    walk = g.withColumn("cw", F.sum("w").over(wf)).withColumn(
+        "tw", F.sum("w").over(wa)
+    )
+    return (
+        walk.groupBy("l_returnflag")
+        .agg(
+            F.max("tw").cast("bigint").alias("total_weight"),
+            F.expr(
+                "CAST(min(CASE WHEN cw >= (tw + 1) div 2 THEN v2 END)"
+                " AS DOUBLE) / 100.0"
+            ).alias("wmedian_price"),
+            F.expr(
+                "CAST(min(CASE WHEN cw >= (9 * tw + 9) div 10 THEN v2 END)"
+                " AS DOUBLE) / 100.0"
+            ).alias("wp90_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+OLAP_QUERIES["weighted_median_prices"] = weighted_median_prices

@@ -438,3 +438,16 @@ def test_predicate_string_literal_not_rewritten(spark):
     }
     # the literal 'T.v1' must survive the alias rewrite untouched
     assert got == {1: "z", 2: "x"}
+
+
+def test_negative_literal_allowed_binary_minus_rejected():
+    spec = parse_merge(
+        "MERGE a T USING b S ON T.k = S.k "
+        "WHEN MATCHED AND S.v < -1.5 THEN DELETE"
+    )
+    assert spec.matched_clauses[0].condition.strip() == "S.v < -1.5"
+    with pytest.raises(ValueError, match="arithmetic"):
+        parse_merge(
+            "MERGE a T USING b S ON T.k = S.k "
+            "WHEN MATCHED AND S.v - 1 < 0 THEN DELETE"
+        )

@@ -496,3 +496,75 @@ def test_grid_skip_report_is_safe_for_any_box(spark, tmp_path_factory, rows, box
     want = df.filter(pred).count()
     got = spark.read.parquet(*kept).filter(pred).count() if kept else 0
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    target=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.one_of(st.none(), st.floats(min_value=-100, max_value=100,
+                                           allow_nan=False, width=32)),
+        ),
+        max_size=8,
+    ),
+    source=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.one_of(st.none(), st.floats(min_value=-100, max_value=100,
+                                           allow_nan=False, width=32)),
+        ),
+        max_size=8,
+    ),
+    x=st.integers(min_value=-50, max_value=50),
+    y=st.integers(min_value=-50, max_value=50),
+    z=st.integers(min_value=-50, max_value=50),
+)
+def test_multiclause_merge_matches_python_reference(spark, target, source, x, y, z):
+    """The clause-ladder lowering on ARBITRARY tables (NULL values
+    included — 3VL predicates must mean clause-does-not-apply) against
+    a direct Python implementation of SQL MERGE's first-match-wins
+    semantics."""
+    from etl_end_to_end_airflow_bigquery_spark.operators.merge_sql import (
+        merge_into,
+    )
+
+    tgt = dict(target)
+    src = dict(source)
+
+    def ref():
+        out = {}
+        for k, tv in tgt.items():
+            if k in src:
+                sv = src[k]
+                if sv is not None and sv < x:
+                    continue  # clause 1: DELETE
+                if tv is not None and tv > y:
+                    out[k] = sv  # clause 2: UPDATE SET v
+                else:
+                    out[k] = tv  # no matched clause applied
+            else:
+                out[k] = tv  # not matched by source: kept (no clause)
+        for k, sv in src.items():
+            if k not in tgt and sv is not None and sv >= z:
+                out[k] = sv  # conditional INSERT
+        return out
+
+    spark.createDataFrame(
+        list(tgt.items()), "k int, v double"
+    ).createOrReplaceTempView("prop_mc_t")
+    spark.createDataFrame(
+        list(src.items()), "k int, v double"
+    ).createOrReplaceTempView("prop_mc_s")
+    got = {
+        r.k: r.v
+        for r in merge_into(
+            spark,
+            f"MERGE prop_mc_t T USING prop_mc_s S ON T.k = S.k "
+            f"WHEN MATCHED AND S.v < {x} THEN DELETE "
+            f"WHEN MATCHED AND T.v > {y} THEN UPDATE SET T.v = S.v "
+            f"WHEN NOT MATCHED AND S.v >= {z} THEN INSERT (k, v) "
+            f"VALUES (S.k, S.v)",
+        ).collect()
+    }
+    assert got == ref()

@@ -101,6 +101,12 @@ EXCHANGES_OK = {
     # row shows scans=0); fixed candidate-verify depth, never
     # data-size amplification.
     "containment_near_dups",
+    # the PPJoin variant: DF aggregate + ordered-prefix build + prefix
+    # posting self-join + two verify joins, all off the one
+    # checkpointed tokenization (scans=0); fixed depth — the extra
+    # stages vs banding ARE the losslessness guarantee, never
+    # data-size amplification.
+    "prefix_filter_near_dups",
     "embedding_near_dups",
     # near_dups' pipeline with the bucketed frame filtered into train /
     # eval sides (one extra keyed exchange); fixed depth, no blowup.

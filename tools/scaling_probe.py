@@ -124,6 +124,8 @@ DEFAULT = [
     "cdf_squash_roundtrip",      # net-change min_by/max_by aggregate
     "k_anonymity_report",        # QI-cell census + one-row rollup
     "udf_iter_text_scores",      # scalar-iterator pandas UDF map stage
+    "prefix_filter_near_dups",   # df-ordered prefix posting self-join
+    "weighted_median_prices",    # weighted value-grain rank walk
 ]
 
 
