@@ -192,6 +192,16 @@ BENCH_QUERIES = [
     "udf_iter_text_scores",
     "prefix_filter_near_dups",
     "weighted_median_prices",
+    # round-11 wave 5: plan-shape families (decorrelated Q21/Q2, lead()
+    # CEP, native RANGE frame, grid spatial join) — all pure compute
+    "q21_sole_late_supplier",
+    "cep_pattern_funnel",
+    "range_frame_peak_window",
+    "q2_min_cost_supplier",
+    "spatial_grid_knn",
+    # wave 6: the sketch+certificate pass (dpp_partitioned_join and the
+    # streaming CEP twin stay out — tmpdir-write fixtures, same policy)
+    "approx_quantile_certified",
 ]
 
 N_RUNS = 3

@@ -241,6 +241,14 @@ _GATE_ROTATION: tuple[str, ...] = (
     "udf_iter_text_scores",     # scalar-iterator pandas UDF surface
     "prefix_filter_near_dups",  # PPJoin lossless candidate generation
     "weighted_median_prices",   # quantity-weighted exact quantile walk
+    "q21_sole_late_supplier",   # double-correlated EXISTS shape, decorrelated
+    "cep_pattern_funnel",       # MATCH_RECOGNIZE-style pattern + within
+    "range_frame_peak_window",  # native RANGE-frame interval window
+    "q2_min_cost_supplier",     # correlated min-against-aggregate shape
+    "spatial_grid_knn",         # grid-cell spatial join vs brute oracle
+    "dpp_partitioned_join",     # runtime partition pruning, data-driven dim
+    "approx_quantile_certified",  # GK sketch + exact rank-bound certificate
+    "streaming_cep_funnel",     # boundary-tail incremental CEP, shared oracle
 )
 
 # Backfill to 50 (r8 policy, see module docstring): tier (a) re-proofs
@@ -254,17 +262,16 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     # operators/writers.py and operators/merge_sql.py) and the IVM
     # signed-retraction consumer the new feed drives
     # (operators/incremental.py).
-    "merge_sql_orders",
-    "merge_sql_sync_orders",
-    "ivm_join_revenue",
-    "ivm_join_revenue_retract",
-    # tier (b) — stalest driver evidence: the thirteen r03-only rows,
-    # then r04-only rows (alphabetical), swapped out from the END as
-    # rotation fills.
-    "ann_lsh_topk",
-    "embedding_near_dups",
-    "fuzzy_name_pairs",
-    "ivf_topk",
+    # Backfill fully consumed: with 28 r11-new queries the rotation tier
+    # fills every non-anchor slot (22 + 28 = 50). Wave 5 took the four
+    # remaining tier-(b) slots (ann_lsh_topk, embedding_near_dups,
+    # fuzzy_name_pairs, ivf_topk) plus ivm_join_revenue_retract; wave 6
+    # took the last three tier-(a) slots. The tier-(a) re-proof intent
+    # is still served by the rotation itself: merge_sql_multi_clause
+    # exercises the same parser/lowering as merge_sql_orders /
+    # merge_sql_sync_orders, and merge_cdf_ivm_roundtrip /
+    # merge_cdf_join_ivm drive the same signed_partial_state consumer
+    # as ivm_join_revenue from the emitted feed.
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

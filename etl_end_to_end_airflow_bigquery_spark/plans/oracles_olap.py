@@ -1894,3 +1894,201 @@ OLAP_ORACLES["weighted_median_prices"] = """
     GROUP BY l_returnflag
     ORDER BY l_returnflag
 """
+
+
+# --- wave 5 (round 11) -----------------------------------------------------
+
+from .queries_olap import (  # noqa: E402
+    CEP_WITHIN_HOURS,
+    Q2_REGION,
+    Q2_SIZE,
+    Q2_TOPK,
+    Q21_LATE_DAYS,
+    Q21_TOPK,
+    RANGE_FRAME_US,
+    SPATIAL_CUST,
+    SPATIAL_CUST_Y,
+    SPATIAL_MOD,
+    SPATIAL_RADIUS,
+    SPATIAL_SUPP_X,
+    SPATIAL_SUPP_Y,
+)
+
+# Textbook double-correlated EXISTS / NOT-EXISTS form — three logical
+# scans of lineitem, the shape the engine decorrelates to one.
+OLAP_ORACLES["q21_sole_late_supplier"] = f"""
+    SELECT s_name, count(*) AS numwait
+    FROM (
+        SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+        FROM lineitem l1
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate >
+                    o.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY)
+    ) b
+    JOIN supplier ON s_suppkey = b.l_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT {Q21_TOPK}
+"""
+
+# Same lead()-window formulation (fixed adjacent pattern + within).
+OLAP_ORACLES["cep_pattern_funnel"] = f"""
+    WITH seq AS (
+        SELECT user_id, ts,
+               substr(event_type, 1, 1) AS e,
+               lead(substr(event_type, 1, 1), 1) OVER w AS e1,
+               lead(substr(event_type, 1, 1), 2) OVER w AS e2,
+               lead(ts, 2) OVER w AS ts2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), m AS (
+        SELECT user_id, ts FROM seq
+        WHERE e = 'v' AND e1 = 'c' AND e2 = 'p'
+          AND ts2 <= ts + INTERVAL {CEP_WITHIN_HOURS} HOUR
+    )
+    SELECT user_id, count(*) AS n_matches, min(ts) AS first_match_ts
+    FROM m GROUP BY user_id ORDER BY user_id
+"""
+
+# Interval RANGE frame over the raw timestamp — a genuinely different
+# frame mechanism from the engine's epoch-microsecond numeric range.
+OLAP_ORACLES["range_frame_peak_window"] = f"""
+    WITH e AS (
+        SELECT user_id, ts,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v2
+        FROM events
+    ), w AS (
+        SELECT user_id,
+               sum(v2) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL {RANGE_FRAME_US // 3_600_000_000}
+                       HOUR PRECEDING AND CURRENT ROW) AS roll
+        FROM e
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(max(roll) AS DOUBLE) / 100.0 AS peak_4h_value
+    FROM w GROUP BY user_id ORDER BY user_id
+"""
+
+# Correlated scalar-subquery-against-aggregate form (per-part min
+# recomputed per outer row), ties kept — the Q2 textbook shape.
+OLAP_ORACLES["q2_min_cost_supplier"] = f"""
+    WITH rs AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = '{Q2_REGION}'
+    ), cost AS (
+        SELECT l_partkey, l_suppkey,
+               min(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                   AS min_cents
+        FROM lineitem JOIN rs ON l_suppkey = s_suppkey
+        GROUP BY 1, 2
+    ), best AS (
+        SELECT c1.l_partkey, c1.l_suppkey, c1.min_cents
+        FROM cost c1
+        WHERE c1.min_cents = (
+            SELECT min(c2.min_cents) FROM cost c2
+            WHERE c2.l_partkey = c1.l_partkey)
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+           CAST(min_cents AS DOUBLE) / 100.0 AS best_price
+    FROM best
+    JOIN part ON p_partkey = l_partkey
+    JOIN rs ON l_suppkey = s_suppkey
+    WHERE p_size = {Q2_SIZE}
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT {Q2_TOPK}
+"""
+
+# Brute-force O(|C| x |S|) cross join — certifies the grid pruning.
+OLAP_ORACLES["spatial_grid_knn"] = f"""
+    WITH c AS (
+        SELECT c_custkey,
+               (c_custkey * {SPATIAL_CUST[0]} + {SPATIAL_CUST[1]})
+                   % {SPATIAL_MOD} AS cx,
+               (c_custkey * {SPATIAL_CUST_Y[0]} + {SPATIAL_CUST_Y[1]})
+                   % {SPATIAL_MOD} AS cy
+        FROM customer
+    ), s AS (
+        SELECT s_suppkey,
+               (s_suppkey * {SPATIAL_SUPP_X[0]} + {SPATIAL_SUPP_X[1]})
+                   % {SPATIAL_MOD} AS sx,
+               (s_suppkey * {SPATIAL_SUPP_Y[0]} + {SPATIAL_SUPP_Y[1]})
+                   % {SPATIAL_MOD} AS sy
+        FROM supplier
+    ), d AS (
+        SELECT c_custkey, s_suppkey,
+               (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) AS d2
+        FROM c CROSS JOIN s
+        WHERE (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)
+              <= {SPATIAL_RADIUS * SPATIAL_RADIUS}
+    ), m AS (
+        SELECT c_custkey, min(d2) AS dist2 FROM d GROUP BY 1
+    )
+    SELECT m.c_custkey, min(d.s_suppkey) AS s_suppkey, m.dist2
+    FROM m JOIN d ON d.c_custkey = m.c_custkey AND d.d2 = m.dist2
+    GROUP BY m.c_custkey, m.dist2
+    ORDER BY m.c_custkey
+"""
+
+
+# --- wave 6 (round 11) -----------------------------------------------------
+
+from .queries_olap import DPP_BUSY_FACTOR  # noqa: E402
+
+# Plain relational recompute of the busy-day set — no partitioned
+# layout, no dynamic pruning; proves the layout is purely physical.
+OLAP_ORACLES["dpp_partitioned_join"] = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS event_date, count(*) AS n
+        FROM events GROUP BY 1
+    ), busy AS (
+        SELECT event_date FROM (
+            SELECT event_date, n, avg(n) OVER () AS avg_n FROM daily
+        ) WHERE n > {DPP_BUSY_FACTOR} * avg_n
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           {_round(_dsum('value'), 2)} AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) IN (SELECT event_date FROM busy)
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+# n + exact lower median recomputed relationally; the certificate is
+# pinned TRUE — a mismatch means the sketch broke its rank bound.
+OLAP_ORACLES["approx_quantile_certified"] = """
+    WITH g AS (
+        SELECT l_returnflag,
+               CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS v2,
+               count(*) AS c
+        FROM lineitem GROUP BY 1, 2
+    ), walk AS (
+        SELECT l_returnflag, v2,
+               sum(c) OVER (PARTITION BY l_returnflag ORDER BY v2) AS cw,
+               sum(c) OVER (PARTITION BY l_returnflag) AS tw
+        FROM g
+    )
+    SELECT l_returnflag,
+           CAST(max(tw) AS BIGINT) AS n_rows,
+           CAST(min(CASE WHEN cw >= (tw + 1) // 2 THEN v2 END) AS DOUBLE)
+               / 100.0 AS exact_median,
+           TRUE AS approx_in_bound
+    FROM walk
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""

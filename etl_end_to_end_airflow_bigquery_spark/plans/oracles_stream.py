@@ -178,3 +178,7 @@ STREAM_ORACLES["streaming_quantile_cascade"] = _OLAP["quantile_rollup_cascade"]
 # Shared verbatim with the batch twin: OR-merging membership masks must
 # commute with any micro-batch slicing (and replay, by idempotence).
 STREAM_ORACLES["streaming_bitmap_distinct"] = _OLAP["bitmap_distinct_users"]
+
+# Shared verbatim with the batch CEP twin: the boundary-tail fold must
+# make micro-batch edges invisible to the match census.
+STREAM_ORACLES["streaming_cep_funnel"] = _OLAP["cep_pattern_funnel"]

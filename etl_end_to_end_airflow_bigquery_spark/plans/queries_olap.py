@@ -4267,3 +4267,483 @@ def weighted_median_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 OLAP_QUERIES["weighted_median_prices"] = weighted_median_prices
+
+
+# --- wave 5 (round 11): plan-shape families -------------------------------
+
+Q21_LATE_DAYS = 90
+Q21_TOPK = 20
+
+
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 PLAN SHAPE on the available columns (no
+    l_commitdate/l_receiptdate in the driver's synthetic lineitem, so
+    "late" is ship > order date + {d} days): suppliers who were the SOLE
+    late shipper on a multi-supplier finished order — the canonical
+    double-correlated EXISTS / NOT-EXISTS self-join.
+
+    The oracle spells the textbook form (two correlated subqueries =
+    three scans of lineitem). The engine DECORRELATES past what a
+    generic rewrite produces: both the EXISTS ("another supplier in the
+    order") and the NOT EXISTS ("no OTHER late supplier") collapse into
+    two per-order counts over a single (orderkey, suppkey) grain —
+    blame s iff s is late, n_late == 1, n_suppliers > 1. One scan of
+    the fact, one shuffle: the orderkey-keyed join exchange also
+    satisfies the (orderkey, suppkey) aggregate AND the per-order
+    window (subset-key clustering), so neither adds an exchange. The
+    supplier name join broadcasts.
+
+    Scale: no self-join of lineitem ever materializes; state per order
+    is two counters. Skewed mega-orders hit the window as one
+    partition-local group (bounded by lines-per-order, ~7 in TPC-H).
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
+    )
+    pair = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(late, 1).otherwise(0)).alias("is_late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    blamed = (
+        pair.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("is_late").over(w))
+        .filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_late") == 1)
+            & (F.col("n_supp") > 1)
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.join(F.broadcast(supp), blamed.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(Q21_TOPK)
+    )
+
+
+q21_sole_late_supplier.__doc__ = q21_sole_late_supplier.__doc__.format(
+    d=Q21_LATE_DAYS
+)
+OLAP_QUERIES["q21_sole_late_supplier"] = q21_sole_late_supplier
+
+
+CEP_WITHIN_HOURS = 24
+
+
+def cep_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE / Flink-CEP-style sequence pattern detection:
+    per user, occurrences of the ADJACENT event pattern
+    view -> click -> purchase completing WITHIN {h} hours (the
+    ``PATTERN (V C P) ... WITHIN`` clause), over the totally-ordered
+    per-user stream (ts, event_id tiebreak).
+
+    Engine form: a fixed-length adjacent pattern with a within-clause
+    needs no NFA — it is exactly k-1 ``lead()`` columns over the
+    per-user window plus a row-local predicate, so the whole match
+    stage is one shuffle (user partitioning) and stays inside
+    whole-stage codegen. Variable-length patterns (Kleene closures)
+    would switch to the ``transformWithState``/``applyInPandasWithState``
+    stateful path (`streaming/stateful.py`); fixed patterns should not
+    pay that price. NTZ interval arithmetic keeps the within-check
+    timezone-free on both engines.
+
+    Scale: per-user state is the window sort — bounded by events per
+    user per partition; the match predicate is row-local.
+    """
+    e = load_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id",
+        F.substring("event_type", 1, 1).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        e.withColumn("e1", F.lead("e", 1).over(w))
+        .withColumn("e2", F.lead("e", 2).over(w))
+        .withColumn("ts2", F.lead("ts", 2).over(w))
+    )
+    m = seq.filter(
+        (F.col("e") == "v")
+        & (F.col("e1") == "c")
+        & (F.col("e2") == "p")
+        & (
+            F.col("ts2")
+            <= F.col("ts") + F.expr(f"INTERVAL {CEP_WITHIN_HOURS} HOURS")
+        )
+    )
+    return (
+        m.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("ts").alias("first_match_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+cep_pattern_funnel.__doc__ = cep_pattern_funnel.__doc__.format(
+    h=CEP_WITHIN_HOURS
+)
+OLAP_QUERIES["cep_pattern_funnel"] = cep_pattern_funnel
+
+
+RANGE_FRAME_US = 4 * 3600 * 1_000_000  # 4 hours in microseconds
+
+
+def range_frame_peak_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native RANGE-frame window (the frame kind every other trailing
+    query here avoided by exploding day-grain pairs): per user, the
+    PEAK trailing-4-hour value sum — ``RANGE BETWEEN 4h PRECEDING AND
+    CURRENT ROW`` over microsecond epoch ordering, then a per-user max.
+
+    RANGE frames are tie-INCLUSIVE (every row with the same ordering
+    value shares the frame), so the rolling sum is deterministic
+    without an event_id tiebreak — unlike ROWS frames. Values ride as
+    2-dp cents (int64) so partial sums are exact and engine-portable;
+    epoch-microsecond ordering makes the Spark frame bound-for-bound
+    identical to the oracle's ``RANGE BETWEEN INTERVAL 4 HOUR
+    PRECEDING`` (and the frame WIDTH is shift-invariant, so the
+    NTZ->LTZ epoch cast cannot skew membership).
+
+    Scale: one shuffle to user partitioning; frame evaluation is the
+    sliding two-pointer pass over each sorted partition — O(rows), not
+    O(rows x frame size).
+    """
+    e = load_events(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("v2"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-RANGE_FRAME_US, 0)
+    )
+    roll = e.withColumn("roll", F.sum("v2").over(w))
+    return (
+        roll.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("roll").cast("double") / F.lit(100.0)).alias(
+                "peak_4h_value"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+OLAP_QUERIES["range_frame_peak_window"] = range_frame_peak_window
+
+
+Q2_REGION = "EUROPE"
+Q2_SIZE = 5
+Q2_TOPK = 100
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 PLAN SHAPE (no partsupp table, so "supply cost" is the
+    minimum observed lineitem price per (part, supplier)): for each
+    size-{size} part, every {region} supplier matching the region-wide
+    MINIMUM cost for that part — the correlated scalar-subquery-
+    against-an-aggregate pattern, ties kept (Q2 semantics).
+
+    The oracle spells the correlated form (recomputing the per-part min
+    per outer row). The engine decorrelates to a per-part window min
+    over the (part, supplier) cost grain: region suppliers resolve via
+    two broadcast dims into the fact scan, one composite-key exchange
+    builds the cost grain (map-side partial min first), the window min
+    + equality filter runs on the aggregated (small) set, and part
+    attributes broadcast in after the filter so only surviving rows pay
+    the dimension join. Final ordering is the Q2 sort with a full
+    tiebreak (acctbal DESC, nation, supplier, part) so the top-k cut is
+    total-order deterministic.
+
+    Scale: lineitem is scanned once and shuffled once, at the already-
+    reduced (part, supplier) grain; everything after the first
+    aggregate is dimension-sized.
+    """
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q2_REGION
+    )
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    rs = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    cost = (
+        li.join(F.broadcast(rs), li.l_suppkey == rs.s_suppkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("cents").alias("min_cents"))
+    )
+    wp = Window.partitionBy("l_partkey")
+    best = cost.withColumn("pmin", F.min("min_cents").over(wp)).filter(
+        F.col("min_cents") == F.col("pmin")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size") == Q2_SIZE
+    ).select("p_partkey", "p_type")
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(rs), best.l_suppkey == rs.s_suppkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            (F.col("min_cents").cast("double") / F.lit(100.0)).alias(
+                "best_price"
+            ),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(Q2_TOPK)
+    )
+
+
+q2_min_cost_supplier.__doc__ = q2_min_cost_supplier.__doc__.format(
+    size=Q2_SIZE, region=Q2_REGION
+)
+OLAP_QUERIES["q2_min_cost_supplier"] = q2_min_cost_supplier
+
+
+SPATIAL_RADIUS = 250
+SPATIAL_MOD = 10_000
+SPATIAL_CUST = (48_271, 0)
+SPATIAL_SUPP_X = (31_337, 5)
+SPATIAL_SUPP_Y = (65_537, 11)
+SPATIAL_CUST_Y = (16_807, 0)
+
+
+def spatial_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-cell spatial nearest-neighbor join: each customer's nearest
+    supplier within planar radius {r} (squared-distance metric, exact
+    int64), via ``operators/spatial.grid_within_radius`` — cell
+    bucketing + 9-cell neighbor candidates + exact refine, never the
+    |customers| x |suppliers| cross join the oracle runs.
+
+    Coordinates are deterministic fixed-point hashes of the keys (the
+    testdata has no geometry columns; both engines compute the same
+    int64 expression). The supplier side (smaller by 15x) takes the x9
+    neighbor expansion and broadcasts, so the customer side is never
+    shuffled for candidates; the nearest pick is a struct-min aggregate
+    (distance, then suppkey — the deterministic tie) on the in-radius
+    candidates only.
+
+    Scale: candidate count = density-bounded cell co-occupancy; the
+    only exchange is the per-customer min over candidates. The
+    brute-force oracle is O(|C| x |S|) and exists precisely to certify
+    the pruning loses nothing.
+    """
+    from ..operators.spatial import grid_within_radius, hash_point
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        hash_point("c_custkey", SPATIAL_CUST[0], SPATIAL_CUST[1], SPATIAL_MOD)
+        .alias("cx"),
+        hash_point(
+            "c_custkey", SPATIAL_CUST_Y[0], SPATIAL_CUST_Y[1], SPATIAL_MOD
+        ).alias("cy"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        hash_point(
+            "s_suppkey", SPATIAL_SUPP_X[0], SPATIAL_SUPP_X[1], SPATIAL_MOD
+        ).alias("sx"),
+        hash_point(
+            "s_suppkey", SPATIAL_SUPP_Y[0], SPATIAL_SUPP_Y[1], SPATIAL_MOD
+        ).alias("sy"),
+    )
+    pairs = grid_within_radius(
+        cust, supp, SPATIAL_RADIUS, ("cx", "cy"), ("sx", "sy")
+    )
+    return (
+        pairs.groupBy("c_custkey")
+        .agg(F.min(F.struct("d2", "s_suppkey")).alias("m"))
+        .select(
+            "c_custkey",
+            F.col("m.s_suppkey").alias("s_suppkey"),
+            F.col("m.d2").alias("dist2"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+spatial_grid_knn.__doc__ = spatial_grid_knn.__doc__.format(r=SPATIAL_RADIUS)
+OLAP_QUERIES["spatial_grid_knn"] = spatial_grid_knn
+
+
+# --- wave 6 (round 11) -----------------------------------------------------
+
+DPP_BUSY_FACTOR = 1.02
+
+
+def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the Catalyst feature the static
+    layout levers (partition_pruned_scan r10, bucketing r10, z-order
+    skipping r11) don't cover: the pruning predicate is NOT known at
+    plan time. Events land date-partitioned; the dim side is "busy
+    days" (daily count > {f}x the average daily count) — a purely
+    DATA-DEPENDENT day set no static rewrite can reach (contrast
+    partition_pruned_scan, whose bounds are literals in the query).
+    Catalyst plans a ``SubqueryBroadcast dynamicpruning`` under the
+    fact scan's PartitionFilters: the dim side executes first, its
+    broadcast result filters the DIRECTORY LISTING, and only busy-day
+    partitions are ever read by the probe — at 100 TB, the difference
+    between scanning 30 days and the 10 busy ones, decided at runtime.
+    ``tests/test_wave6_ops.py`` pins the dynamicpruning node in the
+    executed plan; the gate proves the answer equals a plain filtered
+    aggregate (the oracle recomputes the busy set relationally).
+
+    The avg threshold compares exact int64 counts against
+    ``avg * {f}`` in IEEE double — both engines compute the identical
+    expression on identical integers, so the busy set is
+    deterministic. Cents accumulation keeps the value sum exact.
+    """
+    import os
+
+    from ..tmputil import session_tmpdir
+
+    root = session_tmpdir("dpp_join_")
+    path = os.path.join(root, "events_by_day")
+    ev = load_events(spark, sf_dir).withColumn(
+        "event_date", F.to_date("ts")
+    )
+    ev.repartition("event_date").write.partitionBy("event_date").mode(
+        "overwrite"
+    ).parquet(path)
+    part = spark.read.parquet(path)
+    daily = part.groupBy("event_date").agg(F.count(F.lit(1)).alias("n"))
+    busy = (
+        daily.withColumn(
+            "avg_n", F.avg("n").over(Window.partitionBy())
+        )
+        .filter(F.col("n") > F.lit(DPP_BUSY_FACTOR) * F.col("avg_n"))
+        .select("event_date")
+    )
+    return (
+        part.join(F.broadcast(busy), "event_date")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round_half_up(decimal_sum(F.col("value")), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+dpp_partitioned_join.__doc__ = dpp_partitioned_join.__doc__.format(
+    f=DPP_BUSY_FACTOR
+)
+OLAP_QUERIES["dpp_partitioned_join"] = dpp_partitioned_join
+
+
+APPROX_PCT_ACCURACY = 100
+
+
+def approx_quantile_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPROXIMATE-quantile path, certified: at 100 TB you serve
+    p50 from ``percentile_approx`` (Greenwald-Khanna sketch, bounded
+    memory, mergeable partials) — this query runs it per return flag
+    at accuracy {acc} and CERTIFIES the published rank guarantee
+    (|rank(answer) - target| <= n/accuracy) against exact rank counts,
+    alongside the exact median from the value-grain walk for
+    reference. The certificate handles tie runs properly: the sketch's
+    answer is an actual element whose rank SPAN is
+    [count(< v) + 1, count(<= v)]; the guarantee holds iff that span
+    intersects the tolerance interval around the target rank. All rank
+    arithmetic is int64.
+
+    The oracle recomputes n and the exact median relationally and pins
+    the certificate at literal TRUE — a hash mismatch means Spark's
+    sketch violated its own bound (or the rank math drifted), the same
+    certification pattern as prefix_filter_near_dups' recall-1.0 gate.
+
+    Scale: the sketch aggregate is one pass + bounded per-group state;
+    the certification rider (two conditional counts against the
+    broadcast per-flag answers) is the part you'd sample or drop in
+    production — the serving path is the first aggregate alone.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.expr(
+            "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)"
+        ).alias("v2"),
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", 0.5, APPROX_PCT_ACCURACY
+        ).alias("apx")
+    )
+    ranks = (
+        li.join(F.broadcast(approx), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("l_extendedprice") <= F.col("apx"), 1))
+            .alias("r_le"),
+            F.count(F.when(F.col("l_extendedprice") < F.col("apx"), 1))
+            .alias("r_lt"),
+        )
+    )
+    # exact lower median on the cents grain (percentile_disc convention)
+    g = li.groupBy("l_returnflag", "v2").agg(F.count(F.lit(1)).alias("c"))
+    wf = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v2")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wa = Window.partitionBy("l_returnflag").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    walk = g.withColumn("cw", F.sum("c").over(wf)).withColumn(
+        "tw", F.sum("c").over(wa)
+    )
+    exact = walk.groupBy("l_returnflag").agg(
+        F.expr(
+            "CAST(min(CASE WHEN cw >= (tw + 1) div 2 THEN v2 END)"
+            " AS DOUBLE) / 100.0"
+        ).alias("exact_median")
+    )
+    tol = F.expr(f"n_rows div {APPROX_PCT_ACCURACY} + 1")
+    target = F.expr("(n_rows + 1) div 2")
+    cert = (F.col("r_le") >= target - tol) & (F.col("r_lt") < target + tol)
+    return (
+        ranks.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "exact_median",
+            cert.alias("approx_in_bound"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+approx_quantile_certified.__doc__ = approx_quantile_certified.__doc__.format(
+    acc=APPROX_PCT_ACCURACY
+)
+OLAP_QUERIES["approx_quantile_certified"] = approx_quantile_certified

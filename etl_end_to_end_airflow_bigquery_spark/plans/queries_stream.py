@@ -1349,3 +1349,176 @@ def streaming_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_QUERIES["streaming_bitmap_distinct"] = streaming_bitmap_distinct
+
+
+# --- wave 6 (round 11): incremental CEP ------------------------------------
+
+
+def _cep_match_partials(work: DataFrame) -> DataFrame:
+    """Per-user CEP match partials over one work set (boundary tails +
+    new batch): the same lead()-window fixed-pattern matcher as the
+    batch twin (:func:`..queries_olap.cep_pattern_funnel`), reduced to
+    the MERGEABLE form (n_matches sum, first_match_ts min)."""
+    from pyspark.sql import Window
+
+    from .queries_olap import CEP_WITHIN_HOURS
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        work.withColumn("e1", F.lead("e", 1).over(w))
+        .withColumn("e2", F.lead("e", 2).over(w))
+        .withColumn("ts2", F.lead("ts", 2).over(w))
+    )
+    return (
+        seq.filter(
+            (F.col("e") == "v")
+            & (F.col("e1") == "c")
+            & (F.col("e2") == "p")
+            & (
+                F.col("ts2")
+                <= F.col("ts") + F.expr(f"INTERVAL {CEP_WITHIN_HOURS} HOURS")
+            )
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("ts").alias("first_match_ts"),
+        )
+    )
+
+
+def _cep_tails(work: DataFrame, k: int = 2) -> DataFrame:
+    """The per-user BOUNDARY state: the last k events (pattern length
+    minus one) — the only rows a future batch can ever need to complete
+    a new adjacent match."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        work.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
+
+
+def streaming_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming twin of
+    :func:`..queries_olap.cep_pattern_funnel` — CEP with BOUNDED
+    boundary state: a fixed adjacent pattern of length 3 can only ever
+    span a micro-batch edge through the previous stream's last 2
+    events per user, so that tail IS the entire cross-batch state
+    (Flink CEP's NFA state for a fixed pattern, made explicit). Each
+    micro-batch unions the persisted tails with the new slice, runs
+    the batch twin's lead()-window matcher, folds the per-user match
+    partials (count sum / first-ts min — mergeable) into versioned
+    parquet state, and rewrites the tails. No match is ever counted
+    twice (a previously-counted v-row has >= 2 successors, so it can't
+    be in the 2-row tail) and none is missed (any triple completing in
+    batch k lies inside tails ∪ batch_k) — provided batches are
+    time-contiguous per user, the per-partition-ordered delivery
+    contract a Kafka source gives; the feed replays the events table
+    as 6 range-partitioned chronological files with explicitly
+    increasing mtimes so the file source (which orders by timestamp)
+    delivers them in order. Equal-ts rows never split across files
+    (range partitioning keeps equal keys together), so the (ts,
+    event_id) tiebreak stays batch-local. SHARES THE BATCH TWIN'S
+    ORACLE VERBATIM: hash-equality proves the boundary-state fold
+    commutes with the slicing.
+
+    Scale: state is <= 2 event rows + 1 count row per user; per batch
+    the matcher shuffles tails+slice once on user. Stateless
+    micro-batch plan (durable state in parquet) — exempted in
+    ``plan_audit.STREAM_STATELESS_OK``; restart safety comes from
+    disk-resolved committed versions (both state families resolve
+    below the replayed batch id, so a half-committed pair heals).
+    ``tests/test_wave6_ops.py`` proves slicing invariance on
+    adversarial cut points (hypothesis).
+    """
+    from ..operators.incremental import latest_committed_state
+    from ..tmputil import session_tmpdir
+
+    base_dir = session_tmpdir("stream_cep_")
+    feed_dir = os.path.join(base_dir, "feed")
+    ckpt = os.path.join(base_dir, "ckpt")
+    tail_dir = os.path.join(base_dir, "tails")
+    cnt_dir = os.path.join(base_dir, "counts")
+    tail_init = os.path.join(base_dir, "tails_init")
+    cnt_init = os.path.join(base_dir, "counts_init")
+    os.makedirs(tail_dir, exist_ok=True)
+    os.makedirs(cnt_dir, exist_ok=True)
+
+    from ..sources.events import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id",
+        F.substring("event_type", 1, 1).alias("e"),
+    )
+    ev.repartitionByRange(6, "ts").write.parquet(feed_dir)
+    # File sources order by modification time; pin it to the range
+    # order (part-00000 holds the earliest ts range) explicitly instead
+    # of trusting write-time granularity.
+    import time as _time
+
+    parts = sorted(
+        f for f in os.listdir(feed_dir) if f.endswith(".parquet")
+    )
+    t0 = _time.time()
+    for i, fname in enumerate(parts):
+        os.utime(os.path.join(feed_dir, fname), (t0 + 10 * i, t0 + 10 * i))
+
+    ev.limit(0).write.parquet(tail_init)
+    _cep_match_partials(ev.limit(0)).write.parquet(cnt_init)
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        prev_tail = latest_committed_state(
+            tail_dir, tail_init, below=batch_id
+        )
+        prev_cnt = latest_committed_state(cnt_dir, cnt_init, below=batch_id)
+        work = spark.read.parquet(prev_tail).unionByName(
+            batch.select("user_id", "ts", "event_id", "e")
+        )
+        merged = (
+            spark.read.parquet(prev_cnt)
+            .unionByName(_cep_match_partials(work))
+            .groupBy("user_id")
+            .agg(
+                F.sum("n_matches").alias("n_matches"),
+                F.min("first_match_ts").alias("first_match_ts"),
+            )
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(cnt_dir, f"state_b{batch_id}")
+        )
+        _cep_tails(work).write.mode("overwrite").parquet(
+            os.path.join(tail_dir, f"state_b{batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp_ntz, event_id bigint, e string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_fold)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    _capture_plan(q, "streaming_cep_funnel")
+
+    return (
+        spark.read.parquet(latest_committed_state(cnt_dir, cnt_init))
+        .select("user_id", "n_matches", "first_match_ts")
+        .orderBy("user_id")
+    )
+
+
+STREAM_QUERIES["streaming_cep_funnel"] = streaming_cep_funnel

@@ -185,6 +185,13 @@ EXCHANGES_OK = {
     # composes the full BM25 leg (exempted above) with a single-query
     # dense leg and a 10-row fusion join; fixed pipeline depth.
     "hybrid_rrf_retrieval",
+    # sketch pass + certification rider (two conditional rank counts
+    # against the broadcast per-flag answers) + the exact-walk
+    # reference median: three bounded fact passes, fixed depth — the
+    # rider and reference exist only to certify the sketch (the
+    # serving path is the first aggregate alone, docstring says which
+    # parts you'd drop at 100 TB); never data-size amplification.
+    "approx_quantile_certified",
 }
 
 
@@ -244,6 +251,9 @@ STREAM_STATELESS_OK: dict[str, str] = {
     # per-batch foreachBatch OR-fold of membership masks into the
     # versioned parquet state — durable state on disk by design
     "streaming_bitmap_distinct": "foreachBatch bitmap OR-fold into parquet state",
+    # per-batch foreachBatch CEP: boundary tails + mergeable match
+    # counts live in versioned parquet state — durable state on disk
+    "streaming_cep_funnel": "foreachBatch boundary-tail CEP fold into parquet state",
 }
 
 

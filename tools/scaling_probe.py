@@ -126,6 +126,14 @@ DEFAULT = [
     "udf_iter_text_scores",      # scalar-iterator pandas UDF map stage
     "prefix_filter_near_dups",   # df-ordered prefix posting self-join
     "weighted_median_prices",    # weighted value-grain rank walk
+    "q21_sole_late_supplier",    # fact join + order-grain window counts
+    "cep_pattern_funnel",        # per-user lead() pattern match
+    "range_frame_peak_window",   # RANGE-frame sliding sum per user
+    "q2_min_cost_supplier",      # cost-grain agg + per-part window min
+    "spatial_grid_knn",          # 9-cell candidates + struct-min refine
+    "dpp_partitioned_join",      # partitioned write + dynamic-pruned probe
+    "approx_quantile_certified",  # GK sketch + rank-cert rider
+    "streaming_cep_funnel",      # boundary-tail fold per micro-batch
 ]
 
 
