@@ -69,6 +69,12 @@ def grid_within_radius(
     overlap = set(left.columns) & set(right.columns)
     if overlap:
         raise ValueError(f"left/right column names must be disjoint: {overlap}")
+    reserved = {"_cx", "_cy", "d2"} & (set(left.columns) | set(right.columns))
+    if reserved:
+        raise ValueError(
+            f"column names {reserved} are reserved by grid_within_radius "
+            "(cell ids and the output distance) — rename them on the input"
+        )
 
     def _cell(col: str) -> F.Column:
         # exact int64 floor division (see module docstring)

@@ -4341,6 +4341,40 @@ OLAP_QUERIES["q21_sole_late_supplier"] = q21_sole_late_supplier
 CEP_WITHIN_HOURS = 24
 
 
+def cep_match_partials(events: DataFrame) -> DataFrame:
+    """THE fixed-pattern CEP matcher — the single implementation both
+    the batch query below and the streaming twin
+    (``queries_stream.streaming_cep_funnel``) run, so the two can never
+    silently diverge (the streaming twin's gate contract is "shares the
+    batch oracle verbatim", which is only sound while the matcher is
+    literally shared; code-review r11). Input: (user_id, ts, event_id,
+    e) rows; output: the MERGEABLE per-user partials (match-count sum,
+    first-match-ts min) for adjacent v->c->p completing within
+    ``CEP_WITHIN_HOURS``."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        events.withColumn("e1", F.lead("e", 1).over(w))
+        .withColumn("e2", F.lead("e", 2).over(w))
+        .withColumn("ts2", F.lead("ts", 2).over(w))
+    )
+    return (
+        seq.filter(
+            (F.col("e") == "v")
+            & (F.col("e1") == "c")
+            & (F.col("e2") == "p")
+            & (
+                F.col("ts2")
+                <= F.col("ts") + F.expr(f"INTERVAL {CEP_WITHIN_HOURS} HOURS")
+            )
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("ts").alias("first_match_ts"),
+        )
+    )
+
+
 def cep_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATCH_RECOGNIZE / Flink-CEP-style sequence pattern detection:
     per user, occurrences of the ADJACENT event pattern
@@ -4365,29 +4399,7 @@ def cep_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id",
         F.substring("event_type", 1, 1).alias("e"),
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = (
-        e.withColumn("e1", F.lead("e", 1).over(w))
-        .withColumn("e2", F.lead("e", 2).over(w))
-        .withColumn("ts2", F.lead("ts", 2).over(w))
-    )
-    m = seq.filter(
-        (F.col("e") == "v")
-        & (F.col("e1") == "c")
-        & (F.col("e2") == "p")
-        & (
-            F.col("ts2")
-            <= F.col("ts") + F.expr(f"INTERVAL {CEP_WITHIN_HOURS} HOURS")
-        )
-    )
-    return (
-        m.groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_matches"),
-            F.min("ts").alias("first_match_ts"),
-        )
-        .orderBy("user_id")
-    )
+    return cep_match_partials(e).orderBy("user_id")
 
 
 cep_pattern_funnel.__doc__ = cep_pattern_funnel.__doc__.format(
@@ -4411,8 +4423,12 @@ def range_frame_peak_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-dp cents (int64) so partial sums are exact and engine-portable;
     epoch-microsecond ordering makes the Spark frame bound-for-bound
     identical to the oracle's ``RANGE BETWEEN INTERVAL 4 HOUR
-    PRECEDING`` (and the frame WIDTH is shift-invariant, so the
-    NTZ->LTZ epoch cast cannot skew membership).
+    PRECEDING``. The epoch comes from PURE NTZ arithmetic
+    (``timestampdiff`` against the NTZ epoch literal) — the
+    ``unix_micros(cast(ntz as timestamp))`` idiom is only
+    shift-invariant for fixed-offset session timezones, and a DST
+    transition inside a frame would change epoch distances and skew
+    membership vs the oracle's NTZ interval frame (code-review r11).
 
     Scale: one shuffle to user partitioning; frame evaluation is the
     sliding two-pointer pass over each sorted partition — O(rows), not
@@ -4420,7 +4436,10 @@ def range_frame_peak_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_events(spark, sf_dir).select(
         "user_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("us"),
         F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("v2"),
     )
     w = (
@@ -4663,6 +4682,18 @@ OLAP_QUERIES["dpp_partitioned_join"] = dpp_partitioned_join
 APPROX_PCT_ACCURACY = 100
 
 
+def approx_rank_certificate(accuracy: int) -> "F.Column":
+    """The GK median rank-guarantee certificate over columns
+    (``n_rows``, ``r_le``, ``r_lt``): the answer's rank SPAN
+    [r_lt + 1, r_le] must intersect target ± (n_rows/accuracy + 1).
+    Factored out so the falsifiability test drives THIS expression —
+    not a hand-copied re-derivation that would keep passing if the
+    query's certificate were loosened (code-review r11)."""
+    tol = F.expr(f"n_rows div {int(accuracy)} + 1")
+    target = F.expr("(n_rows + 1) div 2")
+    return (F.col("r_le") >= target - tol) & (F.col("r_lt") < target + tol)
+
+
 def approx_quantile_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The APPROXIMATE-quantile path, certified: at 100 TB you serve
     p50 from ``percentile_approx`` (Greenwald-Khanna sketch, bounded
@@ -4728,9 +4759,7 @@ def approx_quantile_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DOUBLE) / 100.0"
         ).alias("exact_median")
     )
-    tol = F.expr(f"n_rows div {APPROX_PCT_ACCURACY} + 1")
-    target = F.expr("(n_rows + 1) div 2")
-    cert = (F.col("r_le") >= target - tol) & (F.col("r_lt") < target + tol)
+    cert = approx_rank_certificate(APPROX_PCT_ACCURACY)
     return (
         ranks.join(exact, "l_returnflag")
         .select(

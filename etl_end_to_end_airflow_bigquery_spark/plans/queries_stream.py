@@ -1356,35 +1356,13 @@ STREAM_QUERIES["streaming_bitmap_distinct"] = streaming_bitmap_distinct
 
 def _cep_match_partials(work: DataFrame) -> DataFrame:
     """Per-user CEP match partials over one work set (boundary tails +
-    new batch): the same lead()-window fixed-pattern matcher as the
-    batch twin (:func:`..queries_olap.cep_pattern_funnel`), reduced to
-    the MERGEABLE form (n_matches sum, first_match_ts min)."""
-    from pyspark.sql import Window
+    new batch) — LITERALLY the batch twin's matcher
+    (:func:`..queries_olap.cep_match_partials`), re-exported so the
+    shared-oracle contract can't be broken by the two copies drifting
+    (code-review r11: the matcher used to be duplicated here)."""
+    from .queries_olap import cep_match_partials
 
-    from .queries_olap import CEP_WITHIN_HOURS
-
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = (
-        work.withColumn("e1", F.lead("e", 1).over(w))
-        .withColumn("e2", F.lead("e", 2).over(w))
-        .withColumn("ts2", F.lead("ts", 2).over(w))
-    )
-    return (
-        seq.filter(
-            (F.col("e") == "v")
-            & (F.col("e1") == "c")
-            & (F.col("e2") == "p")
-            & (
-                F.col("ts2")
-                <= F.col("ts") + F.expr(f"INTERVAL {CEP_WITHIN_HOURS} HOURS")
-            )
-        )
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_matches"),
-            F.min("ts").alias("first_match_ts"),
-        )
-    )
+    return cep_match_partials(work)
 
 
 def _cep_tails(work: DataFrame, k: int = 2) -> DataFrame:
@@ -1478,24 +1456,32 @@ def streaming_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             tail_dir, tail_init, below=batch_id
         )
         prev_cnt = latest_committed_state(cnt_dir, cnt_init, below=batch_id)
-        work = spark.read.parquet(prev_tail).unionByName(
-            batch.select("user_id", "ts", "event_id", "e")
+        # persist: `work` feeds BOTH the matcher and the tail rewrite —
+        # without it each write re-reads the tail parquet and re-scans
+        # the batch (code-review r11)
+        work = (
+            spark.read.parquet(prev_tail)
+            .unionByName(batch.select("user_id", "ts", "event_id", "e"))
+            .persist()
         )
-        merged = (
-            spark.read.parquet(prev_cnt)
-            .unionByName(_cep_match_partials(work))
-            .groupBy("user_id")
-            .agg(
-                F.sum("n_matches").alias("n_matches"),
-                F.min("first_match_ts").alias("first_match_ts"),
+        try:
+            merged = (
+                spark.read.parquet(prev_cnt)
+                .unionByName(_cep_match_partials(work))
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_matches").alias("n_matches"),
+                    F.min("first_match_ts").alias("first_match_ts"),
+                )
             )
-        )
-        merged.write.mode("overwrite").parquet(
-            os.path.join(cnt_dir, f"state_b{batch_id}")
-        )
-        _cep_tails(work).write.mode("overwrite").parquet(
-            os.path.join(tail_dir, f"state_b{batch_id}")
-        )
+            merged.write.mode("overwrite").parquet(
+                os.path.join(cnt_dir, f"state_b{batch_id}")
+            )
+            _cep_tails(work).write.mode("overwrite").parquet(
+                os.path.join(tail_dir, f"state_b{batch_id}")
+            )
+        finally:
+            work.unpersist()
 
     stream = (
         spark.readStream.schema(

@@ -141,12 +141,24 @@ def test_approx_certificate_true_on_real_sketch_and_false_on_bad_answer(
     ]
     assert all(r.approx_in_bound for r in got)
 
-    # Falsifiability: the same rank math with a deliberately wrong
-    # answer (the maximum) must fail the certificate.
-    n, tol = 600, 600 // APPROX_PCT_ACCURACY + 1
-    target = (n + 1) // 2
-    r_le, r_lt = 600, 400  # counts vs apx = 30.0
-    assert not (r_le >= target - tol and r_lt < target + tol)
+    # Falsifiability: drive the QUERY'S OWN certificate expression
+    # (not a re-derivation) with the rank counts a deliberately wrong
+    # answer (the maximum, 30.0) would produce — it must come back
+    # False; and the true-median counts must come back True.
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_olap import (
+        approx_rank_certificate,
+    )
+
+    cert = approx_rank_certificate(APPROX_PCT_ACCURACY)
+    counts = spark.createDataFrame(
+        [("bad_max", 600, 600, 400), ("true_median", 600, 400, 200)],
+        "label string, n_rows long, r_le long, r_lt long",
+    )
+    verdicts = {
+        r.label: r.ok
+        for r in counts.select("label", cert.alias("ok")).collect()
+    }
+    assert verdicts == {"bad_max": False, "true_median": True}
 
 
 def test_cep_tails_keep_exactly_last_two_per_user(spark):
