@@ -60,6 +60,32 @@ def test_grid_join_equals_brute_force(spark, left, right, r):
     assert got == _brute_pairs(lrows, rrows, r)
 
 
+def test_grid_join_shuffle_fallback_matches_broadcast_path(spark):
+    """broadcast_right=False (the too-big-to-broadcast fallback) takes
+    the shuffle equi-join on the cell id — same pairs, different
+    physical join."""
+    lrows = [(i, x, y) for i, (x, y) in enumerate([(0, 0), (5, 5), (-7, 3)])]
+    rrows = [(1000 + i, x, y) for i, (x, y) in enumerate([(1, 1), (-6, 2), (40, 40)])]
+    ldf = spark.createDataFrame(lrows, "lid long, lx long, ly long")
+    rdf = spark.createDataFrame(rrows, "rid long, rx long, ry long")
+    want = _brute_pairs(lrows, rrows, 5)
+    for bc in (True, False):
+        got = {
+            (r.lid, r.rid, r.d2)
+            for r in grid_within_radius(
+                ldf, rdf, 5, ("lx", "ly"), ("rx", "ry"), broadcast_right=bc
+            ).collect()
+        }
+        assert got == want, f"broadcast_right={bc}"
+
+
+def test_grid_join_rejects_reserved_column_names(spark):
+    ldf = spark.createDataFrame([(1, 2, 3)], "a long, b long, d2 long")
+    rdf = spark.createDataFrame([(1, 2, 3)], "d long, e long, f long")
+    with pytest.raises(ValueError, match="reserved"):
+        grid_within_radius(ldf, rdf, 5, ("a", "b"), ("e", "f"))
+
+
 def test_grid_join_rejects_overlapping_columns(spark):
     df = spark.createDataFrame([(1, 2, 3)], "id long, x long, y long")
     with pytest.raises(ValueError, match="disjoint"):
