@@ -1381,6 +1381,28 @@ def _cep_tails(work: DataFrame, k: int = 2) -> DataFrame:
     )
 
 
+def _assert_time_contiguous(tails: DataFrame, batch: DataFrame, batch_id) -> None:
+    """LOUD in-order guard for the boundary-tail CEP fold: the algebra
+    is only sound for time-contiguous delivery (the per-partition-
+    ordered Kafka contract). The range-partitioned feed + pinned mtimes
+    provide it, but that rests on the file source's ordering — if a
+    future source breaks it, fail the stream instead of silently
+    over/under-counting. Equal boundary timestamps are allowed (range
+    partitioning never splits equal keys, and any other slicing that
+    lands an equal-ts row in the next batch is still order-correct up
+    to the event_id tiebreak the feed preserves). Two 1-row aggregates,
+    bounded driver metadata."""
+    tail_max = tails.agg(F.max("ts")).first()[0]
+    batch_min = batch.agg(F.min("ts")).first()[0]
+    if tail_max is not None and batch_min < tail_max:
+        raise RuntimeError(
+            f"out-of-order micro-batch delivery: batch {batch_id} "
+            f"starts at {batch_min}, before the folded stream's "
+            f"tail at {tail_max} — the boundary-tail CEP fold "
+            "requires time-contiguous batches"
+        )
+
+
 def streaming_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming twin of
     :func:`..queries_olap.cep_pattern_funnel` — CEP with BOUNDED
@@ -1456,12 +1478,13 @@ def streaming_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             tail_dir, tail_init, below=batch_id
         )
         prev_cnt = latest_committed_state(cnt_dir, cnt_init, below=batch_id)
+        tails = spark.read.parquet(prev_tail)
+        _assert_time_contiguous(tails, batch, batch_id)
         # persist: `work` feeds BOTH the matcher and the tail rewrite —
         # without it each write re-reads the tail parquet and re-scans
         # the batch (code-review r11)
         work = (
-            spark.read.parquet(prev_tail)
-            .unionByName(batch.select("user_id", "ts", "event_id", "e"))
+            tails.unionByName(batch.select("user_id", "ts", "event_id", "e"))
             .persist()
         )
         try:

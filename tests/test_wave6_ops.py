@@ -161,6 +161,28 @@ def test_approx_certificate_true_on_real_sketch_and_false_on_bad_answer(
     assert verdicts == {"bad_max": False, "true_median": True}
 
 
+def test_cep_fold_rejects_out_of_order_batches(spark):
+    """The boundary-tail fold's in-order guard: a batch starting before
+    the folded stream's tail must raise, an equal-boundary or later
+    batch must pass."""
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_stream import (
+        _assert_time_contiguous,
+    )
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    h = dt.timedelta(hours=1)
+    tails = _mk_events(spark, [(1, t, 1, "v")])
+    _assert_time_contiguous(tails, _mk_events(spark, [(1, t + h, 2, "c")]), 1)
+    _assert_time_contiguous(tails, _mk_events(spark, [(1, t, 2, "c")]), 1)
+    _assert_time_contiguous(
+        _mk_events(spark, []), _mk_events(spark, [(1, t - h, 2, "c")]), 0
+    )  # empty tail state: any batch is fine
+    with pytest.raises(RuntimeError, match="out-of-order"):
+        _assert_time_contiguous(
+            tails, _mk_events(spark, [(1, t - h, 2, "c")]), 1
+        )
+
+
 def test_cep_tails_keep_exactly_last_two_per_user(spark):
     from etl_end_to_end_airflow_bigquery_spark.plans.queries_stream import (
         _cep_tails,
