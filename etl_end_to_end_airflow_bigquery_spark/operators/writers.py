@@ -203,6 +203,51 @@ def table_versions(path: str) -> list[int]:
     return sorted(_seq_of(d) for d in _committed_versions(path))
 
 
+def expire_versions(path: str, keep_last: int = 1) -> list[int]:
+    """Explicit snapshot retention — the VACUUM / expire-snapshots
+    surface (Delta ``VACUUM``, Iceberg ``expire_snapshots``): sweep all
+    but the newest ``keep_last`` committed snapshots NOW, decoupled from
+    the per-commit ``keep_versions`` retention the writers apply (a
+    table merged with ``keep_versions=10`` for a debugging window gets
+    its storage back without waiting for the next commit).
+
+    The ``_CURRENT`` target is always retained regardless of
+    ``keep_last``; crash orphans (``v_*`` dirs absent from the ledger)
+    are swept like any expired snapshot. Ledger lines for swept dirs
+    stay in place — :func:`_committed_versions` already ignores entries
+    whose directory is gone, exactly as the per-commit retention pass
+    leaves them. Single-writer: takes the table's write lock, so an
+    expire can never race a commit's pointer flip. Returns the swept
+    snapshot sequence numbers (crash orphans report their parsed
+    sequence, or -1 for unparseable names).
+
+    Storage note: snapshots share unchanged files via hardlinks
+    (:func:`_link_tree`), so sweeping a snapshot reclaims only the
+    bytes unique to it — same semantics as manifest-based expiry on an
+    object store.
+    """
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    with _write_lock(path):
+        cur = _current_version_name(path)
+        if cur is None:
+            raise ValueError(
+                f"{path!r} is not a versioned table (no {_CURRENT_PTR})"
+            )
+        committed = sorted(_committed_versions(path), key=_seq_of)
+        keep = set(committed[-keep_last:]) | {cur}
+        swept: list[int] = []
+        for d in os.listdir(path):
+            if (
+                d.startswith("v_")
+                and d not in keep
+                and os.path.isdir(os.path.join(path, d))
+            ):
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+                swept.append(_seq_of(d))
+        return sorted(swept)
+
+
 def _commit_version(path: str, vdir: str, keep_versions: int) -> None:
     """Record ``vdir`` in the ledger, flip ``_CURRENT`` to it atomically,
     then retain the newest ``keep_versions`` COMMITTED snapshots and

@@ -789,3 +789,75 @@ def test_table_versions_and_time_travel_read(spark, tmp_path, target):
     assert table_versions(path) == [vers[1], vers[1] + 1]
     with pytest.raises(ValueError, match="retained"):
         read_table(spark, path, version=vers[0])
+
+
+def test_expire_versions_sweeps_to_keep_last(spark, tmp_path, target):
+    """Explicit VACUUM: keep_versions=10 retains every commit; a
+    standalone expire_versions(keep_last=1) reclaims all but the
+    current snapshot, and time travel to it still reads exactly."""
+    import os
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        expire_versions,
+        table_versions,
+    )
+
+    path = str(tmp_path / "vac")
+    merge_upsert(spark, path, target, keys=["k"], keep_versions=10)
+    for i in range(3):
+        merge_upsert(
+            spark, path, _frame(spark, [(70 + i, "dv", float(i))]),
+            keys=["k"], keep_versions=10,
+        )
+    vers = table_versions(path)
+    assert len(vers) == 4  # keep_versions=10 retained every commit
+    before = _sorted(read_table(spark, path))
+    swept = expire_versions(path, keep_last=1)
+    assert swept == vers[:-1]
+    assert table_versions(path) == [vers[-1]]
+    assert _sorted(read_table(spark, path)) == before
+    assert _sorted(read_table(spark, path, version=vers[-1])) == before
+    with pytest.raises(ValueError, match="retained"):
+        read_table(spark, path, version=vers[0])
+    # idempotent: nothing left to sweep
+    assert expire_versions(path, keep_last=1) == []
+
+
+def test_expire_versions_sweeps_crash_orphans_and_keeps_current(
+    spark, tmp_path, target
+):
+    import os
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        expire_versions,
+        table_versions,
+    )
+
+    path = str(tmp_path / "vac2")
+    merge_upsert(spark, path, target, keys=["k"], keep_versions=10)
+    merge_upsert(
+        spark, path, _frame(spark, [(99, "dz", 9.0)]), keys=["k"],
+        keep_versions=10,
+    )
+    # fabricate a crash orphan: a v_* dir with no ledger entry, higher seq
+    orphan = os.path.join(path, "v_000777_deadbeef")
+    os.makedirs(orphan)
+    vers = table_versions(path)
+    swept = expire_versions(path, keep_last=2)  # both commits retained
+    assert 777 in swept and table_versions(path) == vers
+    assert not os.path.isdir(orphan)
+
+
+def test_expire_versions_rejects_bad_args_and_plain_dirs(
+    spark, tmp_path, target
+):
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        expire_versions,
+    )
+
+    plain = str(tmp_path / "plain")
+    target.write.parquet(plain)
+    with pytest.raises(ValueError, match="not a versioned table"):
+        expire_versions(plain, keep_last=1)
+    with pytest.raises(ValueError, match="keep_last"):
+        expire_versions(plain, keep_last=0)
