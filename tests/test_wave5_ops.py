@@ -225,3 +225,198 @@ def test_q21_decorrelation_blames_only_sole_late_multi_supplier(spark, tmp_path)
     ).write.parquet(str(tmp_path / "supplier.parquet"))
     got = q21_sole_late_supplier(spark, str(tmp_path)).collect()
     assert [(r.s_name, r.numwait) for r in got] == [("Supplier#10", 1)]
+
+
+# --- decorrelation properties vs brute-force references ---------------------
+
+
+def _write_q21_fixture(spark, d, orders, li, supp):
+    import datetime as _dt  # noqa: F401
+
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
+    ).write.parquet(str(d / "orders.parquet"))
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp_ntz",
+    ).write.parquet(str(d / "lineitem.parquet"))
+    spark.createDataFrame(
+        supp, "s_suppkey long, s_name string, s_nationkey long, s_acctbal double"
+    ).write.parquet(str(d / "supplier.parquet"))
+
+
+def _q21_brute(orders, li, late_days=90):
+    """Literal double-correlated EXISTS / NOT-EXISTS semantics."""
+    import datetime as dt
+
+    odate = {o[0]: o[4] for o in orders if o[2] == "F"}
+    pairs = set()
+    for l1 in li:
+        ok, sk = l1[0], l1[2]
+        if ok not in odate:
+            continue
+        late1 = l1[10] > odate[ok] + dt.timedelta(days=late_days)
+        if not late1:
+            continue
+        others = [l2 for l2 in li if l2[0] == ok and l2[2] != sk]
+        if not others:
+            continue
+        other_late = any(
+            l3[10] > odate[ok] + dt.timedelta(days=late_days) for l3 in others
+        )
+        if other_late:
+            continue
+        pairs.add((ok, sk))
+    counts: dict[int, int] = {}
+    for _, sk in pairs:
+        counts[sk] = counts.get(sk, 0) + 1
+    return counts
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(data=st.data())
+def test_q21_decorrelation_matches_bruteforce_exists(spark, data):
+    """The two-counter window decorrelation == the literal correlated
+    EXISTS/NOT-EXISTS semantics, on random multi-supplier order sets
+    (random statuses, random late/on-time mixes, single-supplier
+    orders, all-late orders)."""
+    import datetime as dt
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_olap import (
+        q21_sole_late_supplier,
+    )
+
+    d0 = dt.datetime(1995, 1, 1)
+    n_orders = data.draw(st.integers(min_value=1, max_value=6))
+    orders, li = [], []
+    lineno = 0
+    for ok in range(1, n_orders + 1):
+        status = data.draw(st.sampled_from(["F", "F", "O"]))
+        orders.append((ok, 1, status, 0.0, d0, "1-URGENT"))
+        for _ in range(data.draw(st.integers(min_value=1, max_value=4))):
+            lineno += 1
+            sk = data.draw(st.integers(min_value=10, max_value=12))
+            days = data.draw(st.sampled_from([10, 89, 90, 91, 150]))
+            li.append(
+                (ok, 1, sk, lineno, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                 d0 + dt.timedelta(days=days))
+            )
+    supp = [(k, f"Supplier#{k}", 1, 0.0) for k in (10, 11, 12)]
+    tmp = Path(tempfile.mkdtemp(prefix="q21prop_"))
+    try:
+        _write_q21_fixture(spark, tmp, orders, li, supp)
+        got = {
+            r.s_name: r.numwait
+            for r in q21_sole_late_supplier(spark, str(tmp)).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    want = {
+        f"Supplier#{sk}": n for sk, n in _q21_brute(orders, li).items()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(data=st.data())
+def test_q2_decorrelation_matches_bruteforce_min(spark, data):
+    """The per-part window-min decorrelation == the literal correlated
+    min-subquery semantics, ties kept — random costs (engineered tie
+    clusters), suppliers split across an in-region and an out-of-region
+    nation, parts split across the filtered and unfiltered size."""
+    import datetime as dt
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_olap import (
+        Q2_REGION,
+        Q2_SIZE,
+        q2_min_cost_supplier,
+    )
+
+    n_li = data.draw(st.integers(min_value=1, max_value=12))
+    li = []
+    for i in range(n_li):
+        li.append(
+            (
+                i,                                       # orderkey (unused)
+                data.draw(st.integers(min_value=1, max_value=3)),   # partkey
+                data.draw(st.integers(min_value=10, max_value=13)), # suppkey
+                1, 1.0,
+                float(data.draw(st.sampled_from([5.0, 5.0, 7.5, 9.0]))),
+                0.0, 0.0, "N", "O", dt.datetime(1995, 1, 1),
+            )
+        )
+    # suppliers 10,11 in-region (nation 1 -> region 1 EUROPE); 12,13 out
+    supp = [(10, "S10", 1, 3.0), (11, "S11", 1, 2.0),
+            (12, "S12", 2, 9.0), (13, "S13", 2, 9.0)]
+    nation = [(1, "N1", 1), (2, "N2", 2)]
+    region = [(1, Q2_REGION), (2, "ASIA")]
+    part = [(1, "P1", "B", "PROMO", Q2_SIZE, 1.0),
+            (2, "P2", "B", "PROMO", Q2_SIZE, 1.0),
+            (3, "P3", "B", "PROMO", Q2_SIZE + 1, 1.0)]
+    tmp = Path(tempfile.mkdtemp(prefix="q2prop_"))
+    try:
+        spark.createDataFrame(
+            li,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, "
+            "l_shipdate timestamp_ntz",
+        ).write.parquet(str(tmp / "lineitem.parquet"))
+        spark.createDataFrame(
+            supp, "s_suppkey long, s_name string, s_nationkey long, s_acctbal double"
+        ).write.parquet(str(tmp / "supplier.parquet"))
+        spark.createDataFrame(
+            nation, "n_nationkey long, n_name string, n_regionkey long"
+        ).write.parquet(str(tmp / "nation.parquet"))
+        spark.createDataFrame(
+            region, "r_regionkey long, r_name string"
+        ).write.parquet(str(tmp / "region.parquet"))
+        spark.createDataFrame(
+            part,
+            "p_partkey long, p_name string, p_brand string, p_type string, "
+            "p_size int, p_retailprice double",
+        ).write.parquet(str(tmp / "part.parquet"))
+        got = {
+            (r.p_partkey, r.s_name, r.best_price)
+            for r in q2_min_cost_supplier(spark, str(tmp)).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # brute force: per (part, in-region supplier) min cost; keep every
+    # supplier hitting the part-wide min; only size-filtered parts
+    in_region = {10: "S10", 11: "S11"}
+    cost: dict[tuple[int, int], float] = {}
+    for row in li:
+        pk, sk, price = row[1], row[2], row[5]
+        if sk in in_region:
+            key = (pk, sk)
+            cost[key] = min(cost.get(key, price), price)
+    want = set()
+    for pk in (1, 2):  # size-5 parts only
+        pmins = [c for (p, _), c in cost.items() if p == pk]
+        if not pmins:
+            continue
+        pmin = min(pmins)
+        for (p, sk), c in cost.items():
+            if p == pk and c == pmin:
+                want.add((pk, in_region[sk], pmin))
+    assert got == want
