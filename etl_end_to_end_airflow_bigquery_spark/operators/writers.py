@@ -228,24 +228,21 @@ def expire_versions(path: str, keep_last: int = 1) -> list[int]:
     """
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    # validate BEFORE taking the lock: _write_lock mkdirs the path, and
+    # an admin op on a typo'd path must stay read-only (code-review r11)
+    if not os.path.isdir(path) or _current_version_name(path) is None:
+        raise ValueError(
+            f"{path!r} is not a versioned table (no {_CURRENT_PTR})"
+        )
     with _write_lock(path):
         cur = _current_version_name(path)
-        if cur is None:
+        if cur is None:  # raced a layout teardown between check and lock
             raise ValueError(
                 f"{path!r} is not a versioned table (no {_CURRENT_PTR})"
             )
         committed = sorted(_committed_versions(path), key=_seq_of)
         keep = set(committed[-keep_last:]) | {cur}
-        swept: list[int] = []
-        for d in os.listdir(path):
-            if (
-                d.startswith("v_")
-                and d not in keep
-                and os.path.isdir(os.path.join(path, d))
-            ):
-                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
-                swept.append(_seq_of(d))
-        return sorted(swept)
+        return _sweep_versions(path, keep)
 
 
 def _commit_version(path: str, vdir: str, keep_versions: int) -> None:
@@ -272,6 +269,17 @@ def _commit_version(path: str, vdir: str, keep_versions: int) -> None:
     #    lexicographic breaks once sequence digits differ)
     committed = sorted(_committed_versions(path), key=_seq_of)
     keep = set(committed[-max(1, keep_versions):]) | {vname}
+    _sweep_versions(path, keep)
+
+
+def _sweep_versions(path: str, keep: set[str]) -> list[int]:
+    """Delete every ``v_*`` snapshot dir not in ``keep`` — the single
+    sweep used by both commit-time retention and the explicit
+    :func:`expire_versions` VACUUM (code-review r11: the loop was
+    duplicated, letting the two deletion paths diverge). Crash orphans
+    (absent from the ledger) are swept like any expired snapshot.
+    Returns the swept sequence numbers (-1 for unparseable names)."""
+    swept: list[int] = []
     for d in os.listdir(path):
         if (
             d.startswith("v_")
@@ -279,6 +287,8 @@ def _commit_version(path: str, vdir: str, keep_versions: int) -> None:
             and os.path.isdir(os.path.join(path, d))
         ):
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+            swept.append(_seq_of(d))
+    return sorted(swept)
 
 
 def _next_version_dir(path: str) -> str:

@@ -1383,22 +1383,27 @@ def _cep_tails(work: DataFrame, k: int = 2) -> DataFrame:
 
 def _assert_time_contiguous(tails: DataFrame, batch: DataFrame, batch_id) -> None:
     """LOUD in-order guard for the boundary-tail CEP fold: the algebra
-    is only sound for time-contiguous delivery (the per-partition-
-    ordered Kafka contract). The range-partitioned feed + pinned mtimes
-    provide it, but that rests on the file source's ordering — if a
-    future source breaks it, fail the stream instead of silently
-    over/under-counting. Equal boundary timestamps are allowed (range
-    partitioning never splits equal keys, and any other slicing that
-    lands an equal-ts row in the next batch is still order-correct up
-    to the event_id tiebreak the feed preserves). Two 1-row aggregates,
-    bounded driver metadata."""
-    tail_max = tails.agg(F.max("ts")).first()[0]
-    batch_min = batch.agg(F.min("ts")).first()[0]
-    if tail_max is not None and batch_min < tail_max:
+    is only sound for in-order delivery (the per-partition-ordered
+    Kafka contract). The range-partitioned feed + pinned mtimes provide
+    it, but that rests on the file source's ordering — if a future
+    source breaks it, fail the stream instead of silently
+    over/under-counting. The comparison is on the FULL ordering key
+    (ts, event_id), not ts alone — an equal-ts row landing in the next
+    batch with a smaller event_id is just as order-breaking as an
+    earlier timestamp (code-review r11: a ts-only guard had a blind
+    spot exactly there). Two 1-row aggregates, bounded driver
+    metadata."""
+    tail_max = tails.agg(F.max(F.struct("ts", "event_id"))).first()[0]
+    batch_min = batch.agg(F.min(F.struct("ts", "event_id"))).first()[0]
+    if (
+        tail_max is not None
+        and batch_min is not None
+        and tuple(batch_min) < tuple(tail_max)
+    ):
         raise RuntimeError(
             f"out-of-order micro-batch delivery: batch {batch_id} "
-            f"starts at {batch_min}, before the folded stream's "
-            f"tail at {tail_max} — the boundary-tail CEP fold "
+            f"starts at {tuple(batch_min)}, before the folded stream's "
+            f"tail at {tuple(tail_max)} — the boundary-tail CEP fold "
             "requires time-contiguous batches"
         )
 
@@ -1478,11 +1483,11 @@ def streaming_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             tail_dir, tail_init, below=batch_id
         )
         prev_cnt = latest_committed_state(cnt_dir, cnt_init, below=batch_id)
-        tails = spark.read.parquet(prev_tail)
+        # persist: `tails` feeds the guard aggregate AND the work union
+        # (one parquet read, not two); `work` feeds BOTH the matcher and
+        # the tail rewrite (code-review r11, twice)
+        tails = spark.read.parquet(prev_tail).persist()
         _assert_time_contiguous(tails, batch, batch_id)
-        # persist: `work` feeds BOTH the matcher and the tail rewrite —
-        # without it each write re-reads the tail parquet and re-scans
-        # the batch (code-review r11)
         work = (
             tails.unionByName(batch.select("user_id", "ts", "event_id", "e"))
             .persist()
@@ -1505,6 +1510,7 @@ def streaming_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         finally:
             work.unpersist()
+            tails.unpersist()
 
     stream = (
         spark.readStream.schema(

@@ -231,8 +231,6 @@ def test_q21_decorrelation_blames_only_sole_late_multi_supplier(spark, tmp_path)
 
 
 def _write_q21_fixture(spark, d, orders, li, supp):
-    import datetime as _dt  # noqa: F401
-
     spark.createDataFrame(
         orders,
         "o_orderkey long, o_custkey long, o_orderstatus string, "

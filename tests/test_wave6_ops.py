@@ -162,24 +162,33 @@ def test_approx_certificate_true_on_real_sketch_and_false_on_bad_answer(
 
 
 def test_cep_fold_rejects_out_of_order_batches(spark):
-    """The boundary-tail fold's in-order guard: a batch starting before
-    the folded stream's tail must raise, an equal-boundary or later
-    batch must pass."""
+    """The boundary-tail fold's in-order guard compares the FULL
+    (ts, event_id) ordering key: a batch starting before the folded
+    stream's tail raises — including the equal-ts/smaller-event_id
+    case, where a ts-only guard would silently let the tiebreak order
+    break (code-review r11). Later or equal-key-forward batches pass;
+    empty states are fine."""
     from etl_end_to_end_airflow_bigquery_spark.plans.queries_stream import (
         _assert_time_contiguous,
     )
 
     t = dt.datetime(2024, 1, 1, 12, 0, 0)
     h = dt.timedelta(hours=1)
-    tails = _mk_events(spark, [(1, t, 1, "v")])
+    tails = _mk_events(spark, [(1, t, 5, "v")])
     _assert_time_contiguous(tails, _mk_events(spark, [(1, t + h, 2, "c")]), 1)
-    _assert_time_contiguous(tails, _mk_events(spark, [(1, t, 2, "c")]), 1)
+    _assert_time_contiguous(tails, _mk_events(spark, [(1, t, 6, "c")]), 1)
     _assert_time_contiguous(
         _mk_events(spark, []), _mk_events(spark, [(1, t - h, 2, "c")]), 0
     )  # empty tail state: any batch is fine
+    _assert_time_contiguous(tails, _mk_events(spark, []), 1)  # empty batch
     with pytest.raises(RuntimeError, match="out-of-order"):
         _assert_time_contiguous(
             tails, _mk_events(spark, [(1, t - h, 2, "c")]), 1
+        )
+    with pytest.raises(RuntimeError, match="out-of-order"):
+        # equal ts, smaller event_id — the tiebreak-order violation
+        _assert_time_contiguous(
+            tails, _mk_events(spark, [(1, t, 4, "c")]), 1
         )
 
 

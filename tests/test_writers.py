@@ -795,8 +795,6 @@ def test_expire_versions_sweeps_to_keep_last(spark, tmp_path, target):
     """Explicit VACUUM: keep_versions=10 retains every commit; a
     standalone expire_versions(keep_last=1) reclaims all but the
     current snapshot, and time travel to it still reads exactly."""
-    import os
-
     from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
         expire_versions,
         table_versions,
@@ -855,9 +853,16 @@ def test_expire_versions_rejects_bad_args_and_plain_dirs(
         expire_versions,
     )
 
+    import os
+
     plain = str(tmp_path / "plain")
     target.write.parquet(plain)
     with pytest.raises(ValueError, match="not a versioned table"):
         expire_versions(plain, keep_last=1)
     with pytest.raises(ValueError, match="keep_last"):
         expire_versions(plain, keep_last=0)
+    # an admin op on a typo'd path stays read-only — no mkdir side effect
+    missing = str(tmp_path / "no" / "such" / "table")
+    with pytest.raises(ValueError, match="not a versioned table"):
+        expire_versions(missing, keep_last=1)
+    assert not os.path.exists(missing)
