@@ -203,6 +203,51 @@ def table_versions(path: str) -> list[int]:
     return sorted(_seq_of(d) for d in _committed_versions(path))
 
 
+def describe_history(spark: SparkSession, path: str) -> DataFrame:
+    """Commit-history introspection — the ``DESCRIBE HISTORY`` audit
+    surface next to :func:`table_versions` (time travel),
+    :func:`read_table_changes` (the change feed) and
+    :func:`expire_versions` (retention): one row per RETAINED committed
+    snapshot, newest first, with is_current, file count, data bytes,
+    and whether the snapshot recorded a change-data feed. Swept
+    snapshots keep their ledger line but have no directory, so they —
+    correctly — don't appear (their sequence numbers are recoverable
+    from the ledger if forensics ever need them). Driver-side directory
+    walk over the retained snapshots only; bounded metadata, no data
+    read."""
+    cur = _current_version_name(path)
+    if cur is None:
+        raise ValueError(
+            f"{path!r} is not a versioned table (no {_CURRENT_PTR})"
+        )
+    rows = []
+    for vname in _committed_versions(path):
+        vdir = os.path.join(path, vname)
+        n_files, n_bytes = 0, 0
+        for root, _dirs, files in os.walk(vdir):
+            in_cdf = os.path.basename(root) == "_change_data"
+            for f in files:
+                if f.endswith(".parquet") and not in_cdf:
+                    n_files += 1
+                    n_bytes += os.path.getsize(os.path.join(root, f))
+        rows.append(
+            (
+                _seq_of(vname),
+                vname,
+                vname == cur,
+                n_files,
+                n_bytes,
+                os.path.isdir(os.path.join(vdir, "_change_data")),
+            )
+        )
+    rows.sort(key=lambda r: -r[0])
+    return spark.createDataFrame(
+        rows,
+        "version bigint, snapshot string, is_current boolean, "
+        "n_data_files bigint, data_bytes bigint, has_change_feed boolean",
+    )
+
+
 def expire_versions(path: str, keep_last: int = 1) -> list[int]:
     """Explicit snapshot retention — the VACUUM / expire-snapshots
     surface (Delta ``VACUUM``, Iceberg ``expire_snapshots``): sweep all

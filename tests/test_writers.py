@@ -866,3 +866,43 @@ def test_expire_versions_rejects_bad_args_and_plain_dirs(
     with pytest.raises(ValueError, match="not a versioned table"):
         expire_versions(missing, keep_last=1)
     assert not os.path.exists(missing)
+
+
+def test_describe_history_rows_current_flag_and_cdf_marker(
+    spark, tmp_path, target
+):
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        describe_history,
+        expire_versions,
+        table_versions,
+    )
+
+    path = str(tmp_path / "hist")
+    merge_upsert(spark, path, target, keys=["k"], keep_versions=10)
+    merge_upsert(
+        spark, path, _frame(spark, [(42, "dh", 4.0)]), keys=["k"],
+        keep_versions=10, emit_cdf=True,
+    )
+    hist = describe_history(spark, path).collect()
+    vers = table_versions(path)
+    assert [r.version for r in hist] == sorted(vers, reverse=True)
+    assert [r.is_current for r in hist] == [True, False]
+    assert all(r.n_data_files >= 1 and r.data_bytes > 0 for r in hist)
+    # the CDF commit marks has_change_feed; its _change_data files are
+    # excluded from the data-file census
+    assert [r.has_change_feed for r in hist] == [True, False]
+    # after expiry, history shows only the survivor
+    expire_versions(path, keep_last=1)
+    hist2 = describe_history(spark, path).collect()
+    assert [(r.version, r.is_current) for r in hist2] == [(vers[-1], True)]
+
+
+def test_describe_history_rejects_plain_dir(spark, tmp_path, target):
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        describe_history,
+    )
+
+    plain = str(tmp_path / "plainh")
+    target.write.parquet(plain)
+    with pytest.raises(ValueError, match="not a versioned table"):
+        describe_history(spark, plain)
