@@ -1,13 +1,18 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE compact JSON line, totals FIRST so a fixed-size stdout tail
-still contains the headline even if the query map is clipped:
+Prints ONE compact scalars-only JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec", "sf": <sf>,
-     "canary": {...}, "queries": {name: min sec, ...}}
-The full record — including per-query MEDIANS — is written to
-BENCH_LOCAL.json next to this script (VERDICT r07 item 4: the median
-map pushed the old single-line format past the driver's tail capture).
+     "canary": {...}, "canary_basket": {...}, "basket_drift": d,
+     "canary_normalized_total": t, "n_queries": n,
+     "queries_file": "BENCH_LOCAL.json"}
+The full record — per-query mins, MEDIANS, and drift-normalized mins —
+is written to BENCH_LOCAL.json next to this script. The driver keeps
+only the last 2000 bytes of stdout; embedding the per-query map there
+overflowed that tail twice (VERDICT r07 item 4 at ~40 entries via the
+median map, VERDICT r11 item 1 at 83 entries via the min map), so no
+per-query map is ever printed — a size guard raises if the scalar line
+itself approaches the capture limit.
 
 Each query executes its full physical plan into the `noop` sink (no
 driver collect, no result pruning — the honest end-to-end cost of the
@@ -348,12 +353,28 @@ def main() -> None:
                          "BENCH_LOCAL.json")
     with open(local, "w") as f:
         json.dump(record, f, indent=1)
+    # Stdout: ONE scalars-only line (VERDICT r11 item 1). The driver
+    # keeps only the last 2000 bytes of stdout and parses the JSON it
+    # finds there; at 83 bench entries the per-query map alone is
+    # ~2.5 KB, so embedding it clipped the head (metric/value/basket)
+    # out of the tail — BENCH_r11 recorded parsed:null, a regression of
+    # the exact overflow VERDICT r07 item 4 first fixed. Per-query
+    # mins/medians/normalized live ONLY in BENCH_LOCAL.json (committed
+    # every round); stdout carries the headline scalars plus a pointer.
     compact = {
         k: v
         for k, v in record.items()
-        if k not in ("queries_median", "queries_normalized")
+        if k not in ("queries", "queries_median", "queries_normalized")
     }
-    print(json.dumps(compact, separators=(",", ":")))
+    compact["n_queries"] = len(mins)
+    compact["queries_file"] = "BENCH_LOCAL.json"
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1800:  # headroom under the 2000-byte tail capture
+        raise RuntimeError(
+            f"bench stdout line grew to {len(line)} bytes — would overflow "
+            "the driver's 2000-byte tail capture; trim the scalar record"
+        )
+    print(line)
     spark.stop()
 
 

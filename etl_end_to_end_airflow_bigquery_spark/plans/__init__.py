@@ -193,6 +193,28 @@ GATED_THROUGH_R10: frozenset[str] = GATED_THROUGH_R09 | frozenset(
     }
 )
 
+# Round-11 fold (CORRECTNESS_r11: 50/50 green — the whole gate passed).
+# Anchors were already in the R10 ledger; the union adds exactly the 28
+# rotation rows (the r11-new queries).
+GATED_THROUGH_R11: frozenset[str] = GATED_THROUGH_R10 | frozenset(
+    {
+        "merge_cdf_ivm_roundtrip", "merge_sql_multi_clause",
+        "quarantine_ingest_events", "skew_join_hot_keys",
+        "zorder_skipping_report", "sql_scripting_pack",
+        "bitmap_distinct_users", "streaming_bitmap_distinct",
+        "ngram_novelty_docs", "funnel_time_to_convert",
+        "multimodal_arrow_stats", "schema_evolution_read",
+        "collation_pack", "bitmap_audience_overlap",
+        "merge_cdf_join_ivm", "cdf_squash_roundtrip",
+        "k_anonymity_report", "udf_iter_text_scores",
+        "prefix_filter_near_dups", "weighted_median_prices",
+        "q21_sole_late_supplier", "cep_pattern_funnel",
+        "range_frame_peak_window", "q2_min_cost_supplier",
+        "spatial_grid_knn", "dpp_partitioned_join",
+        "approx_quantile_certified", "streaming_cep_funnel",
+    }
+)
+
 _GATE_ANCHORS: tuple[str, ...] = (
     "daily_avg_report",        # flagship grouped avg + time bucket (A2)
     "topk_recent_events",      # projection + ORDER BY DESC LIMIT (P1/O1)
@@ -218,60 +240,34 @@ _GATE_ANCHORS: tuple[str, ...] = (
     "scd2_orders_status",      # SCD2 history merge
 )
 
-# Round 11 (same post-exhaustion policy): rotation slots hold exactly
+# Round 12 (same post-exhaustion policy): rotation slots hold exactly
 # the round's NEW queries — never-proven by construction.
 _GATE_ROTATION: tuple[str, ...] = (
-    "merge_cdf_ivm_roundtrip",  # MERGE change-data-feed → IVM fold, end-to-end
-    "merge_sql_multi_clause",   # conditional clause ladder, first-match-wins
-    "quarantine_ingest_events", # PERMISSIVE parse + dead-letter sink roundtrip
-    "skew_join_hot_keys",       # fact-fact hot-key join, AQE skew-split eligible
-    "zorder_skipping_report",   # footer min/max skipping vs relational grid oracle
-    "sql_scripting_pack",       # BEGIN/WHILE/IF scripted binary-search median
-    "bitmap_distinct_users",    # exact-distinct bitmap state, OR-merge law
-    "streaming_bitmap_distinct",  # the same masks folded per micro-batch
-    "ngram_novelty_docs",       # first-occurrence shingle novelty scoring
-    "funnel_time_to_convert",   # exact conversion-latency percentiles
-    "multimodal_arrow_stats",   # mapInArrow byte-class stats (Arrow-native UDF)
-    "schema_evolution_read",    # mergeSchema NULL-backfill scan
-    "collation_pack",           # UTF8_LCASE grouping/equality
-    "bitmap_audience_overlap",  # exact AND/OR/ANDNOT set ops on mask state
-    "merge_cdf_join_ivm",       # change feed -> join-aggregate maintenance
-    "cdf_squash_roundtrip",     # CDC compaction: net per-key change rows
-    "k_anonymity_report",       # QI-census privacy audit, exact risk counts
-    "udf_iter_text_scores",     # scalar-iterator pandas UDF surface
-    "prefix_filter_near_dups",  # PPJoin lossless candidate generation
-    "weighted_median_prices",   # quantity-weighted exact quantile walk
-    "q21_sole_late_supplier",   # double-correlated EXISTS shape, decorrelated
-    "cep_pattern_funnel",       # MATCH_RECOGNIZE-style pattern + within
-    "range_frame_peak_window",  # native RANGE-frame interval window
-    "q2_min_cost_supplier",     # correlated min-against-aggregate shape
-    "spatial_grid_knn",         # grid-cell spatial join vs brute oracle
-    "dpp_partitioned_join",     # runtime partition pruning, data-driven dim
-    "approx_quantile_certified",  # GK sketch + exact rank-bound certificate
-    "streaming_cep_funnel",     # boundary-tail incremental CEP, shared oracle
 )
 
-# Backfill to 50 (r8 policy, see module docstring): tier (a) re-proofs
-# of previously-green names whose code/oracle r11 touches, then tier
-# (b) the stalest driver evidence — the r03/r04-only rows, never
-# re-proven since. Swapped out one-for-one as new r11 queries take
-# rotation slots, tier (b) from the end first.
+# Backfill to 50 (r8 policy, see module docstring). VERDICT r11 item 2:
+# 41 queries' most recent driver green is r03/r04 — evidence staleness,
+# not suspected breakage (the round-close selfcheck covers all 238 at
+# three scale factors), but the driver is the authority. Backfill order
+# = staleness priority; as r12-new queries take rotation slots they
+# evict from the END of this tuple, so the judge-named priorities (the
+# ANN family, then the TPC-H pack) are refreshed first.
 _REPROOF_BACKFILL: tuple[str, ...] = (
-    # tier (a) — code this round touches: the MERGE writer family
-    # (change-data-feed emission + multi-clause SQL MERGE extend
-    # operators/writers.py and operators/merge_sql.py) and the IVM
-    # signed-retraction consumer the new feed drives
-    # (operators/incremental.py).
-    # Backfill fully consumed: with 28 r11-new queries the rotation tier
-    # fills every non-anchor slot (22 + 28 = 50). Wave 5 took the four
-    # remaining tier-(b) slots (ann_lsh_topk, embedding_near_dups,
-    # fuzzy_name_pairs, ivf_topk) plus ivm_join_revenue_retract; wave 6
-    # took the last three tier-(a) slots. The tier-(a) re-proof intent
-    # is still served by the rotation itself: merge_sql_multi_clause
-    # exercises the same parser/lowering as merge_sql_orders /
-    # merge_sql_sync_orders, and merge_cdf_ivm_roundtrip /
-    # merge_cdf_join_ivm drive the same signed_partial_state consumer
-    # as ivm_join_revenue from the emitted feed.
+    # r03-only evidence (stalest; VERDICT names the first four):
+    "ann_lsh_topk", "embedding_near_dups", "fuzzy_name_pairs",
+    "ivf_topk", "ann_lsh_multitable", "ivf_topk_nprobe",
+    # TPC-H pack (VERDICT item 2 second priority; q5/q18 are r03-only):
+    "q5_local_supplier_volume", "q18_big_orders", "q7_volume_shipping",
+    "q8_market_share", "q10_returned_revenue", "q13_order_distribution",
+    "q14_promo_share", "q15_top_supplier", "q19_or_pushdown",
+    "q22_idle_customers",
+    # remaining r03-only rows:
+    "multimodal_meta", "multimodal_resize", "resample_daily_rates",
+    "simhash_docs", "snapshot_diff_orders", "streaming_dedup_events",
+    "vocab_top_tokens",
+    # r04-only rows, evicted first as r12-new queries land:
+    "ann_lsh_multiprobe", "streaming_sessionize", "streaming_sliding_avg",
+    "regex_string_pack", "bitwise_function_pack",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (
@@ -296,7 +292,7 @@ if len(_GATE_PRIORITY) != 50:
     raise RuntimeError(
         f"gate priority list must be exactly 50 names, got {len(_GATE_PRIORITY)}"
     )
-_stale = [n for n in _GATE_ROTATION if n in GATED_THROUGH_R10]
+_stale = [n for n in _GATE_ROTATION if n in GATED_THROUGH_R11]
 if _stale:
     raise RuntimeError(
         f"rotation slots must hold never-gated names, got: {_stale}"
@@ -304,7 +300,7 @@ if _stale:
 # Backfill names are the opposite: each must be a deliberate RE-proof
 # (previously green) — a never-proven name hiding there would dodge the
 # stale-slot bookkeeping.
-_not_reproof = [n for n in _REPROOF_BACKFILL if n not in GATED_THROUGH_R10]
+_not_reproof = [n for n in _REPROOF_BACKFILL if n not in GATED_THROUGH_R11]
 if _not_reproof:
     raise RuntimeError(
         f"backfill slots must hold previously-green names, got: {_not_reproof}"
@@ -314,7 +310,7 @@ if _not_reproof:
 def rotation_candidates() -> list[str]:
     """Registered queries that have never had a driver row and are not
     in the current gate — the pool for next round's rotation slots."""
-    gated = set(_GATE_PRIORITY) | GATED_THROUGH_R10
+    gated = set(_GATE_PRIORITY) | GATED_THROUGH_R11
     return [n for n in _ALL_QUERIES if n not in gated]
 
 
@@ -333,5 +329,6 @@ ORACLES = {
 __all__ = [
     "QUERIES", "ORACLES", "GATED_THROUGH_R06", "GATED_THROUGH_R07",
     "GATED_THROUGH_R08", "GATED_THROUGH_R09", "GATED_THROUGH_R10",
+    "GATED_THROUGH_R11",
     "rotation_candidates",
 ]
