@@ -2092,3 +2092,18 @@ OLAP_ORACLES["approx_quantile_certified"] = """
     GROUP BY l_returnflag
     ORDER BY l_returnflag
 """
+
+from .queries_olap import LINEAGE_N_LOADS as _LINEAGE_N_LOADS
+
+OLAP_ORACLES["file_lineage_scan"] = f"""
+    SELECT event_id % {_LINEAGE_N_LOADS} AS load_id,
+           count(*) AS n_rows,
+           count(DISTINCT user_id) AS n_users,
+           min(event_id) AS min_event_id,
+           max(event_id) AS max_event_id,
+           CAST(sum(event_id) AS BIGINT) AS id_checksum,
+           {_round(_dsum('value'), 2)} AS sum_value
+    FROM events
+    GROUP BY 1
+    ORDER BY load_id
+"""

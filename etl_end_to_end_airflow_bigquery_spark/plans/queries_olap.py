@@ -4776,3 +4776,79 @@ approx_quantile_certified.__doc__ = approx_quantile_certified.__doc__.format(
     acc=APPROX_PCT_ACCURACY
 )
 OLAP_QUERIES["approx_quantile_certified"] = approx_quantile_certified
+
+
+LINEAGE_N_LOADS = 3
+
+
+def file_lineage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-input-file row accounting via ``input_file_name()`` — the
+    audit/debugging surface for multi-file landing zones (SURVEY §7
+    deferred; VERDICT r11 item 3). The reference's load-job model
+    implies per-load provenance (cf. `dags/ FXRate_Reporting_Pipeline.py:75-94`
+    — one BigQuery load job per API fetch); here the landing zone is
+    {n} deterministic loads of the events table (``load = pmod(event_id,
+    {n})``, hive ``__load=K`` layout, exactly one parquet file per load
+    — the same one-shuffle-task-per-leaf contract as
+    ``zorder_write_grid``), and the lineage scan recovers provenance
+    PURELY from the physical file path: ``input_file_name()`` →
+    ``__load=K`` regexp, never the hive partition column. One output
+    row per physical file with its row count, distinct users, id range,
+    id checksum, and cents-exact value sum.
+
+    The oracle recomputes the accounting relationally from the same
+    load rule, so hash-equality certifies that file-path provenance
+    matches the logical load slices AND that the writer kept its
+    one-file-per-load contract (a fragmented load would emit two Spark
+    rows for one oracle row — a row-count mismatch). A DuckDB
+    ``read_parquet(..., filename=true)`` twin would need the tmpdir
+    path inside a static SQL string; the relational twin is the
+    repo-standard fixture pattern (``zorder_skipping_report``,
+    ``time_travel_orders``) and is strictly stronger: it predicts what
+    the filesystem must contain rather than re-reading it.
+
+    Scale: ``input_file_name()`` is a zero-shuffle scan-local
+    expression; the audit aggregates at file grain, so the shuffle
+    carries one row per (file, user) partial for the distinct-user
+    count and the final state is O(files) — at 100 TB with ~100k
+    landed files this is a seconds-scale metadata-shaped job, the
+    engine-side equivalent of a table format's per-file manifest
+    census.
+    """
+    import os
+
+    from ..tmputil import session_tmpdir
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "value"
+    )
+    root = os.path.join(session_tmpdir("lineage_"), "events_landing")
+    (
+        ev.withColumn("__load", F.pmod(F.col("event_id"), F.lit(LINEAGE_N_LOADS)))
+        # one shuffle task owns each load -> exactly one file per leaf
+        .repartition("__load")
+        .write.mode("overwrite")
+        .partitionBy("__load")
+        .parquet(root)
+    )
+    scanned = spark.read.parquet(root).drop("__load").withColumn(
+        "load_id",
+        F.regexp_extract(F.input_file_name(), r"__load=(\d+)", 1).cast("bigint"),
+    )
+    return (
+        scanned.groupBy(F.input_file_name().alias("file"), F.col("load_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+            F.sum("event_id").alias("id_checksum"),
+            round_half_up(decimal_sum(F.col("value")), 2).alias("sum_value"),
+        )
+        .drop("file")
+        .orderBy("load_id")
+    )
+
+
+file_lineage_scan.__doc__ = file_lineage_scan.__doc__.format(n=LINEAGE_N_LOADS)
+OLAP_QUERIES["file_lineage_scan"] = file_lineage_scan
