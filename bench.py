@@ -207,6 +207,9 @@ BENCH_QUERIES = [
     # wave 6: the sketch+certificate pass (dpp_partitioned_join and the
     # streaming CEP twin stay out — tmpdir-write fixtures, same policy)
     "approx_quantile_certified",
+    # round 12: the two-pass MG heavy hitter (file_lineage_scan stays
+    # out — tmpdir-write fixture, same policy); prefix above unchanged.
+    "misra_gries_heavy_hitters",
 ]
 
 N_RUNS = 3

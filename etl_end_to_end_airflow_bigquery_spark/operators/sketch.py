@@ -207,3 +207,69 @@ def bloom_probe(
             f" CAST({pos} % 64 AS INT)) & 1) = 1)"
         )
     return F.expr(" AND ".join(conds))
+
+
+# --- Misra-Gries deterministic heavy-hitter candidates ----------------------
+
+def mg_prune(counts: dict, k: int) -> dict:
+    """Order-invariant Misra-Gries summary of EXACT within-part counts:
+    subtract d = the (k+1)-th largest count (0 when there are <= k
+    distinct items) and keep the positive residuals.
+
+    This is the summary a faithful one-pass MG stream build converges
+    to when equal items are adjacent, with two properties the stream
+    form lacks: it is a pure function of the part's multiset (row order
+    inside a partition cannot change the candidates) and it is fully
+    vectorizable. The classic guarantees carry over:
+
+    * size: at most k items survive (everything above the (k+1)-th
+      largest — at most k values);
+    * undercount: every residual undercounts its true in-part count by
+      exactly d, and since >= k+1 items have count >= d,
+      ``d <= n_part // (k + 1)``;
+    * merge (Agarwal et al., "Mergeable Summaries", PODS'12): summing
+      residual weights across parts undercounts each item's TRUE total
+      by at most ``sum_p n_p/(k+1) = n/(k+1)``, so every item with
+      true count > n/(k+1) survives the merged summary with positive
+      weight — candidate recall 1.0 for that threshold.
+    """
+    if k < 1:
+        raise ValueError(f"mg_prune needs k >= 1, got {k}")
+    if len(counts) <= k:
+        return {i: c for i, c in counts.items() if c > 0}
+    d = sorted(counts.values(), reverse=True)[k]
+    return {i: c - d for i, c in counts.items() if c > d}
+
+
+def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-physical-partition Misra-Gries summaries (NO raw shuffle —
+    the entire point of the structure at 100 TB): each input partition
+    is folded map-side into exact local counts (pandas ``value_counts``,
+    one vectorized pass per Arrow batch) and pruned to <= ``k``
+    ``(item, weight)`` rows by :func:`mg_prune`. Only those bounded
+    summaries ever leave the scan stage; the caller merges them with a
+    plain ``groupBy(col).sum(weight)`` over k·P rows instead of n.
+
+    The candidate SET may vary with the physical partitioning (each
+    part's d depends on its local skew) — which is why consumers must
+    recount candidates exactly and filter on the true threshold; the
+    final answer is then partitioning-independent. Deliberate pandas
+    surface: counting is vectorized per batch and state is one bounded
+    dict per partition.
+    """
+
+    def _summarize(batches):
+        import pandas as pd
+
+        acc: dict = {}
+        for pdf in batches:
+            for item, c in pdf[col].value_counts().items():
+                acc[item] = acc.get(item, 0) + int(c)
+        pruned = mg_prune(acc, k)
+        yield pd.DataFrame(
+            {col: list(pruned.keys()), "mg_weight": list(pruned.values())}
+        )
+
+    return df.select(col).mapInPandas(
+        _summarize, schema=f"{col} string, mg_weight bigint"
+    )

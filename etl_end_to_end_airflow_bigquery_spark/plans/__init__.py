@@ -244,6 +244,7 @@ _GATE_ANCHORS: tuple[str, ...] = (
 # the round's NEW queries — never-proven by construction.
 _GATE_ROTATION: tuple[str, ...] = (
     "file_lineage_scan",        # input_file_name() landing-zone provenance audit
+    "misra_gries_heavy_hitters",  # deterministic 2-pass exact heavy hitters
 )
 
 # Backfill to 50 (r8 policy, see module docstring). VERDICT r11 item 2:
@@ -268,7 +269,6 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "vocab_top_tokens",
     # r04-only rows, evicted first as r12-new queries land:
     "ann_lsh_multiprobe", "streaming_sessionize", "streaming_sliding_avg",
-    "regex_string_pack",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

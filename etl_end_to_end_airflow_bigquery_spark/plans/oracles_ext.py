@@ -2770,3 +2770,18 @@ EXT_ORACLES["prefix_filter_near_dups"] = f"""
     WHERE ({_JACCARD_EXPR}) >= {NEAR_DUP_JACCARD}
     ORDER BY doc_a, doc_b
 """
+
+from .queries_ext import MG_HH_DIVISOR as _MG_HH
+
+EXT_ORACLES["misra_gries_heavy_hitters"] = f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), total AS (
+        SELECT count(*) AS n_total FROM toks
+    )
+    SELECT token, count(*) AS n_exact
+    FROM toks, total
+    GROUP BY token, n_total
+    HAVING count(*) * {_MG_HH} > n_total
+    ORDER BY n_exact DESC, token
+"""

@@ -2972,3 +2972,70 @@ def prefix_filter_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT_QUERIES["prefix_filter_near_dups"] = prefix_filter_near_dups
+
+
+MG_HH_DIVISOR = 200   # heavy hitter: true count > n / 200
+MG_K = 400            # MG counters per partition summary (2x divisor)
+
+
+def misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters via the deterministic two-pass Misra-Gries
+    pattern (SURVEY §7 deferred; VERDICT r11 item 5) — the exact
+    counterpart to ``cms_heavy_hitters``'s probabilistic sketch: where
+    CMS keeps a fixed d×w counter grid and answers with overestimates,
+    MG keeps <= k counters per input partition with NO raw-token
+    shuffle (``operators.sketch.mg_candidates``), merges the bounded
+    summaries by weight sum (undercount <= n/(k+1), Mergeable
+    Summaries PODS'12), prunes candidates with the integer-exact bound
+    ``merged*HH*(k+1) > n*(k+1-HH)`` (any true heavy hitter's merged
+    weight must clear it), and then RECOUNTS the survivors exactly in
+    one semi-joined pass. Output = every token with true count
+    > n/{hh}, with its exact count — deterministic regardless of the
+    physical partitioning, because the candidate stage is
+    recall-lossless for the threshold and the recount is exact.
+
+    The oracle is a plain GROUP BY ... HAVING count(*)*{hh} > total —
+    deliberately sketch-free, so a hash match certifies the candidate
+    stage dropped no true hitter (the same recall-1.0 certification
+    pattern as prefix_filter_near_dups).
+
+    Scale: pass 1 ships k·P summary rows instead of n tokens; pass 2
+    recounts only the pruned candidate set (broadcast semi-join, near
+    the true hitter count after the lower-bound filter). At 100 TB the
+    raw-token shuffle this avoids IS the cost of the naive plan.
+    """
+    from ..operators.sketch import mg_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    merged = (
+        mg_candidates(toks, "token", MG_K)
+        .groupBy("token")
+        .agg(F.sum("mg_weight").alias("mg_lower"))
+    )
+    candidates = (
+        merged.crossJoin(F.broadcast(total))
+        # merged lower bound vs threshold minus the merge slack, kept in
+        # exact int64: mg_lower > n/HH - n/(K+1)
+        .filter(
+            F.col("mg_lower") * MG_HH_DIVISOR * (MG_K + 1)
+            > F.col("n_total") * (MG_K + 1 - MG_HH_DIVISOR)
+        )
+        .select("token")
+    )
+    return (
+        toks.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_exact") * MG_HH_DIVISOR > F.col("n_total"))
+        .select("token", "n_exact")
+        .orderBy(F.col("n_exact").desc(), F.col("token"))
+    )
+
+
+misra_gries_heavy_hitters.__doc__ = misra_gries_heavy_hitters.__doc__.format(
+    hh=MG_HH_DIVISOR
+)
+EXT_QUERIES["misra_gries_heavy_hitters"] = misra_gries_heavy_hitters

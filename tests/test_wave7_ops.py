@@ -74,3 +74,106 @@ def test_lineage_provenance_comes_from_file_path(spark):
     }
     assert got == want
     sweep_tmpdirs()
+
+
+# --- Misra-Gries merge law ---------------------------------------------------
+
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _split_multiset(draw):
+    """A small random multiset over a tiny alphabet, cut into 1-5 parts
+    at arbitrary points (adversarial splits are the merge law's whole
+    job)."""
+    items = draw(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=120)
+    )
+    n_parts = draw(st.integers(min_value=1, max_value=5))
+    cuts = sorted(
+        draw(
+            st.lists(
+                st.integers(min_value=0, max_value=len(items)),
+                min_size=n_parts - 1,
+                max_size=n_parts - 1,
+            )
+        )
+    )
+    bounds = [0, *cuts, len(items)]
+    return items, [items[a:b] for a, b in zip(bounds, bounds[1:])]
+
+
+@given(_split_multiset(), st.integers(min_value=1, max_value=6))
+@settings(max_examples=200, deadline=None)
+def test_mg_prune_merge_law(split, k):
+    """Summing per-part mg_prune residuals: (a) each part's summary has
+    <= k items; (b) merged weights never overcount; (c) total
+    undercount per item <= sum_p n_p // (k+1); (d) every item with
+    true count > n/(k+1) survives with positive merged weight — the
+    recall guarantee the exact-recount stage relies on."""
+    from etl_end_to_end_airflow_bigquery_spark.operators.sketch import mg_prune
+
+    items, parts = split
+    true = Counter(items)
+    n = len(items)
+    merged: Counter = Counter()
+    slack = 0
+    for part in parts:
+        summary = mg_prune(Counter(part), k)
+        assert len(summary) <= k
+        for i, w in summary.items():
+            assert w > 0
+            merged[i] += w
+        slack += len(part) // (k + 1)
+    for i, c in true.items():
+        assert merged[i] <= c, "MG must never overcount"
+        assert c - merged[i] <= slack, "undercount exceeded the merge bound"
+        if c * (k + 1) > n:
+            assert merged[i] > 0, (
+                f"true heavy hitter {i!r} (count {c}, n {n}) lost by merge"
+            )
+
+
+def test_mg_candidates_cover_true_hitters(spark):
+    """The distributed candidate stage (mapInPandas partials over the
+    real physical partitioning) must contain every true heavy hitter
+    at the query's threshold, and the gated query must equal brute
+    force exactly."""
+    from etl_end_to_end_airflow_bigquery_spark.io import load_table
+    from etl_end_to_end_airflow_bigquery_spark.operators.sketch import (
+        mg_candidates,
+    )
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_ext import (
+        MG_HH_DIVISOR,
+        MG_K,
+        misra_gries_heavy_hitters,
+    )
+    from pyspark.sql import functions as F
+
+    toks = (
+        load_table(spark, SF_SMALL, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+    )
+    n = toks.count()
+    brute = {
+        r.token: r.n
+        for r in toks.groupBy("token").agg(F.count(F.lit(1)).alias("n")).collect()
+        if r.n * MG_HH_DIVISOR > n
+    }
+    cand = {
+        r.token
+        for r in mg_candidates(toks, "token", MG_K)
+        .groupBy("token")
+        .agg(F.sum("mg_weight").alias("w"))
+        .collect()
+        if r.w > 0
+    }
+    assert set(brute) <= cand, "candidate stage lost a true heavy hitter"
+    got = {
+        r.token: r.n_exact
+        for r in misra_gries_heavy_hitters(spark, SF_SMALL).collect()
+    }
+    assert got == brute
