@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     # round 12: the two-pass MG heavy hitter (file_lineage_scan stays
     # out — tmpdir-write fixture, same policy); prefix above unchanged.
     "misra_gries_heavy_hitters",
+    "mmr_rerank_topk",
 ]
 
 N_RUNS = 3

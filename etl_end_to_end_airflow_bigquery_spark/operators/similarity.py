@@ -1281,3 +1281,98 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
     )
+
+
+# --- MMR-diversified rerank --------------------------------------------------
+
+MMR_FANOUT = 20
+MMR_K = 5
+MMR_LAMBDA = 0.3   # low lambda => diversity term dominates; shared verbatim
+                   # with the oracle ladder so the literal parses identically
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_pred: str = "vec_id < 5",
+    k: int = MMR_K,
+    fanout: int = MMR_FANOUT,
+    lam: float = MMR_LAMBDA,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank over the ANN stack (Carbonell &
+    Goldstein, SIGIR'98): per query, fetch ``fanout`` candidates by
+    exact cosine (:func:`cosine_topk` — swap in any ANN candidate
+    generator at scale), then greedily pick ``k`` of them maximizing
+    ``lam*rel(q,d) - (1-lam)*max_{s in picked} sim(d,s)`` — relevance
+    traded against redundancy with what's already picked.
+
+    Exactness: every similarity is the scaled-integer ``dot_fold``
+    (floor(x*y*1e12) summed as int — associative, engine-portable),
+    and the greedy loop recomputes candidate-candidate sims in the UDF
+    with the SAME fold (python floats are IEEE doubles; floor/mul/div
+    ordering replicated term-for-term), so scores are bit-identical to
+    the oracle's SQL ladder and tie-breaks (score DESC, vec_id ASC)
+    decide identically.
+
+    Scale: the greedy stage is grouped ``applyInPandas`` over
+    (query, fanout-candidates) groups — O(k·fanout) work and
+    O(fanout·dim) state per query, embarrassingly parallel across
+    queries; the candidate stage is whatever ANN index serves top-N.
+    The k x fanout pairwise-sim matrix never leaves the group.
+    """
+    import math
+
+    import pandas as pd
+
+    scale = float(DOT_SCALE)
+    v = _vectors(embeddings)
+    cands = cosine_topk(embeddings, query_pred=query_pred, k=fanout).join(
+        v.select(F.col("vec_id").alias("neighbor_id"), "e", "norm2"),
+        "neighbor_id",
+    )
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        ids = pdf["neighbor_id"].tolist()
+        rel = pdf["cosine"].tolist()
+        es = [list(map(float, e)) for e in pdf["e"]]
+        norms = [math.sqrt(float(n)) for n in pdf["norm2"]]
+
+        def sim(i: int, j: int) -> float:
+            acc = 0
+            a, b = es[i], es[j]
+            for x, y in zip(a, b):
+                acc += math.floor((x * y) * scale)
+            return (float(acc) / scale) / (norms[i] * norms[j])
+
+        picked: list[int] = []
+        out = []
+        while len(picked) < min(k, len(ids)):
+            best = None
+            for i in range(len(ids)):
+                if i in picked:
+                    continue
+                red = max((sim(i, j) for j in picked), default=0.0)
+                score = lam * rel[i] - (1 - lam) * red
+                key = (score, -ids[i])
+                if best is None or key > best[0]:
+                    best = (key, i, score)
+            _, i, score = best
+            picked.append(i)
+            out.append(
+                (
+                    int(pdf["q_id"].iloc[0]),
+                    len(picked),
+                    ids[i],
+                    rel[i],
+                    score,
+                )
+            )
+        return pd.DataFrame(
+            out, columns=["q_id", "pick", "neighbor_id", "relevance", "mmr"]
+        )
+
+    return cands.groupBy("q_id").applyInPandas(
+        _greedy,
+        schema="q_id bigint, pick bigint, neighbor_id bigint, "
+        "relevance double, mmr double",
+    )

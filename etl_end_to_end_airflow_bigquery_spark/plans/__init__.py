@@ -245,6 +245,7 @@ _GATE_ANCHORS: tuple[str, ...] = (
 _GATE_ROTATION: tuple[str, ...] = (
     "file_lineage_scan",        # input_file_name() landing-zone provenance audit
     "misra_gries_heavy_hitters",  # deterministic 2-pass exact heavy hitters
+    "mmr_rerank_topk",          # MMR greedy diversity rerank vs SQL argmax ladder
 )
 
 # Backfill to 50 (r8 policy, see module docstring). VERDICT r11 item 2:
@@ -268,7 +269,7 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "simhash_docs", "snapshot_diff_orders", "streaming_dedup_events",
     "vocab_top_tokens",
     # r04-only rows, evicted first as r12-new queries land:
-    "ann_lsh_multiprobe", "streaming_sessionize", "streaming_sliding_avg",
+    "ann_lsh_multiprobe", "streaming_sessionize",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

@@ -2785,3 +2785,80 @@ EXT_ORACLES["misra_gries_heavy_hitters"] = f"""
     HAVING count(*) * {_MG_HH} > n_total
     ORDER BY n_exact DESC, token
 """
+
+from ..operators.similarity import (  # noqa: E402
+    MMR_FANOUT as _MMR_FANOUT,
+    MMR_K as _MMR_K,
+    MMR_LAMBDA as _MMR_LAM,
+)
+
+
+def _mmr_ladder_sql() -> str:
+    """Unrolled greedy MMR argmax ladder (one CTE pair per pick) — a
+    deliberately engine-independent formulation: no procedural loop,
+    just k chained relational argmax steps over the same candidate and
+    pairwise-sim relations the UDF sees. ``(1 - lam)`` is spelled as a
+    subtraction, not a folded literal, because 1-0.3 != 0.7 in IEEE
+    doubles and the engine computes the subtraction."""
+    lam = repr(_MMR_LAM)
+    parts = [
+        f"""WITH {_VECTOR_CTE.strip()}, q AS (
+        SELECT vec_id AS q_id, e AS qe, norm2 AS qn
+        FROM vn WHERE {ANN_QUERY_PRED}
+    ), scored AS (
+        SELECT q.q_id, vn.vec_id,
+               {_dot('q.qe', 'vn.e')} / (sqrt(q.qn) * sqrt(vn.norm2)) AS rel
+        FROM q, vn
+        WHERE q.q_id <> vn.vec_id
+    ), cands AS (
+        SELECT q_id, vec_id, rel FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rnk
+            FROM scored)
+        WHERE rnk <= {_MMR_FANOUT}
+    ), cv AS (
+        SELECT c.q_id, c.vec_id, c.rel, vn.e, vn.norm2
+        FROM cands c JOIN vn USING (vec_id)
+    ), pairsims AS (
+        SELECT a.q_id, a.vec_id AS ia, b.vec_id AS ib,
+               {_dot('a.e', 'b.e')} / (sqrt(a.norm2) * sqrt(b.norm2)) AS sim
+        FROM cv a JOIN cv b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+    ), pick1 AS (
+        SELECT q_id, vec_id, rel, {lam} * rel AS mmr FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY {lam} * rel DESC, vec_id) AS rn
+            FROM cands)
+        WHERE rn = 1
+    ), sel1 AS (SELECT q_id, vec_id FROM pick1)"""
+    ]
+    for t in range(2, _MMR_K + 1):
+        parts.append(f""", sc{t} AS (
+        SELECT c.q_id, c.vec_id, c.rel,
+               {lam} * c.rel - (1 - {lam}) * max(p.sim) AS mmr
+        FROM cands c
+        JOIN pairsims p ON p.q_id = c.q_id AND p.ia = c.vec_id
+        JOIN sel{t-1} s ON s.q_id = p.q_id AND s.vec_id = p.ib
+        LEFT JOIN sel{t-1} x ON x.q_id = c.q_id AND x.vec_id = c.vec_id
+        WHERE x.vec_id IS NULL
+        GROUP BY c.q_id, c.vec_id, c.rel
+    ), pick{t} AS (
+        SELECT q_id, vec_id, rel, mmr FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY mmr DESC, vec_id) AS rn
+            FROM sc{t})
+        WHERE rn = 1
+    ), sel{t} AS (
+        SELECT q_id, vec_id FROM sel{t-1}
+        UNION ALL SELECT q_id, vec_id FROM pick{t}
+    )""")
+    finals = "\n        UNION ALL ".join(
+        f"SELECT q_id, CAST({t} AS BIGINT) AS pick, vec_id AS neighbor_id, "
+        f"{_round('rel', 6)} AS relevance, {_round('mmr', 6)} AS mmr "
+        f"FROM pick{t}"
+        for t in range(1, _MMR_K + 1)
+    )
+    parts.append(f"\n    {finals}\n    ORDER BY q_id, pick")
+    return "".join(parts)
+
+
+EXT_ORACLES["mmr_rerank_topk"] = _mmr_ladder_sql()

@@ -3039,3 +3039,46 @@ misra_gries_heavy_hitters.__doc__ = misra_gries_heavy_hitters.__doc__.format(
     hh=MG_HH_DIVISOR
 )
 EXT_QUERIES["misra_gries_heavy_hitters"] = misra_gries_heavy_hitters
+
+
+def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified rerank over the ANN stack (SURVEY §7 deferred;
+    VERDICT r11 item 6): per query, exact-cosine top-{fanout}
+    candidates, then the Carbonell-Goldstein greedy —
+    ``{lam}*rel - (1-{lam})*max-sim-to-picked`` — picks {k} results
+    that trade relevance against redundancy
+    (``operators.similarity.mmr_rerank``, grouped applyInPandas;
+    every similarity is the scaled-integer dot_fold, IEEE-replicated
+    inside the UDF, so scores are bit-identical to the oracle's
+    unrolled {k}-step SQL argmax ladder and ties break identically).
+
+    Scale: candidate generation is whatever ANN index serves top-N
+    (here the brute baseline — swap ivf/lsh at 100 TB); the greedy is
+    O(k·fanout) per query with the pairwise-sim matrix never leaving
+    the group.
+    """
+    from ..operators.similarity import MMR_FANOUT, MMR_K, MMR_LAMBDA, mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = mmr_rerank(
+        emb, query_pred=ANN_QUERY_PRED, k=MMR_K, fanout=MMR_FANOUT,
+        lam=MMR_LAMBDA,
+    )
+    return res.select(
+        "q_id",
+        "pick",
+        "neighbor_id",
+        round_half_up(F.col("relevance"), 6).alias("relevance"),
+        round_half_up(F.col("mmr"), 6).alias("mmr"),
+    ).orderBy("q_id", "pick")
+
+
+_ = mmr_rerank_topk  # keep linters quiet about the deferred import style
+from ..operators.similarity import MMR_FANOUT as _MMR_FANOUT  # noqa: E402
+from ..operators.similarity import MMR_K as _MMR_K  # noqa: E402
+from ..operators.similarity import MMR_LAMBDA as _MMR_LAMBDA  # noqa: E402
+
+mmr_rerank_topk.__doc__ = mmr_rerank_topk.__doc__.format(
+    fanout=_MMR_FANOUT, k=_MMR_K, lam=_MMR_LAMBDA
+)
+EXT_QUERIES["mmr_rerank_topk"] = mmr_rerank_topk

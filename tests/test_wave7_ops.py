@@ -177,3 +177,38 @@ def test_mg_candidates_cover_true_hitters(spark):
         for r in misra_gries_heavy_hitters(spark, SF_SMALL).collect()
     }
     assert got == brute
+
+
+# --- MMR rerank ---------------------------------------------------------------
+
+def test_mmr_rerank_mechanism(spark):
+    """Three invariants the gated hash can't localize by itself: picks
+    are unique per query, pick 1 is the pure-relevance argmax (empty
+    picked set => no redundancy term), and the diversity term actually
+    reorders at least one query away from relevance order (lam=0.3 —
+    if this ever degenerates to top-k by relevance the operator is
+    vacuous)."""
+    from etl_end_to_end_airflow_bigquery_spark.io import load_table
+    from etl_end_to_end_airflow_bigquery_spark.operators.similarity import (
+        MMR_K,
+        cosine_topk,
+        mmr_rerank,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    got = mmr_rerank(emb).orderBy("q_id", "pick").collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r.q_id, []).append(r)
+    rel = cosine_topk(emb, k=MMR_K).orderBy("q_id", "rank").collect()
+    rel_by_q: dict = {}
+    for r in rel:
+        rel_by_q.setdefault(r.q_id, []).append(r.neighbor_id)
+    any_reordered = False
+    for q, rows in by_q.items():
+        ids = [r.neighbor_id for r in rows]
+        assert len(ids) == len(set(ids)) == MMR_K
+        assert ids[0] == rel_by_q[q][0], "pick 1 must be the relevance argmax"
+        if ids != rel_by_q[q]:
+            any_reordered = True
+    assert any_reordered, "MMR never diverged from relevance order"
