@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     # out — tmpdir-write fixture, same policy); prefix above unchanged.
     "misra_gries_heavy_hitters",
     "mmr_rerank_topk",
+    "cep_kleene_funnel",
 ]
 
 N_RUNS = 3

@@ -246,6 +246,8 @@ _GATE_ROTATION: tuple[str, ...] = (
     "file_lineage_scan",        # input_file_name() landing-zone provenance audit
     "misra_gries_heavy_hitters",  # deterministic 2-pass exact heavy hitters
     "mmr_rerank_topk",          # MMR greedy diversity rerank vs SQL argmax ladder
+    "cep_kleene_funnel",        # PATTERN (V C+ P): capped Kleene closure, no NFA
+    "streaming_cep_kleene",     # cap+1 boundary tail + emit-on-close filter
 )
 
 # Backfill to 50 (r8 policy, see module docstring). VERDICT r11 item 2:
@@ -256,6 +258,9 @@ _GATE_ROTATION: tuple[str, ...] = (
 # evict from the END of this tuple, so the judge-named priorities (the
 # ANN family, then the TPC-H pack) are refreshed first.
 _REPROOF_BACKFILL: tuple[str, ...] = (
+    # tier (a) — oracles this round rewrites (ADVICE r11: the CEP
+    # oracle now uses the independent consecutive-rn self-join form):
+    "cep_pattern_funnel", "streaming_cep_funnel",
     # r03-only evidence (stalest; VERDICT names the first four):
     "ann_lsh_topk", "embedding_near_dups", "fuzzy_name_pairs",
     "ivf_topk", "ann_lsh_multitable", "ivf_topk_nprobe",
@@ -266,10 +271,7 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "q22_idle_customers",
     # remaining r03-only rows:
     "multimodal_meta", "multimodal_resize", "resample_daily_rates",
-    "simhash_docs", "snapshot_diff_orders", "streaming_dedup_events",
-    "vocab_top_tokens",
-    # r04-only rows, evicted first as r12-new queries land:
-    "ann_lsh_multiprobe", "streaming_sessionize",
+    "simhash_docs", "snapshot_diff_orders",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

@@ -1941,20 +1941,25 @@ OLAP_ORACLES["q21_sole_late_supplier"] = f"""
     LIMIT {Q21_TOPK}
 """
 
-# Same lead()-window formulation (fixed adjacent pattern + within).
+# INDEPENDENT formulation (ADVICE r11): a 3-way self-join on
+# consecutive row_numbers — no lead() rewrite shared with the engine,
+# so a misconception in the pattern semantics can't hide in both sides.
 OLAP_ORACLES["cep_pattern_funnel"] = f"""
     WITH seq AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                substr(event_type, 1, 1) AS e,
-               lead(substr(event_type, 1, 1), 1) OVER w AS e1,
-               lead(substr(event_type, 1, 1), 2) OVER w AS e2,
-               lead(ts, 2) OVER w AS ts2
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), m AS (
-        SELECT user_id, ts FROM seq
-        WHERE e = 'v' AND e1 = 'c' AND e2 = 'p'
-          AND ts2 <= ts + INTERVAL {CEP_WITHIN_HOURS} HOUR
+        SELECT v.user_id, v.ts
+        FROM seq v
+        JOIN seq c ON c.user_id = v.user_id AND c.rn = v.rn + 1
+            AND c.e = 'c'
+        JOIN seq p ON p.user_id = v.user_id AND p.rn = v.rn + 2
+            AND p.e = 'p'
+        WHERE v.e = 'v'
+          AND p.ts <= v.ts + INTERVAL {CEP_WITHIN_HOURS} HOUR
     )
     SELECT user_id, count(*) AS n_matches, min(ts) AS first_match_ts
     FROM m GROUP BY user_id ORDER BY user_id
@@ -2106,4 +2111,45 @@ OLAP_ORACLES["file_lineage_scan"] = f"""
     FROM events
     GROUP BY 1
     ORDER BY load_id
+"""
+
+from .queries_olap import CEP_KLEENE_CAP as _KLEENE_CAP
+from .queries_olap import CEP_WITHIN_HOURS as _CEP_WITHIN
+
+
+def _kleene_chain_sql(m: int) -> str:
+    """One closure length as a consecutive-rn self-join chain: view at
+    rn, clicks at rn+1..rn+m, purchase at rn+m+1 — an (m+2)-way join
+    with no anchor trick, independent of the engine's formulation."""
+    joins = "\n        ".join(
+        f"JOIN seq c{i} ON c{i}.user_id = v.user_id "
+        f"AND c{i}.rn = v.rn + {i} AND c{i}.e = 'c'"
+        for i in range(1, m + 1)
+    )
+    return f"""
+        SELECT v.user_id, v.ts AS view_ts, {m} AS n_clicks
+        FROM seq v
+        {joins}
+        JOIN seq p ON p.user_id = v.user_id AND p.rn = v.rn + {m + 1}
+            AND p.e = 'p'
+        WHERE v.e = 'v'
+          AND p.ts <= v.ts + INTERVAL {_CEP_WITHIN} HOUR"""
+
+
+OLAP_ORACLES["cep_kleene_funnel"] = f"""
+    WITH seq AS (
+        SELECT user_id, ts, event_id,
+               substr(event_type, 1, 1) AS e,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ), m AS ({" UNION ALL ".join(_kleene_chain_sql(m) for m in range(1, _KLEENE_CAP + 1))}
+    )
+    SELECT user_id,
+           count(*) AS n_matches,
+           min(view_ts) AS first_match_ts,
+           CAST(max(n_clicks) AS BIGINT) AS longest_run
+    FROM m
+    GROUP BY user_id
+    ORDER BY user_id
 """

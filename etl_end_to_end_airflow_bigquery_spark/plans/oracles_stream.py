@@ -182,3 +182,8 @@ STREAM_ORACLES["streaming_bitmap_distinct"] = _OLAP["bitmap_distinct_users"]
 # Shared verbatim with the batch CEP twin: the boundary-tail fold must
 # make micro-batch edges invisible to the match census.
 STREAM_ORACLES["streaming_cep_funnel"] = _OLAP["cep_pattern_funnel"]
+
+# Shared verbatim with the batch Kleene twin: the cap+1 boundary tail
+# plus the purchase-in-batch filter must make micro-batch edges
+# invisible to the match census.
+STREAM_ORACLES["streaming_cep_kleene"] = _OLAP["cep_kleene_funnel"]

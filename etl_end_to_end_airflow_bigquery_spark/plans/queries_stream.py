@@ -1537,3 +1537,162 @@ def streaming_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_QUERIES["streaming_cep_funnel"] = streaming_cep_funnel
+
+
+# --- wave (round 12): Kleene-closure incremental CEP ------------------------
+
+
+def _cep_kleene_matches(work: DataFrame) -> DataFrame:
+    """Kleene match rows over one work set — LITERALLY the batch twin's
+    matcher (:func:`..queries_olap.cep_kleene_matches`), re-exported
+    under the same single-implementation contract as
+    :func:`_cep_match_partials`."""
+    from .queries_olap import cep_kleene_matches
+
+    return cep_kleene_matches(work)
+
+
+def _kleene_tails(work: DataFrame) -> DataFrame:
+    """Boundary state for the capped closure: a match is at most
+    cap+2 rows, and only matches whose PURCHASE is in the new batch are
+    counted, so the last cap+1 events per user are the entire
+    cross-batch state. Truncation is sound in both directions: every
+    needed predecessor of a new in-cap purchase is within the last
+    cap+1 rows, and a run the truncation hides is longer than the cap,
+    whose purchase the capped semantics reject anyway (the suffix the
+    tail keeps is then all clicks -> NULL anchor -> no match)."""
+    from .queries_olap import CEP_KLEENE_CAP
+
+    return _cep_tails(work, k=CEP_KLEENE_CAP + 1)
+
+
+def streaming_cep_kleene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming twin of :func:`..queries_olap.cep_kleene_funnel`
+    (VERDICT r11 item 4) — a VARIABLE-length pattern carried with
+    explicit bounded boundary state, no transformWithState: per-user
+    state is the last cap+1 events (see :func:`_kleene_tails`) plus
+    one mergeable count row (sum / min / max fold). Unlike the
+    fixed-pattern twin — whose 2-row tail is shorter than any whole
+    match, so re-derivation was impossible by construction — the
+    Kleene tail can contain COMPLETE short matches; the fold therefore
+    counts only match rows whose purchase event id is in the new
+    batch (a broadcast semi-join against the slice), which is exactly
+    the "emit on the closing event" discipline an NFA runtime uses.
+    SHARES THE BATCH TWIN'S ORACLE VERBATIM: hash-equality proves the
+    tail+filter fold commutes with micro-batch slicing.
+
+    Scale: state is <= cap+1 event rows + 1 count row per user; per
+    batch the matcher shuffles tails+slice once on user; the purchase
+    filter broadcasts the batch's event ids. Stateless micro-batch
+    plan (durable state in versioned parquet), restart-safe via
+    disk-resolved committed versions.
+    """
+    from ..operators.incremental import latest_committed_state
+    from ..tmputil import session_tmpdir
+
+    base_dir = session_tmpdir("stream_kleene_")
+    feed_dir = os.path.join(base_dir, "feed")
+    ckpt = os.path.join(base_dir, "ckpt")
+    tail_dir = os.path.join(base_dir, "tails")
+    cnt_dir = os.path.join(base_dir, "counts")
+    tail_init = os.path.join(base_dir, "tails_init")
+    cnt_init = os.path.join(base_dir, "counts_init")
+    os.makedirs(tail_dir, exist_ok=True)
+    os.makedirs(cnt_dir, exist_ok=True)
+
+    from ..sources.events import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id",
+        F.substring("event_type", 1, 1).alias("e"),
+    )
+    ev.repartitionByRange(6, "ts").write.parquet(feed_dir)
+    import time as _time
+
+    parts = sorted(
+        f for f in os.listdir(feed_dir) if f.endswith(".parquet")
+    )
+    t0 = _time.time()
+    for i, fname in enumerate(parts):
+        os.utime(os.path.join(feed_dir, fname), (t0 + 10 * i, t0 + 10 * i))
+
+    ev.limit(0).write.parquet(tail_init)
+    _kleene_partials(_cep_kleene_matches(ev.limit(0))).write.parquet(cnt_init)
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        prev_tail = latest_committed_state(
+            tail_dir, tail_init, below=batch_id
+        )
+        prev_cnt = latest_committed_state(cnt_dir, cnt_init, below=batch_id)
+        tails = spark.read.parquet(prev_tail).persist()
+        _assert_time_contiguous(tails, batch, batch_id)
+        work = (
+            tails.unionByName(batch.select("user_id", "ts", "event_id", "e"))
+            .persist()
+        )
+        try:
+            new_matches = _cep_kleene_matches(work).join(
+                F.broadcast(
+                    batch.select(F.col("event_id").alias("p_event_id"))
+                ),
+                "p_event_id",
+                "semi",
+            )
+            merged = (
+                spark.read.parquet(prev_cnt)
+                .unionByName(_kleene_partials(new_matches))
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_matches").alias("n_matches"),
+                    F.min("first_match_ts").alias("first_match_ts"),
+                    F.max("longest_run").alias("longest_run"),
+                )
+            )
+            merged.write.mode("overwrite").parquet(
+                os.path.join(cnt_dir, f"state_b{batch_id}")
+            )
+            _kleene_tails(work).write.mode("overwrite").parquet(
+                os.path.join(tail_dir, f"state_b{batch_id}")
+            )
+        finally:
+            work.unpersist()
+            tails.unpersist()
+
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp_ntz, event_id bigint, e string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_fold)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    _capture_plan(q, "streaming_cep_kleene")
+
+    return (
+        spark.read.parquet(latest_committed_state(cnt_dir, cnt_init))
+        .select("user_id", "n_matches", "first_match_ts", "longest_run")
+        .orderBy("user_id")
+    )
+
+
+def _kleene_partials(matches: DataFrame) -> DataFrame:
+    """Per-user mergeable partials from match rows: count sum, first
+    matched view-ts min, longest click-run max — every column folds
+    associatively across batches."""
+    return matches.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("view_ts").alias("first_match_ts"),
+        F.max("n_clicks").alias("longest_run"),
+    )
+
+
+STREAM_QUERIES["streaming_cep_kleene"] = streaming_cep_kleene

@@ -212,3 +212,148 @@ def test_mmr_rerank_mechanism(spark):
         if ids != rel_by_q[q]:
             any_reordered = True
     assert any_reordered, "MMR never diverged from relevance order"
+
+
+# --- Kleene CEP: cap semantics + slicing invariance --------------------------
+
+import datetime as dt
+
+from hypothesis import HealthCheck
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long, e string"
+    )
+
+
+def _kleene_single_shot(spark, rows):
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_stream import (
+        _cep_kleene_matches,
+        _kleene_partials,
+    )
+
+    return {
+        (r.user_id, r.n_matches, r.first_match_ts, r.longest_run)
+        for r in _kleene_partials(
+            _cep_kleene_matches(_mk_events(spark, rows))
+        ).collect()
+    }
+
+
+def _kleene_folded(spark, rows, cuts):
+    """Replay chronological `rows` through the cap+1-tail fold with
+    batch edges at the cut indices, counting only matches whose
+    purchase id is in the batch — the streaming twin's exact algebra."""
+    from pyspark.sql import functions as F
+
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_stream import (
+        _cep_kleene_matches,
+        _kleene_partials,
+        _kleene_tails,
+    )
+
+    bounds = [0, *sorted(cuts), len(rows)]
+    tails = _mk_events(spark, []).limit(0)
+    acc: dict = {}
+    for lo, hi in zip(bounds, bounds[1:]):
+        batch = rows[lo:hi]
+        if not batch:
+            continue
+        bdf = _mk_events(spark, batch)
+        work = tails.unionByName(bdf)
+        new = _cep_kleene_matches(work).join(
+            F.broadcast(bdf.select(F.col("event_id").alias("p_event_id"))),
+            "p_event_id",
+            "semi",
+        )
+        for r in _kleene_partials(new).collect():
+            n, first, run = acc.get(r.user_id, (0, None, 0))
+            acc[r.user_id] = (
+                n + r.n_matches,
+                r.first_match_ts if first is None
+                else min(first, r.first_match_ts),
+                max(run, r.longest_run),
+            )
+        tails = _kleene_tails(work)
+    return {(u, n, f, m) for u, (n, f, m) in acc.items()}
+
+
+def _seq(spark, letters, gap_hours=1):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base + dt.timedelta(hours=i * gap_hours), i, ch)
+        for i, ch in enumerate(letters)
+    ]
+    return rows
+
+
+def test_kleene_cap_boundary(spark):
+    """Runs of exactly CAP clicks match with n_clicks = CAP; CAP+1
+    clicks yield NO match (rejected, not truncated); a zero-click
+    v->p pair never matches; the within-clause binds on the VIEW ts."""
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_olap import (
+        CEP_KLEENE_CAP as CAP,
+        cep_kleene_matches,
+    )
+
+    at_cap = cep_kleene_matches(
+        _mk_events(spark, _seq(spark, "v" + "c" * CAP + "p"))
+    ).collect()
+    assert len(at_cap) == 1 and at_cap[0].n_clicks == CAP
+    over_cap = cep_kleene_matches(
+        _mk_events(spark, _seq(spark, "v" + "c" * (CAP + 1) + "p"))
+    ).collect()
+    assert over_cap == []
+    no_click = cep_kleene_matches(
+        _mk_events(spark, _seq(spark, "vp"))
+    ).collect()
+    assert no_click == []
+    # v..p spread over 26h with 13h gaps: within(24h) must reject
+    late = cep_kleene_matches(
+        _mk_events(spark, _seq(spark, "vcp", gap_hours=13))
+    ).collect()
+    assert late == []
+
+
+def test_kleene_tail_truncation_is_sound(spark):
+    """The adversarial case the cap+1 tail must survive: a run longer
+    than the cap whose purchase arrives in a LATER batch — the
+    truncated tail is all clicks, the anchor is NULL, and no false
+    match is produced."""
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_olap import (
+        CEP_KLEENE_CAP as CAP,
+    )
+
+    rows = _seq(spark, "v" + "c" * (CAP + 2) + "p")
+    # cut right before the purchase: the tail sees only clicks
+    cut = len(rows) - 1
+    assert _kleene_folded(spark, rows, [cut]) == set()
+    assert _kleene_single_shot(spark, rows) == set()
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(data=st.data())
+def test_kleene_fold_is_slicing_invariant(spark, data):
+    """Single-shot Kleene CEP == cap+1-tail fold for ANY chronological
+    slicing, including cuts through the middle of a click run."""
+    n = data.draw(st.integers(min_value=0, max_value=18))
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    t = base
+    for i in range(n):
+        gap = data.draw(st.integers(min_value=0, max_value=30))
+        t = t + dt.timedelta(hours=gap)
+        user = data.draw(st.integers(min_value=1, max_value=2))
+        letter = data.draw(st.sampled_from("vcpes"))
+        rows.append((user, t, i, letter))
+    n_cuts = data.draw(st.integers(min_value=0, max_value=3))
+    cuts = [
+        data.draw(st.integers(min_value=0, max_value=max(n, 1)))
+        for _ in range(n_cuts)
+    ]
+    assert _kleene_folded(spark, rows, cuts) == _kleene_single_shot(spark, rows)
