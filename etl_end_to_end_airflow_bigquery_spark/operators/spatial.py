@@ -61,6 +61,13 @@ def grid_within_radius(
     broadcast hash join (no shuffle of ``left``); set it False when the
     right side is too big to broadcast, which falls back to a shuffle
     equi-join on the cell id.
+
+    Coordinate-magnitude bound (ADVICE r11): the refine is exact int64
+    arithmetic ONLY while every coordinate satisfies ``|coord| <
+    2**31`` (then ``(lx-rx)**2 + (ly-ry)**2 < 2**63`` cannot wrap
+    Spark's non-ANSI long multiply). Quantized lon/lat at micro-degree
+    precision (<= 1.8e8) is comfortably inside; validated loudly below
+    rather than silently wrapping.
     """
     if r <= 0:
         raise ValueError(f"radius must be positive, got {r}")
@@ -95,9 +102,25 @@ def grid_within_radius(
     )
     if broadcast_right:
         rc = F.broadcast(rc)
-    d2 = (F.col(lx) - F.col(rx)) * (F.col(lx) - F.col(rx)) + (
-        F.col(ly) - F.col(ry)
-    ) * (F.col(ly) - F.col(ry))
+    # ANSI-safe refine (ADVICE r11): try_* ops turn an int64 wrap into
+    # NULL, which the when-branch converts into a LOUD error instead of
+    # a silently wrong (possibly negative) distance. Post-join
+    # coordinates are non-null (a NULL coord has a NULL cell id and
+    # never joins), so NULL here can only mean overflow.
+    d2_raw = F.expr(
+        f"try_add(try_multiply(try_subtract({lx}, {rx}),"
+        f" try_subtract({lx}, {rx})),"
+        f" try_multiply(try_subtract({ly}, {ry}),"
+        f" try_subtract({ly}, {ry})))"
+    )
+    d2 = F.when(
+        d2_raw.isNull(),
+        F.expr(
+            "raise_error('grid_within_radius: squared distance overflowed"
+            " int64 — coordinates exceed the documented 2^31 magnitude"
+            " bound')"
+        ).cast("long"),
+    ).otherwise(d2_raw)
     return (
         lc.join(rc, ["_cx", "_cy"])
         .withColumn("d2", d2)

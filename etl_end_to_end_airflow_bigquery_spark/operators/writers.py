@@ -225,11 +225,23 @@ def describe_history(spark: SparkSession, path: str) -> DataFrame:
         vdir = os.path.join(path, vname)
         n_files, n_bytes = 0, 0
         for root, _dirs, files in os.walk(vdir):
-            in_cdf = os.path.basename(root) == "_change_data"
+            # os.sep-aware containment, not basename equality: a future
+            # partitioned CDF write (subdirs under _change_data) must
+            # still be excluded from the data-file census (ADVICE r11).
+            rel = os.path.relpath(root, vdir)
+            in_cdf = "_change_data" in rel.split(os.sep)
             for f in files:
                 if f.endswith(".parquet") and not in_cdf:
+                    try:
+                        n_bytes += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        # reader-safe-concurrent-merge mode: a retention
+                        # sweep may delete a file between os.walk and
+                        # getsize — skip it, mirroring how
+                        # _committed_versions tolerates swept dirs
+                        # (ADVICE r11).
+                        continue
                     n_files += 1
-                    n_bytes += os.path.getsize(os.path.join(root, f))
         rows.append(
             (
                 _seq_of(vname),
@@ -246,6 +258,82 @@ def describe_history(spark: SparkSession, path: str) -> DataFrame:
         "version bigint, snapshot string, is_current boolean, "
         "n_data_files bigint, data_bytes bigint, has_change_feed boolean",
     )
+
+
+def history_file_stats(
+    path: str, cols: list[str], version: int | None = None
+) -> list[dict]:
+    """Per-data-file column statistics for one retained snapshot — the
+    bridge between the snapshot audit surface (:func:`describe_history`)
+    and file-skip planning (:func:`file_skip_report`) (VERDICT r11
+    item 7): same parquet-footer walk, scoped to a committed snapshot's
+    data files (change-feed files excluded with the same os.sep-aware
+    containment as describe_history), so audit and skipping share one
+    metadata surface. One dict per file: version, path, n_rows,
+    mins/maxs for ``cols``. Reads footers only — at 100 TB this is the
+    manifest a table format stores, derived live; a predicate's skip
+    decision is then ``mins[c] > hi or maxs[c] < lo`` per file, no data
+    pages touched.
+
+    ``version=None`` means the current snapshot. Vanished files
+    (concurrent retention sweep) are skipped like describe_history.
+    """
+    import pyarrow.parquet as pq
+
+    if version is None:
+        vname = _current_version_name(path)
+        if vname is None:
+            raise ValueError(
+                f"{path!r} is not a versioned table (no {_CURRENT_PTR})"
+            )
+        version = _seq_of(vname)
+    avail = {_seq_of(d): d for d in _committed_versions(path)}
+    if version not in avail:
+        raise ValueError(
+            f"snapshot v_{version:06d} not present under {path!r}; "
+            f"retained sequences: {sorted(avail) or 'none'}"
+        )
+    vdir = os.path.join(path, avail[version])
+    out = []
+    for root, _dirs, files in os.walk(vdir):
+        rel = os.path.relpath(root, vdir)
+        if "_change_data" in rel.split(os.sep):
+            continue
+        for fname in sorted(files):
+            if not fname.endswith(".parquet"):
+                continue
+            fpath = os.path.join(root, fname)
+            try:
+                md = pq.ParquetFile(fpath).metadata
+            except OSError:
+                continue
+            mins: dict[str, object] = {}
+            maxs: dict[str, object] = {}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name not in cols:
+                        continue
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    mins[name] = (
+                        st.min if name not in mins else min(mins[name], st.min)
+                    )
+                    maxs[name] = (
+                        st.max if name not in maxs else max(maxs[name], st.max)
+                    )
+            out.append(
+                {
+                    "version": version,
+                    "path": fpath,
+                    "n_rows": md.num_rows,
+                    "mins": {c: mins.get(c) for c in cols},
+                    "maxs": {c: maxs.get(c) for c in cols},
+                }
+            )
+    return out
 
 
 def expire_versions(path: str, keep_last: int = 1) -> list[int]:

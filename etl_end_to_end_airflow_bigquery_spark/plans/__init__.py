@@ -248,6 +248,7 @@ _GATE_ROTATION: tuple[str, ...] = (
     "mmr_rerank_topk",          # MMR greedy diversity rerank vs SQL argmax ladder
     "cep_kleene_funnel",        # PATTERN (V C+ P): capped Kleene closure, no NFA
     "streaming_cep_kleene",     # cap+1 boundary tail + emit-on-close filter
+    "history_skip_scan",        # file skipping decided from snapshot history stats
 )
 
 # Backfill to 50 (r8 policy, see module docstring). VERDICT r11 item 2:
@@ -258,9 +259,12 @@ _GATE_ROTATION: tuple[str, ...] = (
 # evict from the END of this tuple, so the judge-named priorities (the
 # ANN family, then the TPC-H pack) are refreshed first.
 _REPROOF_BACKFILL: tuple[str, ...] = (
-    # tier (a) — oracles this round rewrites (ADVICE r11: the CEP
-    # oracle now uses the independent consecutive-rn self-join form):
-    "cep_pattern_funnel", "streaming_cep_funnel",
+    # tier (a) — code or oracles this round touches: the CEP oracle
+    # rewrite (ADVICE r11: independent consecutive-rn self-join form),
+    # the spatial refine's ANSI-safe overflow guard, and the dpp
+    # broadcast-scalar swap (VERDICT r11 item 8):
+    "cep_pattern_funnel", "streaming_cep_funnel", "spatial_grid_knn",
+    "dpp_partitioned_join",
     # r03-only evidence (stalest; VERDICT names the first four):
     "ann_lsh_topk", "embedding_near_dups", "fuzzy_name_pairs",
     "ivf_topk", "ann_lsh_multitable", "ivf_topk_nprobe",
@@ -270,8 +274,7 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "q14_promo_share", "q15_top_supplier", "q19_or_pushdown",
     "q22_idle_customers",
     # remaining r03-only rows:
-    "multimodal_meta", "multimodal_resize", "resample_daily_rates",
-    "simhash_docs", "snapshot_diff_orders",
+    "multimodal_meta", "multimodal_resize",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

@@ -2153,3 +2153,37 @@ OLAP_ORACLES["cep_kleene_funnel"] = f"""
     GROUP BY user_id
     ORDER BY user_id
 """
+
+from .oracles import _MERGE_SELECT as _HS_MERGE_SELECT
+from .oracles import _dsum as _hs_dsum
+from .oracles import _round as _hs_round
+from .queries_olap import HISTORY_SKIP_BANDS as _HS_BANDS
+
+_HS_BAND_SELECTS = "\n    UNION ALL ".join(
+    f"""SELECT CAST({lo!r} AS DOUBLE) AS band_lo,
+           CAST({hi!r} AS DOUBLE) AS band_hi,
+           (SELECT count(*) FROM merged) AS snapshot_rows,
+           count(*) AS n_matched,
+           {_hs_round(_hs_dsum('o_totalprice'), 2)} AS sum_price
+    FROM merged
+    WHERE o_totalprice BETWEEN {lo!r} AND {hi!r}"""
+    for lo, hi in _HS_BANDS
+)
+
+OLAP_ORACLES["history_skip_scan"] = f"""
+    WITH target AS (
+        SELECT * FROM orders WHERE o_orderkey % 3 <> 0
+    ), source AS (
+        SELECT o_orderkey, o_custkey,
+               'M' AS o_orderstatus,
+               {_hs_round('o_totalprice * 1.1', 2)} AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 0
+    ), merged AS (
+        SELECT {_HS_MERGE_SELECT}
+        FROM target t
+        FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+    )
+    {_HS_BAND_SELECTS}
+    ORDER BY band_lo
+"""

@@ -4655,10 +4655,13 @@ def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(path)
     part = spark.read.parquet(path)
     daily = part.groupBy("event_date").agg(F.count(F.lit(1)).alias("n"))
+    # broadcast-scalar idiom, not an unpartitioned window (VERDICT r11
+    # item 8: WindowExec warned; the 1-row crossJoin is cheaper and
+    # warning-free). The average of integer counts is order-independent
+    # (exact int sum, one divide), so the swap is value-identical.
+    avg_n = daily.agg(F.avg("n").alias("avg_n"))
     busy = (
-        daily.withColumn(
-            "avg_n", F.avg("n").over(Window.partitionBy())
-        )
+        daily.crossJoin(F.broadcast(avg_n))
         .filter(F.col("n") > F.lit(DPP_BUSY_FACTOR) * F.col("avg_n"))
         .select("event_date")
     )
@@ -4963,3 +4966,91 @@ cep_kleene_funnel.__doc__ = cep_kleene_funnel.__doc__.format(
     h=CEP_WITHIN_HOURS, cap=CEP_KLEENE_CAP
 )
 OLAP_QUERIES["cep_kleene_funnel"] = cep_kleene_funnel
+
+
+HISTORY_SKIP_BANDS = ((60000.0, 120000.0), (300000.0, 480000.0))
+
+
+def history_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip planning FROM SNAPSHOT HISTORY METADATA ALONE (VERDICT r11
+    item 7): after two MERGE commits on a versioned orders table (the
+    ``time_travel_orders`` fixture shape), the current snapshot's
+    per-file column stats come from ``writers.history_file_stats`` —
+    the describe_history-scoped footer walk, change-feed files excluded
+    — and each price band's scan reads ONLY the files whose
+    [min, max] intersects the band. Output per band: the snapshot row
+    count summed from footers, the matched row count, and the exact
+    cents price sum of the matches.
+
+    The oracle recomputes the merged state and the band aggregates
+    relationally; a hash match therefore proves the skip decisions
+    dropped no matching file — the failure mode metadata-driven
+    skipping exists to avoid. File COUNTS (kept/skipped) are
+    deliberately absent from the gated output: merge-leaf boundaries
+    depend on the session's shuffle partitioning, so they are not an
+    engine-portable value — the pytest pins the mechanism (some file
+    is actually skipped) where the session is controlled.
+
+    Scale: two footer reads per data file (stats + census) and a
+    pruned scan — at 100 TB the footer walk is the manifest read every
+    lakehouse query starts with; the band scan is partition pruning's
+    file-grain analog.
+    """
+    import os
+
+    from ..operators.writers import history_file_stats, merge_upsert
+    from ..tmputil import session_tmpdir
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(session_tmpdir("history_skip_"), "orders_tbl")
+    target = orders.filter(F.col("o_orderkey") % 3 != 0)
+    merge_upsert(spark, path, target, keys=["o_orderkey"])
+    source = (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn(
+            "o_totalprice", round_half_up(F.col("o_totalprice") * 1.1, 2)
+        )
+        .withColumn("o_orderstatus", F.lit("M"))
+    )
+    merge_upsert(spark, path, source, keys=["o_orderkey"])
+
+    stats = history_file_stats(path, ["o_totalprice"])
+    snapshot_rows = sum(s["n_rows"] for s in stats)
+    out_rows = []
+    for lo, hi in HISTORY_SKIP_BANDS:
+        kept = [
+            s["path"]
+            for s in stats
+            if not (
+                s["mins"]["o_totalprice"] is not None
+                and s["maxs"]["o_totalprice"] is not None
+                and (
+                    s["mins"]["o_totalprice"] > hi
+                    or s["maxs"]["o_totalprice"] < lo
+                )
+            )
+        ]
+        if kept:
+            agg = (
+                spark.read.parquet(*kept)
+                .filter(F.col("o_totalprice").between(lo, hi))
+                .agg(
+                    F.count(F.lit(1)).alias("n_matched"),
+                    round_half_up(
+                        decimal_sum(F.col("o_totalprice")), 2
+                    ).alias("sum_price"),
+                )
+                .first()
+            )
+            n_matched, sum_price = agg[0], agg[1]
+        else:
+            n_matched, sum_price = 0, None
+        out_rows.append((lo, hi, snapshot_rows, n_matched, sum_price))
+    return spark.createDataFrame(
+        out_rows,
+        "band_lo double, band_hi double, snapshot_rows bigint, "
+        "n_matched bigint, sum_price double",
+    ).orderBy("band_lo")
+
+
+OLAP_QUERIES["history_skip_scan"] = history_skip_scan

@@ -357,3 +357,82 @@ def test_kleene_fold_is_slicing_invariant(spark, data):
         for _ in range(n_cuts)
     ]
     assert _kleene_folded(spark, rows, cuts) == _kleene_single_shot(spark, rows)
+
+
+# --- history_file_stats: skip planning from snapshot metadata ----------------
+
+def test_history_file_stats_skip_mechanism(spark, tmp_path):
+    """The parts the gated hash can't pin because merge-leaf boundaries
+    are session-dependent: stats cover every data file (row sum ==
+    table count), change-feed files are excluded, at least one file is
+    actually SKIPPED for a selective band under the controlled test
+    session, time travel to an old version works, and a plain dir is
+    rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_end_to_end_airflow_bigquery_spark.io import load_table
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        history_file_stats,
+        merge_upsert,
+        read_table,
+        table_versions,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    path = str(tmp_path / "orders_tbl")
+    merge_upsert(spark, path, orders.filter(F.col("o_orderkey") % 3 != 0),
+                 keys=["o_orderkey"])
+    merge_upsert(
+        spark, path,
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("o_orderstatus", F.lit("M")),
+        keys=["o_orderkey"],
+    )
+    stats = history_file_stats(path, ["o_totalprice"])
+    cur = read_table(spark, path)
+    assert sum(s["n_rows"] for s in stats) == cur.count()
+    assert all("_change_data" not in s["path"] for s in stats)
+    mn = min(s["mins"]["o_totalprice"] for s in stats)
+    # a band below every file's min must skip ALL files
+    lo, hi = mn - 1000.0, mn - 1.0
+    skipped = [
+        s for s in stats
+        if s["mins"]["o_totalprice"] > hi or s["maxs"]["o_totalprice"] < lo
+    ]
+    assert len(skipped) == len(stats)
+    # old snapshot addressable; plain dirs rejected
+    v0 = table_versions(path)[0]
+    old = history_file_stats(path, ["o_totalprice"], version=v0)
+    assert sum(s["n_rows"] for s in old) == read_table(spark, path, version=v0).count()
+    with pytest.raises(ValueError, match="not a versioned table"):
+        history_file_stats(str(tmp_path), ["o_totalprice"])
+
+
+def test_spatial_refine_overflow_raises_loudly(spark):
+    """ADVICE r11: coordinates past the documented 2^31 bound must fail
+    the job with the overflow message, never return a wrapped (silently
+    wrong) distance."""
+    import pytest
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.spatial import (
+        grid_within_radius,
+    )
+
+    # candidates only meet within adjacent cells (differences <= ~3r),
+    # so the wrap needs coordinates AND radius near the bound: with
+    # r = 2^31 (the largest radius whose r^2 still fits int64) a
+    # neighbor-cell candidate at 2r-1 gives dx^2 ~ 1.8e19 > 2^63.
+    r = 1 << 31
+    left = spark.createDataFrame([(1, 0, 0)], "lid long, lx long, ly long")
+    right = spark.createDataFrame([(20, 2 * (1 << 31) - 1, 0)],
+                                  "rid long, rx long, ry long")
+    with pytest.raises(Exception, match="overflowed int64"):
+        grid_within_radius(left, right, r, ("lx", "ly"), ("rx", "ry")).collect()
+    # sane coordinates still work end-to-end after the guard
+    ok = grid_within_radius(
+        spark.createDataFrame([(1, 0, 0)], "lid long, lx long, ly long"),
+        spark.createDataFrame([(10, 3, 4)], "rid long, rx long, ry long"),
+        5, ("lx", "ly"), ("rx", "ry"),
+    ).collect()
+    assert [(r.lid, r.rid, r.d2) for r in ok] == [(1, 10, 25)]
