@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "misra_gries_heavy_hitters",
     "mmr_rerank_topk",
     "cep_kleene_funnel",
+    "table_diff_audit",
 ]
 
 N_RUNS = 3

@@ -249,6 +249,7 @@ _GATE_ROTATION: tuple[str, ...] = (
     "cep_kleene_funnel",        # PATTERN (V C+ P): capped Kleene closure, no NFA
     "streaming_cep_kleene",     # cap+1 boundary tail + emit-on-close filter
     "history_skip_scan",        # file skipping decided from snapshot history stats
+    "table_diff_audit",         # bucketed anti-entropy replica reconciliation
 )
 
 # Backfill to 50 (r8 policy, see module docstring). VERDICT r11 item 2:
@@ -274,7 +275,7 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "q14_promo_share", "q15_top_supplier", "q19_or_pushdown",
     "q22_idle_customers",
     # remaining r03-only rows:
-    "multimodal_meta", "multimodal_resize",
+    "multimodal_meta",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

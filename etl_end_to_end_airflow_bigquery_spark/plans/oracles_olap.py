@@ -2187,3 +2187,45 @@ OLAP_ORACLES["history_skip_scan"] = f"""
     {_HS_BAND_SELECTS}
     ORDER BY band_lo
 """
+
+from .queries_olap import TDIFF_INSERT_OFFSET as _TD_OFF
+
+# Protocol-free diff: rebuild the replica, FULL OUTER JOIN on the key,
+# compare the actual columns — certifies the bucketed digest protocol
+# found the true drift.
+OLAP_ORACLES["table_diff_audit"] = f"""
+    WITH replica AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate,
+               CASE WHEN o_orderkey % 97 = 0 THEN 'DRIFTED'
+                    ELSE o_orderpriority END AS o_orderpriority
+        FROM orders WHERE o_orderkey % 131 <> 0
+        UNION ALL
+        SELECT o_orderkey + {_TD_OFF}, o_custkey, o_orderstatus,
+               o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 173 = 0
+    ), diff AS (
+        SELECT CASE
+                 WHEN b.o_orderkey IS NULL THEN 'inserted'
+                 WHEN r.o_orderkey IS NULL THEN 'deleted'
+                 WHEN b.o_custkey <> r.o_custkey
+                   OR b.o_orderstatus <> r.o_orderstatus
+                   OR floor(b.o_totalprice * 100.0 + 0.5)
+                      <> floor(r.o_totalprice * 100.0 + 0.5)
+                   OR CAST(b.o_orderdate AS DATE)
+                      <> CAST(r.o_orderdate AS DATE)
+                   OR b.o_orderpriority <> r.o_orderpriority
+                 THEN 'modified'
+               END AS diff_kind,
+               coalesce(b.o_orderkey, r.o_orderkey) AS key
+        FROM orders b
+        FULL OUTER JOIN replica r ON b.o_orderkey = r.o_orderkey
+    )
+    SELECT diff_kind, count(*) AS n,
+           CAST(sum(key) AS BIGINT) AS key_sum,
+           min(key) AS min_key, max(key) AS max_key
+    FROM diff
+    WHERE diff_kind IS NOT NULL
+    GROUP BY diff_kind
+    ORDER BY diff_kind
+"""

@@ -5054,3 +5054,78 @@ def history_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 OLAP_QUERIES["history_skip_scan"] = history_skip_scan
+
+
+TDIFF_INSERT_OFFSET = 1_000_000_000
+# Engine-portable canonical row rendering for the drift fingerprint:
+# BIGINT/STRING/DATE casts and cents ints only (double string forms
+# differ across engines).
+TDIFF_CANONICAL = (
+    "concat_ws('|', CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING),"
+    " o_orderstatus,"
+    " CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS STRING),"
+    " CAST(CAST(o_orderdate AS DATE) AS STRING), o_orderpriority)"
+)
+
+
+def _tdiff_replica(orders: DataFrame) -> DataFrame:
+    """Deterministic drifted replica: keys %131 deleted, surviving keys
+    %97 get a mutated priority, keys %173 re-inserted under offset
+    keys — the three drift classes a reconciliation must separate."""
+    mutated = orders.filter(F.col("o_orderkey") % 131 != 0).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("DRIFTED")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    inserted = orders.filter(F.col("o_orderkey") % 173 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(TDIFF_INSERT_OFFSET)
+    )
+    return mutated.unionByName(inserted)
+
+
+def table_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy reconciliation of two table replicas
+    (``operators.reconcile.bucketed_table_diff``): level-1 folds each
+    side to {b} bucket digests (count + fingerprint sum + fingerprint
+    xor over md5 KEY buckets), level-2 re-reads ONLY the disagreeing
+    buckets at row grain and classifies drift as deleted / inserted /
+    modified via a full-outer key join. Here the replica carries a
+    deterministic drift (delete %131, mutate priority %97, re-insert
+    %173 under offset keys); output per drift class: row count, key
+    sum, key range.
+
+    The oracle is deliberately protocol-free: it rebuilds the replica
+    relationally and diffs by comparing the ACTUAL COLUMNS in a
+    full-outer join — no buckets, no fingerprints — so a hash match
+    certifies the digest protocol recovered the TRUE diff exactly
+    (including that no (sum, xor) fingerprint collision masked a
+    drifted bucket, and that key-bucketing kept each modification in
+    one bucket rather than splitting it into a phantom delete+insert).
+
+    Scale: the whole point — two digest passes whose shuffle is {b}
+    rows per side, then row work proportional to drift x (n/{b})
+    amplification; the naive full-outer join of two 100 TB replicas
+    never happens.
+    """
+    from ..operators.reconcile import DIFF_BUCKETS, bucketed_table_diff
+
+    _ = DIFF_BUCKETS  # doc formatting below
+    orders = load_table(spark, sf_dir, "orders")
+    diff = bucketed_table_diff(
+        orders, _tdiff_replica(orders), "o_orderkey", TDIFF_CANONICAL
+    )
+    return (
+        diff.groupBy("diff_kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("key").alias("key_sum"),
+            F.min("key").alias("min_key"),
+            F.max("key").alias("max_key"),
+        )
+        .orderBy("diff_kind")
+    )
+
+
+table_diff_audit.__doc__ = table_diff_audit.__doc__.format(b=64)
+OLAP_QUERIES["table_diff_audit"] = table_diff_audit

@@ -436,3 +436,67 @@ def test_spatial_refine_overflow_raises_loudly(spark):
         5, ("lx", "ly"), ("rx", "ry"),
     ).collect()
     assert [(r.lid, r.rid, r.d2) for r in ok] == [(1, 10, 25)]
+
+
+# --- bucketed table diff ------------------------------------------------------
+
+def test_table_diff_protocol_mechanism(spark):
+    """Identical replicas: zero mismatched buckets and an empty diff
+    (the protocol's fast path — two digest passes, no row work).
+    Drifted replica: the drill-down touches a strict subset of buckets
+    and the classified diff equals the brute-force full-outer diff."""
+    from pyspark.sql import functions as F
+
+    from etl_end_to_end_airflow_bigquery_spark.io import load_table
+    from etl_end_to_end_airflow_bigquery_spark.operators.reconcile import (
+        DIFF_BUCKETS,
+        _digests,
+        bucketed_table_diff,
+    )
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_olap import (
+        TDIFF_CANONICAL,
+        _tdiff_replica,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    assert bucketed_table_diff(
+        orders, orders, "o_orderkey", TDIFF_CANONICAL
+    ).count() == 0
+
+    replica = _tdiff_replica(orders)
+    ld = _digests(orders, "o_orderkey", TDIFF_CANONICAL)
+    rd = _digests(replica, "o_orderkey", TDIFF_CANONICAL)
+    mism = (
+        ld.alias("l").join(rd.alias("r"), "bucket", "full_outer")
+        .filter(
+            ~(F.col("l.n").eqNullSafe(F.col("r.n"))
+              & F.col("l.fp_sum").eqNullSafe(F.col("r.fp_sum"))
+              & F.col("l.fp_xor").eqNullSafe(F.col("r.fp_xor")))
+        ).count()
+    )
+    assert 0 < mism < DIFF_BUCKETS, (
+        f"sparse drift should disagree in some but not all buckets, got {mism}"
+    )
+    got = {
+        (r.diff_kind, r.key)
+        for r in bucketed_table_diff(
+            orders, replica, "o_orderkey", TDIFF_CANONICAL
+        ).collect()
+    }
+    brute = (
+        orders.alias("b")
+        .join(replica.alias("r"),
+              F.col("b.o_orderkey") == F.col("r.o_orderkey"), "full_outer")
+        .select(
+            F.when(F.col("b.o_orderkey").isNull(), F.lit("inserted"))
+            .when(F.col("r.o_orderkey").isNull(), F.lit("deleted"))
+            .when(F.col("b.o_orderpriority") != F.col("r.o_orderpriority"),
+                  F.lit("modified"))
+            .alias("diff_kind"),
+            F.coalesce(F.col("b.o_orderkey"), F.col("r.o_orderkey"))
+            .alias("key"),
+        )
+        .filter(F.col("diff_kind").isNotNull())
+        .collect()
+    )
+    assert got == {(r.diff_kind, r.key) for r in brute}
