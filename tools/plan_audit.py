@@ -44,6 +44,13 @@ ARROW_OK = {
     # the scalar-iterator pandas UDF surface demo (r11): Arrow-batched
     # by construction, value-checked against an engine-function oracle
     "udf_iter_text_scores",
+    # r12: per-partition Misra-Gries summaries — the mapInPandas stage
+    # IS the operator (bounded dict per partition, <= k rows emitted);
+    # the recount stage is JVM-side
+    "misra_gries_heavy_hitters",
+    # r12: per-query greedy MMR in grouped applyInPandas — O(k*fanout)
+    # per group by design, oracle-matched to the SQL argmax ladder
+    "mmr_rerank_topk",
 }
 
 # Queries whose BroadcastNestedLoopJoin builds a ≤-handful-of-rows side —
@@ -79,6 +86,9 @@ BNLJ_OK = {
     "corpus_drift_chi2",  # 1-row (S1, S2) side-totals scalar broadcast
     "pmi_collocations",  # 1-row corpus-token-total scalar broadcast
     "funnel_time_to_convert",  # 1-row (cuts, n) scalar broadcast cross
+    "misra_gries_heavy_hitters",  # 1-row corpus-total scalar broadcast
+    "mmr_rerank_topk",  # 5-row query-side broadcast cross (cosine_topk)
+    "dpp_partitioned_join",  # 1-row avg-count scalar broadcast (r12 swap)
 }
 
 # Structurally-high exchange counts with a justification.
@@ -128,6 +138,14 @@ EXCHANGES_OK = {
     # stages; exchange count is the sum of its verified sub-pipelines,
     # not data-size amplification.
     "curated_corpus_v2",
+    # r12 reconciliation protocol: FIXED depth by construction — one
+    # digest aggregate per side (shuffle = 64 bucket rows), the 64-row
+    # digest full-outer, then the drill-down re-read of each side
+    # (re-reading from storage at level 2 IS the protocol: nothing row
+    # grain is retained from level 1) + the key full-outer on the
+    # drifted slice. Exchange count is protocol stages; the data-sized
+    # shuffles are the two bucket-grain digest folds only.
+    "table_diff_audit",
     # fixed pipeline depth: first-view window/rollup on user, purchase
     # rollup on user, value-grain latency rollup, singleton rank walk —
     # four keyed stages regardless of table size, never amplification.
@@ -254,6 +272,9 @@ STREAM_STATELESS_OK: dict[str, str] = {
     # per-batch foreachBatch CEP: boundary tails + mergeable match
     # counts live in versioned parquet state — durable state on disk
     "streaming_cep_funnel": "foreachBatch boundary-tail CEP fold into parquet state",
+    # per-batch foreachBatch Kleene CEP: cap+1 boundary tails + mergeable
+    # match partials live in versioned parquet state — durable on disk
+    "streaming_cep_kleene": "foreachBatch Kleene boundary-tail fold into parquet state",
 }
 
 

@@ -134,6 +134,14 @@ DEFAULT = [
     "dpp_partitioned_join",      # partitioned write + dynamic-pruned probe
     "approx_quantile_certified",  # GK sketch + rank-cert rider
     "streaming_cep_funnel",      # boundary-tail fold per micro-batch
+    # round 12
+    "file_lineage_scan",         # landing write + input_file_name census
+    "misra_gries_heavy_hitters", # partition summaries + exact recount
+    "mmr_rerank_topk",           # candidate gen + per-query greedy UDF
+    "cep_kleene_funnel",         # running-anchor window matcher
+    "streaming_cep_kleene",      # cap+1 boundary tail fold
+    "history_skip_scan",         # 2 merges + footer stats + pruned scans
+    "table_diff_audit",          # digest passes + drill-down diff
 ]
 
 
