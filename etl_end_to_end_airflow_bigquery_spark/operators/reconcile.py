@@ -26,44 +26,53 @@ gated query's relational oracle certifies no such collision occurred
 on the data under test.
 
 Both the fingerprint and the bucket id use the engine-portable
-md5/conv idiom shared with ``operators.sketch`` / ``sampling``.
+md5/conv idiom (the bucket IS ``sampling.hash_bucket``). The
+fingerprint renders each compared column NULL-safely (per-field
+``coalesce`` to a sentinel), so a value moving between columns — or a
+column going NULL — always changes the fingerprint; a field whose real
+string value contains the separator can still alias across field
+boundaries, so pre-escape such columns if the data allows '|'.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .sampling import hash_bucket
+
 DIFF_BUCKETS = 64
 _FP_SALT = "tdiff"
 _BK_SALT = "tdiffbk"
+_NULL_SENTINEL = "<null>"
 
 
-def row_fingerprint(canonical: str) -> Column:
-    """First 32 md5 bits of the caller's canonical row rendering — the
-    caller must render every compared column through engine-portable
-    casts (BIGINT/STRING/DATE; money as cents ints, never raw doubles,
-    whose string forms differ across engines)."""
+def row_fingerprint(cols: list[str]) -> Column:
+    """First 32 md5 bits of the canonical row rendering: each compared
+    column is an engine-portable SQL expression (BIGINT/STRING/DATE;
+    money as cents ints, never raw doubles, whose string forms differ
+    across engines), rendered NULL-safely field-by-field (code-review
+    r12: a caller-side concat_ws would DROP null fields, so
+    ('X', NULL) -> (NULL, 'X') fingerprinted identically and the drift
+    vanished; plain concat would NULL the whole fingerprint)."""
+    rendered = ", ".join(
+        f"coalesce(CAST({c} AS STRING), '{_NULL_SENTINEL}')" for c in cols
+    )
     return F.expr(
-        f"conv(substring(md5(concat('{_FP_SALT}|', {canonical})), 1, 8),"
-        " 16, 10)"
+        f"conv(substring(md5(concat_ws('|', '{_FP_SALT}', {rendered})),"
+        " 1, 8), 16, 10)"
     ).cast("bigint")
 
 
 def _key_bucket(key_col: str) -> Column:
-    """Bucket id from the KEY alone (distinct salt): a modified row must
-    land in the SAME bucket on both sides, or the level-2 join would
-    misread one modification as an unrelated delete + insert."""
-    return F.pmod(
-        F.expr(
-            f"conv(substring(md5(concat('{_BK_SALT}|',"
-            f" CAST({key_col} AS STRING))), 1, 8), 16, 10)"
-        ).cast("bigint"),
-        F.lit(DIFF_BUCKETS),
-    )
+    """Bucket id from the KEY alone (``sampling.hash_bucket``, distinct
+    salt): a modified row must land in the SAME bucket on both sides,
+    or the level-2 join would misread one modification as an unrelated
+    delete + insert."""
+    return hash_bucket(key_col, salt=_BK_SALT, buckets=DIFF_BUCKETS)
 
 
-def _digests(df: DataFrame, key_col: str, canonical: str) -> DataFrame:
-    fp = row_fingerprint(canonical)
+def _digests(df: DataFrame, key_col: str, cols: list[str]) -> DataFrame:
+    fp = row_fingerprint(cols)
     return (
         df.select(_key_bucket(key_col).alias("bucket"), fp.alias("fp"))
         .groupBy("bucket")
@@ -76,15 +85,15 @@ def _digests(df: DataFrame, key_col: str, canonical: str) -> DataFrame:
 
 
 def bucketed_table_diff(
-    left: DataFrame, right: DataFrame, key_col: str, canonical: str
+    left: DataFrame, right: DataFrame, key_col: str, cols: list[str]
 ) -> DataFrame:
     """(diff_kind, key) rows: ``deleted`` = in left only, ``inserted`` =
     in right only, ``modified`` = both sides but canonical fingerprints
-    differ. ``canonical`` is a SQL expression rendering the compared
-    columns portably (see :func:`row_fingerprint`); the key column must
-    be part of it. Level-2 row work is restricted to buckets whose
+    differ. ``cols`` lists the compared columns as portable SQL
+    expressions (see :func:`row_fingerprint`); the key column must be
+    among them. Level-2 row work is restricted to buckets whose
     level-1 digests disagree."""
-    ld, rd = _digests(left, key_col, canonical), _digests(right, key_col, canonical)
+    ld, rd = _digests(left, key_col, cols), _digests(right, key_col, cols)
     mism = (
         ld.alias("l")
         .join(rd.alias("r"), "bucket", "full_outer")
@@ -99,7 +108,7 @@ def bucketed_table_diff(
     )
 
     def _rows(df: DataFrame) -> DataFrame:
-        fp = row_fingerprint(canonical)
+        fp = row_fingerprint(cols)
         return (
             df.select(
                 F.col(key_col).alias("key"),

@@ -270,6 +270,9 @@ def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
             {col: list(pruned.keys()), "mg_weight": list(pruned.values())}
         )
 
+    # item type follows the input column (code-review r12: a hardcoded
+    # string field broke/coerced non-string item columns)
+    item_type = df.schema[col].dataType.simpleString()
     return df.select(col).mapInPandas(
-        _summarize, schema=f"{col} string, mg_weight bigint"
+        _summarize, schema=f"{col} {item_type}, mg_weight bigint"
     )

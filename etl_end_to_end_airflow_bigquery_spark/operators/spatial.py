@@ -107,11 +107,14 @@ def grid_within_radius(
     # a silently wrong (possibly negative) distance. Post-join
     # coordinates are non-null (a NULL coord has a NULL cell id and
     # never joins), so NULL here can only mean overflow.
+    # operands are widened to BIGINT first (code-review r12): with
+    # INT-typed coordinate columns the try_* ops would otherwise run in
+    # int32 and raise the overflow error for inputs well inside the
+    # documented 2^31 bound.
+    dx = f"try_subtract(CAST({lx} AS BIGINT), CAST({rx} AS BIGINT))"
+    dy = f"try_subtract(CAST({ly} AS BIGINT), CAST({ry} AS BIGINT))"
     d2_raw = F.expr(
-        f"try_add(try_multiply(try_subtract({lx}, {rx}),"
-        f" try_subtract({lx}, {rx})),"
-        f" try_multiply(try_subtract({ly}, {ry}),"
-        f" try_subtract({ly}, {ry})))"
+        f"try_add(try_multiply({dx}, {dx}), try_multiply({dy}, {dy}))"
     )
     d2 = F.when(
         d2_raw.isNull(),

@@ -260,6 +260,42 @@ def describe_history(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def _footer_minmax(fpath: str, cols: list[str]):
+    """(n_rows, mins, maxs) for one parquet file from its FOOTER only —
+    the single stats walk shared by :func:`history_file_stats` and
+    :func:`file_skip_report` (code-review r12: the two copies could
+    diverge). Partial-stats rule: if ANY row group lacks min/max for a
+    requested column, that column's bounds are None (= must-scan) — a
+    bound derived from only the statted row groups would be falsely
+    narrow and could skip a file whose unstatted row group holds
+    matching rows."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(fpath).metadata
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    complete = {c: True for c in cols}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if name not in complete:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                complete[name] = False
+                continue
+            mins[name] = (
+                st.min if name not in mins else min(mins[name], st.min)
+            )
+            maxs[name] = (
+                st.max if name not in maxs else max(maxs[name], st.max)
+            )
+    out_min = {c: (mins.get(c) if complete[c] else None) for c in cols}
+    out_max = {c: (maxs.get(c) if complete[c] else None) for c in cols}
+    return md.num_rows, out_min, out_max
+
+
 def history_file_stats(
     path: str, cols: list[str], version: int | None = None
 ) -> list[dict]:
@@ -278,8 +314,6 @@ def history_file_stats(
     ``version=None`` means the current snapshot. Vanished files
     (concurrent retention sweep) are skipped like describe_history.
     """
-    import pyarrow.parquet as pq
-
     if version is None:
         vname = _current_version_name(path)
         if vname is None:
@@ -304,33 +338,16 @@ def history_file_stats(
                 continue
             fpath = os.path.join(root, fname)
             try:
-                md = pq.ParquetFile(fpath).metadata
+                n_rows, mins, maxs = _footer_minmax(fpath, cols)
             except OSError:
                 continue
-            mins: dict[str, object] = {}
-            maxs: dict[str, object] = {}
-            for rg in range(md.num_row_groups):
-                for ci in range(md.num_columns):
-                    col = md.row_group(rg).column(ci)
-                    name = col.path_in_schema
-                    if name not in cols:
-                        continue
-                    st = col.statistics
-                    if st is None or not st.has_min_max:
-                        continue
-                    mins[name] = (
-                        st.min if name not in mins else min(mins[name], st.min)
-                    )
-                    maxs[name] = (
-                        st.max if name not in maxs else max(maxs[name], st.max)
-                    )
             out.append(
                 {
                     "version": version,
                     "path": fpath,
-                    "n_rows": md.num_rows,
-                    "mins": {c: mins.get(c) for c in cols},
-                    "maxs": {c: maxs.get(c) for c in cols},
+                    "n_rows": n_rows,
+                    "mins": mins,
+                    "maxs": maxs,
                 }
             )
     return out
@@ -1429,39 +1446,29 @@ def file_skip_report(
     """
     import glob as _glob
 
-    import pyarrow.parquet as pq
-
     out = []
     for f in sorted(
         _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     ):
-        md = pq.ParquetFile(f).metadata
-        mins: dict[str, object] = {}
-        maxs: dict[str, object] = {}
-        for rg in range(md.num_row_groups):
-            for ci in range(md.num_columns):
-                col = md.row_group(rg).column(ci)
-                name = col.path_in_schema
-                st = col.statistics
-                if st is None or not st.has_min_max:
-                    continue
-                mins[name] = (
-                    st.min if name not in mins else min(mins[name], st.min)
-                )
-                maxs[name] = (
-                    st.max if name not in maxs else max(maxs[name], st.max)
-                )
+        # shared footer walk (code-review r12) — a column with ANY
+        # stats-less row group comes back None and can never justify a
+        # skip (the falsely-narrow-bounds hole)
+        n_rows, mins, maxs = _footer_minmax(f, list(bounds))
         skip = False
         for c, (lo, hi) in bounds.items():
-            if c in mins and (mins[c] > hi or maxs[c] < lo):
+            if (
+                mins.get(c) is not None
+                and maxs.get(c) is not None
+                and (mins[c] > hi or maxs[c] < lo)
+            ):
                 skip = True
                 break
         out.append(
             {
                 "path": f,
-                "n_rows": md.num_rows,
-                "mins": {c: mins.get(c) for c in bounds},
-                "maxs": {c: maxs.get(c) for c in bounds},
+                "n_rows": n_rows,
+                "mins": mins,
+                "maxs": maxs,
                 "skip": skip,
             }
         )

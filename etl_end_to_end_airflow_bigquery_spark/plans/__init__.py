@@ -265,7 +265,7 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     # the spatial refine's ANSI-safe overflow guard, and the dpp
     # broadcast-scalar swap (VERDICT r11 item 8):
     "cep_pattern_funnel", "streaming_cep_funnel", "spatial_grid_knn",
-    "dpp_partitioned_join",
+    "dpp_partitioned_join", "zorder_skipping_report",
     # r03-only evidence (stalest; VERDICT names the first four):
     "ann_lsh_topk", "embedding_near_dups", "fuzzy_name_pairs",
     "ivf_topk", "ann_lsh_multitable", "ivf_topk_nprobe",
@@ -275,7 +275,6 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "q14_promo_share", "q15_top_supplier", "q19_or_pushdown",
     "q22_idle_customers",
     # remaining r03-only rows:
-    "multimodal_meta",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

@@ -3057,12 +3057,10 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(k·fanout) per query with the pairwise-sim matrix never leaving
     the group.
     """
-    from ..operators.similarity import MMR_FANOUT, MMR_K, MMR_LAMBDA, mmr_rerank
-
     emb = load_table(spark, sf_dir, "embeddings")
-    res = mmr_rerank(
-        emb, query_pred=ANN_QUERY_PRED, k=MMR_K, fanout=MMR_FANOUT,
-        lam=MMR_LAMBDA,
+    res = S.mmr_rerank(
+        emb, query_pred=ANN_QUERY_PRED, k=S.MMR_K, fanout=S.MMR_FANOUT,
+        lam=S.MMR_LAMBDA,
     )
     return res.select(
         "q_id",
@@ -3073,12 +3071,7 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "pick")
 
 
-_ = mmr_rerank_topk  # keep linters quiet about the deferred import style
-from ..operators.similarity import MMR_FANOUT as _MMR_FANOUT  # noqa: E402
-from ..operators.similarity import MMR_K as _MMR_K  # noqa: E402
-from ..operators.similarity import MMR_LAMBDA as _MMR_LAMBDA  # noqa: E402
-
 mmr_rerank_topk.__doc__ = mmr_rerank_topk.__doc__.format(
-    fanout=_MMR_FANOUT, k=_MMR_K, lam=_MMR_LAMBDA
+    fanout=S.MMR_FANOUT, k=S.MMR_K, lam=S.MMR_LAMBDA
 )
 EXT_QUERIES["mmr_rerank_topk"] = mmr_rerank_topk

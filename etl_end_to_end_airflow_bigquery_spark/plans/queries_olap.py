@@ -5057,15 +5057,18 @@ OLAP_QUERIES["history_skip_scan"] = history_skip_scan
 
 
 TDIFF_INSERT_OFFSET = 1_000_000_000
-# Engine-portable canonical row rendering for the drift fingerprint:
+# Engine-portable canonical columns for the drift fingerprint:
 # BIGINT/STRING/DATE casts and cents ints only (double string forms
-# differ across engines).
-TDIFF_CANONICAL = (
-    "concat_ws('|', CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING),"
-    " o_orderstatus,"
-    " CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS STRING),"
-    " CAST(CAST(o_orderdate AS DATE) AS STRING), o_orderpriority)"
-)
+# differ across engines); NULL-safe rendering happens inside
+# reconcile.row_fingerprint.
+TDIFF_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)",
+    "CAST(o_orderdate AS DATE)",
+    "o_orderpriority",
+]
 
 
 def _tdiff_replica(orders: DataFrame) -> DataFrame:
@@ -5113,7 +5116,7 @@ def table_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ = DIFF_BUCKETS  # doc formatting below
     orders = load_table(spark, sf_dir, "orders")
     diff = bucketed_table_diff(
-        orders, _tdiff_replica(orders), "o_orderkey", TDIFF_CANONICAL
+        orders, _tdiff_replica(orders), "o_orderkey", TDIFF_COLS
     )
     return (
         diff.groupBy("diff_kind")

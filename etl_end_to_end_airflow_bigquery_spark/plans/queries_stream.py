@@ -1633,9 +1633,14 @@ def streaming_cep_kleene(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist()
         )
         try:
+            # only purchases can close a match — broadcasting the whole
+            # batch's ids wastes p's non-purchase fraction (code-review
+            # r12)
             new_matches = _cep_kleene_matches(work).join(
                 F.broadcast(
-                    batch.select(F.col("event_id").alias("p_event_id"))
+                    batch.filter(F.col("e") == "p").select(
+                        F.col("event_id").alias("p_event_id")
+                    )
                 ),
                 "p_event_id",
                 "semi",

@@ -454,18 +454,18 @@ def test_table_diff_protocol_mechanism(spark):
         bucketed_table_diff,
     )
     from etl_end_to_end_airflow_bigquery_spark.plans.queries_olap import (
-        TDIFF_CANONICAL,
+        TDIFF_COLS,
         _tdiff_replica,
     )
 
     orders = load_table(spark, SF_SMALL, "orders")
     assert bucketed_table_diff(
-        orders, orders, "o_orderkey", TDIFF_CANONICAL
+        orders, orders, "o_orderkey", TDIFF_COLS
     ).count() == 0
 
     replica = _tdiff_replica(orders)
-    ld = _digests(orders, "o_orderkey", TDIFF_CANONICAL)
-    rd = _digests(replica, "o_orderkey", TDIFF_CANONICAL)
+    ld = _digests(orders, "o_orderkey", TDIFF_COLS)
+    rd = _digests(replica, "o_orderkey", TDIFF_COLS)
     mism = (
         ld.alias("l").join(rd.alias("r"), "bucket", "full_outer")
         .filter(
@@ -480,7 +480,7 @@ def test_table_diff_protocol_mechanism(spark):
     got = {
         (r.diff_kind, r.key)
         for r in bucketed_table_diff(
-            orders, replica, "o_orderkey", TDIFF_CANONICAL
+            orders, replica, "o_orderkey", TDIFF_COLS
         ).collect()
     }
     brute = (
@@ -500,3 +500,80 @@ def test_table_diff_protocol_mechanism(spark):
         .collect()
     )
     assert got == {(r.diff_kind, r.key) for r in brute}
+
+
+def test_table_diff_null_drift_is_detected(spark):
+    """Code-review r12: a value moving between columns — ('X', NULL) ->
+    (NULL, 'X') — or a column going NULL must fingerprint differently
+    (a caller-side concat_ws silently dropped NULL fields and the
+    drift vanished)."""
+    from etl_end_to_end_airflow_bigquery_spark.operators.reconcile import (
+        bucketed_table_diff,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "X", None), (2, "Y", "Z"), (3, "A", "B")],
+        "k bigint, a string, b string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, "X"), (2, "Y", None), (3, "A", "B")],
+        "k bigint, a string, b string",
+    )
+    got = {
+        (r.diff_kind, r.key)
+        for r in bucketed_table_diff(left, right, "k", ["k", "a", "b"]).collect()
+    }
+    assert got == {("modified", 1), ("modified", 2)}
+
+
+def test_mg_candidates_non_string_items(spark):
+    """Code-review r12: the summary schema must follow the item
+    column's type (a hardcoded string field broke bigint items)."""
+    from pyspark.sql import functions as F
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.sketch import (
+        mg_candidates,
+    )
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("user_id")
+    )
+    got = mg_candidates(df, "user_id", 3)
+    assert dict(got.dtypes)["user_id"] == "bigint"
+    merged = {
+        r.user_id: r.w
+        for r in got.groupBy("user_id")
+        .agg(F.sum("mg_weight").alias("w"))
+        .collect()
+    }
+    assert merged and all(isinstance(k, int) for k in merged)
+
+
+def test_footer_minmax_partial_stats_means_must_scan(tmp_path):
+    """Code-review r12: a file where any row group lacks min/max for a
+    column must report None bounds for it (falsely narrow bounds could
+    skip a file whose unstatted row group holds matching rows)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        _footer_minmax,
+    )
+
+    t1 = pa.table({"v": pa.array([100.0, 200.0])})
+    t2 = pa.table({"v": pa.array([60.0, 90.0])})
+    f = str(tmp_path / "mixed.parquet")
+    with pq.ParquetWriter(f, t1.schema) as w:
+        w.write_table(t1)          # rg0: stats on
+    # rewrite with one statted + one stats-less row group
+    with pq.ParquetWriter(
+        f, t1.schema, write_statistics=False
+    ) as w:
+        w.write_table(t1)
+    n, mins, maxs = _footer_minmax(f, ["v"])
+    assert n == 2 and mins["v"] is None and maxs["v"] is None
+    # fully statted file keeps real bounds
+    f2 = str(tmp_path / "statted.parquet")
+    pq.write_table(t2, f2)
+    n2, mins2, maxs2 = _footer_minmax(f2, ["v"])
+    assert (n2, mins2["v"], maxs2["v"]) == (2, 60.0, 90.0)
