@@ -88,7 +88,6 @@ BNLJ_OK = {
     "funnel_time_to_convert",  # 1-row (cuts, n) scalar broadcast cross
     "misra_gries_heavy_hitters",  # 1-row corpus-total scalar broadcast
     "mmr_rerank_topk",  # 5-row query-side broadcast cross (cosine_topk)
-    "dpp_partitioned_join",  # 1-row avg-count scalar broadcast (r12 swap)
 }
 
 # Structurally-high exchange counts with a justification.
