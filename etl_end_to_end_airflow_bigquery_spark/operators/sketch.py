@@ -276,3 +276,35 @@ def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
     return df.select(col).mapInPandas(
         _summarize, schema=f"{col} {item_type}, mg_weight bigint"
     )
+
+
+def mg_prune_df(summary: DataFrame, col: str, k: int) -> DataFrame:
+    """Relational :func:`mg_prune` over a ``(col, mg_weight)`` frame —
+    the re-prune a STREAMING fold applies after merging each batch's
+    summaries into state, keeping state bounded at k rows (Mergeable
+    Summaries PODS'12: merge-then-prune preserves the total
+    n/(k+1) undercount bound, so the candidate-recall guarantee
+    survives arbitrary micro-batch slicing).
+
+    The global window is over the summary frame itself (<= k + one
+    batch's candidates — state-sized, never data-sized), so the single
+    partition is bounded by construction. d = the (k+1)-th largest
+    weight is tie-safe: equal weights across the rank boundary yield
+    the same d whichever row ranks k+1.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("mg_weight"), col)
+    ranked = summary.withColumn("_rn", F.row_number().over(w))
+    d = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("_rn") == k + 1, F.col("mg_weight"))),
+            F.lit(0).cast("bigint"),
+        ).alias("_d")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(d))
+        .withColumn("mg_weight", F.col("mg_weight") - F.col("_d"))
+        .filter(F.col("mg_weight") > 0)
+        .select(col, "mg_weight")
+    )

@@ -187,3 +187,10 @@ STREAM_ORACLES["streaming_cep_funnel"] = _OLAP["cep_pattern_funnel"]
 # plus the purchase-in-batch filter must make micro-batch edges
 # invisible to the match census.
 STREAM_ORACLES["streaming_cep_kleene"] = _OLAP["cep_kleene_funnel"]
+
+# Shared verbatim with the batch MG twin: summary merge + re-prune is
+# commutative/associative, so micro-batch edges are invisible to the
+# candidate set the exact recount serves from.
+from .oracles_ext import EXT_ORACLES as _EXT
+
+STREAM_ORACLES["streaming_misra_gries"] = _EXT["misra_gries_heavy_hitters"]

@@ -3006,20 +3006,35 @@ def misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.sketch import mg_candidates
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
-    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    toks = _mg_tokens(spark, sf_dir)
     merged = (
         mg_candidates(toks, "token", MG_K)
         .groupBy("token")
-        .agg(F.sum("mg_weight").alias("mg_lower"))
+        .agg(F.sum("mg_weight").alias("mg_weight"))
     )
+    return _mg_exact_recount(toks, merged)
+
+
+def _mg_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus token stream both MG twins summarize and recount."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(F.explode(F.split("text", " ")).alias("token"))
+
+
+def _mg_exact_recount(toks: DataFrame, merged: DataFrame) -> DataFrame:
+    """THE serving tail both MG twins share (the CEP twins'
+    single-implementation contract): prune the merged summary with the
+    integer-exact lower bound ``weight*HH*(K+1) > n*(K+1-HH)`` — any
+    true heavy hitter's merged weight must clear it, whatever slicing
+    produced the summary — then recount the survivors exactly and
+    filter on the true threshold. ``merged`` is a (token, mg_weight)
+    summary whose total undercount is <= n/(K+1) (single-pass partials
+    or a streaming merge-then-prune fold — the bound is the same)."""
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
     candidates = (
         merged.crossJoin(F.broadcast(total))
-        # merged lower bound vs threshold minus the merge slack, kept in
-        # exact int64: mg_lower > n/HH - n/(K+1)
         .filter(
-            F.col("mg_lower") * MG_HH_DIVISOR * (MG_K + 1)
+            F.col("mg_weight") * MG_HH_DIVISOR * (MG_K + 1)
             > F.col("n_total") * (MG_K + 1 - MG_HH_DIVISOR)
         )
         .select("token")

@@ -1701,3 +1701,80 @@ def _kleene_partials(matches: DataFrame) -> DataFrame:
 
 
 STREAM_QUERIES["streaming_cep_kleene"] = streaming_cep_kleene
+
+
+def streaming_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming twin of
+    :func:`..queries_ext.misra_gries_heavy_hitters` — heavy-hitter
+    CANDIDATE state maintained by the stream with BOUNDED size: each
+    micro-batch's documents are summarized map-side
+    (``sketch.mg_candidates``, <= k rows per partition, the raw tokens
+    never shuffle), merged into the persisted summary by weight sum,
+    and RE-PRUNED to k rows (``sketch.mg_prune_df`` — Mergeable
+    Summaries PODS'12: merge-then-prune keeps the total undercount
+    <= n/(k+1), so candidate recall survives any slicing). Serving
+    runs the SHARED exact-recount tail (``_mg_exact_recount``, the
+    lambda-architecture batch pass) over the candidates — so the
+    output is the batch twin's exactly, and the twins SHARE THE
+    ORACLE VERBATIM. No ordering contract is needed at all: summary
+    merge is commutative and associative, so this twin — unlike the
+    CEP folds — carries no in-order guard by design.
+
+    Scale: state is <= k summary rows total (not per key); per batch
+    the work is one map-side summarize + a state-sized merge/prune.
+    Stateless micro-batch plan (durable state in versioned parquet).
+    """
+    from ..operators.incremental import latest_committed_state
+    from ..operators.sketch import mg_candidates, mg_prune_df
+    from ..tmputil import session_tmpdir
+    from .queries_ext import MG_K, _mg_exact_recount, _mg_tokens
+
+    base_dir = session_tmpdir("stream_mg_")
+    feed_dir = os.path.join(base_dir, "feed")
+    ckpt = os.path.join(base_dir, "ckpt")
+    init_path = os.path.join(base_dir, "state_init")
+
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(4).write.parquet(feed_dir)
+
+    spark.createDataFrame([], "token string, mg_weight bigint").write.parquet(
+        init_path
+    )
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        prev = latest_committed_state(base_dir, init_path, below=batch_id)
+        toks = batch.select(F.explode(F.split("text", " ")).alias("token"))
+        merged = (
+            spark.read.parquet(prev)
+            .unionByName(mg_candidates(toks, "token", MG_K))
+            .groupBy("token")
+            .agg(F.sum("mg_weight").alias("mg_weight"))
+        )
+        mg_prune_df(merged, "token", MG_K).write.mode("overwrite").parquet(
+            os.path.join(base_dir, f"state_b{batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_fold)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    _capture_plan(q, "streaming_misra_gries")
+
+    summary = spark.read.parquet(latest_committed_state(base_dir, init_path))
+    return _mg_exact_recount(_mg_tokens(spark, sf_dir), summary)
+
+
+STREAM_QUERIES["streaming_misra_gries"] = streaming_misra_gries

@@ -577,3 +577,50 @@ def test_footer_minmax_partial_stats_means_must_scan(tmp_path):
     pq.write_table(t2, f2)
     n2, mins2, maxs2 = _footer_minmax(f2, ["v"])
     assert (n2, mins2["v"], maxs2["v"]) == (2, 60.0, 90.0)
+
+
+@given(_split_multiset(), st.integers(min_value=1, max_value=6))
+@settings(max_examples=200, deadline=None)
+def test_mg_sequential_fold_preserves_recall(split, k):
+    """The STREAMING fold's algebra (merge each part's summary into the
+    running state, then RE-PRUNE the state to k rows) must keep every
+    item with true count > n/(k+1) in the final state — the
+    merge-then-prune law streaming_misra_gries serves from."""
+    from etl_end_to_end_airflow_bigquery_spark.operators.sketch import mg_prune
+
+    items, parts = split
+    true = Counter(items)
+    n = len(items)
+    state: Counter = Counter()
+    for part in parts:
+        for i, w in mg_prune(Counter(part), k).items():
+            state[i] += w
+        state = Counter(mg_prune(state, k))
+    assert len(state) <= k
+    for i, c in true.items():
+        assert state[i] <= c, "fold must never overcount"
+        if c * (k + 1) > n:
+            assert state[i] > 0, (
+                f"heavy hitter {i!r} (count {c}, n {n}) lost by the "
+                "merge-then-prune fold"
+            )
+
+
+def test_mg_prune_df_matches_dict_prune(spark):
+    """The relational re-prune must be value-identical to the dict
+    form, including across a weight tie at the rank boundary."""
+    from etl_end_to_end_airflow_bigquery_spark.operators.sketch import (
+        mg_prune,
+        mg_prune_df,
+    )
+
+    counts = {"a": 9, "b": 7, "c": 7, "d": 7, "e": 2}
+    for k in (1, 2, 3, 4, 5):
+        want = mg_prune(counts, k)
+        df = spark.createDataFrame(
+            list(counts.items()), "token string, mg_weight bigint"
+        )
+        got = {
+            r.token: r.mg_weight for r in mg_prune_df(df, "token", k).collect()
+        }
+        assert got == want, f"k={k}: {got} != {want}"

@@ -274,6 +274,9 @@ STREAM_STATELESS_OK: dict[str, str] = {
     # per-batch foreachBatch Kleene CEP: cap+1 boundary tails + mergeable
     # match partials live in versioned parquet state — durable on disk
     "streaming_cep_kleene": "foreachBatch Kleene boundary-tail fold into parquet state",
+    # per-batch foreachBatch MG summary merge + k-row re-prune into the
+    # versioned parquet state — durable, bounded at k rows by design
+    "streaming_misra_gries": "foreachBatch MG merge-then-prune fold into parquet state",
 }
 
 

@@ -142,6 +142,7 @@ DEFAULT = [
     "streaming_cep_kleene",      # cap+1 boundary tail fold
     "history_skip_scan",         # 2 merges + footer stats + pruned scans
     "table_diff_audit",          # digest passes + drill-down diff
+    "streaming_misra_gries",     # k-row summary fold + shared recount
 ]
 
 
