@@ -53,3 +53,44 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register each table as a temp view for the SQL API."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def read_partition_evolved(
+    spark: SparkSession, layouts: list[tuple[str, list[str]]]
+) -> DataFrame:
+    """Read one logical table whose landing zone spans PARTITION-SPEC
+    EVOLUTION (Iceberg `ALTER TABLE ... ADD PARTITION FIELD`): each
+    entry is ``(path, partition_cols)`` — the hive layout that slice of
+    history was written under. The union is by NAME (hive puts
+    partition columns last, so positional union would mis-zip), and
+    the sets of data columns must agree across specs — validated
+    loudly, because a silent ``allowMissingColumns`` union would
+    NULL-backfill a column that one spec actually stores.
+
+    Pruning is per-layout and automatic: Catalyst pushes the caller's
+    filters through the union into each scan, so a predicate on a
+    column that is a PARTITION field in one spec prunes directories
+    there while the same predicate data-filters the other spec's scan
+    (footer stats still apply). Nothing else is needed — the reader's
+    job is schema alignment + the loud mismatch guard.
+
+    Scale: spec evolution is how a 100 TB table migrates partitioning
+    without rewriting history; the query cost is each layout's pruned
+    scan, and the cutover boundary adds zero duplicate/dropped rows as
+    long as the writer split history disjointly (the gated query's
+    oracle certifies exactly that).
+    """
+    _tune(spark)
+    dfs = [spark.read.parquet(path) for path, _cols in layouts]
+    cols0 = set(dfs[0].columns)
+    for (path, _c), df in zip(layouts[1:], dfs[1:]):
+        if set(df.columns) != cols0:
+            raise ValueError(
+                f"partition-spec evolution requires one logical schema: "
+                f"{path!r} has {sorted(set(df.columns) ^ cols0)} "
+                "mismatched vs the first layout"
+            )
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out

@@ -251,6 +251,7 @@ _GATE_ROTATION: tuple[str, ...] = (
     "history_skip_scan",        # file skipping decided from snapshot history stats
     "table_diff_audit",         # bucketed anti-entropy replica reconciliation
     "streaming_misra_gries",    # bounded k-row summary fold + shared recount
+    "partition_evolution_read", # two partition specs, one pruned logical table
 )
 
 # Backfill to 50 (r8 policy, see module docstring). VERDICT r11 item 2:
@@ -273,7 +274,7 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     # TPC-H pack (VERDICT item 2 second priority; q5/q18 are r03-only):
     "q5_local_supplier_volume", "q18_big_orders", "q7_volume_shipping",
     "q8_market_share", "q10_returned_revenue", "q13_order_distribution",
-    "q14_promo_share", "q15_top_supplier", "q19_or_pushdown",
+    "q14_promo_share", "q15_top_supplier",
     # remaining r03-only rows:
 )
 

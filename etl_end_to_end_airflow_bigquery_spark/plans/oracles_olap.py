@@ -2229,3 +2229,19 @@ OLAP_ORACLES["table_diff_audit"] = f"""
     GROUP BY diff_kind
     ORDER BY diff_kind
 """
+
+from .queries_olap import PEVO_HI as _PEVO_HI
+from .queries_olap import PEVO_LO as _PEVO_LO
+from .queries_olap import PEVO_TYPES as _PEVO_TYPES
+
+OLAP_ORACLES["partition_evolution_read"] = f"""
+    SELECT CAST(ts AS DATE) AS event_date,
+           event_type,
+           count(*) AS n_events,
+           {_hs_round(_hs_dsum('value'), 2)} AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '{_PEVO_LO}' AND DATE '{_PEVO_HI}'
+      AND event_type IN ({", ".join(f"'{t}'" for t in _PEVO_TYPES)})
+    GROUP BY 1, 2
+    ORDER BY event_date, event_type
+"""

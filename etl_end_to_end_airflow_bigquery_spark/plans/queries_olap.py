@@ -5138,3 +5138,84 @@ def table_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 table_diff_audit.__doc__ = table_diff_audit.__doc__.format(b=64)
 OLAP_QUERIES["table_diff_audit"] = table_diff_audit
+
+
+PEVO_CUTOVER = "2024-01-16"
+PEVO_LO, PEVO_HI = "2024-01-10", "2024-01-22"
+PEVO_TYPES = ("purchase", "view")
+
+
+def partition_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SPEC EVOLUTION (Iceberg `ADD PARTITION FIELD`, the
+    migration every long-lived 100 TB table eventually performs): the
+    events landing zone is written under two specs split at
+    {cut} — history partitioned by day alone, the newer slice by
+    (day, type) — and ``io.read_partition_evolved`` reads them as ONE
+    logical table. The report's predicate spans the cutover (days
+    {lo}..{hi}, two event types), so its day bound prunes directories
+    in BOTH layouts while the type IN-list prunes directories only in
+    the evolved spec and data-filters the old one — the asymmetric
+    pruning the pytest pins in the physical plan.
+
+    The oracle computes the same report from the un-evolved events
+    table, so a hash match certifies the cutover split is exact — no
+    row duplicated or dropped at the boundary, values identical
+    through both layouts (including event_type surviving its change
+    from data column to directory key).
+
+    Scale: spec evolution exists precisely so history is NOT
+    rewritten; the query pays each layout's pruned scan and nothing
+    else.
+    """
+    import os
+
+    from ..io import read_partition_evolved
+    from ..tmputil import session_tmpdir
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.to_date("ts").alias("event_date"),
+    )
+    root = session_tmpdir("pevo_")
+    v1 = os.path.join(root, "spec_v1_day")
+    v2 = os.path.join(root, "spec_v2_day_type")
+    cut = F.lit(PEVO_CUTOVER).cast("date")
+    (
+        ev.filter(F.col("event_date") < cut)
+        .repartition("event_date")
+        .write.partitionBy("event_date")
+        .parquet(v1)
+    )
+    (
+        ev.filter(F.col("event_date") >= cut)
+        .repartition("event_date", "event_type")
+        .write.partitionBy("event_date", "event_type")
+        .parquet(v2)
+    )
+    table = read_partition_evolved(
+        spark,
+        [(v1, ["event_date"]), (v2, ["event_date", "event_type"])],
+    )
+    return (
+        table.filter(
+            F.col("event_date").between(
+                F.lit(PEVO_LO).cast("date"), F.lit(PEVO_HI).cast("date")
+            )
+            & F.col("event_type").isin(*PEVO_TYPES)
+        )
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round_half_up(decimal_sum(F.col("value")), 2).alias("sum_value"),
+        )
+        .orderBy("event_date", "event_type")
+    )
+
+
+partition_evolution_read.__doc__ = partition_evolution_read.__doc__.format(
+    cut=PEVO_CUTOVER, lo=PEVO_LO, hi=PEVO_HI
+)
+OLAP_QUERIES["partition_evolution_read"] = partition_evolution_read

@@ -624,3 +624,53 @@ def test_mg_prune_df_matches_dict_prune(spark):
             r.token: r.mg_weight for r in mg_prune_df(df, "token", k).collect()
         }
         assert got == want, f"k={k}: {got} != {want}"
+
+
+# --- partition-spec evolution --------------------------------------------------
+
+def test_partition_evolution_prunes_asymmetrically(spark):
+    """The physical plan must show the type IN-list as a PARTITION
+    filter on the evolved layout's scan and NOT on the legacy layout's
+    (where event_type is a data column) — plus the schema guard must
+    reject layouts whose data columns diverge."""
+    import pytest
+
+    from etl_end_to_end_airflow_bigquery_spark.io import read_partition_evolved
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_olap import (
+        partition_evolution_read,
+    )
+    from etl_end_to_end_airflow_bigquery_spark.tmputil import sweep_tmpdirs
+
+    # the default 100-char metadata truncation cuts the filter list
+    # mid-"event_type" — widen it for the assertion
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try:
+        df = partition_evolution_read(spark, SF_SMALL)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    scans = [
+        seg for seg in plan.split("FileScan") if "PartitionFilters: [" in seg
+    ]
+    pf = [
+        seg.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+        for seg in scans
+    ]
+    typed = [f for f in pf if "event_type" in f]
+    dated_only = [f for f in pf if "event_type" not in f and "event_date" in f]
+    assert typed, f"no scan partition-prunes on event_type: {pf}"
+    assert dated_only, f"no scan prunes on event_date alone: {pf}"
+    sweep_tmpdirs()
+
+    left = spark.createDataFrame([(1, "a")], "id bigint, x string")
+    import tempfile
+    d1 = tempfile.mkdtemp(prefix="pevo_t1_")
+    d2 = tempfile.mkdtemp(prefix="pevo_t2_")
+    left.write.mode("overwrite").parquet(d1)
+    spark.createDataFrame([(1, 2.0)], "id bigint, y double").write.mode(
+        "overwrite"
+    ).parquet(d2)
+    with pytest.raises(ValueError, match="one logical schema"):
+        read_partition_evolved(spark, [(d1, []), (d2, [])])

@@ -143,6 +143,7 @@ DEFAULT = [
     "history_skip_scan",         # 2 merges + footer stats + pruned scans
     "table_diff_audit",          # digest passes + drill-down diff
     "streaming_misra_gries",     # k-row summary fold + shared recount
+    "partition_evolution_read",  # two spec writes + pruned union read
 ]
 
 
