@@ -299,6 +299,27 @@ def main() -> None:
         mins["ivfpq_search_stored"], medians["ivfpq_search_stored"] = (
             _measure_fn(spark, _search_stored, sf_dir)
         )
+
+        # Round-12: the serving-path MMR — stored-index candidates, exact
+        # rerank + greedy diversity, the full production read path (the
+        # gated mmr_rerank_topk entry above measures the brute-candidate
+        # correctness path).
+        from etl_end_to_end_airflow_bigquery_spark.operators.similarity import (
+            MMR_FANOUT,
+            mmr_rerank,
+        )
+
+        def _mmr_stored(spark, sf_dir):
+            emb = load_table(spark, sf_dir, "embeddings")
+            cand = search_ivfpq_index(
+                spark, idx, emb, ANN_QUERY_PRED, k=MMR_FANOUT
+            ).select("q_id", "neighbor_id")
+            return mmr_rerank(emb, query_pred=ANN_QUERY_PRED,
+                              candidate_ids=cand)
+
+        mins["mmr_rerank_stored"], medians["mmr_rerank_stored"] = (
+            _measure_fn(spark, _mmr_stored, sf_dir)
+        )
     finally:
         shutil.rmtree(idx_root, ignore_errors=True)
 

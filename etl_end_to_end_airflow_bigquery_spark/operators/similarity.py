@@ -1297,6 +1297,7 @@ def mmr_rerank(
     k: int = MMR_K,
     fanout: int = MMR_FANOUT,
     lam: float = MMR_LAMBDA,
+    candidate_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal Marginal Relevance rerank over the ANN stack (Carbonell &
     Goldstein, SIGIR'98): per query, fetch ``fanout`` candidates by
@@ -1325,7 +1326,39 @@ def mmr_rerank(
 
     scale = float(DOT_SCALE)
     v = _vectors(embeddings)
-    cands = cosine_topk(embeddings, query_pred=query_pred, k=fanout).join(
+    if candidate_ids is None:
+        rel = cosine_topk(embeddings, query_pred=query_pred, k=fanout)
+    else:
+        # SERVING path: candidates came from an ANN index (ids only) —
+        # rerank computes the TRUE cosine for just those pairs, which
+        # then doubles as the MMR relevance. Same arithmetic as
+        # cosine_topk, restricted to the candidate set.
+        q = v.filter(query_pred).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("e").alias("qe"),
+            F.col("norm2").alias("qn"),
+        )
+        rel = (
+            candidate_ids.select("q_id", "neighbor_id")
+            .join(
+                v.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("e").alias("ne"),
+                    F.col("norm2").alias("nn"),
+                ),
+                "neighbor_id",
+            )
+            .join(F.broadcast(q), "q_id")
+            .select(
+                "q_id",
+                "neighbor_id",
+                (
+                    F.expr(dot_fold("qe", "ne"))
+                    / (F.sqrt("qn") * F.sqrt("nn"))
+                ).alias("cosine"),
+            )
+        )
+    cands = rel.join(
         v.select(F.col("vec_id").alias("neighbor_id"), "e", "norm2"),
         "neighbor_id",
     )

@@ -71,10 +71,11 @@ def test_readme_counts_match_registry():
 
     m = re.search(r"`python bench\.py` — (\d+) headline queries", readme)
     assert m, "README bench sentence with query count not found"
-    # +1: the stored-index search entry measured outside BENCH_QUERIES
-    assert int(m.group(1)) == len(bench.BENCH_QUERIES) + 1, (
+    # +2: the stored-index entries measured outside BENCH_QUERIES
+    # (ivfpq_search_stored, and mmr_rerank_stored since r12)
+    assert int(m.group(1)) == len(bench.BENCH_QUERIES) + 2, (
         f"README says {m.group(1)} headline queries, bench runs "
-        f"{len(bench.BENCH_QUERIES) + 1} — update README.md"
+        f"{len(bench.BENCH_QUERIES) + 2} — update README.md"
     )
 
     # VERDICT r10 item 7: the prose two paragraphs down repeated a
@@ -82,9 +83,9 @@ def test_readme_counts_match_registry():
     # only the first sentence was pinned. Pin EVERY "NN headline
     # entries/queries" mention in the bench section.
     for m in re.finditer(r"for the (\d+) headline", readme):
-        assert int(m.group(1)) == len(bench.BENCH_QUERIES) + 1, (
+        assert int(m.group(1)) == len(bench.BENCH_QUERIES) + 2, (
             f"README bench prose says {m.group(1)} headline entries, "
-            f"bench runs {len(bench.BENCH_QUERIES) + 1} — update README.md"
+            f"bench runs {len(bench.BENCH_QUERIES) + 2} — update README.md"
         )
 
 

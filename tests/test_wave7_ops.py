@@ -674,3 +674,39 @@ def test_partition_evolution_prunes_asymmetrically(spark):
     ).parquet(d2)
     with pytest.raises(ValueError, match="one logical schema"):
         read_partition_evolved(spark, [(d1, []), (d2, [])])
+
+
+def test_mmr_rerank_over_index_candidates(spark, tmp_path):
+    """The serving path: stored-IVF-PQ candidates, exact-cosine rerank
+    as relevance, same greedy — picks are unique, within the candidate
+    set, and pick 1 is the exact-cosine argmax AMONG the candidates."""
+    from pyspark.sql import functions as F
+
+    from etl_end_to_end_airflow_bigquery_spark.io import load_table
+    from etl_end_to_end_airflow_bigquery_spark.operators.similarity import (
+        MMR_FANOUT,
+        MMR_K,
+        build_ivfpq_index,
+        mmr_rerank,
+        search_ivfpq_index,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    idx = str(tmp_path / "index")
+    build_ivfpq_index(emb, idx)
+    cand = search_ivfpq_index(spark, idx, emb, "vec_id < 5", k=MMR_FANOUT)
+    cand_ids = {(r.q_id, r.neighbor_id) for r in cand.collect()}
+    got = mmr_rerank(
+        emb, query_pred="vec_id < 5",
+        candidate_ids=cand.select("q_id", "neighbor_id"),
+    ).orderBy("q_id", "pick").collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q, rows in by_q.items():
+        ids = [r.neighbor_id for r in rows]
+        assert len(ids) == len(set(ids)) == min(MMR_K, len(ids))
+        assert all((q, i) in cand_ids for i in ids)
+        # pick 1 is the relevance argmax, so no later pick can beat it
+        assert rows[0].pick == 1
+        assert rows[0].relevance >= max(r.relevance for r in rows)
