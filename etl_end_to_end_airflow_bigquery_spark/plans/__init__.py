@@ -215,6 +215,18 @@ GATED_THROUGH_R11: frozenset[str] = GATED_THROUGH_R10 | frozenset(
     }
 )
 
+# Round-12 fold (CORRECTNESS_r12: 50/50 green — the whole gate passed).
+# Anchors and the 21 backfill re-proofs were already in the R11 ledger;
+# the union adds exactly the 9 rotation rows (the r12-new queries).
+GATED_THROUGH_R12: frozenset[str] = GATED_THROUGH_R11 | frozenset(
+    {
+        "file_lineage_scan", "misra_gries_heavy_hitters",
+        "mmr_rerank_topk", "cep_kleene_funnel", "streaming_cep_kleene",
+        "history_skip_scan", "table_diff_audit", "streaming_misra_gries",
+        "partition_evolution_read",
+    }
+)
+
 _GATE_ANCHORS: tuple[str, ...] = (
     "daily_avg_report",        # flagship grouped avg + time bucket (A2)
     "topk_recent_events",      # projection + ORDER BY DESC LIMIT (P1/O1)
@@ -240,42 +252,45 @@ _GATE_ANCHORS: tuple[str, ...] = (
     "scd2_orders_status",      # SCD2 history merge
 )
 
-# Round 12 (same post-exhaustion policy): rotation slots hold exactly
-# the round's NEW queries — never-proven by construction.
-_GATE_ROTATION: tuple[str, ...] = (
-    "file_lineage_scan",        # input_file_name() landing-zone provenance audit
-    "misra_gries_heavy_hitters",  # deterministic 2-pass exact heavy hitters
-    "mmr_rerank_topk",          # MMR greedy diversity rerank vs SQL argmax ladder
-    "cep_kleene_funnel",        # PATTERN (V C+ P): capped Kleene closure, no NFA
-    "streaming_cep_kleene",     # cap+1 boundary tail + emit-on-close filter
-    "history_skip_scan",        # file skipping decided from snapshot history stats
-    "table_diff_audit",         # bucketed anti-entropy replica reconciliation
-    "streaming_misra_gries",    # bounded k-row summary fold + shared recount
-    "partition_evolution_read", # two partition specs, one pruned logical table
-)
+# Round 13 (same post-exhaustion policy): rotation slots hold exactly
+# the round's NEW queries — never-proven by construction. Filled as the
+# r13 builds land (the stored-IVFPQ MMR serving path, partition-spec
+# evolution resolved from table history, the streaming spec-cutover
+# twin); each addition evicts one name from the END of the backfill.
+_GATE_ROTATION: tuple[str, ...] = ()
 
-# Backfill to 50 (r8 policy, see module docstring). VERDICT r11 item 2:
-# 41 queries' most recent driver green is r03/r04 — evidence staleness,
-# not suspected breakage (the round-close selfcheck covers all 238 at
-# three scale factors), but the driver is the authority. Backfill order
-# = staleness priority; as r12-new queries take rotation slots they
-# evict from the END of this tuple, so the judge-named priorities (the
-# ANN family, then the TPC-H pack) are refreshed first.
+# Backfill to 50 (r8 policy, see module docstring). VERDICT r12 item 1:
+# 26 queries' most recent driver green is r03/r04 (SURVEY §7's r13
+# stale pool) — evidence staleness, not suspected breakage (the
+# round-close selfcheck covers all of them at three scale factors), but
+# the driver is the authority. Backfill order = tier (a) touched-code
+# re-proofs first, then staleness priority; as r13-new queries take
+# rotation slots they evict from the END of this tuple, so the pool's
+# stalest names (the r03 six) are refreshed first and the least-stale
+# tail (window_function_pack, q19/q22) rolls to r14.
 _REPROOF_BACKFILL: tuple[str, ...] = (
-    # tier (a) — code or oracles this round touches: the CEP oracle
-    # rewrite (ADVICE r11: independent consecutive-rn self-join form),
-    # the spatial refine's ANSI-safe overflow guard, and the dpp
-    # broadcast-scalar swap (VERDICT r11 item 8):
-    "cep_pattern_funnel", "streaming_cep_funnel", "spatial_grid_knn",
-    "dpp_partitioned_join", "zorder_skipping_report",
-    # r03-only evidence (stalest; VERDICT names the first four):
-    "ann_lsh_topk", "embedding_near_dups", "fuzzy_name_pairs",
-    "ivf_topk", "ann_lsh_multitable", "ivf_topk_nprobe",
-    # TPC-H pack (VERDICT item 2 second priority; q5/q18 are r03-only):
-    "q5_local_supplier_volume", "q18_big_orders", "q7_volume_shipping",
-    "q8_market_share", "q10_returned_revenue", "q13_order_distribution",
-    "q14_promo_share", "q15_top_supplier",
-    # remaining r03-only rows:
+    # tier (a) — code or oracles this round touches: the reconcile
+    # fingerprint NULL-flag + unique-key guard (ADVICE r12),
+    # read_partition_evolved's per-column type guard (ADVICE r12), the
+    # commit-time stats manifest read by history_file_stats /
+    # file_skip_report (VERDICT r12 item 4), and read_table's layout
+    # dispatch for spec-evolved snapshots (VERDICT r12 item 3; the
+    # merge-commit path itself is covered by the merge_upsert_orders /
+    # scd2_orders_status anchors):
+    "table_diff_audit", "partition_evolution_read", "history_skip_scan",
+    "zorder_skipping_report", "time_travel_orders",
+    # tier (b), r03-only evidence (stalest):
+    "multimodal_resize", "resample_daily_rates", "simhash_docs",
+    "snapshot_diff_orders", "streaming_dedup_events", "vocab_top_tokens",
+    # tier (b), r04-only evidence:
+    "ann_lsh_multiprobe", "bitwise_function_pack", "chunk_documents",
+    "dataset_split", "decontaminate_ngrams", "ewma_daily_rates",
+    "hash_sample_docs", "interpolate_daily_rates",
+    "pack_training_sequences", "regex_string_pack",
+    "repetition_ratio_docs", "stratified_sample_docs",
+    "streaming_segment_counts", "streaming_sessionize",
+    "streaming_sliding_avg", "streaming_view_purchase_join",
+    "tfidf_top_terms",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (
@@ -300,7 +315,7 @@ if len(_GATE_PRIORITY) != 50:
     raise RuntimeError(
         f"gate priority list must be exactly 50 names, got {len(_GATE_PRIORITY)}"
     )
-_stale = [n for n in _GATE_ROTATION if n in GATED_THROUGH_R11]
+_stale = [n for n in _GATE_ROTATION if n in GATED_THROUGH_R12]
 if _stale:
     raise RuntimeError(
         f"rotation slots must hold never-gated names, got: {_stale}"
@@ -308,7 +323,7 @@ if _stale:
 # Backfill names are the opposite: each must be a deliberate RE-proof
 # (previously green) — a never-proven name hiding there would dodge the
 # stale-slot bookkeeping.
-_not_reproof = [n for n in _REPROOF_BACKFILL if n not in GATED_THROUGH_R11]
+_not_reproof = [n for n in _REPROOF_BACKFILL if n not in GATED_THROUGH_R12]
 if _not_reproof:
     raise RuntimeError(
         f"backfill slots must hold previously-green names, got: {_not_reproof}"
@@ -318,7 +333,7 @@ if _not_reproof:
 def rotation_candidates() -> list[str]:
     """Registered queries that have never had a driver row and are not
     in the current gate — the pool for next round's rotation slots."""
-    gated = set(_GATE_PRIORITY) | GATED_THROUGH_R11
+    gated = set(_GATE_PRIORITY) | GATED_THROUGH_R12
     return [n for n in _ALL_QUERIES if n not in gated]
 
 
@@ -337,6 +352,6 @@ ORACLES = {
 __all__ = [
     "QUERIES", "ORACLES", "GATED_THROUGH_R06", "GATED_THROUGH_R07",
     "GATED_THROUGH_R08", "GATED_THROUGH_R09", "GATED_THROUGH_R10",
-    "GATED_THROUGH_R11",
+    "GATED_THROUGH_R11", "GATED_THROUGH_R12",
     "rotation_candidates",
 ]
