@@ -83,12 +83,34 @@ def read_partition_evolved(
     _tune(spark)
     dfs = [spark.read.parquet(path) for path, _cols in layouts]
     cols0 = set(dfs[0].columns)
+    types0 = {f.name: f.dataType for f in dfs[0].schema.fields}
     for (path, _c), df in zip(layouts[1:], dfs[1:]):
         if set(df.columns) != cols0:
             raise ValueError(
                 f"partition-spec evolution requires one logical schema: "
                 f"{path!r} has {sorted(set(df.columns) ^ cols0)} "
                 "mismatched vs the first layout"
+            )
+        # Types too, not just names (ADVICE r12): a column that becomes
+        # a PARTITION field in the evolved spec gets its type re-INFERRED
+        # from directory values there (an int-looking key reads back as
+        # int while the old layout stores string), and unionByName would
+        # silently coerce or fail opaquely.
+        drift = {
+            f.name: (types0[f.name], f.dataType)
+            for f in df.schema.fields
+            if f.dataType != types0[f.name]
+        }
+        if drift:
+            raise ValueError(
+                "partition-spec evolution requires one logical schema: "
+                f"{path!r} has type drift vs the first layout: "
+                + ", ".join(
+                    f"{c}: {a.simpleString()} -> {b.simpleString()}"
+                    for c, (a, b) in sorted(drift.items())
+                )
+                + " (partition-value inference? pin the type with a "
+                "schema or cast at write)"
             )
     out = dfs[0]
     for df in dfs[1:]:

@@ -27,11 +27,14 @@ on the data under test.
 
 Both the fingerprint and the bucket id use the engine-portable
 md5/conv idiom (the bucket IS ``sampling.hash_bucket``). The
-fingerprint renders each compared column NULL-safely (per-field
-``coalesce`` to a sentinel), so a value moving between columns — or a
-column going NULL — always changes the fingerprint; a field whose real
-string value contains the separator can still alias across field
-boundaries, so pre-escape such columns if the data allows '|'.
+fingerprint renders each compared column NULL-safely with a per-field
+null FLAG — NULL renders as ``n``, a value as ``v:<value>`` — so a
+value moving between columns, a column going NULL, or a drift between
+NULL and any literal string (including one spelled like a sentinel)
+always changes the fingerprint (ADVICE r12: a coalesce-to-sentinel
+rendering made NULL vs the genuine string '<null>' invisible); a field
+whose real string value contains the separator can still alias across
+field boundaries, so pre-escape such columns if the data allows '|'.
 """
 
 from __future__ import annotations
@@ -43,7 +46,6 @@ from .sampling import hash_bucket
 DIFF_BUCKETS = 64
 _FP_SALT = "tdiff"
 _BK_SALT = "tdiffbk"
-_NULL_SENTINEL = "<null>"
 
 
 def row_fingerprint(cols: list[str]) -> Column:
@@ -53,9 +55,13 @@ def row_fingerprint(cols: list[str]) -> Column:
     across engines), rendered NULL-safely field-by-field (code-review
     r12: a caller-side concat_ws would DROP null fields, so
     ('X', NULL) -> (NULL, 'X') fingerprinted identically and the drift
-    vanished; plain concat would NULL the whole fingerprint)."""
+    vanished; plain concat would NULL the whole fingerprint). Each
+    field carries a null FLAG — ``n`` for NULL, ``v:<value>`` for a
+    value — so NULL is distinguishable from EVERY string, including a
+    would-be sentinel like '<null>' (ADVICE r12: coalesce-to-sentinel
+    made that one drift invisible)."""
     rendered = ", ".join(
-        f"coalesce(CAST({c} AS STRING), '{_NULL_SENTINEL}')" for c in cols
+        f"coalesce(concat('v:', CAST({c} AS STRING)), 'n')" for c in cols
     )
     return F.expr(
         f"conv(substring(md5(concat_ws('|', '{_FP_SALT}', {rendered})),"
@@ -92,7 +98,19 @@ def bucketed_table_diff(
     differ. ``cols`` lists the compared columns as portable SQL
     expressions (see :func:`row_fingerprint`); the key column must be
     among them. Level-2 row work is restricted to buckets whose
-    level-1 digests disagree."""
+    level-1 digests disagree.
+
+    PRECONDITION: ``key_col`` must be unique per side (ADVICE r12 —
+    duplicate keys would fan out the level-2 full-outer join into a
+    per-key cross product, and reorderings of duplicates could collide
+    in the level-1 sum/xor digests). The level-2 stage enforces it with
+    a plan-embedded guard: the drill-down rows are grouped by key and a
+    group with more than one row raises at execution time. The guard is
+    free at scale — it only sees rows from already-mismatched buckets,
+    and it keys on the same column the full-outer join shuffles on.
+    (A duplicate key in a bucket whose digests happen to agree is not
+    observed — the guard certifies the rows the protocol actually
+    classifies, not the whole table.)"""
     ld, rd = _digests(left, key_col, cols), _digests(right, key_col, cols)
     mism = (
         ld.alias("l")
@@ -116,7 +134,29 @@ def bucketed_table_diff(
                 _key_bucket(key_col).alias("bucket"),
             )
             .join(F.broadcast(mism), "bucket", "semi")
-            .drop("bucket")
+            # unique-key guard (ADVICE r12): fold to one row per key and
+            # make the guard LOAD-BEARING in the fp column itself (an
+            # unreferenced assert_true column would be pruned away).
+            # when/otherwise evaluates branches lazily per row, so
+            # raise_error fires only on an actual duplicate.
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("_n"), F.max("fp").alias("_fp"))
+            .select(
+                "key",
+                F.when(F.col("_n") == 1, F.col("_fp"))
+                .otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "bucketed_table_diff requires a unique "
+                                f"key per side: duplicate {key_col}="
+                            ),
+                            F.col("key").cast("string"),
+                        )
+                    )
+                )
+                .alias("fp"),
+            )
         )
 
     lr, rr = _rows(left).alias("l"), _rows(right).alias("r")

@@ -526,6 +526,54 @@ def test_table_diff_null_drift_is_detected(spark):
     assert got == {("modified", 1), ("modified", 2)}
 
 
+def test_table_diff_null_vs_sentinel_string_detected(spark):
+    """ADVICE r12: NULL coalesced to a literal sentinel made a drift
+    between NULL and the genuine string '<null>' invisible; the
+    null-flag rendering ('n' vs 'v:<value>') must see it."""
+    from etl_end_to_end_airflow_bigquery_spark.operators.reconcile import (
+        bucketed_table_diff,
+        row_fingerprint,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "<null>"), (2, None), (3, "ok")], "k bigint, a string"
+    )
+    right = spark.createDataFrame(
+        [(1, None), (2, "<null>"), (3, "ok")], "k bigint, a string"
+    )
+    got = {
+        (r.diff_kind, r.key)
+        for r in bucketed_table_diff(left, right, "k", ["k", "a"]).collect()
+    }
+    assert got == {("modified", 1), ("modified", 2)}
+    # and directly: the two renderings fingerprint differently
+    fps = (
+        left.select(row_fingerprint(["a"]).alias("fp"))
+        .collect()
+    )
+    assert fps[0].fp != fps[1].fp
+
+
+def test_table_diff_duplicate_key_raises(spark):
+    """ADVICE r12: duplicate keys would fan out the level-2 full-outer
+    join and could miscount — the plan-embedded guard must raise
+    instead of silently misclassifying."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.reconcile import (
+        bucketed_table_diff,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "X"), (1, "Y"), (2, "Z")], "k bigint, a string"
+    )
+    right = spark.createDataFrame([(2, "W")], "k bigint, a string")
+    with pytest.raises((Py4JJavaError, Exception)) as ei:
+        bucketed_table_diff(left, right, "k", ["k", "a"]).collect()
+    assert "unique" in str(ei.value) or "duplicate" in str(ei.value)
+
+
 def test_mg_candidates_non_string_items(spark):
     """Code-review r12: the summary schema must follow the item
     column's type (a hardcoded string field broke bigint items)."""
@@ -560,23 +608,38 @@ def test_footer_minmax_partial_stats_means_must_scan(tmp_path):
         _footer_minmax,
     )
 
-    t1 = pa.table({"v": pa.array([100.0, 200.0])})
-    t2 = pa.table({"v": pa.array([60.0, 90.0])})
-    f = str(tmp_path / "mixed.parquet")
-    with pq.ParquetWriter(f, t1.schema) as w:
-        w.write_table(t1)          # rg0: stats on
-    # rewrite with one statted + one stats-less row group
-    with pq.ParquetWriter(
-        f, t1.schema, write_statistics=False
-    ) as w:
-        w.write_table(t1)
-    n, mins, maxs = _footer_minmax(f, ["v"])
-    assert n == 2 and mins["v"] is None and maxs["v"] is None
-    # fully statted file keeps real bounds
+    # ADVICE r12: the earlier construction (reopening the same path with
+    # a second ParquetWriter) TRUNCATED the file, leaving one stats-less
+    # row group — a file both the buggy and the fixed code report as
+    # None, so the test was vacuous. A genuinely MIXED file instead:
+    # per-column statistics (stats on `w` only), so the completeness
+    # bookkeeping must track columns independently within one footer.
+    t = pa.table(
+        {"v": pa.array([100.0, 200.0]), "w": pa.array([7.0, 9.0])}
+    )
+    f = str(tmp_path / "mixed_cols.parquet")
+    pq.write_table(t, f, write_statistics=["w"])
+    md = pq.ParquetFile(f).metadata  # prove the construction is real
+    assert md.row_group(0).column(0).statistics is None  # v unstatted
+    assert md.row_group(0).column(1).statistics.has_min_max  # w statted
+    n, mins, maxs = _footer_minmax(f, ["v", "w"])
+    assert n == 2
+    assert mins["v"] is None and maxs["v"] is None, (
+        "stats-less column must report must-scan bounds"
+    )
+    assert (mins["w"], maxs["w"]) == (7.0, 9.0), (
+        "statted column in the same footer must keep its real bounds"
+    )
+    # multi-row-group accumulation: bounds span ALL statted row groups
+    t2a = pa.table({"v": pa.array([60.0, 90.0])})
+    t2b = pa.table({"v": pa.array([40.0, 70.0])})
     f2 = str(tmp_path / "statted.parquet")
-    pq.write_table(t2, f2)
+    with pq.ParquetWriter(f2, t2a.schema) as w:
+        w.write_table(t2a)
+        w.write_table(t2b)
+    assert pq.ParquetFile(f2).metadata.num_row_groups == 2
     n2, mins2, maxs2 = _footer_minmax(f2, ["v"])
-    assert (n2, mins2["v"], maxs2["v"]) == (2, 60.0, 90.0)
+    assert (n2, mins2["v"], maxs2["v"]) == (4, 40.0, 90.0)
 
 
 @given(_split_multiset(), st.integers(min_value=1, max_value=6))
@@ -674,6 +737,30 @@ def test_partition_evolution_prunes_asymmetrically(spark):
     ).parquet(d2)
     with pytest.raises(ValueError, match="one logical schema"):
         read_partition_evolved(spark, [(d1, []), (d2, [])])
+
+
+def test_partition_evolution_type_drift_raises(spark, tmp_path):
+    """ADVICE r12: same column NAMES but drifted TYPES (the easy way:
+    partition-value inference types a directory key as int in one
+    layout while the other stores it as a string data column) must
+    raise loudly naming the column and both types, not silently coerce
+    through unionByName."""
+    import pytest
+
+    from etl_end_to_end_airflow_bigquery_spark.io import read_partition_evolved
+
+    d1 = str(tmp_path / "legacy")
+    d2 = str(tmp_path / "evolved")
+    # legacy: k is a STRING data column
+    spark.createDataFrame(
+        [("1", 10.0), ("2", 20.0)], "k string, v double"
+    ).write.parquet(d1)
+    # evolved: k becomes a partition directory whose values re-infer as INT
+    spark.createDataFrame(
+        [(3, 30.0), (4, 40.0)], "k bigint, v double"
+    ).write.partitionBy("k").parquet(d2)
+    with pytest.raises(ValueError, match="type drift.*k: string -> "):
+        read_partition_evolved(spark, [(d1, []), (d2, ["k"])])
 
 
 def test_mmr_rerank_over_index_candidates(spark, tmp_path):
