@@ -257,7 +257,10 @@ _GATE_ANCHORS: tuple[str, ...] = (
 # r13 builds land (the stored-IVFPQ MMR serving path, partition-spec
 # evolution resolved from table history, the streaming spec-cutover
 # twin); each addition evicts one name from the END of the backfill.
-_GATE_ROTATION: tuple[str, ...] = ()
+_GATE_ROTATION: tuple[str, ...] = (
+    "partition_evolution_history",  # spec evolution resolved from the
+                                    # versioned table's own history
+)
 
 # Backfill to 50 (r8 policy, see module docstring). VERDICT r12 item 1:
 # 26 queries' most recent driver green is r03/r04 (SURVEY §7's r13
@@ -290,7 +293,6 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "repetition_ratio_docs", "stratified_sample_docs",
     "streaming_segment_counts", "streaming_sessionize",
     "streaming_sliding_avg", "streaming_view_purchase_join",
-    "tfidf_top_terms",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

@@ -2245,3 +2245,33 @@ OLAP_ORACLES["partition_evolution_read"] = f"""
     GROUP BY 1, 2
     ORDER BY event_date, event_type
 """
+
+from .queries_olap import PEVO_CUTOVER as _PEVO_CUT
+from .queries_olap import PEVO_UPD_MOD as _PEVO_MOD
+
+# partition_evolution_history: rebuild the spec-evolved table's current
+# state relationally — pre-cutover rows re-priced where event_id % MOD
+# == 0 (the cross-boundary merge's in-place old-spec update),
+# post-cutover rows as-is — then the same pruned report. A hash match
+# certifies the layout routing AND the old-spec rewrite values, with
+# no duplicate or dropped key at the cutover.
+OLAP_ORACLES["partition_evolution_history"] = f"""
+    WITH cur AS (
+        SELECT event_type,
+               CASE WHEN CAST(ts AS DATE) < DATE '{_PEVO_CUT}'
+                         AND event_id % {_PEVO_MOD} = 0
+                    THEN {_hs_round('value * 1.1', 2)}
+                    ELSE value END AS value,
+               CAST(ts AS DATE) AS event_date
+        FROM events
+    )
+    SELECT event_date,
+           event_type,
+           count(*) AS n_events,
+           {_hs_round(_hs_dsum('value'), 2)} AS sum_value
+    FROM cur
+    WHERE event_date BETWEEN DATE '{_PEVO_LO}' AND DATE '{_PEVO_HI}'
+      AND event_type IN ({", ".join(f"'{t}'" for t in _PEVO_TYPES)})
+    GROUP BY 1, 2
+    ORDER BY event_date, event_type
+"""

@@ -739,6 +739,38 @@ def test_partition_evolution_prunes_asymmetrically(spark):
         read_partition_evolved(spark, [(d1, []), (d2, [])])
 
 
+def test_partition_evolution_history_prunes_from_layout_map(spark):
+    """The HISTORY-resolved variant (VERDICT r12 item 3) must show the
+    same asymmetric pruning as the caller-supplied r12 query — type
+    IN-list as a PartitionFilter only on the evolved layout's scan —
+    with the layout map coming from the snapshot's own metadata."""
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_olap import (
+        partition_evolution_history,
+    )
+    from etl_end_to_end_airflow_bigquery_spark.tmputil import sweep_tmpdirs
+
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try:
+        df = partition_evolution_history(spark, SF_SMALL)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+        sweep_tmpdirs()
+    scans = [
+        seg for seg in plan.split("FileScan") if "PartitionFilters: [" in seg
+    ]
+    pf = [
+        seg.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+        for seg in scans
+    ]
+    typed = [f for f in pf if "event_type" in f]
+    dated_only = [f for f in pf if "event_type" not in f and "event_date" in f]
+    assert typed, f"no scan partition-prunes on event_type: {pf}"
+    assert dated_only, f"no scan prunes on event_date alone: {pf}"
+
+
 def test_partition_evolution_type_drift_raises(spark, tmp_path):
     """ADVICE r12: same column NAMES but drifted TYPES (the easy way:
     partition-value inference types a directory key as int in one
