@@ -1587,6 +1587,49 @@ def idempotent_append(
         fresh.select(*target.columns).write.mode("append").parquet(target_path)
 
 
+def append_landing_batch(
+    df: DataFrame,
+    zone: str,
+    partition_cols: list[str],
+    batch_id: int,
+) -> int:
+    """REPLAY-IDEMPOTENT hive-layout append for ``foreachBatch`` sinks
+    writing a landing zone: stage the micro-batch to a sibling temp dir
+    (``zone.__b<id>__`` — never inside the zone, so a concurrent reader
+    can't list half-written files), then move each staged file into its
+    hive leaf under a DETERMINISTIC name keyed by (batch_id, leaf,
+    file-ordinal). foreachBatch is at-least-once: a redelivered batch
+    recomputes the same content (availableNow file slicing is
+    deterministic) and ``os.replace`` lands it on the SAME names —
+    overwrite, not duplicate. A crash mid-move is healed the same way:
+    the replay re-stages and re-replaces every name it owns.
+
+    Returns the number of data files landed. This is the minimal
+    manifest-free form of what FileStreamSink's commit log provides;
+    at object-store scale, swap the rename loop for a manifest commit.
+    """
+    tmp = zone.rstrip(os.sep) + f".__b{batch_id}__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(tmp)
+    moved = 0
+    for root, _dirs, files in os.walk(tmp):
+        rel = os.path.relpath(root, tmp)
+        pfiles = sorted(f for f in files if f.endswith(".parquet"))
+        for i, f in enumerate(pfiles):
+            dstdir = zone if rel == "." else os.path.join(zone, rel)
+            os.makedirs(dstdir, exist_ok=True)
+            os.replace(
+                os.path.join(root, f),
+                os.path.join(dstdir, f"b{batch_id:06d}-{i:04d}.parquet"),
+            )
+            moved += 1
+    shutil.rmtree(tmp, ignore_errors=True)
+    return moved
+
+
 def _tree_parquet_bytes(d: str) -> int:
     total = 0
     for root, _dirs, files in os.walk(d):

@@ -262,6 +262,8 @@ _GATE_ROTATION: tuple[str, ...] = (
                                     # versioned table's own history
     "mmr_rerank_stored",  # serving path: stored IVF-PQ -> pruned probe
                           # -> exact rerank -> greedy diversity
+    "streaming_partition_evolution",  # ingest through the spec cutover,
+                                      # idempotent landing appends
 )
 
 # Backfill to 50 (r8 policy, see module docstring). VERDICT r12 item 1:
@@ -294,7 +296,6 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "pack_training_sequences", "regex_string_pack",
     "repetition_ratio_docs", "stratified_sample_docs",
     "streaming_segment_counts", "streaming_sessionize",
-    "streaming_sliding_avg",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

@@ -194,3 +194,12 @@ STREAM_ORACLES["streaming_cep_kleene"] = _OLAP["cep_kleene_funnel"]
 from .oracles_ext import EXT_ORACLES as _EXT
 
 STREAM_ORACLES["streaming_misra_gries"] = _EXT["misra_gries_heavy_hitters"]
+
+# Shared verbatim with the batch spec-evolution twin: the streamed
+# cutover (old spec -> new spec mid-stream, idempotent landing appends)
+# must reproduce the un-evolved relational aggregate exactly — no row
+# dropped or duplicated at the boundary, whatever the micro-batch
+# slicing or redelivery.
+STREAM_ORACLES["streaming_partition_evolution"] = _OLAP[
+    "partition_evolution_read"
+]

@@ -1102,3 +1102,43 @@ def _one_parquet(d):
     fs = [f for f in os.listdir(d) if f.endswith(".parquet")]
     assert fs, f"no parquet under {d}"
     return os.path.join(d, sorted(fs)[0])
+
+
+def test_append_landing_batch_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a redelivered batch must land on
+    the SAME deterministic file names (overwrite), never duplicate; a
+    new batch id appends."""
+    import os
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        append_landing_batch,
+    )
+
+    zone = str(tmp_path / "zone")
+    b7 = _frame(spark, [(1, "d1", 1.0), (2, "d2", 2.0)])
+    n1 = append_landing_batch(b7, zone, ["day"], 7)
+    assert n1 >= 2  # one file per touched leaf at least
+
+    def census():
+        out = {}
+        for r, _d, fs in os.walk(zone):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    out[os.path.relpath(os.path.join(r, f), zone)] = (
+                        os.path.getsize(os.path.join(r, f))
+                    )
+        return out
+
+    first = census()
+    assert all(f.split(os.sep)[-1].startswith("b000007-") for f in first)
+    n2 = append_landing_batch(b7, zone, ["day"], 7)  # redelivery
+    assert n2 == n1 and set(census()) == set(first)
+    assert _sorted(spark.read.parquet(zone).select("k", "day", "v")) == [
+        (1, "d1", 1.0), (2, "d2", 2.0)
+    ]
+    append_landing_batch(_frame(spark, [(3, "d1", 3.0)]), zone, ["day"], 8)
+    assert _sorted(spark.read.parquet(zone).select("k", "day", "v")) == [
+        (1, "d1", 1.0), (2, "d2", 2.0), (3, "d1", 3.0)
+    ]
+    # no staging dir left behind
+    assert not [d for d in os.listdir(str(tmp_path)) if "__b" in d]
