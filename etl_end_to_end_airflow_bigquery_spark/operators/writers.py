@@ -229,6 +229,89 @@ def _layout_has_data(lay_dir: str) -> bool:
     return False
 
 
+def read_table_skipping(
+    spark: SparkSession,
+    path: str,
+    bounds: dict[str, tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """MANIFEST-DRIVEN SCAN PLANNING — the read path the commit-time
+    stats manifest exists for: resolve the snapshot like
+    :func:`read_table`, decide per data file from the manifest's
+    min/max census (:func:`history_file_stats` — one JSON read; footer
+    fallback for pre-manifest snapshots) whether the file can possibly
+    hold a row satisfying the conjunctive range predicate ``bounds``
+    (col → (lo, hi) inclusive), and scan ONLY the kept files. Skip
+    rule: drop iff some bounded column has complete stats and
+    ``min > hi or max < lo`` — a column with any stats-less row group
+    reports None bounds and can never justify a skip, so the read is
+    always a SUPERSET of the true matches and the caller's own filter
+    (push ``bounds`` down as a normal ``.filter``) finishes the job.
+
+    Partition columns survive: kept files are scanned with
+    ``basePath`` pinned to the snapshot root, so hive directory
+    columns are still inferred exactly as a whole-table scan would.
+    Spec-evolved snapshots skip per layout (each layout's basePath is
+    its own dir so the differing partition column sets don't collide)
+    and union by name.
+
+    At 100 TB this is the manifest-planned scan every lakehouse query
+    starts with: O(#files) driver-side decisions from one metadata
+    read, then a scan proportional to the predicate's true file
+    footprint — the engine never opens a skippable file. Returns the
+    full-schema DataFrame; an empty kept set returns an empty frame
+    with the snapshot's schema (read via the unpruned path's schema,
+    zero data files scanned).
+    """
+    if version is None:
+        vdir = _resolve_data_dir(path)
+        if vdir == path:
+            raise ValueError(
+                f"{path!r} is not a versioned table (no {_CURRENT_PTR}) — "
+                "use file_skip_report + a manual scan for plain dirs"
+            )
+        version = _seq_of(os.path.basename(vdir))
+    # validates the version and serves from the manifest when present
+    stats = history_file_stats(path, list(bounds), version=version)
+    avail = {_seq_of(d): d for d in _committed_versions(path)}
+    vdir = os.path.join(path, avail[version])
+    meta_layouts = (_load_snapshot_meta(vdir) or {}).get("layouts")
+
+    def _kept(stats: list[dict]) -> list[str]:
+        out = []
+        for s in stats:
+            skip = False
+            for c, (lo, hi) in bounds.items():
+                mn, mx = s["mins"].get(c), s["maxs"].get(c)
+                if mn is not None and mx is not None and (mn > hi or mx < lo):
+                    skip = True
+                    break
+            if not skip:
+                out.append(s["path"])
+        return out
+    if meta_layouts:
+        parts = []
+        for lay in meta_layouts:
+            lay_dir = os.path.join(vdir, lay["dir"])
+            kept = _kept(
+                [s for s in stats if s["path"].startswith(lay_dir + os.sep)]
+            )
+            if kept:
+                parts.append(
+                    spark.read.option("basePath", lay_dir).parquet(*kept)
+                )
+        if not parts:
+            return read_table(spark, path, version=version).limit(0)
+        out = parts[0]
+        for df in parts[1:]:
+            out = out.unionByName(df)
+        return out
+    kept = _kept(stats)
+    if not kept:
+        return read_table(spark, path, version=version).limit(0)
+    return spark.read.option("basePath", vdir).parquet(*kept)
+
+
 def table_versions(path: str) -> list[int]:
     """Committed snapshot sequence numbers retained under ``path``,
     oldest first — the public face of the ledger for time travel

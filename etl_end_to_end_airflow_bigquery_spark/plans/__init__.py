@@ -264,6 +264,8 @@ _GATE_ROTATION: tuple[str, ...] = (
                           # -> exact rerank -> greedy diversity
     "streaming_partition_evolution",  # ingest through the spec cutover,
                                       # idempotent landing appends
+    "manifest_skipping_read",  # scan planned from the commit-time stats
+                               # manifest, basePath-preserved partitions
 )
 
 # Backfill to 50 (r8 policy, see module docstring). VERDICT r12 item 1:
@@ -295,7 +297,7 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "hash_sample_docs", "interpolate_daily_rates",
     "pack_training_sequences", "regex_string_pack",
     "repetition_ratio_docs", "stratified_sample_docs",
-    "streaming_segment_counts", "streaming_sessionize",
+    "streaming_segment_counts",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

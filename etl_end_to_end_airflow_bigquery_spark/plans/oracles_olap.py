@@ -2188,6 +2188,40 @@ OLAP_ORACLES["history_skip_scan"] = f"""
     ORDER BY band_lo
 """
 
+from .queries_olap import MSR_BUCKET_WIDTH as _MSR_W
+
+# manifest_skipping_read: recompute the merged state relationally (the
+# %2 merge only flips o_orderstatus, so upsert = membership union) and
+# the band aggregates incl. count(DISTINCT price_bucket) — the value a
+# naive file-list scan would LOSE (hive partition columns live in the
+# directory names); a hash match certifies the manifest's skip
+# decisions dropped no matching file and the basePath read kept the
+# partition column exact.
+_MSR_BAND_SELECTS = "\n    UNION ALL ".join(
+    f"""SELECT CAST({lo!r} AS DOUBLE) AS band_lo,
+           CAST({hi!r} AS DOUBLE) AS band_hi,
+           count(*) AS n_matched,
+           {_hs_round(_hs_dsum('o_totalprice'), 2)} AS sum_price,
+           count(DISTINCT price_bucket) AS n_buckets
+    FROM merged
+    WHERE o_totalprice BETWEEN {lo!r} AND {hi!r}"""
+    for lo, hi in _HS_BANDS
+)
+
+OLAP_ORACLES["manifest_skipping_read"] = f"""
+    WITH merged AS (
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_orderkey % 2 = 0 THEN 'M'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CAST(floor(o_totalprice / {_MSR_W!r}) AS BIGINT)
+                   AS price_bucket
+        FROM orders
+        WHERE o_orderkey % 3 <> 0 OR o_orderkey % 2 = 0
+    )
+    {_MSR_BAND_SELECTS}
+    ORDER BY band_lo
+"""
+
 from .queries_olap import TDIFF_INSERT_OFFSET as _TD_OFF
 
 # Protocol-free diff: rebuild the replica, FULL OUTER JOIN on the key,

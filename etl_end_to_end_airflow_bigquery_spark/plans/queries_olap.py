@@ -5062,6 +5062,90 @@ def history_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 OLAP_QUERIES["history_skip_scan"] = history_skip_scan
 
 
+MSR_BUCKET_WIDTH = 50000.0  # price-bucket partition grain (5-12 leaves)
+
+
+def manifest_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST-DRIVEN SCAN PLANNING (SURVEY §7 r14 candidate, pulled
+    forward — the read path the r13 commit-time stats manifest exists
+    for): a versioned orders table partitioned by a derived
+    ``price_bucket`` (so hive leaves genuinely segregate the skipped
+    column), built by two MERGE commits (create, then a %2 status
+    update — same keys, so no row changes bucket), is then read through
+    ``writers.read_table_skipping``: per-file keep/skip decided from
+    the snapshot's ``_snapshot_meta.json`` census (one metadata read,
+    no footer opens), kept files scanned with ``basePath`` pinned so
+    the hive partition column SURVIVES file-list reads — proven in the
+    output by ``n_buckets`` (a count over the partition column itself,
+    which a naive per-file scan would lose). Two price bands; per band:
+    matched rows, exact cents sum, distinct buckets touched.
+
+    The oracle recomputes the merged state and band aggregates
+    relationally, so a hash match certifies the skip decisions dropped
+    no matching file (the metadata-skipping failure mode) AND the
+    basePath read reconstructed partition values exactly. The pytest
+    additionally pins the mechanism: for a selective band the kept
+    file list is a strict subset of the census, and the pruned read
+    equals the unpruned ``read_table``.
+
+    Scale: O(#files) driver-side decisions from one manifest read,
+    then a scan proportional to the band's true file footprint — the
+    manifest-planned scan every lakehouse query starts with; the
+    engine never opens a skippable file.
+    """
+    import os
+
+    from ..operators.writers import merge_upsert, read_table_skipping
+    from ..tmputil import session_tmpdir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = orders.withColumn(
+        "price_bucket",
+        F.floor(F.col("o_totalprice") / MSR_BUCKET_WIDTH).cast("bigint"),
+    )
+    keys = ["o_orderkey", "price_bucket"]
+    path = os.path.join(session_tmpdir("manifest_skip_"), "orders_tbl")
+    merge_upsert(
+        spark, path, base.filter(F.col("o_orderkey") % 3 != 0),
+        keys=keys, partition_col="price_bucket",
+    )
+    merge_upsert(
+        spark, path,
+        base.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+            "o_orderstatus", F.lit("M")
+        ),
+        keys=keys, partition_col="price_bucket",
+    )
+
+    out_rows = []
+    for lo, hi in HISTORY_SKIP_BANDS:
+        pruned = read_table_skipping(
+            spark, path, {"o_totalprice": (lo, hi)}
+        )
+        agg = (
+            pruned.filter(F.col("o_totalprice").between(lo, hi))
+            .agg(
+                F.count(F.lit(1)).alias("n_matched"),
+                round_half_up(
+                    decimal_sum(F.col("o_totalprice")), 2
+                ).alias("sum_price"),
+                F.countDistinct("price_bucket").alias("n_buckets"),
+            )
+            .first()
+        )
+        out_rows.append((lo, hi, agg[0], agg[1], agg[2]))
+    return spark.createDataFrame(
+        out_rows,
+        "band_lo double, band_hi double, n_matched bigint, "
+        "sum_price double, n_buckets bigint",
+    ).orderBy("band_lo")
+
+
+OLAP_QUERIES["manifest_skipping_read"] = manifest_skipping_read
+
+
 TDIFF_INSERT_OFFSET = 1_000_000_000
 # Engine-portable canonical columns for the drift fingerprint:
 # BIGINT/STRING/DATE casts and cents ints only (double string forms

@@ -1142,3 +1142,87 @@ def test_append_landing_batch_replay_idempotent(spark, tmp_path):
     ]
     # no staging dir left behind
     assert not [d for d in os.listdir(str(tmp_path)) if "__b" in d]
+
+
+def test_read_table_skipping_prunes_and_preserves_partitions(spark, tmp_path):
+    """Manifest-driven scan planning: the kept file list must be a
+    STRICT subset of the census for a selective predicate, the pruned
+    read must equal the unpruned read under the same filter, hive
+    partition columns must survive the basePath file-list scan, and an
+    all-skipped predicate returns an empty frame with the table schema."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        _resolve_data_dir,
+        history_file_stats,
+        read_table,
+        read_table_skipping,
+    )
+
+    # price buckets as hive leaves: files genuinely segregate v
+    rows = [(i, f"d{i % 3}", float(10 * (i % 5) + i % 7)) for i in range(60)]
+    df = spark.createDataFrame(rows, "k int, day string, v double")
+    base = df.withColumn(
+        "bucket", F.floor(F.col("v") / 10.0).cast("bigint")
+    )
+    path = str(tmp_path / "tbl")
+    merge_upsert(
+        spark, path, base, keys=["k", "bucket"], partition_col="bucket"
+    )
+
+    census = {s["path"] for s in history_file_stats(path, ["v"])}
+    lo, hi = 0.0, 9.5  # only bucket 0 can match
+    pruned = read_table_skipping(spark, path, {"v": (lo, hi)})
+    kept = {
+        r[0]
+        for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    kept = {k.replace("file://", "").replace("file:", "") for k in kept}
+    assert kept < census, f"no pruning happened: {len(kept)}/{len(census)}"
+
+    def rows_of(d):
+        return sorted(
+            tuple(r)
+            for r in d.filter(F.col("v").between(lo, hi))
+            .select("k", "day", "v", "bucket")
+            .collect()
+        )
+
+    assert rows_of(pruned) == rows_of(read_table(spark, path))
+    assert rows_of(pruned), "selective band should still match rows"
+    # partition column reconstructed from directory names
+    assert {r.bucket for r in pruned.select("bucket").distinct().collect()} \
+        == {0}
+    # all-skipped predicate: empty frame, full schema, zero files scanned
+    empty = read_table_skipping(spark, path, {"v": (10000.0, 20000.0)})
+    assert empty.count() == 0
+    assert set(empty.columns) == set(read_table(spark, path).columns)
+
+    # spec-evolved snapshot: per-layout skipping still exact
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        evolve_partition_spec,
+        merge_upsert_evolved,
+    )
+
+    evolve_partition_spec(spark, path, ["bucket", "day"])
+    extra = spark.createDataFrame(
+        [(100, "d9", 55.0)], "k int, day string, v double"
+    ).withColumn("bucket", F.floor(F.col("v") / 10.0).cast("bigint"))
+    merge_upsert_evolved(
+        spark, path, extra, keys=["k", "bucket", "day"]
+    )
+    got = read_table_skipping(spark, path, {"v": (50.0, 60.0)})
+    hit = sorted(
+        tuple(r)
+        for r in got.filter(F.col("v").between(50.0, 60.0))
+        .select("k", "day", "v", "bucket").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in read_table(spark, path)
+        .filter(F.col("v").between(50.0, 60.0))
+        .select("k", "day", "v", "bucket").collect()
+    )
+    assert hit == want and (100, "d9", 55.0, 5) in hit

@@ -148,6 +148,7 @@ DEFAULT = [
     "partition_evolution_history",  # versioned evolve + x-boundary merge
     "mmr_rerank_stored",         # index build + pruned probe + greedy
     "streaming_partition_evolution",  # cutover ingest + union read
+    "manifest_skipping_read",    # manifest-planned pruned scans
     "containment_near_dups_dense",  # measured pair-density bound (below)
 ]
 
