@@ -1512,6 +1512,7 @@ def merge_upsert_evolved(
     source: DataFrame,
     keys: list[str],
     keep_versions: int = 2,
+    emit_cdf: bool = False,
 ) -> None:
     """MERGE into a SPEC-EVOLVED versioned table (one created by
     :func:`evolve_partition_spec`): Iceberg-style copy-on-write across
@@ -1534,8 +1535,17 @@ def merge_upsert_evolved(
     matched keys, everything else hardlinked through. At 100 TB both
     scopes are bounded by the batch, not the table.
 
-    The change-data feed is not emitted here (same scoping rationale as
-    the partitioned merge path).
+    ``emit_cdf=True`` additionally records the commit's change data
+    feed under ``v_*/_change_data`` (read it back with
+    :func:`read_table_changes`): each layout's scoped merge emits its
+    own pre/post-image slice via :func:`merge_upsert_cdf_df` — so the
+    feed stays bounded by the SAME partition footprint as the rewrite,
+    unlike the unpartitioned path's full-outer feed — and the active
+    layout's inserts ride :func:`insert_only_cdf` when the layout was
+    empty. Slices union by NAME (layout reads order partition columns
+    last, and differently per spec). Note the cdf frames share the
+    scoped merge's lineage, so emitting the feed re-runs each scoped
+    join once (both jobs read only the touched partitions).
     """
     source = source.dropDuplicates(keys)
     _validate_keys(source, keys)
@@ -1560,6 +1570,8 @@ def merge_upsert_evolved(
                     "be merge keys (row identity pins its partition)"
                 )
         vdir = _next_version_dir(path)
+        seq = _seq_of(os.path.basename(vdir))
+        cdf_parts: list[DataFrame] = []
         remaining = source
         for i, lay in enumerate(layouts):
             cols = list(lay["partition_cols"])
@@ -1611,7 +1623,13 @@ def merge_upsert_evolved(
                             if cols
                             else scoped
                         )
-                        merged = merge_upsert_df(scoped2, upd, keys)
+                        if emit_cdf:
+                            merged, cdf = merge_upsert_cdf_df(
+                                scoped2, upd, keys, commit_version=seq
+                            )
+                            cdf_parts.append(cdf)
+                        else:
+                            merged = merge_upsert_df(scoped2, upd, keys)
                         wrote = True
                     else:  # no matched rows — nothing to rewrite here
                         merged = None
@@ -1621,6 +1639,8 @@ def merge_upsert_evolved(
                     wrote = (
                         bool(parts) if cols else upd.limit(1).count() > 0
                     )
+                    if wrote and emit_cdf:
+                        cdf_parts.append(insert_only_cdf(upd, seq))
                 if wrote and merged is not None:
                     w = merged.write.mode("overwrite")
                     if cols:
@@ -1638,6 +1658,16 @@ def merge_upsert_evolved(
             os.makedirs(dst, exist_ok=True)
             if rest is not None:
                 remaining = rest
+        if emit_cdf and cdf_parts:
+            feed = cdf_parts[0]
+            for part in cdf_parts[1:]:
+                feed = feed.unionByName(part)
+            # inside the still-uncommitted v_* dir, before the pointer
+            # flip — crash orphans data and feed together (the
+            # unpartitioned merge path's convention)
+            feed.write.mode("overwrite").parquet(
+                os.path.join(vdir, CDF_DIR)
+            )
         _commit_version(
             path,
             vdir,

@@ -266,6 +266,8 @@ _GATE_ROTATION: tuple[str, ...] = (
                                       # idempotent landing appends
     "manifest_skipping_read",  # scan planned from the commit-time stats
                                # manifest, basePath-preserved partitions
+    "evolved_merge_cdf",  # per-layout change feed from a cross-boundary
+                          # evolved merge, folded the IVM way
 )
 
 # Backfill to 50 (r8 policy, see module docstring). VERDICT r12 item 1:
@@ -297,7 +299,6 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "hash_sample_docs", "interpolate_daily_rates",
     "pack_training_sequences", "regex_string_pack",
     "repetition_ratio_docs", "stratified_sample_docs",
-    "streaming_segment_counts",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

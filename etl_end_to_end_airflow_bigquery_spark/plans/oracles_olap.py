@@ -2309,3 +2309,34 @@ OLAP_ORACLES["partition_evolution_history"] = f"""
     GROUP BY 1, 2
     ORDER BY event_date, event_type
 """
+
+# evolved_merge_cdf: rebuild the cross-boundary commit's INDUCED change
+# set relationally — inserts = post-cutover rows, update pairs = the
+# %MOD re-price pre/post images — and fold it exactly as the query
+# folds the real feed (signed scaled-int micro-units). A hash match
+# certifies the per-layout feed is exactly the induced delta.
+OLAP_ORACLES["evolved_merge_cdf"] = f"""
+    WITH ev AS (
+        SELECT event_id, event_type, value, CAST(ts AS DATE) AS d
+        FROM events
+    ), chg AS (
+        SELECT event_type, value, 1 AS w, 'insert' AS ct
+        FROM ev WHERE d >= DATE '{_PEVO_CUT}'
+        UNION ALL
+        SELECT event_type, {_hs_round('value * 1.1', 2)}, 1,
+               'update_postimage'
+        FROM ev WHERE d < DATE '{_PEVO_CUT}' AND event_id % {_PEVO_MOD} = 0
+        UNION ALL
+        SELECT event_type, value, -1, 'update_preimage'
+        FROM ev WHERE d < DATE '{_PEVO_CUT}' AND event_id % {_PEVO_MOD} = 0
+    )
+    SELECT event_type,
+           count(*) FILTER (WHERE ct = 'insert') AS n_insert,
+           count(*) FILTER (WHERE ct = 'update_postimage') AS n_update,
+           {_hs_round(
+               "CAST(SUM(w * CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))"
+               " AS DOUBLE) / 1000000.0", 2)} AS delta_sum
+    FROM chg
+    GROUP BY event_type
+    ORDER BY event_type
+"""

@@ -5395,3 +5395,92 @@ partition_evolution_history.__doc__ = partition_evolution_history.__doc__.format
     mod=PEVO_UPD_MOD
 )
 OLAP_QUERIES["partition_evolution_history"] = partition_evolution_history
+
+
+def evolved_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED from a cross-boundary evolved merge (SURVEY §7
+    r14 candidate pulled forward — the producer side of IVM over a
+    spec-evolved table): the ``partition_evolution_history`` fixture's
+    cross-cutover commit runs with ``emit_cdf=True``, so each layout's
+    SCOPED merge emits its own pre/post-image slice (the feed stays
+    bounded by the rewrite's partition footprint — the property the
+    unpartitioned CDF path can't give) and the slices union by name
+    under ``v_*/_change_data``. The query consumes the feed the IVM
+    way: per event_type, insert count, update-pair count, and the
+    SIGNED exact delta of the value sum (+post/+insert, −preimage,
+    scaled-int micro-units) — exactly what a downstream aggregate folds
+    to stay current without rescanning the table.
+
+    The oracle rebuilds the induced change set relationally (inserts =
+    post-cutover rows; update pairs = the %{mod} re-price pre/post
+    images), so a hash match certifies the per-layout feed is EXACTLY
+    the commit's induced delta — nothing leaked from untouched
+    partitions, no image missing or doubled across the layout split.
+
+    Scale: feed volume ∝ batch, never table; the signed fold is one
+    grouped aggregate over the feed.
+    """
+    import os
+
+    from ..operators.writers import (
+        CDF_TYPE,
+        evolve_partition_spec,
+        merge_upsert,
+        merge_upsert_evolved,
+        read_table_changes,
+    )
+    from ..tmputil import session_tmpdir
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.to_date("ts").alias("event_date"),
+    )
+    keys = ["event_id", "event_date", "event_type"]
+    path = os.path.join(session_tmpdir("pevocdf_"), "events_tbl")
+    cut = F.lit(PEVO_CUTOVER).cast("date")
+    pre = ev.filter(F.col("event_date") < cut)
+    merge_upsert(
+        spark, path, pre, keys=keys, partition_col="event_date",
+        keep_versions=3,
+    )
+    evolve_partition_spec(
+        spark, path, ["event_date", "event_type"], keep_versions=3
+    )
+    post = ev.filter(F.col("event_date") >= cut)
+    upd = pre.filter(F.col("event_id") % PEVO_UPD_MOD == 0).withColumn(
+        "value", round_half_up(F.col("value") * 1.1, 2)
+    )
+    merge_upsert_evolved(
+        spark, path, post.unionByName(upd), keys=keys, keep_versions=3,
+        emit_cdf=True,
+    )
+    feed = read_table_changes(spark, path)
+    w = F.when(F.col(CDF_TYPE) == "update_preimage", F.lit(-1)).otherwise(
+        F.lit(1)
+    )
+    micro = F.col("w") * F.floor(F.col("value") * 1000000.0 + 0.5).cast(
+        "bigint"
+    )
+    return (
+        feed.withColumn("w", w)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col(CDF_TYPE) == "insert", 1)).alias(
+                "n_insert"
+            ),
+            F.count(
+                F.when(F.col(CDF_TYPE) == "update_postimage", 1)
+            ).alias("n_update"),
+            round_half_up(
+                F.sum(micro).cast("double") / 1000000.0, 2
+            ).alias("delta_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+evolved_merge_cdf.__doc__ = evolved_merge_cdf.__doc__.format(mod=PEVO_UPD_MOD)
+OLAP_QUERIES["evolved_merge_cdf"] = evolved_merge_cdf

@@ -1226,3 +1226,49 @@ def test_read_table_skipping_prunes_and_preserves_partitions(spark, tmp_path):
         .select("k", "day", "v", "bucket").collect()
     )
     assert hit == want and (100, "d9", 55.0, 5) in hit
+
+
+def test_merge_upsert_evolved_emits_scoped_cdf(spark, tmp_path):
+    """The evolved merge's change feed must be EXACTLY the induced
+    delta: pre/post pairs for the old-layout in-place rewrite, inserts
+    for the active layout, nothing from untouched partitions, stamped
+    with the commit's sequence."""
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        evolve_partition_spec,
+        merge_upsert_evolved,
+        read_table_changes,
+        table_versions,
+    )
+
+    rows_v1 = [
+        (1, "d1", "view", 1.0),
+        (2, "d1", "click", 2.0),
+        (3, "d2", "view", 3.0),
+    ]
+    schema = "id bigint, day string, typ string, v double"
+    keys = ["id", "day", "typ"]
+    path = str(tmp_path / "tbl")
+    merge_upsert(
+        spark, path, spark.createDataFrame(rows_v1, schema),
+        keys=keys, partition_col="day", keep_versions=10,
+    )
+    evolve_partition_spec(spark, path, ["day", "typ"], keep_versions=10)
+    batch = spark.createDataFrame(
+        [(2, "d1", "click", 20.0), (4, "d2", "view", 4.0),
+         (5, "d3", "click", 5.0)],
+        schema,
+    )
+    merge_upsert_evolved(
+        spark, path, batch, keys=keys, keep_versions=10, emit_cdf=True
+    )
+    seq = table_versions(path)[-1]
+    feed = {
+        (r._change_type, r.id, r.day, r.typ, r.v, r._commit_version)
+        for r in read_table_changes(spark, path).collect()
+    }
+    assert feed == {
+        ("update_preimage", 2, "d1", "click", 2.0, seq),
+        ("update_postimage", 2, "d1", "click", 20.0, seq),
+        ("insert", 4, "d2", "view", 4.0, seq),
+        ("insert", 5, "d3", "click", 5.0, seq),
+    }

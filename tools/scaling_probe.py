@@ -149,6 +149,7 @@ DEFAULT = [
     "mmr_rerank_stored",         # index build + pruned probe + greedy
     "streaming_partition_evolution",  # cutover ingest + union read
     "manifest_skipping_read",    # manifest-planned pruned scans
+    "evolved_merge_cdf",         # per-layout scoped change feed + fold
     "containment_near_dups_dense",  # measured pair-density bound (below)
 ]
 
