@@ -51,6 +51,9 @@ ARROW_OK = {
     # r12: per-query greedy MMR in grouped applyInPandas — O(k*fanout)
     # per group by design, oracle-matched to the SQL argmax ladder
     "mmr_rerank_topk",
+    # r13: the SAME greedy stage over stored-index candidates — the
+    # serving path; the pandas stage is the operator by design
+    "mmr_rerank_stored",
 }
 
 # Queries whose BroadcastNestedLoopJoin builds a ≤-handful-of-rows side —
@@ -88,6 +91,9 @@ BNLJ_OK = {
     "funnel_time_to_convert",  # 1-row (cuts, n) scalar broadcast cross
     "misra_gries_heavy_hitters",  # 1-row corpus-total scalar broadcast
     "mmr_rerank_topk",  # 5-row query-side broadcast cross (cosine_topk)
+    # r13 serving path: the same bounded broadcasts as ivfpq_topk_adc
+    # (K centroids, M*K codebooks, 5-row query side) feeding the rerank
+    "mmr_rerank_stored",
 }
 
 # Structurally-high exchange counts with a justification.
@@ -191,6 +197,12 @@ EXCHANGES_OK = {
     # as ivfpq_topk_adc) + a bounded k*fanout re-rank join; fixed
     # pipeline depth.
     "ivfpq_rerank_topk",
+    # r13 serving path: stored-index probe search (reads the persisted
+    # centroids/codebooks/codes — the training exchanges happen at
+    # BUILD time inside the same gated fixture) + exact rerank of the
+    # bounded candidate set + the per-query greedy; fixed pipeline
+    # depth, exchanges never scale with corpus size.
+    "mmr_rerank_stored",
     # two count-table builds (bigram, unigram) + three probe joins +
     # the per-doc mean: fixed LM-pipeline depth, never data-size
     # amplification.
@@ -277,6 +289,12 @@ STREAM_STATELESS_OK: dict[str, str] = {
     # per-batch foreachBatch MG summary merge + k-row re-prune into the
     # versioned parquet state — durable, bounded at k rows by design
     "streaming_misra_gries": "foreachBatch MG merge-then-prune fold into parquet state",
+    # per-batch foreachBatch landing append routed by the row's date —
+    # spec cutover ingest; the zone on disk IS the state, idempotent
+    # via deterministic (batch, leaf, ordinal) file names — by design
+    "streaming_partition_evolution": (
+        "foreachBatch spec-routed idempotent landing appends"
+    ),
 }
 
 
