@@ -33,6 +33,14 @@ drift on UNCHANGED code vs both r02 and a same-day same-code probe):
 - `queries` keeps the exact r03 19-query prefix (name → min sec, same
   driver-facing schema as every prior round), then adds the remaining
   heavy operators that were in SCALING.md but never benched.
+
+Round-13 convention pin (VERDICT r12 "what's wrong" 2): when several
+same-code runs are taken in one session, the COMMITTED BENCH_LOCAL.json
+is the session's MEDIAN-normalized run, not the best — the honest
+headline. (Through r12 the best-normalized run was kept; the basket
+drift recorded inside the file says which machine state produced it —
+runs at basket_drift > ~1.2 are load artifacts for per-query triage
+either way.)
 """
 
 from __future__ import annotations
