@@ -82,20 +82,32 @@ def read_partition_evolved(
     """
     _tune(spark)
     dfs = [spark.read.parquet(path) for path, _cols in layouts]
+    assert_one_logical_schema(dfs, [path for path, _c in layouts])
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def assert_one_logical_schema(dfs: list[DataFrame], labels: list) -> None:
+    """Shared union-by-name guard for multi-layout reads
+    (:func:`read_partition_evolved` and
+    ``writers.read_table_skipping``'s evolved union — code-review r13:
+    the pruned read initially bypassed it): same column NAMES across
+    frames, and same per-column TYPES (ADVICE r12 — a column that
+    becomes a PARTITION field in the evolved spec gets its type
+    re-INFERRED from directory values, e.g. an int-looking key reads
+    back as int while the old layout stores string, and unionByName
+    would silently coerce or fail opaquely)."""
     cols0 = set(dfs[0].columns)
     types0 = {f.name: f.dataType for f in dfs[0].schema.fields}
-    for (path, _c), df in zip(layouts[1:], dfs[1:]):
+    for label, df in zip(labels[1:], dfs[1:]):
         if set(df.columns) != cols0:
             raise ValueError(
                 f"partition-spec evolution requires one logical schema: "
-                f"{path!r} has {sorted(set(df.columns) ^ cols0)} "
+                f"{label!r} has {sorted(set(df.columns) ^ cols0)} "
                 "mismatched vs the first layout"
             )
-        # Types too, not just names (ADVICE r12): a column that becomes
-        # a PARTITION field in the evolved spec gets its type re-INFERRED
-        # from directory values there (an int-looking key reads back as
-        # int while the old layout stores string), and unionByName would
-        # silently coerce or fail opaquely.
         drift = {
             f.name: (types0[f.name], f.dataType)
             for f in df.schema.fields
@@ -104,7 +116,7 @@ def read_partition_evolved(
         if drift:
             raise ValueError(
                 "partition-spec evolution requires one logical schema: "
-                f"{path!r} has type drift vs the first layout: "
+                f"{label!r} has type drift vs the first layout: "
                 + ", ".join(
                     f"{c}: {a.simpleString()} -> {b.simpleString()}"
                     for c, (a, b) in sorted(drift.items())
@@ -112,7 +124,3 @@ def read_partition_evolved(
                 + " (partition-value inference? pin the type with a "
                 "schema or cast at write)"
             )
-    out = dfs[0]
-    for df in dfs[1:]:
-        out = out.unionByName(df)
-    return out

@@ -59,6 +59,7 @@ the file (a production deployment would add lease expiry on top).
 from __future__ import annotations
 
 import contextlib
+import functools as _functools
 import os
 import shutil
 import uuid
@@ -290,7 +291,7 @@ def read_table_skipping(
                 out.append(s["path"])
         return out
     if meta_layouts:
-        parts = []
+        parts, labels = [], []
         for lay in meta_layouts:
             lay_dir = os.path.join(vdir, lay["dir"])
             kept = _kept(
@@ -300,8 +301,15 @@ def read_table_skipping(
                 parts.append(
                     spark.read.option("basePath", lay_dir).parquet(*kept)
                 )
+                labels.append(lay_dir)
         if not parts:
             return read_table(spark, path, version=version).limit(0)
+        # same name+type union guard as the unpruned evolved read
+        # (code-review r13: the pruned path must not silently coerce
+        # the drift read_table raises on)
+        from ..io import assert_one_logical_schema
+
+        assert_one_logical_schema(parts, labels)
         out = parts[0]
         for df in parts[1:]:
             out = out.unionByName(df)
@@ -471,22 +479,36 @@ def _stat_from_json(d):
     raise ValueError(f"unknown stat tag {t!r}")
 
 
-def _load_snapshot_meta(vdir: str) -> dict | None:
-    """Parse a snapshot's ``_snapshot_meta.json`` sidecar; None when the
-    snapshot predates the manifest (or the sidecar is unreadable —
-    every consumer falls back to live parquet footers, so a corrupt
-    manifest degrades to the pre-manifest cost, never to a wrong
-    answer)."""
+@_functools.lru_cache(maxsize=256)
+def _parse_snapshot_meta(p: str, mtime_ns: int, size: int) -> dict | None:
+    """stat-keyed parse cache: snapshot sidecars are immutable once
+    committed (written via temp + os.replace, fresh inode), and
+    ``read_table`` checks the meta on EVERY read — re-parsing an
+    O(#files x #cols) census per call was a hot-path tax (code-review
+    r13). The (path, mtime_ns, size) key invalidates naturally if a
+    path is ever reused."""
     import json
 
-    p = os.path.join(vdir, _SNAPSHOT_META)
-    if not os.path.isfile(p):
-        return None
     try:
         with open(p, encoding="utf-8") as f:
             return json.load(f)
     except (OSError, ValueError):
         return None
+
+
+def _load_snapshot_meta(vdir: str) -> dict | None:
+    """Parse a snapshot's ``_snapshot_meta.json`` sidecar; None when the
+    snapshot predates the manifest (or the sidecar is unreadable —
+    every consumer falls back to live parquet footers, so a corrupt
+    manifest degrades to the pre-manifest cost, never to a wrong
+    answer). The returned dict is CACHED and shared — treat it as
+    immutable (copy before editing, as evolve_partition_spec does)."""
+    p = os.path.join(vdir, _SNAPSHOT_META)
+    try:
+        st = os.stat(p)
+    except OSError:
+        return None
+    return _parse_snapshot_meta(p, st.st_mtime_ns, st.st_size)
 
 
 def _iter_data_files(vdir: str):
@@ -642,8 +664,19 @@ def history_file_stats(
     meta = _load_snapshot_meta(vdir)
     if meta is not None:
         entries = meta.get("file_stats", {})
+        # Completeness is checked BOTH ways against a live listing
+        # (cheap metadata walk, still zero footer opens — code-review
+        # r13): every LIVE data file must have a census entry covering
+        # the requested columns, or skip planning would silently treat
+        # the uncensused file as nonexistent and drop its rows —
+        # breaking the superset guarantee; conversely, entries whose
+        # file a concurrent retention sweep removed are dropped, the
+        # vanished-file tolerance the footer walk always had.
+        live = {rel for rel, _p in _iter_data_files(vdir)}
         if all(
-            set(cols) <= set(e.get("mins", {})) for e in entries.values()
+            rel in entries
+            and set(cols) <= set(entries[rel].get("mins", {}))
+            for rel in live
         ):
             return [
                 {
@@ -654,9 +687,10 @@ def history_file_stats(
                     "maxs": {c: _stat_from_json(e["maxs"][c]) for c in cols},
                 }
                 for rel, e in sorted(entries.items())
+                if rel in live
             ]
-        # a requested column is missing from the manifest census
-        # (schema drift after commit?) — degrade to live footers
+        # a live file is missing from the census, or a requested column
+        # is — degrade to live footers
     out = []
     for rel, fpath in _iter_data_files(vdir):
         try:
@@ -1380,6 +1414,25 @@ def _merge_partitioned(
         shutil.rmtree(os.path.join(target_path, leaf), ignore_errors=True)
 
 
+def _reject_spec_evolved(path: str, op: str) -> None:
+    """Loud refusal for writers that rewrite the whole tree FLAT: on a
+    spec-evolved snapshot, a flat rewrite + ``_write_snapshot_meta``'s
+    layouts carry-forward would stamp a stale layout map over flat data
+    and every subsequent ``read_table`` would raise (code-review r13 —
+    the silent-table-bricking hole). Per-layout delete/compact is the
+    r14 candidate; until then refusing is the correct behavior."""
+    cur = _current_version_name(path)
+    if cur is None:
+        return
+    meta = _load_snapshot_meta(os.path.join(path, cur))
+    if meta and meta.get("layouts"):
+        raise ValueError(
+            f"{op} does not support spec-evolved tables (multiple "
+            f"partition layouts) yet: {path!r} — operate per layout, or "
+            "run the operation before evolving the spec"
+        )
+
+
 def _leaf_dirs(root: str) -> set[str]:
     """Relative dirs under ``root`` that directly contain parquet files
     — the FULL hive leaf paths ('.' for an unpartitioned layout). Leaf
@@ -1610,11 +1663,19 @@ def merge_upsert_evolved(
             if upd is not None:
                 if scoped is not None:
                     # refine the rewrite scope to the partitions the
-                    # matched rows actually touch
-                    upd_parts = [
-                        tuple(r)
-                        for r in upd.select(*cols).distinct().collect()
-                    ] if cols else [()]
+                    # matched rows actually touch; an UNPARTITIONED
+                    # layout has no tuple footprint, so probe emptiness
+                    # directly (code-review r13: the unconditional [()]
+                    # rewrote the whole historical layout on every
+                    # commit even with zero matched keys)
+                    upd_parts = (
+                        [
+                            tuple(r)
+                            for r in upd.select(*cols).distinct().collect()
+                        ]
+                        if cols
+                        else ([()] if upd.limit(1).count() > 0 else [])
+                    )
                     if upd_parts:
                         scoped2 = (
                             scoped.filter(
@@ -1727,6 +1788,19 @@ def append_landing_batch(
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.parquet(tmp)
+    # Remove ALL of this batch's previously-landed files first
+    # (code-review r13): a replay recomputed under different
+    # parallelism can stage FEWER files per leaf — or skip a leaf
+    # entirely — and pure os.replace would leave the first attempt's
+    # higher-ordinal files behind as duplicates. The sweep is a
+    # names-only walk of the zone; replays are the rare failure path.
+    prefix = f"b{batch_id:06d}-"
+    if os.path.isdir(zone):
+        for root, _dirs, files in os.walk(zone):
+            for f in files:
+                if f.startswith(prefix) and f.endswith(".parquet"):
+                    with contextlib.suppress(OSError):
+                        os.remove(os.path.join(root, f))
     moved = 0
     for root, _dirs, files in os.walk(tmp):
         rel = os.path.relpath(root, tmp)
@@ -1787,6 +1861,7 @@ def compact_parquet(
     API); the directory walk enumerates the same paths.
     """
     with _write_lock(path):
+        _reject_spec_evolved(path, "compact_parquet")
         data_dir = _resolve_data_dir(path)
         versioned = data_dir != path
         leaves = (
@@ -1943,6 +2018,7 @@ def delete_rows(
     the partitions the subject can live in.
     """
     with _write_lock(target_path):
+        _reject_spec_evolved(target_path, "delete_rows")
         cur = read_table(spark, target_path)
         n_before = cur.count()
         kept = cur.filter(f"NOT ({predicate})")
@@ -2163,8 +2239,15 @@ def file_skip_report(
     meta = _load_snapshot_meta(path)
     if meta is not None:
         entries = meta.get("file_stats", {})
+        # both-ways completeness vs a live listing (code-review r13):
+        # an uncensused live file must force the footer fallback, and
+        # swept files' entries are dropped — same rules as
+        # history_file_stats
+        live = {rel for rel, _p in _iter_data_files(path)}
         if all(
-            set(bounds) <= set(e.get("mins", {})) for e in entries.values()
+            rel in entries
+            and set(bounds) <= set(entries[rel].get("mins", {}))
+            for rel in live
         ):
             return [
                 _decide(
@@ -2174,6 +2257,7 @@ def file_skip_report(
                     os.path.join(path, rel),
                 )
                 for rel, e in sorted(entries.items())
+                if rel in live
             ]
     out = []
     for f in sorted(

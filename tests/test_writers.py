@@ -1272,3 +1272,117 @@ def test_merge_upsert_evolved_emits_scoped_cdf(spark, tmp_path):
         ("insert", 4, "d2", "view", 4.0, seq),
         ("insert", 5, "d3", "click", 5.0, seq),
     }
+
+
+def test_flat_rewriters_refuse_spec_evolved_tables(spark, tmp_path):
+    """Code-review r13: delete_rows / compact_parquet rewrite the tree
+    FLAT — on an evolved table that would stamp a stale layout map over
+    flat data and brick every reader. They must refuse loudly instead."""
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        compact_parquet,
+        delete_rows,
+        evolve_partition_spec,
+        read_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    merge_upsert(
+        spark, path,
+        _frame(spark, [(1, "d1", 1.0), (2, "d2", 2.0)]),
+        keys=["k", "day"], partition_col="day",
+    )
+    evolve_partition_spec(spark, path, ["day", "k"])
+    with pytest.raises(ValueError, match="spec-evolved"):
+        delete_rows(spark, path, "v > 1.5")
+    with pytest.raises(ValueError, match="spec-evolved"):
+        compact_parquet(spark, path)
+    # and the table is still perfectly readable afterwards
+    assert read_table(spark, path).count() == 2
+
+
+def test_manifest_incomplete_census_falls_back_to_footers(spark, tmp_path):
+    """Code-review r13: a live data file missing from the manifest
+    census must force the footer fallback (else skip planning treats
+    the file as nonexistent and DROPS its rows); entries for swept
+    files are dropped instead of crashing the scan."""
+    import json
+    import os
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        _SNAPSHOT_META,
+        _resolve_data_dir,
+        history_file_stats,
+        read_table_skipping,
+    )
+
+    path = str(tmp_path / "tbl")
+    merge_upsert(
+        spark, path,
+        _frame(spark, [(1, "d1", 1.0), (2, "d2", 200.0)]),
+        keys=["k", "day"], partition_col="day",
+    )
+    vdir = _resolve_data_dir(path)
+    sidecar = os.path.join(vdir, _SNAPSHOT_META)
+    meta = json.load(open(sidecar))
+    complete = history_file_stats(path, ["v"])
+
+    # (a) drop one live file's entry -> fallback must be identical
+    crippled = dict(meta)
+    crippled["file_stats"] = dict(meta["file_stats"])
+    victim = sorted(crippled["file_stats"])[0]
+    del crippled["file_stats"][victim]
+    json.dump(crippled, open(sidecar + ".tmp", "w"))
+    os.replace(sidecar + ".tmp", sidecar)
+    got = history_file_stats(path, ["v"])
+    assert {s["path"]: s["n_rows"] for s in got} == {
+        s["path"]: s["n_rows"] for s in complete
+    }
+    # and the pruned read still sees EVERY row (superset guarantee)
+    assert read_table_skipping(spark, path, {"v": (0.0, 1e9)}).count() == 2
+
+    # (b) phantom entry for a swept file -> dropped, scan still works
+    phantom = dict(meta)
+    phantom["file_stats"] = dict(meta["file_stats"])
+    some = next(iter(meta["file_stats"].values()))
+    phantom["file_stats"]["day=gone/xx.parquet"] = some
+    json.dump(phantom, open(sidecar + ".tmp", "w"))
+    os.replace(sidecar + ".tmp", sidecar)
+    got2 = history_file_stats(path, ["v"])
+    assert {s["path"] for s in got2} == {s["path"] for s in complete}
+    assert read_table_skipping(spark, path, {"v": (100.0, 300.0)}).count() == 1
+
+
+def test_append_landing_batch_replay_fewer_files_no_stale_ordinals(
+    spark, tmp_path
+):
+    """Code-review r13: a replay recomputed under different parallelism
+    can stage FEWER files (or skip a leaf) — the first attempt's
+    higher-ordinal files must be swept, not left behind as duplicates."""
+    import os
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        append_landing_batch,
+    )
+
+    zone = str(tmp_path / "zone")
+    rows = [(i, "d1" if i % 2 else "d2", float(i)) for i in range(8)]
+    wide = _frame(spark, rows).repartition(4)     # first attempt: many files
+    append_landing_batch(wide, zone, ["day"], 7)
+    narrow = _frame(spark, rows).coalesce(1)      # replay: one file per leaf
+    append_landing_batch(narrow, zone, ["day"], 7)
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(zone).select("k", "day", "v").collect()
+    )
+    assert got == sorted(rows), "stale ordinals duplicated rows"
+    # replay with a leaf DROPPED entirely: only d1 rows remain for b7
+    only_d1 = _frame(spark, [r for r in rows if r[1] == "d1"]).coalesce(1)
+    append_landing_batch(only_d1, zone, ["day"], 7)
+    got2 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(zone).select("k", "day", "v").collect()
+    )
+    assert got2 == sorted(r for r in rows if r[1] == "d1")
+    assert not any(
+        f.startswith("b000007") for f in os.listdir(os.path.join(zone, "day=d2"))
+    )
