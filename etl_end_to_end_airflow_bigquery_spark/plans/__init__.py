@@ -227,6 +227,17 @@ GATED_THROUGH_R12: frozenset[str] = GATED_THROUGH_R11 | frozenset(
     }
 )
 
+# Round-13 fold (CORRECTNESS_r13: 50/50 green — the whole gate passed).
+# Anchors and the 23 backfill re-proofs were already in the R12 ledger;
+# the union adds exactly the 5 rotation rows (the r13-new queries).
+GATED_THROUGH_R13: frozenset[str] = GATED_THROUGH_R12 | frozenset(
+    {
+        "partition_evolution_history", "mmr_rerank_stored",
+        "streaming_partition_evolution", "manifest_skipping_read",
+        "evolved_merge_cdf",
+    }
+)
+
 _GATE_ANCHORS: tuple[str, ...] = (
     "daily_avg_report",        # flagship grouped avg + time bucket (A2)
     "topk_recent_events",      # projection + ORDER BY DESC LIMIT (P1/O1)
@@ -252,53 +263,45 @@ _GATE_ANCHORS: tuple[str, ...] = (
     "scd2_orders_status",      # SCD2 history merge
 )
 
-# Round 13 (same post-exhaustion policy): rotation slots hold exactly
+# Round 14 (same post-exhaustion policy): rotation slots hold exactly
 # the round's NEW queries — never-proven by construction. Filled as the
-# r13 builds land (the stored-IVFPQ MMR serving path, partition-spec
-# evolution resolved from table history, the streaming spec-cutover
-# twin); each addition evicts one name from the END of the backfill.
-_GATE_ROTATION: tuple[str, ...] = (
-    "partition_evolution_history",  # spec evolution resolved from the
-                                    # versioned table's own history
-    "mmr_rerank_stored",  # serving path: stored IVF-PQ -> pruned probe
-                          # -> exact rerank -> greedy diversity
-    "streaming_partition_evolution",  # ingest through the spec cutover,
-                                      # idempotent landing appends
-    "manifest_skipping_read",  # scan planned from the commit-time stats
-                               # manifest, basePath-preserved partitions
-    "evolved_merge_cdf",  # per-layout change feed from a cross-boundary
-                          # evolved merge, folded the IVM way
-)
+# r14 builds land (spec rollback / DROP PARTITION FIELD, the sharded
+# stats manifest, the CDF retention split); each addition evicts one
+# name from the END of the backfill.
+_GATE_ROTATION: tuple[str, ...] = ()
 
-# Backfill to 50 (r8 policy, see module docstring). VERDICT r12 item 1:
-# 26 queries' most recent driver green is r03/r04 (SURVEY §7's r13
-# stale pool) — evidence staleness, not suspected breakage (the
-# round-close selfcheck covers all of them at three scale factors), but
-# the driver is the authority. Backfill order = tier (a) touched-code
-# re-proofs first, then staleness priority; as r13-new queries take
-# rotation slots they evict from the END of this tuple, so the pool's
-# stalest names (the r03 six) are refreshed first and the least-stale
-# tail (window_function_pack, q19/q22) rolls to r14.
+# Backfill to 50 (r8 policy, see module docstring). This round tier (b)
+# LEADS the tuple: VERDICT r13 item 1 makes retiring the 9-name stale
+# pool (last driver green r03/r04 — verified by a union scan over
+# CORRECTNESS_r01–r13 this session, which also caught multimodal_meta
+# missing from SURVEY §7's 8-name listing) the top deliverable, so the
+# stale names sit at the head where rotation evictions can't reach
+# them. Tier (a) follows, ordered most-affected-first by this round's
+# writer-layer edits (ADVICE r13 ×4, sharded manifest planning, spec
+# rollback, CDF retention) so the least-affected tail evicts as new
+# rotation queries land.
 _REPROOF_BACKFILL: tuple[str, ...] = (
-    # tier (a) — code or oracles this round touches: the reconcile
-    # fingerprint NULL-flag + unique-key guard (ADVICE r12),
-    # read_partition_evolved's per-column type guard (ADVICE r12), the
-    # commit-time stats manifest read by history_file_stats /
-    # file_skip_report (VERDICT r12 item 4), and read_table's layout
-    # dispatch for spec-evolved snapshots (VERDICT r12 item 3; the
-    # merge-commit path itself is covered by the merge_upsert_orders /
-    # scd2_orders_status anchors):
-    "table_diff_audit", "partition_evolution_read", "history_skip_scan",
-    "zorder_skipping_report", "time_travel_orders",
-    # tier (b), r03-only evidence (stalest):
-    "multimodal_resize", "resample_daily_rates", "simhash_docs",
-    "snapshot_diff_orders", "streaming_dedup_events", "vocab_top_tokens",
-    # tier (b), r04-only evidence:
-    "ann_lsh_multiprobe", "bitwise_function_pack", "chunk_documents",
-    "dataset_split", "decontaminate_ngrams", "ewma_daily_rates",
-    "hash_sample_docs", "interpolate_daily_rates",
-    "pack_training_sequences", "regex_string_pack",
-    "repetition_ratio_docs", "stratified_sample_docs",
+    # tier (b), the 9-name stale pool (VERDICT r13 item 1 — all must
+    # land green this round so the r15 pool is empty):
+    "multimodal_meta", "tfidf_top_terms", "window_function_pack",
+    "q19_or_pushdown", "q22_idle_customers", "streaming_segment_counts",
+    "streaming_sessionize", "streaming_sliding_avg",
+    "streaming_view_purchase_join",
+    # tier (a) — code this round touches, most-affected first: the
+    # snapshot-meta read/cache path (ADVICE r13 items 3/4: content-keyed
+    # manifest cache, census-derived layout emptiness), manifest-planned
+    # scans (sharded manifest, VERDICT r13 item 3), the evolved-merge
+    # family (spec rollback, VERDICT r13 item 2), _change_data sweeping
+    # (CDF retention, VERDICT r13 item 5), and _iter_data_files ordering
+    # (ADVICE r13 items 1/2):
+    "time_travel_orders", "history_skip_scan", "partition_evolution_read",
+    "table_diff_audit", "file_lineage_scan", "zorder_skipping_report",
+    "snapshot_diff_orders", "manifest_skipping_read",
+    "partition_evolution_history", "evolved_merge_cdf",
+    "streaming_partition_evolution", "merge_cdf_ivm_roundtrip",
+    "cdf_squash_roundtrip", "merge_cdf_join_ivm", "streaming_cdc_apply",
+    "jsonl_commit_roundtrip", "observed_write_metrics",
+    "quarantine_ingest_events", "incremental_daily_state",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (
@@ -323,7 +326,7 @@ if len(_GATE_PRIORITY) != 50:
     raise RuntimeError(
         f"gate priority list must be exactly 50 names, got {len(_GATE_PRIORITY)}"
     )
-_stale = [n for n in _GATE_ROTATION if n in GATED_THROUGH_R12]
+_stale = [n for n in _GATE_ROTATION if n in GATED_THROUGH_R13]
 if _stale:
     raise RuntimeError(
         f"rotation slots must hold never-gated names, got: {_stale}"
@@ -331,7 +334,7 @@ if _stale:
 # Backfill names are the opposite: each must be a deliberate RE-proof
 # (previously green) — a never-proven name hiding there would dodge the
 # stale-slot bookkeeping.
-_not_reproof = [n for n in _REPROOF_BACKFILL if n not in GATED_THROUGH_R12]
+_not_reproof = [n for n in _REPROOF_BACKFILL if n not in GATED_THROUGH_R13]
 if _not_reproof:
     raise RuntimeError(
         f"backfill slots must hold previously-green names, got: {_not_reproof}"
@@ -341,7 +344,7 @@ if _not_reproof:
 def rotation_candidates() -> list[str]:
     """Registered queries that have never had a driver row and are not
     in the current gate — the pool for next round's rotation slots."""
-    gated = set(_GATE_PRIORITY) | GATED_THROUGH_R12
+    gated = set(_GATE_PRIORITY) | GATED_THROUGH_R13
     return [n for n in _ALL_QUERIES if n not in gated]
 
 
@@ -360,6 +363,6 @@ ORACLES = {
 __all__ = [
     "QUERIES", "ORACLES", "GATED_THROUGH_R06", "GATED_THROUGH_R07",
     "GATED_THROUGH_R08", "GATED_THROUGH_R09", "GATED_THROUGH_R10",
-    "GATED_THROUGH_R11", "GATED_THROUGH_R12",
+    "GATED_THROUGH_R11", "GATED_THROUGH_R12", "GATED_THROUGH_R13",
     "rotation_candidates",
 ]
