@@ -206,10 +206,11 @@ def read_table(
     if layouts:
         from ..io import read_partition_evolved
 
+        nonempty = _nonempty_layout_dirs(vdir, meta, layouts)
         resolved = [
             (os.path.join(vdir, lay["dir"]), list(lay["partition_cols"]))
             for lay in layouts
-            if _layout_has_data(os.path.join(vdir, lay["dir"]))
+            if lay["dir"] in nonempty
         ]
         if not resolved:
             raise ValueError(
@@ -228,6 +229,34 @@ def _layout_has_data(lay_dir: str) -> bool:
         if any(f.endswith(".parquet") for f in files):
             return True
     return False
+
+
+def _nonempty_layout_dirs(vdir: str, meta: dict, layouts: list[dict]):
+    """Layout dirs (relative names) holding at least one data file,
+    derived from the snapshot's already-loaded census — per-layout
+    emptiness used to cost a full os.walk of EVERY layout on EVERY
+    ``read_table`` call, an O(#table-files) directory listing that
+    contradicted the manifest's one-metadata-read story (ADVICE r13).
+    Census relpaths are vdir-relative, so a layout has data iff any
+    entry sits under its dir. Sidecars without a census (``file_stats``
+    key absent — never written by these writers, but a hand-edited or
+    future-variant sidecar must not silently drop layouts) fall back to
+    the walk. An EMPTY census dict is trusted: snapshot trees are
+    immutable after commit, so zero census entries means zero data
+    files."""
+    stats = meta.get("file_stats")
+    if stats is None:
+        return {
+            lay["dir"]
+            for lay in layouts
+            if _layout_has_data(os.path.join(vdir, lay["dir"]))
+        }
+    prefixes = {lay["dir"] for lay in layouts}
+    return {
+        rel.split(os.sep, 1)[0]
+        for rel in stats
+        if os.sep in rel and rel.split(os.sep, 1)[0] in prefixes
+    }
 
 
 def read_table_skipping(
@@ -480,13 +509,18 @@ def _stat_from_json(d):
 
 
 @_functools.lru_cache(maxsize=256)
-def _parse_snapshot_meta(p: str, mtime_ns: int, size: int) -> dict | None:
-    """stat-keyed parse cache: snapshot sidecars are immutable once
-    committed (written via temp + os.replace, fresh inode), and
+def _parse_snapshot_meta(
+    p: str, mtime_ns: int, size: int, head: bytes
+) -> dict | None:
+    """stat+content-keyed parse cache: snapshot sidecars are immutable
+    once committed (written via temp + os.replace, fresh inode), and
     ``read_table`` checks the meta on EVERY read — re-parsing an
     O(#files x #cols) census per call was a hot-path tax (code-review
-    r13). The (path, mtime_ns, size) key invalidates naturally if a
-    path is ever reused."""
+    r13). ``head`` is the sidecar's first bytes — sidecars lead with a
+    per-write ``manifest_id`` uuid, so a table torn down and recreated
+    at the same path within one mtime tick with a same-size sidecar
+    still misses the cache (ADVICE r13: (path, mtime_ns, size) alone
+    could serve a stale census on coarse-mtime filesystems)."""
     import json
 
     try:
@@ -494,6 +528,9 @@ def _parse_snapshot_meta(p: str, mtime_ns: int, size: int) -> dict | None:
             return json.load(f)
     except (OSError, ValueError):
         return None
+
+
+_META_HEAD_BYTES = 64  # covers {"manifest_id": "<32 hex>" and change
 
 
 def _load_snapshot_meta(vdir: str) -> dict | None:
@@ -506,16 +543,25 @@ def _load_snapshot_meta(vdir: str) -> dict | None:
     p = os.path.join(vdir, _SNAPSHOT_META)
     try:
         st = os.stat(p)
+        with open(p, "rb") as f:
+            head = f.read(_META_HEAD_BYTES)
     except OSError:
         return None
-    return _parse_snapshot_meta(p, st.st_mtime_ns, st.st_size)
+    return _parse_snapshot_meta(p, st.st_mtime_ns, st.st_size, head)
 
 
 def _iter_data_files(vdir: str):
     """Yield (relpath, abspath) for every data parquet file under a
     snapshot dir — change-feed files excluded with the same
-    os.sep-aware containment as describe_history."""
-    for root, _dirs, files in os.walk(vdir):
+    os.sep-aware containment as describe_history. Directories are
+    walked SORTED (ADVICE r13: os.walk's native dir order is
+    filesystem-dependent, so footer-fallback consumers returned a
+    nondeterministic, mode-dependent ordering next to the manifest's
+    relpath-sorted entries); consumers that pin 'identical to the
+    manifest-served list' additionally sort their output by relpath —
+    walk order (root files before subdir files) is not string order."""
+    for root, dirs, files in os.walk(vdir):
+        dirs.sort()
         rel = os.path.relpath(root, vdir)
         if "_change_data" in rel.split(os.sep):
             continue
@@ -593,6 +639,11 @@ def _write_snapshot_meta(
             "maxs": {c: _stat_to_json(v) for c, v in maxs.items()},
         }
     meta = {
+        # FIRST key on purpose: json.dump preserves insertion order, so
+        # the sidecar's head bytes carry this per-write uuid — the
+        # content component of _parse_snapshot_meta's cache key
+        # (ADVICE r13).
+        "manifest_id": uuid.uuid4().hex,
         "partition_spec": partition_spec,
         "layouts": layouts,
         "file_stats": file_stats,
@@ -698,15 +749,22 @@ def history_file_stats(
         except OSError:
             continue
         out.append(
-            {
-                "version": version,
-                "path": fpath,
-                "n_rows": n_rows,
-                "mins": mins,
-                "maxs": maxs,
-            }
+            (
+                rel,
+                {
+                    "version": version,
+                    "path": fpath,
+                    "n_rows": n_rows,
+                    "mins": mins,
+                    "maxs": maxs,
+                },
+            )
         )
-    return out
+    # relpath order, matching the manifest-served branch (ADVICE r13:
+    # the 'pinned identical' equivalence must hold by LIST order, not
+    # just keyed by path — walk order puts root files before subdirs,
+    # which is not string order)
+    return [e for _rel, e in sorted(out)]
 
 
 def expire_versions(path: str, keep_last: int = 1) -> list[int]:
@@ -2216,8 +2274,6 @@ def file_skip_report(
     cluster output, driver testdata) fall back to the footer walk —
     the manifest derived from the files themselves.
     """
-    import glob as _glob
-
     def _decide(n_rows, mins, maxs, fpath):
         skip = False
         for c, (lo, hi) in bounds.items():
@@ -2260,9 +2316,12 @@ def file_skip_report(
                 if rel in live
             ]
     out = []
-    for f in sorted(
-        _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-    ):
+    # _iter_data_files, not a raw glob (ADVICE r13): the fallback must
+    # report the same DATA-file universe as the manifest-served branch
+    # — a glob would include parquet under _change_data, giving a
+    # snapshot with a CDF extra, meaningless skip rows only in fallback
+    # mode. Sorted by relpath to match the manifest branch's order.
+    for _rel, f in sorted(_iter_data_files(path)):
         # shared footer walk (code-review r12) — a column with ANY
         # stats-less row group comes back None and can never justify a
         # skip (the falsely-narrow-bounds hole)

@@ -1386,3 +1386,144 @@ def test_append_landing_batch_replay_fewer_files_no_stale_ordinals(
     assert not any(
         f.startswith("b000007") for f in os.listdir(os.path.join(zone, "day=d2"))
     )
+
+
+def test_file_skip_report_same_universe_both_serving_modes(
+    spark, tmp_path, target
+):
+    """ADVICE r13: the footer-glob fallback used to include parquet
+    files under _change_data while the manifest-served branch excluded
+    them — the same call must report the same DATA-file set (and the
+    same list ORDER) regardless of sidecar coverage."""
+    import os
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        _SNAPSHOT_META,
+        _resolve_data_dir,
+        file_skip_report,
+        history_file_stats,
+    )
+
+    path = str(tmp_path / "tbl")
+    merge_upsert(spark, path, target, keys=["k"])
+    merge_upsert(
+        spark, path, _frame(spark, [(2, "d1", 20.0)]), keys=["k"],
+        emit_cdf=True,
+    )
+    vdir = _resolve_data_dir(path)
+    assert os.path.isdir(os.path.join(vdir, "_change_data"))
+
+    bounds = {"v": (0.0, 100.0)}
+    rep_m = file_skip_report(vdir, bounds)
+    stats_m = history_file_stats(path, ["v"])
+    sidecar = os.path.join(vdir, _SNAPSHOT_META)
+    os.rename(sidecar, sidecar + ".hidden")
+    try:
+        rep_f = file_skip_report(vdir, bounds)
+        stats_f = history_file_stats(path, ["v"])
+    finally:
+        os.rename(sidecar + ".hidden", sidecar)
+    # identical file UNIVERSE and identical LIST ORDER in both modes —
+    # no _change_data rows in either
+    assert [r["path"] for r in rep_m] == [r["path"] for r in rep_f]
+    assert [s["path"] for s in stats_m] == [s["path"] for s in stats_f]
+    assert not any("_change_data" in r["path"] for r in rep_f)
+    paths_m = [r["path"] for r in rep_m]
+    assert paths_m == sorted(paths_m), "report must be relpath-sorted"
+
+
+def test_snapshot_meta_cache_keyed_on_content_not_just_stat(tmp_path):
+    """ADVICE r13: on coarse-mtime filesystems a table recreated at the
+    same path within one tick with a same-size sidecar must NOT be
+    served the previous table's cached census — the cache key includes
+    the sidecar's head bytes (which lead with a per-write
+    manifest_id)."""
+    import json
+    import os
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        _SNAPSHOT_META,
+        _load_snapshot_meta,
+    )
+
+    vdir = str(tmp_path / "v_000001_aaaaaaaa")
+    os.makedirs(vdir)
+    p = os.path.join(vdir, _SNAPSHOT_META)
+
+    def write_meta(manifest_id, spec):
+        meta = {
+            "manifest_id": manifest_id,
+            "partition_spec": spec,
+            "layouts": None,
+            "file_stats": {},
+        }
+        with open(p, "w", encoding="utf-8") as f:
+            json.dump(meta, f)
+
+    write_meta("a" * 32, ["day"])
+    st = os.stat(p)
+    first = _load_snapshot_meta(vdir)
+    assert first["partition_spec"] == ["day"]
+
+    # simulate recreate-within-one-mtime-tick: same path, same SIZE,
+    # same forced mtime — only the content (manifest_id + spec) differs
+    write_meta("b" * 32, ["typ"])
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert os.stat(p).st_size == st.st_size
+    again = _load_snapshot_meta(vdir)
+    assert again["partition_spec"] == ["typ"], (
+        "stale cached manifest served after same-stat recreate"
+    )
+
+
+def test_read_table_layout_emptiness_from_census_no_walk(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r13: read_table on a spec-evolved snapshot must derive
+    per-layout emptiness from the snapshot's already-loaded census —
+    not an O(#table-files) os.walk per read. The walk remains only as
+    the fallback for a sidecar without a census."""
+    import json
+    import os
+
+    from etl_end_to_end_airflow_bigquery_spark.operators import writers
+
+    schema = "id bigint, day string, typ string, v double"
+    keys = ["id", "day", "typ"]
+    path = str(tmp_path / "tbl")
+    writers.merge_upsert(
+        spark, path,
+        spark.createDataFrame([(1, "d1", "view", 1.0)], schema),
+        keys=keys, partition_col="day", keep_versions=5,
+    )
+    writers.evolve_partition_spec(spark, path, ["day", "typ"])
+
+    def boom(_lay_dir):
+        raise AssertionError(
+            "census-served read_table must not walk layout dirs"
+        )
+
+    monkeypatch.setattr(writers, "_layout_has_data", boom)
+    got = sorted(
+        tuple(r)
+        for r in writers.read_table(spark, path)
+        .select("id", "day", "typ", "v").collect()
+    )
+    assert got == [(1, "d1", "view", 1.0)]
+
+    # sidecar WITHOUT a census (hand-edited / future variant): falls
+    # back to the walk — restore the real function and strip file_stats
+    monkeypatch.undo()
+    vdir = writers._resolve_data_dir(path)
+    p = os.path.join(vdir, writers._SNAPSHOT_META)
+    meta = json.load(open(p))
+    del meta["file_stats"]
+    with open(p, "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+    writers._parse_snapshot_meta.cache_clear()
+    got2 = sorted(
+        tuple(r)
+        for r in writers.read_table(spark, path)
+        .select("id", "day", "typ", "v").collect()
+    )
+    assert got2 == [(1, "d1", "view", 1.0)]
