@@ -1617,6 +1617,50 @@ def evolve_partition_spec(
         )
 
 
+def drop_partition_field(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    keep_versions: int = 2,
+) -> list[str]:
+    """``ALTER TABLE ... DROP PARTITION FIELD`` — partition-spec
+    ROLLBACK (VERDICT r13 item 2, completing the evolution story):
+    remove ``col`` from the ACTIVE spec and commit the result as a new
+    active layout, exactly like :func:`evolve_partition_spec` (which
+    this delegates to): metadata-only, history hardlinked, zero
+    rewrite. The new layout's spec may EQUAL an earlier layout's —
+    e.g. day → (day, type) → day leaves three layouts where the first
+    and third share a spec; per-file spec identity is the layout dir,
+    so reads and :func:`merge_upsert_evolved` routing are unaffected
+    (Iceberg keeps a spec-id per data file for the same reason — specs
+    are not required to be unique across history).
+
+    Rolling back to an EMPTY spec (dropping the last field) commits an
+    unpartitioned active layout — supported: the evolved merge's
+    footprint for a no-column layout is the whole batch, and reads
+    union it like any other layout.
+
+    Returns the new active partition spec. Only the ACTIVE spec can be
+    edited — historical layouts are immutable by design (rewriting
+    them is what spec evolution exists to avoid at 100 TB).
+    """
+    spec, _layouts = snapshot_partition_spec(path)
+    if spec is None:
+        raise ValueError(
+            f"{path!r} records no partition spec (not a versioned table, "
+            "or it predates the stats manifest — run one normal commit "
+            "first)"
+        )
+    if col not in spec:
+        raise ValueError(
+            f"column {col!r} is not in the active partition spec {spec} "
+            f"of {path!r} — nothing to drop"
+        )
+    new_spec = [c for c in spec if c != col]
+    evolve_partition_spec(spark, path, new_spec, keep_versions=keep_versions)
+    return new_spec
+
+
 def merge_upsert_evolved(
     spark: SparkSession,
     path: str,

@@ -268,7 +268,11 @@ _GATE_ANCHORS: tuple[str, ...] = (
 # r14 builds land (spec rollback / DROP PARTITION FIELD, the sharded
 # stats manifest, the CDF retention split); each addition evicts one
 # name from the END of the backfill.
-_GATE_ROTATION: tuple[str, ...] = ()
+_GATE_ROTATION: tuple[str, ...] = (
+    "partition_spec_rollback",  # DROP PARTITION FIELD: evolve -> roll
+                                # back -> one merge across 3 layouts
+                                # (first and third share a spec)
+)
 
 # Backfill to 50 (r8 policy, see module docstring). This round tier (b)
 # LEADS the tuple: VERDICT r13 item 1 makes retiring the 9-name stale
@@ -301,7 +305,7 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "streaming_partition_evolution", "merge_cdf_ivm_roundtrip",
     "cdf_squash_roundtrip", "merge_cdf_join_ivm", "streaming_cdc_apply",
     "jsonl_commit_roundtrip", "observed_write_metrics",
-    "quarantine_ingest_events", "incremental_daily_state",
+    "quarantine_ingest_events",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

@@ -2340,3 +2340,47 @@ OLAP_ORACLES["evolved_merge_cdf"] = f"""
     GROUP BY event_type
     ORDER BY event_type
 """
+
+from .queries_olap import PEVO_CUT2 as _PEVO_CUT2
+from .queries_olap import PEVO_RB_HI as _PEVO_RB_HI
+from .queries_olap import PEVO_RB_LO as _PEVO_RB_LO
+
+# partition_spec_rollback: rebuild the evolve -> rollback -> merge end
+# state relationally. Value lineage mirrors the engine's update waves
+# exactly — each wave's expression is computed from the ORIGINAL value
+# (the engine builds its update batches from the source frame, not the
+# table), and the wave predicates are disjoint per slice: pre-cutover
+# rows take x1.1 when id%MOD==0, else x1.2 when id%5==0; mid-slice rows
+# take x1.3 when id%3==0; late rows land as-is under the rolled-back
+# spec. A hash match certifies the three-layout routing (first and
+# third sharing a spec) duplicated/dropped/double-updated nothing.
+OLAP_ORACLES["partition_spec_rollback"] = f"""
+    WITH cur AS (
+        SELECT event_type,
+               CASE
+                   WHEN CAST(ts AS DATE) < DATE '{_PEVO_CUT}'
+                        AND event_id % {_PEVO_MOD} = 0
+                   THEN {_hs_round('value * 1.1', 2)}
+                   WHEN CAST(ts AS DATE) < DATE '{_PEVO_CUT}'
+                        AND event_id % {_PEVO_MOD} <> 0
+                        AND event_id % 5 = 0
+                   THEN {_hs_round('value * 1.2', 2)}
+                   WHEN CAST(ts AS DATE) >= DATE '{_PEVO_CUT}'
+                        AND CAST(ts AS DATE) < DATE '{_PEVO_CUT2}'
+                        AND event_id % 3 = 0
+                   THEN {_hs_round('value * 1.3', 2)}
+                   ELSE value
+               END AS value,
+               CAST(ts AS DATE) AS event_date
+        FROM events
+    )
+    SELECT event_date,
+           event_type,
+           count(*) AS n_events,
+           {_hs_round(_hs_dsum('value'), 2)} AS sum_value
+    FROM cur
+    WHERE event_date BETWEEN DATE '{_PEVO_RB_LO}' AND DATE '{_PEVO_RB_HI}'
+      AND event_type IN ({", ".join(f"'{t}'" for t in _PEVO_TYPES)})
+    GROUP BY 1, 2
+    ORDER BY event_date, event_type
+"""

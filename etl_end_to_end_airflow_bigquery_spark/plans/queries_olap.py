@@ -5484,3 +5484,113 @@ def evolved_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 evolved_merge_cdf.__doc__ = evolved_merge_cdf.__doc__.format(mod=PEVO_UPD_MOD)
 OLAP_QUERIES["evolved_merge_cdf"] = evolved_merge_cdf
+
+
+PEVO_CUT2 = "2024-01-24"  # rollback boundary (CUT1 = PEVO_CUTOVER)
+PEVO_RB_LO, PEVO_RB_HI = "2024-01-10", "2024-01-27"
+
+
+def partition_spec_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec ROLLBACK — ``DROP PARTITION FIELD`` (VERDICT r13
+    item 2, completing the evolution story): the events table commits
+    under spec (event_date), evolves to (event_date, event_type),
+    ingests a slice, then ``writers.drop_partition_field`` rolls the
+    ACTIVE spec back to (event_date) — a third, metadata-only layout
+    whose spec EQUALS the first's (per-file spec identity is the
+    layout dir, Iceberg's spec-id-per-data-file, so duplicate specs
+    across history are fine). One final ``merge_upsert_evolved`` then
+    crosses BOTH boundaries in a single commit: late rows land under
+    the rolled-back active spec while in-place re-prices hit rows
+    living in the first layout (×1.2, event_id %{m7}!=0 and %{m5}==0)
+    AND in the middle layout (×1.3, %{m3}==0) — three layouts, three
+    routing targets, each read/write scope bounded by the batch's
+    partition footprint under that layout's own spec.
+
+    The oracle rebuilds the end state relationally (the ×1.1/%{m7}
+    wave from the first cross-boundary merge plus both rollback-merge
+    waves), so a hash match certifies that no key was duplicated,
+    dropped, or double-updated across the evolve→rollback history and
+    that every in-place rewrite carried exact values.
+
+    Scale: rollback is O(#files) metadata like evolve; the pytest pins
+    per-layout PartitionFilters — the date bound prunes directories in
+    all THREE layouts while the type IN-list prunes only the middle
+    (evolved) one.
+    """
+    import os
+
+    from ..operators.writers import (
+        drop_partition_field,
+        evolve_partition_spec,
+        merge_upsert,
+        merge_upsert_evolved,
+        read_table,
+    )
+    from ..tmputil import session_tmpdir
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.to_date("ts").alias("event_date"),
+    )
+    keys = ["event_id", "event_date", "event_type"]
+    path = os.path.join(session_tmpdir("pevorb_"), "events_tbl")
+    cut1 = F.lit(PEVO_CUTOVER).cast("date")
+    cut2 = F.lit(PEVO_CUT2).cast("date")
+    pre = ev.filter(F.col("event_date") < cut1)
+    mid = ev.filter(
+        (F.col("event_date") >= cut1) & (F.col("event_date") < cut2)
+    )
+    late = ev.filter(F.col("event_date") >= cut2)
+
+    merge_upsert(
+        spark, path, pre, keys=keys, partition_col="event_date",
+        keep_versions=3,
+    )
+    evolve_partition_spec(
+        spark, path, ["event_date", "event_type"], keep_versions=3
+    )
+    upd_a = pre.filter(F.col("event_id") % PEVO_UPD_MOD == 0).withColumn(
+        "value", round_half_up(F.col("value") * 1.1, 2)
+    )
+    merge_upsert_evolved(
+        spark, path, mid.unionByName(upd_a), keys=keys, keep_versions=3
+    )
+
+    drop_partition_field(spark, path, "event_type", keep_versions=3)
+    upd_b = pre.filter(
+        (F.col("event_id") % PEVO_UPD_MOD != 0)
+        & (F.col("event_id") % 5 == 0)
+    ).withColumn("value", round_half_up(F.col("value") * 1.2, 2))
+    upd_c = mid.filter(F.col("event_id") % 3 == 0).withColumn(
+        "value", round_half_up(F.col("value") * 1.3, 2)
+    )
+    merge_upsert_evolved(
+        spark, path, late.unionByName(upd_b).unionByName(upd_c),
+        keys=keys, keep_versions=3,
+    )
+
+    table = read_table(spark, path)
+    return (
+        table.filter(
+            F.col("event_date").between(
+                F.lit(PEVO_RB_LO).cast("date"),
+                F.lit(PEVO_RB_HI).cast("date"),
+            )
+            & F.col("event_type").isin(*PEVO_TYPES)
+        )
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round_half_up(decimal_sum(F.col("value")), 2).alias("sum_value"),
+        )
+        .orderBy("event_date", "event_type")
+    )
+
+
+partition_spec_rollback.__doc__ = partition_spec_rollback.__doc__.format(
+    m7=PEVO_UPD_MOD, m5=5, m3=3
+)
+OLAP_QUERIES["partition_spec_rollback"] = partition_spec_rollback

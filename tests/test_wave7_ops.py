@@ -829,3 +829,42 @@ def test_mmr_rerank_over_index_candidates(spark, tmp_path):
         # pick 1 is the relevance argmax, so no later pick can beat it
         assert rows[0].pick == 1
         assert rows[0].relevance >= max(r.relevance for r in rows)
+
+
+def test_spec_rollback_prunes_each_layout_under_its_own_spec(spark):
+    """VERDICT r13 item 2's pruning pin: the rollback query's final
+    read spans THREE layouts — the date bound must appear as a
+    PartitionFilter on ALL scans (every layout partitions on
+    event_date) while the type IN-list partition-prunes ONLY the
+    middle (day,type) layout; the first and third layouts share the
+    day-only spec, so exactly two scans must prune on event_date
+    alone."""
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_olap import (
+        partition_spec_rollback,
+    )
+    from etl_end_to_end_airflow_bigquery_spark.tmputil import sweep_tmpdirs
+
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try:
+        df = partition_spec_rollback(spark, SF_SMALL)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+        sweep_tmpdirs()
+    scans = [
+        seg for seg in plan.split("FileScan") if "PartitionFilters: [" in seg
+    ]
+    # dedupe: AQE prints each FileScan twice (initial + final plan)
+    pf = sorted({
+        seg.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+        for seg in scans
+    })
+    typed = [f for f in pf if "event_type" in f and "event_date" in f]
+    dated_only = [f for f in pf if "event_type" not in f and "event_date" in f]
+    assert len(typed) == 1, f"exactly one scan prunes on type+date: {pf}"
+    assert len(dated_only) == 2, (
+        f"both day-spec layouts (first and rolled-back third) must "
+        f"prune on event_date alone: {pf}"
+    )

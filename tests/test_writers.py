@@ -1527,3 +1527,107 @@ def test_read_table_layout_emptiness_from_census_no_walk(
         .select("id", "day", "typ", "v").collect()
     )
     assert got2 == [(1, "d1", "view", 1.0)]
+
+
+def test_drop_partition_field_rollback_lifecycle(spark, tmp_path):
+    """VERDICT r13 item 2: spec ROLLBACK — evolve day -> (day, typ) ->
+    day leaves THREE layouts where the first and third share a spec;
+    merges route in-place updates to whichever layout holds the key
+    and new keys to the rolled-back active layout; reads and time
+    travel resolve the whole history."""
+    import os
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        _resolve_data_dir,
+        drop_partition_field,
+        evolve_partition_spec,
+        merge_upsert,
+        merge_upsert_evolved,
+        read_table,
+        snapshot_partition_spec,
+    )
+
+    schema = "id bigint, day string, typ string, v double"
+    keys = ["id", "day", "typ"]
+    path = str(tmp_path / "tbl")
+
+    pre = [(1, "d1", "view", 1.0), (2, "d2", "click", 2.0)]
+    merge_upsert(
+        spark, path, spark.createDataFrame(pre, schema),
+        keys=keys, partition_col="day", keep_versions=10,
+    )
+    evolve_partition_spec(spark, path, ["day", "typ"], keep_versions=10)
+    mid = [(3, "d3", "view", 3.0)]
+    merge_upsert_evolved(
+        spark, path, spark.createDataFrame(mid, schema),
+        keys=keys, keep_versions=10,
+    )
+
+    # ROLLBACK: drop typ -> active spec equals layout_000's
+    got_spec = drop_partition_field(spark, path, "typ", keep_versions=10)
+    assert got_spec == ["day"]
+    spec, lays = snapshot_partition_spec(path)
+    assert spec == ["day"]
+    assert [la["partition_cols"] for la in lays] == [
+        ["day"], ["day", "typ"], ["day"]
+    ]
+
+    # merge ACROSS the rollback boundary: update a layout_000 row, a
+    # layout_001 row, and insert a new key
+    batch = [
+        (2, "d2", "click", 20.0),   # in-place update, layout_000
+        (3, "d3", "view", 30.0),    # in-place update, layout_001
+        (4, "d4", "view", 4.0),     # new key -> layout_002 (spec [day])
+    ]
+    merge_upsert_evolved(
+        spark, path, spark.createDataFrame(batch, schema),
+        keys=keys, keep_versions=10,
+    )
+    want = [
+        (1, "d1", "view", 1.0), (2, "d2", "click", 20.0),
+        (3, "d3", "view", 30.0), (4, "d4", "view", 4.0),
+    ]
+    got = sorted(
+        tuple(r)
+        for r in read_table(spark, path)
+        .select("id", "day", "typ", "v").collect()
+    )
+    assert got == want
+
+    # routing: each row lives in exactly the layout its key pins
+    vdir = _resolve_data_dir(path)
+    lay = {
+        i: sorted(
+            tuple(r)
+            for r in spark.read.parquet(
+                os.path.join(vdir, f"layout_00{i}")
+            ).select("id", "day", "typ", "v").collect()
+        )
+        for i in range(3)
+    }
+    assert lay[0] == want[:2]
+    assert lay[1] == [want[2]]
+    assert lay[2] == [want[3]]
+    # the new key landed under the ROLLED-BACK spec: day dir, no typ dir
+    assert os.path.isdir(os.path.join(vdir, "layout_002", "day=d4"))
+    assert not os.path.isdir(
+        os.path.join(vdir, "layout_002", "day=d4", "typ=view")
+    )
+
+    # dropping a column not in the active spec raises loudly
+    with pytest.raises(ValueError, match="not in the active partition"):
+        drop_partition_field(spark, path, "typ")
+
+    # rollback to the EMPTY spec (unpartitioned active layout)
+    assert drop_partition_field(spark, path, "day", keep_versions=10) == []
+    merge_upsert_evolved(
+        spark, path,
+        spark.createDataFrame([(5, "d5", "view", 5.0)], schema),
+        keys=keys, keep_versions=10,
+    )
+    got2 = sorted(
+        tuple(r)
+        for r in read_table(spark, path)
+        .select("id", "day", "typ", "v").collect()
+    )
+    assert got2 == want + [(5, "d5", "view", 5.0)]
