@@ -245,13 +245,19 @@ def _nonempty_layout_dirs(vdir: str, meta: dict, layouts: list[dict]):
     immutable after commit, so zero census entries means zero data
     files."""
     stats = meta.get("file_stats")
+    prefixes = {lay["dir"] for lay in layouts}
     if stats is None:
+        if meta.get("census_shards"):
+            # sharded census: the sidecar carries the top-level data
+            # dirs, so evolved reads stay one-metadata-read
+            return {
+                d for d in meta.get("census_dirs", []) if d in prefixes
+            }
         return {
             lay["dir"]
             for lay in layouts
             if _layout_has_data(os.path.join(vdir, lay["dir"]))
         }
-    prefixes = {lay["dir"] for lay in layouts}
     return {
         rel.split(os.sep, 1)[0]
         for rel in stats
@@ -301,14 +307,29 @@ def read_table_skipping(
                 "use file_skip_report + a manual scan for plain dirs"
             )
         version = _seq_of(os.path.basename(vdir))
-    # validates the version and serves from the manifest when present
-    stats = history_file_stats(path, list(bounds), version=version)
     avail = {_seq_of(d): d for d in _committed_versions(path)}
+    if version not in avail:
+        raise ValueError(
+            f"snapshot v_{version:06d} not present under {path!r}; "
+            f"retained sequences: {sorted(avail) or 'none'}"
+        )
     vdir = os.path.join(path, avail[version])
-    meta_layouts = (_load_snapshot_meta(vdir) or {}).get("layouts")
+    meta = _load_snapshot_meta(vdir) or {}
+    meta_layouts = meta.get("layouts")
 
-    def _kept(stats: list[dict]) -> list[str]:
-        out = []
+    if meta.get("census_shards"):
+        # SHARDED manifest: evaluate keep/skip as a DISTRIBUTED job
+        # over the census rows (VERDICT r13 item 3) — at millions of
+        # files the decision loop itself is the read-planning
+        # bottleneck, so it runs where the manifest rows are. The kept
+        # list is collected because it IS the scan's file list (bounded
+        # by the predicate's true footprint, same as the inline path).
+        kept_all = _kept_files_distributed(spark, vdir, bounds)
+    else:
+        # inline fast path: one JSON read (footer fallback inside),
+        # validated against the live listing by history_file_stats
+        stats = history_file_stats(path, list(bounds), version=version)
+        kept_all = []
         for s in stats:
             skip = False
             for c, (lo, hi) in bounds.items():
@@ -317,15 +338,12 @@ def read_table_skipping(
                     skip = True
                     break
             if not skip:
-                out.append(s["path"])
-        return out
+                kept_all.append(s["path"])
     if meta_layouts:
         parts, labels = [], []
         for lay in meta_layouts:
             lay_dir = os.path.join(vdir, lay["dir"])
-            kept = _kept(
-                [s for s in stats if s["path"].startswith(lay_dir + os.sep)]
-            )
+            kept = [p for p in kept_all if p.startswith(lay_dir + os.sep)]
             if kept:
                 parts.append(
                     spark.read.option("basePath", lay_dir).parquet(*kept)
@@ -343,10 +361,56 @@ def read_table_skipping(
         for df in parts[1:]:
             out = out.unionByName(df)
         return out
-    kept = _kept(stats)
-    if not kept:
+    if not kept_all:
         return read_table(spark, path, version=version).limit(0)
-    return spark.read.option("basePath", vdir).parquet(*kept)
+    return spark.read.option("basePath", vdir).parquet(*kept_all)
+
+
+def _kept_files_distributed(
+    spark: SparkSession, vdir: str, bounds: dict[str, tuple]
+) -> list[str]:
+    """Distributed keep/skip over a SHARDED census: scan the
+    ``_manifest`` parquet shards as a DataFrame and decide per row in
+    an Arrow-batched ``mapInPandas`` stage applying the IDENTICAL rule
+    as the inline path (decode the type-tagged min/max via
+    ``_stat_from_json``; a None bound can never justify a skip). The
+    sharded and inline paths are pytest-pinned to identical decisions.
+
+    Returns kept files as absolute paths (relpath-sorted, matching the
+    inline path's order). Scale: the manifest scan parallelizes over
+    shards; only kept RELPATHS come back to the driver — the list the
+    scan needs anyway."""
+    import json
+
+    bounds_local = dict(bounds)
+
+    def decide(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            keep = []
+            for mj, xj in zip(pdf["mins"], pdf["maxs"]):
+                mins = json.loads(mj)
+                maxs = json.loads(xj)
+                skip = False
+                for c, (lo, hi) in bounds_local.items():
+                    mn = _stat_from_json(mins.get(c))
+                    mx = _stat_from_json(maxs.get(c))
+                    if (
+                        mn is not None
+                        and mx is not None
+                        and (mn > hi or mx < lo)
+                    ):
+                        skip = True
+                        break
+                keep.append(not skip)
+            yield pd.DataFrame({"rel": pdf["rel"][pd.Series(keep).values]})
+
+    mdf = spark.read.parquet(os.path.join(vdir, _MANIFEST_DIR))
+    kept_rels = sorted(
+        r.rel for r in mdf.mapInPandas(decide, "rel string").collect()
+    )
+    return [os.path.join(vdir, rel) for rel in kept_rels]
 
 
 def table_versions(path: str) -> list[int]:
@@ -384,7 +448,8 @@ def describe_history(spark: SparkSession, path: str) -> DataFrame:
             # partitioned CDF write (subdirs under _change_data) must
             # still be excluded from the data-file census (ADVICE r11).
             rel = os.path.relpath(root, vdir)
-            in_cdf = "_change_data" in rel.split(os.sep)
+            parts_rel = rel.split(os.sep)
+            in_cdf = "_change_data" in parts_rel or _MANIFEST_DIR in parts_rel
             for f in files:
                 if f.endswith(".parquet") and not in_cdf:
                     try:
@@ -457,6 +522,16 @@ def _footer_minmax(fpath: str, cols: list[str] | None = None):
 
 
 _SNAPSHOT_META = "_snapshot_meta.json"
+_MANIFEST_DIR = "_manifest"  # sharded census parquet (underscore: hidden
+                             # from Spark scans like _change_data)
+# Census entries above which the commit-time stats manifest is written
+# as SHARDED PARQUET under v_*/_manifest instead of inline JSON
+# (VERDICT r13 item 3): one JSON blob and a driver-side Python loop are
+# right for small tables, but at 100 TB file counts (millions of
+# entries) the manifest itself must be columnar/sharded and the skip
+# predicate evaluated as a distributed job. Writers accept an explicit
+# override (tests and the gated query use a low one).
+MANIFEST_INLINE_MAX = 2048
 
 
 def _stat_to_json(v):
@@ -563,7 +638,8 @@ def _iter_data_files(vdir: str):
     for root, dirs, files in os.walk(vdir):
         dirs.sort()
         rel = os.path.relpath(root, vdir)
-        if "_change_data" in rel.split(os.sep):
+        parts = rel.split(os.sep)
+        if "_change_data" in parts or _MANIFEST_DIR in parts:
             continue
         for fname in sorted(files):
             if fname.endswith(".parquet"):
@@ -571,11 +647,72 @@ def _iter_data_files(vdir: str):
                 yield os.path.relpath(fpath, vdir), fpath
 
 
+def _census_shard_paths(vdir: str) -> list[str]:
+    d = os.path.join(vdir, _MANIFEST_DIR)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+
+
+@_functools.lru_cache(maxsize=8)
+def _load_census_shards(vdir: str, manifest_id: str) -> dict:
+    """Reconstruct the {rel: entry} census from a snapshot's sharded
+    parquet manifest — the driver-side face of the sharded layout, used
+    by audit surfaces (:func:`history_file_stats`,
+    :func:`file_skip_report`) and the commit-time entry-reuse pass.
+    Cached per manifest_id (a per-write uuid, so path reuse can't serve
+    stale entries). The SCAN-PLANNING path never calls this —
+    :func:`read_table_skipping` evaluates the skip predicate as a
+    distributed job over the shard rows instead."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for sp in _census_shard_paths(vdir):
+        t = pq.read_table(sp)
+        for rel, n_rows, ino, nbytes, mins, maxs in zip(
+            t["rel"].to_pylist(),
+            t["n_rows"].to_pylist(),
+            t["ino"].to_pylist(),
+            t["bytes"].to_pylist(),
+            t["mins"].to_pylist(),
+            t["maxs"].to_pylist(),
+        ):
+            out[rel] = {
+                "n_rows": n_rows,
+                "ino": ino,
+                "bytes": nbytes,
+                "mins": json.loads(mins),
+                "maxs": json.loads(maxs),
+            }
+    return out
+
+
+def _load_census(vdir: str) -> dict | None:
+    """The snapshot's per-file stats census as {rel: entry}, whatever
+    its physical layout — inline in the JSON sidecar (small tables) or
+    sharded parquet under ``_manifest`` (large file counts). None when
+    the snapshot predates the manifest."""
+    meta = _load_snapshot_meta(vdir)
+    if meta is None:
+        return None
+    stats = meta.get("file_stats")
+    if stats is not None:
+        return stats
+    if meta.get("census_shards"):
+        return _load_census_shards(vdir, meta.get("manifest_id", ""))
+    return None
+
+
 def _write_snapshot_meta(
     path: str,
     vdir: str,
     partition_spec: list[str] | None,
     layouts: list[dict] | None,
+    manifest_shard_files: int | None = None,
 ) -> None:
     """COMMIT-TIME STATS MANIFEST + per-snapshot partition spec
     (VERDICT r12 items 3-4): one footer walk at write time persists the
@@ -609,9 +746,10 @@ def _write_snapshot_meta(
     prev_stats: dict = {}
     cur = _current_version_name(path)  # pointer not yet flipped
     if cur is not None:
-        prev_meta = _load_snapshot_meta(os.path.join(path, cur))
+        prev_vdir = os.path.join(path, cur)
+        prev_meta = _load_snapshot_meta(prev_vdir)
         if prev_meta:
-            prev_stats = prev_meta.get("file_stats", {})
+            prev_stats = _load_census(prev_vdir) or {}
             if partition_spec is None:
                 partition_spec = prev_meta.get("partition_spec")
             if layouts is None:
@@ -646,8 +784,57 @@ def _write_snapshot_meta(
         "manifest_id": uuid.uuid4().hex,
         "partition_spec": partition_spec,
         "layouts": layouts,
-        "file_stats": file_stats,
     }
+    threshold = (
+        MANIFEST_INLINE_MAX
+        if manifest_shard_files is None
+        else manifest_shard_files
+    )
+    # No writer carries _manifest between snapshots (census is
+    # per-snapshot), but remove any stray copy before (re)writing:
+    # overwriting a hardlinked shard in place would mutate another
+    # snapshot's census.
+    shutil.rmtree(os.path.join(vdir, _MANIFEST_DIR), ignore_errors=True)
+    if len(file_stats) > threshold:
+        # SHARDED census (VERDICT r13 item 3): columnar parquet under
+        # v_*/_manifest, contiguous relpath-sorted shards of <=
+        # threshold entries each — read planning scans these rows as a
+        # distributed job instead of parsing one giant JSON on the
+        # driver. The sidecar keeps only the summary (+ the top-level
+        # dirs holding data, so evolved reads resolve layout emptiness
+        # without touching the census).
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rels = sorted(file_stats)
+        mdir = os.path.join(vdir, _MANIFEST_DIR)
+        os.makedirs(mdir, exist_ok=True)
+        n_shards = 0
+        for i in range(0, len(rels), threshold):
+            chunk = rels[i : i + threshold]
+            tbl = pa.table(
+                {
+                    "rel": chunk,
+                    "n_rows": [file_stats[r]["n_rows"] for r in chunk],
+                    "ino": [file_stats[r]["ino"] for r in chunk],
+                    "bytes": [file_stats[r]["bytes"] for r in chunk],
+                    "mins": [
+                        json.dumps(file_stats[r]["mins"]) for r in chunk
+                    ],
+                    "maxs": [
+                        json.dumps(file_stats[r]["maxs"]) for r in chunk
+                    ],
+                }
+            )
+            pq.write_table(tbl, os.path.join(mdir, f"census-{n_shards:05d}.parquet"))
+            n_shards += 1
+        meta["census_shards"] = n_shards
+        meta["census_files"] = len(file_stats)
+        meta["census_dirs"] = sorted(
+            {r.split(os.sep, 1)[0] for r in rels if os.sep in r}
+        )
+    else:
+        meta["file_stats"] = file_stats
     tmp = os.path.join(vdir, f".{_SNAPSHOT_META}.{uuid.uuid4().hex[:8]}.tmp")
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(meta, f)
@@ -712,9 +899,8 @@ def history_file_stats(
             f"retained sequences: {sorted(avail) or 'none'}"
         )
     vdir = os.path.join(path, avail[version])
-    meta = _load_snapshot_meta(vdir)
-    if meta is not None:
-        entries = meta.get("file_stats", {})
+    entries = _load_census(vdir)
+    if entries is not None:
         # Completeness is checked BOTH ways against a live listing
         # (cheap metadata walk, still zero footer opens — code-review
         # r13): every LIVE data file must have a census entry covering
@@ -767,7 +953,50 @@ def history_file_stats(
     return [e for _rel, e in sorted(out)]
 
 
-def expire_versions(path: str, keep_last: int = 1) -> list[int]:
+_CDF_RETAINED = "_cdf"  # table-level home for feeds preserved past
+                        # their snapshot's sweep (the Delta
+                        # logRetention / data-retention split)
+
+
+def _ledger_names(path: str) -> list[str]:
+    """Every snapshot name ever recorded in the ledger, committed
+    order, whether or not its directory still exists — the forensic
+    record :func:`_committed_versions` filters to live dirs. Used to
+    distinguish 'feed EXPIRED' (snapshot once existed) from 'feed never
+    emitted' in :func:`read_table_changes`."""
+    ledger = os.path.join(path, _LEDGER)
+    names: list[str] = []
+    if os.path.isfile(ledger):
+        with open(ledger, encoding="utf-8") as f:
+            for line in f:
+                n = line.strip()
+                if n and n not in names:
+                    names.append(n)
+    return names
+
+
+def _feed_dirs(path: str) -> dict[str, str]:
+    """{snapshot name: feed dir} for every readable change feed — live
+    (``v_*/_change_data`` inside retained snapshots) plus preserved
+    (``_cdf/<vname>`` kept past the snapshot's sweep by
+    :func:`expire_versions`' feed retention)."""
+    out: dict[str, str] = {}
+    pres_root = os.path.join(path, _CDF_RETAINED)
+    if os.path.isdir(pres_root):
+        for d in os.listdir(pres_root):
+            full = os.path.join(pres_root, d)
+            if d.startswith("v_") and os.path.isdir(full):
+                out[d] = full
+    for d in _committed_versions(path):
+        live = os.path.join(path, d, CDF_DIR)
+        if os.path.isdir(live):
+            out[d] = live  # live copy wins if both somehow exist
+    return out
+
+
+def expire_versions(
+    path: str, keep_last: int = 1, cdf_keep_last: int | None = None
+) -> list[int]:
     """Explicit snapshot retention — the VACUUM / expire-snapshots
     surface (Delta ``VACUUM``, Iceberg ``expire_snapshots``): sweep all
     but the newest ``keep_last`` committed snapshots NOW, decoupled from
@@ -789,9 +1018,26 @@ def expire_versions(path: str, keep_last: int = 1) -> list[int]:
     (:func:`_link_tree`), so sweeping a snapshot reclaims only the
     bytes unique to it — same semantics as manifest-based expiry on an
     object store.
+
+    ``cdf_keep_last`` (VERDICT r13 item 5) splits FEED retention from
+    data retention, the Delta ``delta.logRetentionDuration`` vs VACUUM
+    split: keep the change feeds of the newest N feed-emitting commits
+    even when their DATA snapshots are swept — an IVM consumer that
+    lags behind VACUUM still finds its deltas. Preserved feeds move to
+    ``<table>/_cdf/<snapshot>/`` (metadata rename, no copy) and are
+    read transparently by :func:`read_table_changes`; feeds older than
+    the newest N are pruned from ``_cdf`` (a feed inside a RETAINED
+    snapshot is never touched — snapshot trees stay immutable, so
+    ``cdf_keep_last`` is a floor, not a cap). ``None`` keeps today's
+    behavior: feeds die with their snapshot, previously preserved
+    feeds stay.
     """
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    if cdf_keep_last is not None and cdf_keep_last < 0:
+        raise ValueError(
+            f"cdf_keep_last must be >= 0 or None, got {cdf_keep_last}"
+        )
     # validate BEFORE taking the lock: _write_lock mkdirs the path, and
     # an admin op on a typo'd path must stay read-only (code-review r11)
     if not os.path.isdir(path) or _current_version_name(path) is None:
@@ -806,6 +1052,27 @@ def expire_versions(path: str, keep_last: int = 1) -> list[int]:
             )
         committed = sorted(_committed_versions(path), key=_seq_of)
         keep = set(committed[-keep_last:]) | {cur}
+        if cdf_keep_last is not None:
+            feeds = sorted(_feed_dirs(path).items(), key=lambda kv: _seq_of(kv[0]))
+            kept_feeds = (
+                feeds[-cdf_keep_last:] if cdf_keep_last else []
+            )
+            kept_names = {n for n, _d in kept_feeds}
+            pres_root = os.path.join(path, _CDF_RETAINED)
+            for vname, fdir in kept_feeds:
+                if vname in keep or not fdir.startswith(
+                    os.path.join(path, vname) + os.sep
+                ):
+                    continue  # snapshot retained, or already preserved
+                os.makedirs(pres_root, exist_ok=True)
+                os.replace(fdir, os.path.join(pres_root, vname))
+            for vname, fdir in feeds:
+                # prune expired PRESERVED feeds only — live feeds in
+                # retained snapshots stay (immutability floor above)
+                if vname not in kept_names and fdir.startswith(
+                    pres_root + os.sep
+                ):
+                    shutil.rmtree(fdir, ignore_errors=True)
         return _sweep_versions(path, keep)
 
 
@@ -815,6 +1082,7 @@ def _commit_version(
     keep_versions: int,
     partition_spec: list[str] | None = None,
     layouts: list[dict] | None = None,
+    manifest_shard_files: int | None = None,
 ) -> None:
     """Record ``vdir`` in the ledger, flip ``_CURRENT`` to it atomically,
     then retain the newest ``keep_versions`` COMMITTED snapshots and
@@ -830,7 +1098,9 @@ def _commit_version(
     # 0. stats manifest + spec sidecar, inside the still-uncommitted
     #    v_* dir: a crash before the ledger append orphans data and
     #    manifest together
-    _write_snapshot_meta(path, vdir, partition_spec, layouts)
+    _write_snapshot_meta(
+        path, vdir, partition_spec, layouts, manifest_shard_files
+    )
     # 1. ledger append (before the flip: a crash in between leaves an
     #    extra ledger entry, which merely over-retains — never a pointer
     #    at an unrecorded snapshot)
@@ -1102,32 +1372,40 @@ def read_table_changes(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
     """Read the change data feed of one committed snapshot (or, with
-    ``version=None``, of every retained snapshot that emitted one) —
-    the consumer half of ``merge_upsert(..., emit_cdf=True)``. The feed
-    lives under ``v_*/_change_data``; the underscore prefix keeps it
-    invisible to plain table scans of the snapshot directory."""
+    ``version=None``, of every READABLE feed) — the consumer half of
+    ``merge_upsert(..., emit_cdf=True)``. Live feeds sit under
+    ``v_*/_change_data`` (underscore prefix: invisible to plain table
+    scans of the snapshot); feeds kept past their snapshot's sweep by
+    ``expire_versions(..., cdf_keep_last=N)`` are read transparently
+    from ``<table>/_cdf/<snapshot>/``.
+
+    Asking for a commit whose feed retention has EXPIRED raises loudly
+    (VERDICT r13 item 5 — an IVM consumer must never silently fold an
+    incomplete delta range), distinguished from a commit that never
+    emitted a feed via the ledger's forensic record."""
+    feeds = _feed_dirs(path) if os.path.isdir(path) else {}
     if version is None:
-        dirs = [
-            os.path.join(path, d, CDF_DIR)
-            for d in _committed_versions(path)
-            if os.path.isdir(os.path.join(path, d, CDF_DIR))
-        ]
-        if not dirs:
+        if not feeds:
             raise ValueError(f"no change feed recorded under {path!r}")
-        return spark.read.parquet(*dirs)
-    avail = {
-        _seq_of(d): d
-        for d in (_committed_versions(path) if os.path.isdir(path) else [])
-    }
-    if version not in avail or not os.path.isdir(
-        os.path.join(path, avail[version], CDF_DIR)
-    ):
+        return spark.read.parquet(*feeds.values())
+    by_seq = {_seq_of(n): d for n, d in feeds.items()}
+    if version in by_seq:
+        return spark.read.parquet(by_seq[version])
+    have = sorted(by_seq)
+    ever = {_seq_of(n) for n in _ledger_names(path)}
+    live = {_seq_of(d) for d in _committed_versions(path)}
+    if version in ever and version not in live:
         raise ValueError(
-            f"no change feed for snapshot v_{version:06d} under {path!r}; "
-            f"feeds exist for: "
-            f"{sorted(v for v, d in avail.items() if os.path.isdir(os.path.join(path, d, CDF_DIR))) or 'none'}"
+            f"change feed for snapshot v_{version:06d} under {path!r} "
+            "has EXPIRED: the snapshot was swept by retention and its "
+            "feed was not preserved (expire_versions cdf_keep_last). "
+            f"Readable feeds: {have or 'none'} — an IVM consumer this "
+            "far behind must rebuild from a full snapshot read."
         )
-    return spark.read.parquet(os.path.join(path, avail[version], CDF_DIR))
+    raise ValueError(
+        f"no change feed for snapshot v_{version:06d} under {path!r}; "
+        f"feeds exist for: {have or 'none'}"
+    )
 
 
 def idempotent_append_df(target: DataFrame, batch: DataFrame, keys: list[str]) -> DataFrame:
@@ -1284,6 +1562,7 @@ def merge_upsert(
     partition_col: str | None = None,
     keep_versions: int = 2,
     emit_cdf: bool = False,
+    manifest_shard_files: int | None = None,
 ) -> None:
     """MERGE a source batch into a Parquet directory table.
 
@@ -1321,6 +1600,11 @@ def merge_upsert(
     partition-scoped path bounds its read scope by partition pruning,
     which the full-outer change join would defeat; emit the feed from a
     partition-scoped merge by running it per-partition.
+
+    ``manifest_shard_files`` overrides :data:`MANIFEST_INLINE_MAX` for
+    this commit: census entries above it are written as SHARDED parquet
+    under ``v_*/_manifest`` (read planning then evaluates keep/skip as
+    a distributed job — VERDICT r13 item 3) instead of inline JSON.
     """
     if emit_cdf and partition_col is not None:
         raise ValueError(
@@ -1339,11 +1623,13 @@ def merge_upsert(
                 )
         if partition_col is None:
             _merge_unpartitioned(
-                spark, target_path, source, keys, keep_versions, emit_cdf
+                spark, target_path, source, keys, keep_versions, emit_cdf,
+                manifest_shard_files,
             )
         else:
             _merge_partitioned(
-                spark, target_path, source, keys, partition_col, keep_versions
+                spark, target_path, source, keys, partition_col,
+                keep_versions, manifest_shard_files,
             )
 
 
@@ -1354,6 +1640,7 @@ def _merge_unpartitioned(
     keys: list[str],
     keep_versions: int,
     emit_cdf: bool = False,
+    manifest_shard_files: int | None = None,
 ) -> None:
     vdir = _next_version_dir(target_path)
     ptr_exists = os.path.isfile(os.path.join(target_path, _CURRENT_PTR))
@@ -1398,7 +1685,10 @@ def _merge_unpartitioned(
         # flip): a crash leaves feed+data orphaned together, and the
         # underscore dir never shows up in snapshot table scans.
         cdf.write.mode("overwrite").parquet(os.path.join(vdir, CDF_DIR))
-    _commit_version(target_path, vdir, keep_versions, partition_spec=[])
+    _commit_version(
+        target_path, vdir, keep_versions, partition_spec=[],
+        manifest_shard_files=manifest_shard_files,
+    )
     for f in legacy_files:
         with contextlib.suppress(OSError):
             os.remove(f)
@@ -1411,6 +1701,7 @@ def _merge_partitioned(
     keys: list[str],
     partition_col: str,
     keep_versions: int,
+    manifest_shard_files: int | None = None,
 ) -> None:
     prefix = f"{partition_col}="
     ptr_exists = os.path.isfile(os.path.join(target_path, _CURRENT_PTR))
@@ -1433,6 +1724,7 @@ def _merge_partitioned(
         _commit_version(
             target_path, vdir, keep_versions,
             partition_spec=[partition_col],
+            manifest_shard_files=manifest_shard_files,
         )
         return
 
@@ -1465,7 +1757,8 @@ def _merge_partitioned(
                 os.path.join(prev_dir, leaf), os.path.join(vdir, leaf)
             )
     _commit_version(
-        target_path, vdir, keep_versions, partition_spec=[partition_col]
+        target_path, vdir, keep_versions, partition_spec=[partition_col],
+        manifest_shard_files=manifest_shard_files,
     )
     # retire migrated legacy top-level leaves after the commit
     for leaf in legacy_leaves:
@@ -1587,8 +1880,8 @@ def evolve_partition_spec(
             dst0 = os.path.join(vdir, "layout_000")
             os.makedirs(dst0, exist_ok=True)
             for entry in os.listdir(prev_dir):
-                if entry in (_SNAPSHOT_META, CDF_DIR):
-                    continue  # sidecar is per-snapshot; CDF is per-commit
+                if entry in (_SNAPSHOT_META, CDF_DIR, _MANIFEST_DIR):
+                    continue  # sidecar+census are per-snapshot; CDF per-commit
                 s = os.path.join(prev_dir, entry)
                 d = os.path.join(dst0, entry)
                 if os.path.isdir(s):
@@ -2336,9 +2629,8 @@ def file_skip_report(
             "skip": skip,
         }
 
-    meta = _load_snapshot_meta(path)
-    if meta is not None:
-        entries = meta.get("file_stats", {})
+    entries = _load_census(path)
+    if entries is not None:
         # both-ways completeness vs a live listing (code-review r13):
         # an uncensused live file must force the footer fallback, and
         # swept files' entries are dropped — same rules as

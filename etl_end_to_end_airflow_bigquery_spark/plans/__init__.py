@@ -272,6 +272,8 @@ _GATE_ROTATION: tuple[str, ...] = (
     "partition_spec_rollback",  # DROP PARTITION FIELD: evolve -> roll
                                 # back -> one merge across 3 layouts
                                 # (first and third share a spec)
+    "sharded_manifest_read",  # census sharded to parquet, keep/skip
+                              # evaluated as a distributed job
 )
 
 # Backfill to 50 (r8 policy, see module docstring). This round tier (b)
@@ -305,7 +307,6 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "streaming_partition_evolution", "merge_cdf_ivm_roundtrip",
     "cdf_squash_roundtrip", "merge_cdf_join_ivm", "streaming_cdc_apply",
     "jsonl_commit_roundtrip", "observed_write_metrics",
-    "quarantine_ingest_events",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

@@ -2384,3 +2384,37 @@ OLAP_ORACLES["partition_spec_rollback"] = f"""
     GROUP BY 1, 2
     ORDER BY event_date, event_type
 """
+
+from .queries_olap import SMR_BANDS as _SMR_BANDS
+from .queries_olap import SMR_BUCKET_WIDTH as _SMR_W
+
+# sharded_manifest_read: recompute the merged state (the %7 merge only
+# flips o_orderstatus; keys unchanged so membership is the full table)
+# and the band x status aggregates relationally; a hash match
+# certifies the DISTRIBUTED manifest decisions dropped no matching
+# file and the basePath read kept partition values exact. price_bucket
+# itself is folded into the engine's scan (partition dirs), so the
+# oracle needs only the flip + bands.
+_SMR_BAND_SELECTS = "\n    UNION ALL ".join(
+    f"""SELECT CAST({lo!r} AS DOUBLE) AS band_lo,
+           CAST({hi!r} AS DOUBLE) AS band_hi,
+           o_orderstatus,
+           count(*) AS n_matched,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+               AS BIGINT) AS sum_cents
+    FROM merged
+    WHERE o_totalprice BETWEEN {lo!r} AND {hi!r}
+    GROUP BY o_orderstatus"""
+    for lo, hi in _SMR_BANDS
+)
+
+OLAP_ORACLES["sharded_manifest_read"] = f"""
+    WITH merged AS (
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'S'
+                    ELSE o_orderstatus END AS o_orderstatus
+        FROM orders
+    )
+    {_SMR_BAND_SELECTS}
+    ORDER BY band_lo, o_orderstatus
+"""

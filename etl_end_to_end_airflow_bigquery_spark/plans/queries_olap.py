@@ -5594,3 +5594,96 @@ partition_spec_rollback.__doc__ = partition_spec_rollback.__doc__.format(
     m7=PEVO_UPD_MOD, m5=5, m3=3
 )
 OLAP_QUERIES["partition_spec_rollback"] = partition_spec_rollback
+
+
+SMR_BUCKET_WIDTH = 20000.0   # ~25 price-bucket leaves at sf0.01
+SMR_SHARD_FILES = 8          # census entries per manifest shard
+SMR_BANDS = ((40000.0, 90000.0), (350000.0, 420000.0))
+
+
+def sharded_manifest_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARDED stats manifest + DISTRIBUTED scan planning (VERDICT r13
+    item 3: at 100 TB file counts — millions of census entries — a
+    single JSON manifest and a driver-side keep/skip loop are
+    themselves the read-planning bottleneck): the versioned orders
+    table, partitioned by a derived ``price_bucket``
+    (width {w:.0f} → ~25 hive leaves), commits with
+    ``manifest_shard_files={k}`` so its census lands as columnar
+    parquet shards under ``v_*/_manifest``; ``read_table_skipping``
+    then evaluates the skip predicate as an Arrow-batched
+    ``mapInPandas`` job OVER THE MANIFEST ROWS — decisions identical
+    to the inline rule (pytest-pinned), work distributed over shards,
+    only kept relpaths returned to the driver (the list the scan needs
+    anyway). Two merge commits (create, then a %7 status flip — keys
+    unchanged, so no row changes bucket; the second commit re-reads
+    footers ONLY for rewritten leaves, reusing hardlinked entries from
+    the SHARDED previous census). Per price band × order status:
+    matched rows and the exact cents sum.
+
+    The oracle recomputes the merged state and band×status aggregates
+    relationally, so a hash match certifies the distributed decisions
+    dropped no matching file and the basePath read kept partition
+    values exact — through the sharded planning path end to end.
+
+    Scale: manifest scan parallelizes over shards (O(#files / shard)
+    per task), driver holds only kept paths; the inline single-JSON
+    fast path remains for small tables.
+    """
+    import os
+
+    from ..operators.writers import merge_upsert, read_table_skipping
+    from ..tmputil import session_tmpdir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = orders.withColumn(
+        "price_bucket",
+        F.floor(F.col("o_totalprice") / SMR_BUCKET_WIDTH).cast("bigint"),
+    )
+    keys = ["o_orderkey", "price_bucket"]
+    path = os.path.join(session_tmpdir("sharded_manifest_"), "orders_tbl")
+    merge_upsert(
+        spark, path, base, keys=keys, partition_col="price_bucket",
+        manifest_shard_files=SMR_SHARD_FILES,
+    )
+    merge_upsert(
+        spark, path,
+        base.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+            "o_orderstatus", F.lit("S")
+        ),
+        keys=keys, partition_col="price_bucket",
+        manifest_shard_files=SMR_SHARD_FILES,
+    )
+
+    parts = []
+    for lo, hi in SMR_BANDS:
+        pruned = read_table_skipping(
+            spark, path, {"o_totalprice": (lo, hi)}
+        )
+        parts.append(
+            pruned.filter(F.col("o_totalprice").between(lo, hi))
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_matched"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast(
+                        "bigint"
+                    )
+                ).alias("sum_cents"),
+            )
+            .withColumn("band_lo", F.lit(lo))
+            .withColumn("band_hi", F.lit(hi))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "band_lo", "band_hi", "o_orderstatus", "n_matched", "sum_cents"
+    ).orderBy("band_lo", "o_orderstatus")
+
+
+sharded_manifest_read.__doc__ = sharded_manifest_read.__doc__.format(
+    w=SMR_BUCKET_WIDTH, k=SMR_SHARD_FILES
+)
+OLAP_QUERIES["sharded_manifest_read"] = sharded_manifest_read

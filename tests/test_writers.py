@@ -1631,3 +1631,161 @@ def test_drop_partition_field_rollback_lifecycle(spark, tmp_path):
         .select("id", "day", "typ", "v").collect()
     )
     assert got2 == want + [(5, "d5", "view", 5.0)]
+
+
+def test_sharded_manifest_decisions_match_inline(spark, tmp_path):
+    """VERDICT r13 item 3: above the shard threshold the commit-time
+    census is written as SHARDED PARQUET under v_*/_manifest and
+    read_table_skipping evaluates keep/skip as a DISTRIBUTED job — the
+    decisions must be IDENTICAL to the inline/driver-side rule, the
+    pruned read must equal the unpruned table, and commit-time
+    hardlink-entry reuse must work from a sharded previous census."""
+    import json
+    import os
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        _SNAPSHOT_META,
+        _census_shard_paths,
+        _kept_files_distributed,
+        _resolve_data_dir,
+        file_skip_report,
+        history_file_stats,
+        merge_upsert,
+        read_table,
+        read_table_skipping,
+    )
+
+    rows = [
+        (i, f"d{i // 8}", float(i)) for i in range(64)
+    ]  # 8 day-leaves (v ranges segregate by leaf), threshold 4 -> sharded
+    path = str(tmp_path / "tbl")
+    merge_upsert(
+        spark, path, _frame(spark, rows), keys=["k", "day"],
+        partition_col="day", manifest_shard_files=4, keep_versions=5,
+    )
+    vdir = _resolve_data_dir(path)
+    meta = json.load(open(os.path.join(vdir, _SNAPSHOT_META)))
+    assert "file_stats" not in meta
+    assert meta["census_shards"] >= 2
+    shards = _census_shard_paths(vdir)
+    assert len(shards) == meta["census_shards"]
+
+    # distributed decisions == the driver-side rule (file_skip_report
+    # serves the same census via _load_census and applies the inline
+    # rule)
+    bounds = {"v": (10.0, 30.0)}
+    kept_dist = set(_kept_files_distributed(spark, vdir, bounds))
+    rep = file_skip_report(vdir, bounds)
+    kept_inline = {r["path"] for r in rep if not r["skip"]}
+    assert kept_dist == kept_inline
+    assert 0 < len(kept_dist) < len(rep), "bounds must be selective"
+
+    # pruned read == unpruned, partition column preserved
+    pruned = read_table_skipping(spark, path, bounds).filter(
+        F.col("v").between(10.0, 30.0)
+    )
+    want = sorted(
+        (k, d, v) for (k, d, v) in rows if 10.0 <= v <= 30.0
+    )
+    got = sorted(
+        tuple(r) for r in pruned.select("k", "day", "v").collect()
+    )
+    assert got == want
+
+    # audit surface serves from shards and equals the footer walk
+    stats_m = history_file_stats(path, ["v"])
+    sidecar = os.path.join(vdir, _SNAPSHOT_META)
+    os.rename(sidecar, sidecar + ".hidden")
+    try:
+        stats_f = history_file_stats(path, ["v"])
+    finally:
+        os.rename(sidecar + ".hidden", sidecar)
+    key = lambda s: (s["path"], s["n_rows"], s["mins"], s["maxs"])  # noqa: E731
+    assert [key(s) for s in stats_m] == [key(s) for s in stats_f]
+
+    # second commit: entry reuse from the SHARDED previous census —
+    # untouched leaves keep their entries verbatim (same ino+bytes)
+    import pyarrow.parquet as pq
+
+    def census_of(vd):
+        out = {}
+        for sp in _census_shard_paths(vd):
+            t = pq.read_table(sp)
+            for rel, ino, nb in zip(
+                t["rel"].to_pylist(), t["ino"].to_pylist(),
+                t["bytes"].to_pylist(),
+            ):
+                out[rel] = (ino, nb)
+        return out
+
+    c1 = census_of(vdir)
+    merge_upsert(
+        spark, path, _frame(spark, [(0, "d0", 99.0)]), keys=["k", "day"],
+        partition_col="day", manifest_shard_files=4, keep_versions=5,
+    )
+    vdir2 = _resolve_data_dir(path)
+    c2 = census_of(vdir2)
+    untouched = {r for r in c2 if not r.startswith("day=d0")}
+    assert untouched
+    for r in untouched:
+        assert c2[r] == c1[r], "hardlinked entry must be reused verbatim"
+
+    # unpruned read still clean (census shards invisible to table scans)
+    assert read_table(spark, path).count() == 64
+
+
+def test_sharded_manifest_spec_evolved_read(spark, tmp_path, monkeypatch):
+    """Sharded census + spec-evolved snapshot: layout emptiness comes
+    from the sidecar's census_dirs summary (one metadata read) and the
+    per-layout pruned union still equals the unpruned read."""
+    import json
+    import os
+
+    from etl_end_to_end_airflow_bigquery_spark.operators import writers
+
+    monkeypatch.setattr(writers, "MANIFEST_INLINE_MAX", 2)
+    schema = "id bigint, day string, typ string, v double"
+    keys = ["id", "day", "typ"]
+    path = str(tmp_path / "tbl")
+    pre = [(i, f"d{i % 3}", "view" if i % 2 else "click", float(i))
+           for i in range(12)]
+    writers.merge_upsert(
+        spark, path, spark.createDataFrame(pre, schema),
+        keys=keys, partition_col="day", keep_versions=5,
+    )
+    writers.evolve_partition_spec(spark, path, ["day", "typ"],
+                                  keep_versions=5)
+    batch = [(20, "d9", "view", 20.0), (1, "d1", "view", 100.0)]
+    writers.merge_upsert_evolved(
+        spark, path, spark.createDataFrame(batch, schema),
+        keys=keys, keep_versions=5,
+    )
+    vdir = writers._resolve_data_dir(path)
+    meta = json.load(open(os.path.join(vdir, writers._SNAPSHOT_META)))
+    assert meta.get("census_shards"), "evolved commit must shard too"
+    assert set(meta["census_dirs"]) == {"layout_000", "layout_001"}
+
+    # census-dirs-served emptiness: no walk needed
+    def boom(_d):
+        raise AssertionError("sharded+evolved read must not walk layouts")
+
+    monkeypatch.setattr(writers, "_layout_has_data", boom)
+    want = sorted(
+        [(i, d, t, 100.0 if i == 1 else v) for i, d, t, v in pre]
+        + [(20, "d9", "view", 20.0)]
+    )
+    got = sorted(
+        tuple(r)
+        for r in writers.read_table(spark, path)
+        .select("id", "day", "typ", "v").collect()
+    )
+    assert got == want
+
+    # pruned evolved read through the distributed path == filter
+    pruned = writers.read_table_skipping(spark, path, {"v": (3.0, 9.0)})
+    got2 = sorted(
+        tuple(r)
+        for r in pruned.filter(F.col("v").between(3.0, 9.0))
+        .select("id", "day", "typ", "v").collect()
+    )
+    assert got2 == [t for t in want if 3.0 <= t[3] <= 9.0]

@@ -151,6 +151,10 @@ DEFAULT = [
     "manifest_skipping_read",    # manifest-planned pruned scans
     "evolved_merge_cdf",         # per-layout scoped change feed + fold
     "containment_near_dups_dense",  # measured pair-density bound (below)
+    # round 14
+    "partition_spec_rollback",   # evolve -> rollback -> 3-layout merge
+    "sharded_manifest_read",     # sharded census + distributed planning
+    "manifest_planning_filecount",  # planning cost vs FILE COUNT (below)
 ]
 
 
@@ -177,11 +181,50 @@ def _containment_dense(spark, sf_dir):
     return D.containment_pairs(docs.unionByName(dup))
 
 
+def _manifest_filecount(spark, sf_dir):
+    """FILE-COUNT ramp for manifest planning (VERDICT r13 item 3: 'a
+    SCALING probe over file count, not just row count'): the versioned
+    table is committed with a file count scaling 100x across the ramp
+    (32 -> 3200 via range-repartition on event_id, so files segregate
+    the skipped column), census sharded at 256 entries/shard, then
+    read_table_skipping plans a narrow event_id band. Times the whole
+    commit+plan+scan path; what must stay sublinear is planning as
+    #files grows — the walk and the distributed decide are both
+    O(#files) with small constants, never O(rows)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_end_to_end_airflow_bigquery_spark.io import load_table
+    from etl_end_to_end_airflow_bigquery_spark.operators import writers
+    from etl_end_to_end_airflow_bigquery_spark.tmputil import session_tmpdir
+
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[1])
+    n_files = max(8, int(32000 * sf))
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    path = os.path.join(session_tmpdir("mfc_"), "tbl")
+    vdir = writers._next_version_dir(path)
+    ev.repartitionByRange(n_files, "event_id").write.parquet(vdir)
+    writers._commit_version(
+        path, vdir, keep_versions=1, partition_spec=[],
+        manifest_shard_files=256,
+    )
+    hi = int(ev.count() * 0.02)
+    pruned = writers.read_table_skipping(
+        spark, path, {"event_id": (0, hi)}
+    )
+    return pruned.filter(F.col("event_id") <= hi).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+    )
+
+
 # Probe-only workloads (not registry queries — the gate invariant keeps
 # every registered query driver-gated, and these exist purely to
-# measure a documented cost bound on synthetic density).
+# measure a documented cost bound on synthetic density / file count).
 EXTRA_PROBES = {
     "containment_near_dups_dense": _containment_dense,
+    "manifest_planning_filecount": _manifest_filecount,
 }
 
 
