@@ -274,6 +274,8 @@ _GATE_ROTATION: tuple[str, ...] = (
                                 # (first and third share a spec)
     "sharded_manifest_read",  # census sharded to parquet, keep/skip
                               # evaluated as a distributed job
+    "cdf_retention_feed",  # feed retention decoupled from VACUUM:
+                           # preserved feeds fold exact IVM deltas
 )
 
 # Backfill to 50 (r8 policy, see module docstring). This round tier (b)
@@ -306,7 +308,7 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "partition_evolution_history", "evolved_merge_cdf",
     "streaming_partition_evolution", "merge_cdf_ivm_roundtrip",
     "cdf_squash_roundtrip", "merge_cdf_join_ivm", "streaming_cdc_apply",
-    "jsonl_commit_roundtrip", "observed_write_metrics",
+    "jsonl_commit_roundtrip",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

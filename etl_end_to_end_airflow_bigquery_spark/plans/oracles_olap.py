@@ -2418,3 +2418,74 @@ OLAP_ORACLES["sharded_manifest_read"] = f"""
     {_SMR_BAND_SELECTS}
     ORDER BY band_lo, o_orderstatus
 """
+
+from .queries_olap import CDFR_FACTORS as _CDFR_F
+from .queries_olap import CDFR_MODS as _CDFR_M
+
+# cdf_retention_feed: replay the four merges relationally and rebuild
+# each commit's induced change set from CONSECUTIVE STATES (update
+# pre/post pairs where the key existed, inserts where it didn't), then
+# fold exactly as the query folds the real feeds (signed scaled-int
+# micro-units, multiply AFTER the floor). Commit 1's feed is past
+# retention in the engine (loud-expired, pytest-pinned), so the oracle
+# emits commits 2-4 only. States are MATERIALIZED: DuckDB inlines
+# plain CTEs per reference and the state chain is referenced twice per
+# level.
+OLAP_ORACLES["cdf_retention_feed"] = f"""
+    WITH state0 AS MATERIALIZED (
+        SELECT o_orderkey AS k, o_totalprice AS v
+        FROM orders WHERE o_orderkey % 3 <> 0
+    ), src2 AS MATERIALIZED (
+        SELECT o_orderkey AS k, {_hs_round(f'o_totalprice * {_CDFR_F[0]!r}', 2)} AS v
+        FROM orders WHERE o_orderkey % {_CDFR_M[0]} = 0
+    ), state1 AS MATERIALIZED (
+        SELECT k, v FROM src2
+        UNION ALL
+        SELECT k, v FROM state0 WHERE k NOT IN (SELECT k FROM src2)
+    ), src3 AS MATERIALIZED (
+        SELECT o_orderkey AS k, {_hs_round(f'o_totalprice * {_CDFR_F[1]!r}', 2)} AS v
+        FROM orders WHERE o_orderkey % {_CDFR_M[1]} = 0
+    ), state2 AS MATERIALIZED (
+        SELECT k, v FROM src3
+        UNION ALL
+        SELECT k, v FROM state1 WHERE k NOT IN (SELECT k FROM src3)
+    ), src4 AS MATERIALIZED (
+        SELECT o_orderkey AS k, {_hs_round(f'o_totalprice * {_CDFR_F[2]!r}', 2)} AS v
+        FROM orders WHERE o_orderkey % {_CDFR_M[2]} = 0
+    ), chg AS (
+        SELECT 2 AS cv, 'update_postimage' AS ct, 1 AS w, s.v
+        FROM src2 s JOIN state0 t ON s.k = t.k
+        UNION ALL
+        SELECT 2, 'update_preimage', -1, t.v
+        FROM src2 s JOIN state0 t ON s.k = t.k
+        UNION ALL
+        SELECT 2, 'insert', 1, s.v
+        FROM src2 s WHERE s.k NOT IN (SELECT k FROM state0)
+        UNION ALL
+        SELECT 3, 'update_postimage', 1, s.v
+        FROM src3 s JOIN state1 t ON s.k = t.k
+        UNION ALL
+        SELECT 3, 'update_preimage', -1, t.v
+        FROM src3 s JOIN state1 t ON s.k = t.k
+        UNION ALL
+        SELECT 3, 'insert', 1, s.v
+        FROM src3 s WHERE s.k NOT IN (SELECT k FROM state1)
+        UNION ALL
+        SELECT 4, 'update_postimage', 1, s.v
+        FROM src4 s JOIN state2 t ON s.k = t.k
+        UNION ALL
+        SELECT 4, 'update_preimage', -1, t.v
+        FROM src4 s JOIN state2 t ON s.k = t.k
+        UNION ALL
+        SELECT 4, 'insert', 1, s.v
+        FROM src4 s WHERE s.k NOT IN (SELECT k FROM state2)
+    )
+    SELECT CAST(cv AS BIGINT) AS commit_version,
+           count(*) FILTER (WHERE ct = 'insert') AS n_insert,
+           count(*) FILTER (WHERE ct = 'update_postimage') AS n_update,
+           CAST(SUM(w * CAST(floor(v * 1000000.0 + 0.5) AS BIGINT))
+               AS BIGINT) AS delta_u
+    FROM chg
+    GROUP BY cv
+    ORDER BY commit_version
+"""

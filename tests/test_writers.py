@@ -1789,3 +1789,98 @@ def test_sharded_manifest_spec_evolved_read(spark, tmp_path, monkeypatch):
         .select("id", "day", "typ", "v").collect()
     )
     assert got2 == [t for t in want if 3.0 <= t[3] <= 9.0]
+
+
+def test_multiprocess_writer_contention_linearizes(spark, tmp_path):
+    """VERDICT r13 item 7: the table write lock is load-bearing for the
+    100 TB story but was proven only in-process. Two OS PROCESSES (own
+    SparkSessions) race merge_upsert on one table, then
+    merge_upsert_evolved on a spec-evolved table, retrying on
+    ConcurrentWriteError (the documented client protocol). Proofs:
+    (a) no lost update — every batch's effect is in the final state;
+    (b) a reader polling MID-RACE always sees a complete committed
+    snapshot (commit grain: row count stays ≡ 0 mod batch size);
+    (c) in-place updates still route to the historical layout under
+    contention."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        _CURRENT_PTR,
+        _resolve_data_dir,
+        evolve_partition_spec,
+        merge_upsert,
+        read_table,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "helpers", "contention_worker.py")
+    path_a = str(tmp_path / "tbl_plain")
+    path_b = str(tmp_path / "tbl_evolved")
+    n_batches = 3
+
+    # seed the evolved table's HISTORY: 10 rows in one day leaf (keys
+    # 0 and 1 are the workers' in-place update targets), then evolve
+    schema = "k bigint, day string, typ string, v double"
+    seed = [(j, "h0", "click", 0.0) for j in range(10)]
+    merge_upsert(
+        spark, path_b, spark.createDataFrame(seed, schema),
+        keys=["k", "day", "typ"], partition_col="day", keep_versions=20,
+    )
+    evolve_partition_spec(spark, path_b, ["day", "typ"], keep_versions=20)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, path_a, path_b, str(wid),
+             str(n_batches), repo],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for wid in (0, 1)
+    ]
+    # reader mid-race: every successful resolve must be a COMPLETE
+    # committed snapshot — counts stay multiples of 10 (each commit
+    # inserts exactly 10 fresh keys; in-place updates add none)
+    reads = 0
+    while any(p.poll() is None for p in procs):
+        for path in (path_a, path_b):
+            if os.path.isfile(os.path.join(path, _CURRENT_PTR)):
+                n = read_table(spark, path).count()
+                assert n % 10 == 0, (
+                    f"reader saw a partial snapshot: {n} rows in {path}"
+                )
+                reads += 1
+        time.sleep(0.3)
+    outs = [p.communicate() for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[-2000:]
+    assert reads > 0, "race too short: reader never sampled mid-race"
+
+    # (a) no lost update, plain table: all 2x3x10 keys, values = batch
+    rows_a = {
+        r.k: r.v for r in read_table(spark, path_a).collect()
+    }
+    want_a = {
+        wid * 100000 + b * 10 + j: float(b)
+        for wid in (0, 1) for b in range(n_batches) for j in range(10)
+    }
+    assert rows_a == want_a
+
+    # evolved table: seed 10 + 60 inserts; the two historical keys
+    # carry the LAST batch's in-place re-price
+    df_b = read_table(spark, path_b)
+    assert df_b.count() == 70
+    got_hist = {
+        r.k: r.v
+        for r in df_b.filter(F.col("k").isin(0, 1)).collect()
+    }
+    assert got_hist == {0: 100.0 + (n_batches - 1),
+                        1: 100.0 + (n_batches - 1)}
+    # (c) in-place updates stayed in the historical layout
+    import os as _os
+
+    vdir = _resolve_data_dir(path_b)
+    lay0 = spark.read.parquet(_os.path.join(vdir, "layout_000"))
+    hist0 = {r.k: r.v for r in lay0.filter(F.col("k").isin(0, 1)).collect()}
+    assert hist0 == got_hist
