@@ -2333,6 +2333,90 @@ def _compact_partitioned(
     return total_files
 
 
+def compact_parquet_evolved(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    shuffle: bool = False,
+) -> int:
+    """Small-file compaction ACROSS a spec-evolved table — with
+    :func:`delete_rows_evolved` this completes flat-rewriter parity
+    for evolved tables (the two operations ``_reject_spec_evolved``
+    deferred): every layout is compacted per FULL hive leaf under its
+    own spec (multi-column leaves like day=/typ= are sized at leaf
+    grain, same as the merge path's write scope), already-compact
+    leaves hardlink through unread, and ONE commit carries the layout
+    map forward. Returns the snapshot's output data-file count.
+
+    Scale: identical story to :func:`compact_parquet`'s per-leaf
+    path — a skewed leaf with thousands of streaming-sized files is
+    fixed without reading well-laid-out leaves, in any layout, and
+    readers always see a complete snapshot.
+    """
+    with _write_lock(path):
+        cur = _current_version_name(path)
+        if cur is None:
+            raise ValueError(
+                f"{path!r} is not a versioned table (no {_CURRENT_PTR})"
+            )
+        prev_dir = os.path.join(path, cur)
+        meta = _load_snapshot_meta(prev_dir)
+        layouts = (meta or {}).get("layouts")
+        if not layouts:
+            raise ValueError(
+                f"{path!r} is not spec-evolved — use compact_parquet"
+            )
+        vdir = _next_version_dir(path)
+        nonempty = _nonempty_layout_dirs(prev_dir, meta, layouts)
+        total_files = 0
+        for lay in layouts:
+            lay_src = os.path.join(prev_dir, lay["dir"])
+            dst = os.path.join(vdir, lay["dir"])
+            os.makedirs(dst, exist_ok=True)
+            if lay["dir"] not in nonempty:
+                continue
+            for leaf in sorted(_leaf_dirs(lay_src)):
+                src = (
+                    lay_src if leaf == "." else os.path.join(lay_src, leaf)
+                )
+                d = dst if leaf == "." else os.path.join(dst, leaf)
+                files = [
+                    f for f in os.listdir(src) if f.endswith(".parquet")
+                ]
+                leaf_bytes = sum(
+                    os.path.getsize(os.path.join(src, f)) for f in files
+                )
+                n = max(1, -(-leaf_bytes // target_file_bytes))
+                if len(files) <= n:
+                    # already compact: hardlink the leaf's FILES (not
+                    # _link_tree — '.' leaves would recurse into
+                    # sibling hive dirs)
+                    os.makedirs(d, exist_ok=True)
+                    for f in files:
+                        try:
+                            os.link(
+                                os.path.join(src, f), os.path.join(d, f)
+                            )
+                        except OSError:
+                            shutil.copy2(
+                                os.path.join(src, f), os.path.join(d, f)
+                            )
+                    total_files += len(files)
+                    continue
+                df = spark.read.parquet(src)  # hive cols live in dir name
+                shaped = df.repartition(n) if shuffle else df.coalesce(n)
+                shaped.write.mode("overwrite").parquet(d)
+                total_files += n
+        _commit_version(
+            path,
+            vdir,
+            keep_versions=2,
+            partition_spec=list(layouts[-1]["partition_cols"]),
+            layouts=layouts,
+        )
+        return total_files
+
+
 def cluster_write(
     df: DataFrame,
     path: str,
@@ -2422,6 +2506,113 @@ def delete_rows(
         n_after = spark.read.parquet(vdir).count()
         _commit_version(target_path, vdir, keep_versions)
         return n_before - n_after
+
+
+def delete_rows_evolved(
+    spark: SparkSession,
+    target_path: str,
+    predicate: str,
+    keep_versions: int = 2,
+) -> int:
+    """Subject deletion across a SPEC-EVOLVED table (closing the
+    r13-documented gap: flat rewriters refuse evolved tables because a
+    flat rewrite under a carried layout map bricks the table): each
+    layout is rewritten WITHOUT its matching rows UNDER ITS OWN SPEC,
+    scoped to the leaves that actually contain matches — the matching
+    rows' partition footprint is collected driver-side (bounded by the
+    subject's spread, one tuple per touched leaf, never per row) and
+    every untouched leaf enters the new snapshot as hardlinks. A leaf
+    whose rows ALL match simply disappears; a layout emptied entirely
+    stays in the map with zero files (the census-driven read skips
+    it). Returns the number of rows deleted.
+
+    Same GDPR semantics as :func:`delete_rows`: committed through the
+    versioned layout, ``keep_versions`` bounds how long the subject
+    stays time-travelable. At 100 TB the rewrite scope is
+    (matching leaves) x (their layouts) — pair the subject predicate
+    with a partition bound when the subject's footprint is known.
+    """
+    with _write_lock(target_path):
+        cur = _current_version_name(target_path)
+        if cur is None:
+            raise ValueError(
+                f"{target_path!r} is not a versioned table (no "
+                f"{_CURRENT_PTR})"
+            )
+        prev_dir = os.path.join(target_path, cur)
+        meta = _load_snapshot_meta(prev_dir)
+        layouts = (meta or {}).get("layouts")
+        if not layouts:
+            raise ValueError(
+                f"{target_path!r} is not spec-evolved — use delete_rows"
+            )
+        vdir = _next_version_dir(target_path)
+        nonempty = _nonempty_layout_dirs(prev_dir, meta, layouts)
+        deleted = 0
+        for lay in layouts:
+            cols = list(lay["partition_cols"])
+            lay_src = os.path.join(prev_dir, lay["dir"])
+            dst = os.path.join(vdir, lay["dir"])
+            os.makedirs(dst, exist_ok=True)
+            if lay["dir"] not in nonempty:
+                continue
+            df = spark.read.parquet(lay_src)
+            matches = df.filter(predicate)
+            if cols:
+                # the matching rows' TOUCHED LEAVES, from the physical
+                # file paths Spark actually scanned (never reconstructed
+                # from values — a delete can EMPTY a leaf, so the
+                # written-dirs diff the merge path uses can't tell
+                # "untouched" from "fully deleted"); bounded by the
+                # subject's file footprint
+                from urllib.parse import unquote, urlparse
+
+                touched_leaves = {
+                    os.path.relpath(
+                        os.path.dirname(unquote(urlparse(r[0]).path)),
+                        lay_src,
+                    )
+                    for r in matches.select(
+                        F.input_file_name()
+                    ).distinct().collect()
+                }
+                tuples = [
+                    tuple(r)
+                    for r in matches.select(*cols).distinct().collect()
+                ]
+                if tuples:
+                    scoped = df.filter(
+                        _partition_tuple_filter(cols, tuples)
+                    )
+                    deleted += scoped.filter(predicate).count()
+                    kept = scoped.filter(f"NOT ({predicate})")
+                    kept.write.mode("overwrite").partitionBy(
+                        *cols
+                    ).parquet(dst)
+                written = _leaf_dirs(dst) if os.path.isdir(dst) else set()
+                for leaf in _leaf_dirs(lay_src):
+                    if leaf not in written and leaf not in touched_leaves:
+                        _link_tree(
+                            os.path.join(lay_src, leaf),
+                            os.path.join(dst, leaf),
+                        )
+            else:
+                n_match = matches.count()
+                if n_match:
+                    deleted += n_match
+                    df.filter(f"NOT ({predicate})").write.mode(
+                        "overwrite"
+                    ).parquet(dst)
+                else:
+                    _link_tree(lay_src, dst)
+        _commit_version(
+            target_path,
+            vdir,
+            keep_versions,
+            partition_spec=list(layouts[-1]["partition_cols"]),
+            layouts=layouts,
+        )
+        return deleted
 
 
 def zorder_write(

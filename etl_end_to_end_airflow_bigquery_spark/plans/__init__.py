@@ -276,6 +276,10 @@ _GATE_ROTATION: tuple[str, ...] = (
                               # evaluated as a distributed job
     "cdf_retention_feed",  # feed retention decoupled from VACUUM:
                            # preserved feeds fold exact IVM deltas
+    "evolved_subject_delete",  # GDPR delete across a spec-evolved
+                               # table, per-layout leaf-scoped rewrite
+    "evolved_compaction_read",  # per-layout small-file compaction,
+                                # layout map carried in one commit
 )
 
 # Backfill to 50 (r8 policy, see module docstring). This round tier (b)
@@ -307,8 +311,7 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     "snapshot_diff_orders", "manifest_skipping_read",
     "partition_evolution_history", "evolved_merge_cdf",
     "streaming_partition_evolution", "merge_cdf_ivm_roundtrip",
-    "cdf_squash_roundtrip", "merge_cdf_join_ivm", "streaming_cdc_apply",
-    "jsonl_commit_roundtrip",
+    "cdf_squash_roundtrip", "merge_cdf_join_ivm",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

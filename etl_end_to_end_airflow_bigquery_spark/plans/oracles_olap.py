@@ -2489,3 +2489,39 @@ OLAP_ORACLES["cdf_retention_feed"] = f"""
     GROUP BY cv
     ORDER BY commit_version
 """
+
+from .queries_olap import ESD_SUBJECT_MOD as _ESD_MOD
+
+# evolved_subject_delete: the partition_evolution_history end state
+# (the %MOD re-price on pre-cutover rows) MINUS the deleted subject
+# class — a hash match certifies the per-layout delete removed exactly
+# the subject across both specs and both cutover sides, nothing else.
+OLAP_ORACLES["evolved_subject_delete"] = f"""
+    WITH cur AS (
+        SELECT event_type,
+               CASE WHEN CAST(ts AS DATE) < DATE '{_PEVO_CUT}'
+                         AND event_id % {_PEVO_MOD} = 0
+                    THEN {_hs_round('value * 1.1', 2)}
+                    ELSE value END AS value,
+               CAST(ts AS DATE) AS event_date
+        FROM events
+        WHERE user_id % {_ESD_MOD} <> 0
+    )
+    SELECT event_date,
+           event_type,
+           count(*) AS n_events,
+           {_hs_round(_hs_dsum('value'), 2)} AS sum_value
+    FROM cur
+    WHERE event_date BETWEEN DATE '{_PEVO_LO}' AND DATE '{_PEVO_HI}'
+      AND event_type IN ({", ".join(f"'{t}'" for t in _PEVO_TYPES)})
+    GROUP BY 1, 2
+    ORDER BY event_date, event_type
+"""
+
+# evolved_compaction_read: compaction changes file layout and NOTHING
+# else, so the oracle is partition_evolution_history's VERBATIM — a
+# hash match against the uncompacted state certifies zero rows or
+# values lost, duplicated, or re-routed by the per-layout rewrite.
+OLAP_ORACLES["evolved_compaction_read"] = OLAP_ORACLES[
+    "partition_evolution_history"
+]

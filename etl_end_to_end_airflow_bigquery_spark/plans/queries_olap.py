@@ -5784,3 +5784,187 @@ cdf_retention_feed.__doc__ = cdf_retention_feed.__doc__.format(
     keep=CDFR_KEEP_FEEDS
 )
 OLAP_QUERIES["cdf_retention_feed"] = cdf_retention_feed
+
+
+ESD_SUBJECT_MOD = 41  # the deleted subject class: user_id % 41 == 0
+
+
+def evolved_subject_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR subject deletion ACROSS a spec-evolved table (closing the
+    gap the flat rewriters refuse loudly: a flat rewrite under a
+    carried layout map would brick the table): the
+    ``partition_evolution_history`` fixture's table — history under
+    (event_date), evolved slice under (event_date, event_type), the
+    %{mod7} re-price applied across the cutover — then
+    ``writers.delete_rows_evolved`` erases every row of the subject
+    class user_id %{mods} == 0 in ONE commit: each layout rewritten
+    without its matches UNDER ITS OWN SPEC, rewrite scope = the
+    matching rows' leaf footprint per layout (collected driver-side,
+    bounded by the subject's spread), untouched leaves hardlinked,
+    fully-emptied leaves disappear (taken from the matches' physical
+    file paths, never reconstructed from values). The final report
+    (per event_date x type over the cutover band) reads the table
+    post-delete.
+
+    The oracle rebuilds the re-priced end state relationally MINUS the
+    subject's rows, so a hash match certifies the per-layout delete
+    removed exactly the subject everywhere — both specs, both sides
+    of the cutover — and nothing else.
+
+    Scale: delete cost is (matching leaves) x (their layouts);
+    keep_versions bounds how long the subject stays time-travelable
+    (the pytest pins leaf-grain behavior incl. the
+    fully-deleted-leaf / re-link hazard).
+    """
+    import os
+
+    from ..operators.writers import (
+        delete_rows_evolved,
+        evolve_partition_spec,
+        merge_upsert,
+        merge_upsert_evolved,
+        read_table,
+    )
+    from ..tmputil import session_tmpdir
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.to_date("ts").alias("event_date"),
+    )
+    keys = ["event_id", "event_date", "event_type"]
+    path = os.path.join(session_tmpdir("esd_"), "events_tbl")
+    cut = F.lit(PEVO_CUTOVER).cast("date")
+    pre = ev.filter(F.col("event_date") < cut)
+    merge_upsert(
+        spark, path, pre, keys=keys, partition_col="event_date",
+        keep_versions=3,
+    )
+    evolve_partition_spec(
+        spark, path, ["event_date", "event_type"], keep_versions=3
+    )
+    post = ev.filter(F.col("event_date") >= cut)
+    upd = pre.filter(F.col("event_id") % PEVO_UPD_MOD == 0).withColumn(
+        "value", round_half_up(F.col("value") * 1.1, 2)
+    )
+    merge_upsert_evolved(
+        spark, path, post.unionByName(upd), keys=keys, keep_versions=3
+    )
+    delete_rows_evolved(
+        spark, path, f"user_id % {ESD_SUBJECT_MOD} = 0", keep_versions=3
+    )
+    table = read_table(spark, path)
+    return (
+        table.filter(
+            F.col("event_date").between(
+                F.lit(PEVO_LO).cast("date"), F.lit(PEVO_HI).cast("date")
+            )
+            & F.col("event_type").isin(*PEVO_TYPES)
+        )
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round_half_up(decimal_sum(F.col("value")), 2).alias("sum_value"),
+        )
+        .orderBy("event_date", "event_type")
+    )
+
+
+evolved_subject_delete.__doc__ = evolved_subject_delete.__doc__.format(
+    mod7=PEVO_UPD_MOD, mods=ESD_SUBJECT_MOD
+)
+OLAP_QUERIES["evolved_subject_delete"] = evolved_subject_delete
+
+
+def evolved_compaction_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-layout small-file COMPACTION across a spec-evolved table
+    (with ``delete_rows_evolved`` this completes flat-rewriter parity —
+    the two operations the r13 guard deferred): the
+    ``partition_evolution_history`` fixture's table is built with its
+    first layout deliberately FRAGMENTED (AQE partition-coalescing
+    scoped off for the seeding merge, so every shuffle task writes a
+    file into every touched day leaf), then
+    ``writers.compact_parquet_evolved`` rewrites each fragmented leaf
+    to its size-targeted file count UNDER ITS OWN LAYOUT'S SPEC while
+    already-compact leaves hardlink through unread, in ONE commit that
+    carries the layout map. The report reads the compacted table.
+
+    The oracle is ``partition_evolution_history``'s VERBATIM — the
+    whole point of compaction is that it changes file layout and
+    nothing else, so a hash match against the uncompacted state's
+    oracle certifies zero rows/values lost, duplicated, or re-routed
+    across layouts. The pytest pins the file mechanics (fragmented →
+    1 per leaf, hardlinked untouched leaf, later merges still work).
+
+    Scale: compaction is THE maintenance op for streaming-fed
+    lakehouse tables; per-leaf scope means a skewed leaf is fixed
+    without reading healthy ones, in any layout.
+    """
+    import os
+
+    from ..operators.writers import (
+        compact_parquet_evolved,
+        evolve_partition_spec,
+        merge_upsert,
+        merge_upsert_evolved,
+        read_table,
+    )
+    from ..tmputil import session_tmpdir
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.to_date("ts").alias("event_date"),
+    )
+    keys = ["event_id", "event_date", "event_type"]
+    path = os.path.join(session_tmpdir("evocompact_"), "events_tbl")
+    cut = F.lit(PEVO_CUTOVER).cast("date")
+    pre = ev.filter(F.col("event_date") < cut)
+    prev_coal = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled", "true"
+    )
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.enabled", "false"
+    )
+    try:
+        merge_upsert(
+            spark, path, pre, keys=keys, partition_col="event_date",
+            keep_versions=3,
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", prev_coal
+        )
+    evolve_partition_spec(
+        spark, path, ["event_date", "event_type"], keep_versions=3
+    )
+    post = ev.filter(F.col("event_date") >= cut)
+    upd = pre.filter(F.col("event_id") % PEVO_UPD_MOD == 0).withColumn(
+        "value", round_half_up(F.col("value") * 1.1, 2)
+    )
+    merge_upsert_evolved(
+        spark, path, post.unionByName(upd), keys=keys, keep_versions=3
+    )
+    compact_parquet_evolved(spark, path)
+    table = read_table(spark, path)
+    return (
+        table.filter(
+            F.col("event_date").between(
+                F.lit(PEVO_LO).cast("date"), F.lit(PEVO_HI).cast("date")
+            )
+            & F.col("event_type").isin(*PEVO_TYPES)
+        )
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round_half_up(decimal_sum(F.col("value")), 2).alias("sum_value"),
+        )
+        .orderBy("event_date", "event_type")
+    )
+
+
+OLAP_QUERIES["evolved_compaction_read"] = evolved_compaction_read

@@ -1884,3 +1884,193 @@ def test_multiprocess_writer_contention_linearizes(spark, tmp_path):
     lay0 = spark.read.parquet(_os.path.join(vdir, "layout_000"))
     hist0 = {r.k: r.v for r in lay0.filter(F.col("k").isin(0, 1)).collect()}
     assert hist0 == got_hist
+
+
+def test_delete_rows_evolved_per_layout(spark, tmp_path):
+    """Subject deletion across a spec-evolved table (the gap
+    _reject_spec_evolved documents): each layout rewrites WITHOUT its
+    matching rows under its own spec, untouched leaves hardlink
+    through, a fully-deleted leaf disappears (and must NOT be
+    re-linked by the untouched-leaf carry), and time travel still
+    shows the pre-delete state inside retention."""
+    import os
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        _resolve_data_dir,
+        delete_rows,
+        delete_rows_evolved,
+        evolve_partition_spec,
+        merge_upsert,
+        merge_upsert_evolved,
+        read_table,
+        table_versions,
+    )
+
+    schema = "id bigint, day string, typ string, v double"
+    keys = ["id", "day", "typ"]
+    path = str(tmp_path / "tbl")
+    pre = [
+        (1, "d1", "view", 1.0), (2, "d1", "click", 2.0),
+        (3, "d2", "view", 3.0), (4, "d3", "view", 4.0),
+    ]
+    merge_upsert(
+        spark, path, spark.createDataFrame(pre, schema),
+        keys=keys, partition_col="day", keep_versions=10,
+    )
+    evolve_partition_spec(spark, path, ["day", "typ"], keep_versions=10)
+    post = [(5, "d4", "view", 5.0), (6, "d4", "click", 6.0)]
+    merge_upsert_evolved(
+        spark, path, spark.createDataFrame(post, schema),
+        keys=keys, keep_versions=10,
+    )
+    # plain delete_rows still refuses the evolved table loudly
+    with pytest.raises(ValueError, match="spec-evolved"):
+        delete_rows(spark, path, "id = 1")
+    v1_dir = _resolve_data_dir(path)
+    f_d2 = _one_parquet(os.path.join(v1_dir, "layout_000", "day=d2"))
+
+    # delete: all of d1 in layout_000 (leaf d1 fully emptied), the
+    # view row of d4 in layout_001 (leaf partially emptied), nothing
+    # in d2/d3 (hardlinked through)
+    n = delete_rows_evolved(
+        spark, path, "v IN (1.0, 2.0, 5.0)", keep_versions=10
+    )
+    assert n == 3
+    want = [(3, "d2", "view", 3.0), (4, "d3", "view", 4.0),
+            (6, "d4", "click", 6.0)]
+    got = sorted(
+        tuple(r)
+        for r in read_table(spark, path)
+        .select("id", "day", "typ", "v").collect()
+    )
+    assert got == want
+
+    v2_dir = _resolve_data_dir(path)
+    # fully-deleted leaf is GONE, not re-linked
+    assert not os.path.isdir(os.path.join(v2_dir, "layout_000", "day=d1"))
+    # partially-deleted evolved leaf: click survives, view leaf gone
+    assert not os.path.isdir(
+        os.path.join(v2_dir, "layout_001", "day=d4", "typ=view")
+    )
+    assert os.path.isdir(
+        os.path.join(v2_dir, "layout_001", "day=d4", "typ=click")
+    )
+    # untouched leaf carried as the SAME inode
+    f_d2_new = _one_parquet(os.path.join(v2_dir, "layout_000", "day=d2"))
+    assert os.stat(f_d2_new).st_ino == os.stat(f_d2).st_ino
+
+    # pre-delete state still time-travelable inside retention
+    vs = table_versions(path)
+    before = read_table(spark, path, version=vs[-2])
+    assert before.count() == 6
+
+    # deleting everything a layout holds leaves it empty but readable
+    n2 = delete_rows_evolved(spark, path, "day = 'd4'", keep_versions=10)
+    assert n2 == 1
+    got2 = sorted(
+        tuple(r)
+        for r in read_table(spark, path)
+        .select("id", "day", "typ", "v").collect()
+    )
+    assert got2 == want[:2]
+
+
+def test_compact_parquet_evolved_per_leaf(spark, tmp_path):
+    """Per-layout compaction (the second half of flat-rewriter parity
+    for evolved tables): fragmented leaves compact under their own
+    layout's spec, already-compact leaves hardlink through unread,
+    rows/values/partitioning are preserved, and the layout map carries
+    forward so reads keep working."""
+    import os
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        _leaf_dirs,
+        _resolve_data_dir,
+        compact_parquet,
+        compact_parquet_evolved,
+        evolve_partition_spec,
+        merge_upsert,
+        merge_upsert_evolved,
+        read_table,
+    )
+
+    schema = "id bigint, day string, typ string, v double"
+    keys = ["id", "day", "typ"]
+    path = str(tmp_path / "tbl")
+    pre = [(i, f"d{i % 2}", "view", float(i)) for i in range(40)]
+    # fragment the first layout: the merge's internal dropDuplicates
+    # reshuffles, and AQE would coalesce tiny data to one task — scope
+    # it off so ~8 tasks each write a file into both leaves
+    prev_coal = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled", "true"
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        merge_upsert(
+            spark, path, spark.createDataFrame(pre, schema),
+            keys=keys, partition_col="day", keep_versions=10,
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", prev_coal
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    evolve_partition_spec(spark, path, ["day", "typ"], keep_versions=10)
+    post = [(100 + i, "d9", "view" if i % 2 else "click", float(i))
+            for i in range(6)]
+    merge_upsert_evolved(
+        spark, path, spark.createDataFrame(post, schema).coalesce(1),
+        keys=keys, keep_versions=10,
+    )
+    with pytest.raises(ValueError, match="spec-evolved"):
+        compact_parquet(spark, path)
+
+    v1 = _resolve_data_dir(path)
+
+    def files_per_leaf(vdir, lay):
+        root = os.path.join(vdir, lay)
+        return {
+            leaf: sum(
+                f.endswith(".parquet")
+                for f in os.listdir(os.path.join(root, leaf))
+            )
+            for leaf in _leaf_dirs(root)
+        }
+
+    before0 = files_per_leaf(v1, "layout_000")
+    assert max(before0.values()) >= 4, "fixture must be fragmented"
+    before1 = files_per_leaf(v1, "layout_001")
+    assert set(before1.values()) == {1}, "evolved leaves already compact"
+    f_keep = _one_parquet(os.path.join(v1, "layout_001", "day=d9",
+                                       "typ=click"))
+    want = sorted(
+        tuple(r)
+        for r in read_table(spark, path)
+        .select("id", "day", "typ", "v").collect()
+    )
+
+    n_out = compact_parquet_evolved(spark, path)
+    v2 = _resolve_data_dir(path)
+    after0 = files_per_leaf(v2, "layout_000")
+    assert set(after0.values()) == {1}, f"not compacted: {after0}"
+    assert n_out == len(after0) + len(before1)
+    # already-compact leaf carried as the SAME inode (unread)
+    f2 = _one_parquet(os.path.join(v2, "layout_001", "day=d9",
+                                   "typ=click"))
+    assert os.stat(f2).st_ino == os.stat(f_keep).st_ino
+    # values + partitioning preserved, reads still resolve the map
+    got = sorted(
+        tuple(r)
+        for r in read_table(spark, path)
+        .select("id", "day", "typ", "v").collect()
+    )
+    assert got == want
+    # a later evolved merge still works on the compacted snapshot
+    merge_upsert_evolved(
+        spark, path,
+        spark.createDataFrame([(999, "d9", "view", 9.9)], schema),
+        keys=keys, keep_versions=10,
+    )
+    assert read_table(spark, path).count() == len(want) + 1
