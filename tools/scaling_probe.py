@@ -154,6 +154,9 @@ DEFAULT = [
     # round 14
     "partition_spec_rollback",   # evolve -> rollback -> 3-layout merge
     "sharded_manifest_read",     # sharded census + distributed planning
+    "cdf_retention_feed",        # 4 CDF commits + retention + feed fold
+    "evolved_subject_delete",    # per-layout leaf-scoped GDPR rewrite
+    "evolved_compaction_read",   # per-layout leaf-grain compaction
     "manifest_planning_filecount",  # planning cost vs FILE COUNT (below)
 ]
 
