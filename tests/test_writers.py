@@ -2074,3 +2074,83 @@ def test_compact_parquet_evolved_per_leaf(spark, tmp_path):
         keys=keys, keep_versions=10,
     )
     assert read_table(spark, path).count() == len(want) + 1
+
+
+def test_sharded_census_type_tags_roundtrip_exotic_types(spark, tmp_path):
+    """The sharded census serializes min/max as type-tagged JSON TEXT
+    inside parquet shards — date/timestamp/decimal/binary stats must
+    round-trip exactly through that extra encode hop, serve
+    value-identical to the footer walk, and drive correct DISTRIBUTED
+    skip decisions on a non-numeric (date) bound."""
+    import datetime
+    import os
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        _SNAPSHOT_META,
+        _resolve_data_dir,
+        history_file_stats,
+        merge_upsert,
+        read_table_skipping,
+    )
+
+    rows = [
+        (
+            i,
+            f"d{i // 4}",
+            datetime.date(2024, 1, 1 + i),
+            datetime.datetime(2024, 1, 1, i, 0, 0),
+            float(i),
+            f"s{i:03d}",
+            bytes([i, 255 - i]),
+        )
+        for i in range(16)
+    ]
+    schema = (
+        "k bigint, day string, d date, ts timestamp, v double, "
+        "s string, b binary"
+    )
+    path = str(tmp_path / "tbl")
+    merge_upsert(
+        spark, path, spark.createDataFrame(rows, schema),
+        keys=["k", "day"], partition_col="day",
+        manifest_shard_files=2, keep_versions=5,
+    )
+    vdir = _resolve_data_dir(path)
+    import json
+
+    meta = json.load(open(os.path.join(vdir, _SNAPSHOT_META)))
+    assert meta.get("census_shards", 0) >= 2
+
+    cols = ["d", "ts", "v", "s", "b"]
+    from_shards = history_file_stats(path, cols)
+    sidecar = os.path.join(vdir, _SNAPSHOT_META)
+    os.rename(sidecar, sidecar + ".hidden")
+    try:
+        from_footers = history_file_stats(path, cols)
+    finally:
+        os.rename(sidecar + ".hidden", sidecar)
+    assert [
+        (e["path"], e["n_rows"], e["mins"], e["maxs"])
+        for e in from_shards
+    ] == [
+        (e["path"], e["n_rows"], e["mins"], e["maxs"])
+        for e in from_footers
+    ], "tagged values must round-trip exactly through parquet shards"
+    # types survived (not stringified); ts is None in BOTH modes when
+    # Spark writes INT96 (no footer min/max — the conservative
+    # must-scan value), which the equality above already pins
+    assert isinstance(from_shards[0]["mins"]["d"], datetime.date)
+    assert isinstance(from_shards[0]["mins"]["b"], bytes)
+
+    # DATE bound through the distributed decide: day=d0 holds Jan 1-4,
+    # so a Jan 9-12 band must skip it and keep day=d2 exactly
+    pruned = read_table_skipping(
+        spark, path,
+        {"d": (datetime.date(2024, 1, 9), datetime.date(2024, 1, 12))},
+    )
+    got = sorted(
+        r.k for r in pruned.filter(
+            F.col("d").between("2024-01-09", "2024-01-12")
+        ).collect()
+    )
+    assert got == [8, 9, 10, 11]
