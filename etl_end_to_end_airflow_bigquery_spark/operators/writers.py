@@ -133,6 +133,25 @@ def _seq_of(vname: str) -> int:
     return int(part) if part.isdigit() else -1
 
 
+def _read_ledger(path: str) -> list[str] | None:
+    """Every snapshot name ever recorded in the ``_COMMITS`` ledger,
+    committed order, duplicates dropped — whether or not the directory
+    still exists. None when the table predates the ledger. The single
+    parse shared by :func:`_committed_versions` (which filters to live
+    dirs) and :func:`read_table_changes`'s forensic expired-feed check
+    (code-review r14: two copies of the line parse would drift)."""
+    ledger = os.path.join(path, _LEDGER)
+    if not os.path.isfile(ledger):
+        return None
+    names: list[str] = []
+    with open(ledger, encoding="utf-8") as f:
+        for line in f:
+            n = line.strip()
+            if n and n not in names:
+                names.append(n)
+    return names
+
+
 def _committed_versions(path: str) -> list[str]:
     """Committed snapshot dir names, oldest → newest.
 
@@ -142,15 +161,12 @@ def _committed_versions(path: str) -> list[str]:
     dir with sequence ≤ the current pointer's" — under the single-writer
     contract any HIGHER sequence without a ledger entry is a crash
     orphan, never a commit."""
-    ledger = os.path.join(path, _LEDGER)
     cur = _current_version_name(path)
-    names: list[str] = []
-    if os.path.isfile(ledger):
-        with open(ledger, encoding="utf-8") as f:
-            for line in f:
-                n = line.strip()
-                if n and n not in names and os.path.isdir(os.path.join(path, n)):
-                    names.append(n)
+    recorded = _read_ledger(path)
+    if recorded is not None:
+        names = [
+            n for n in recorded if os.path.isdir(os.path.join(path, n))
+        ]
         if cur and cur not in names and os.path.isdir(os.path.join(path, cur)):
             names.append(cur)
         return names
@@ -317,6 +333,7 @@ def read_table_skipping(
     meta = _load_snapshot_meta(vdir) or {}
     meta_layouts = meta.get("layouts")
 
+    kept_all: list[str] | None = None
     if meta.get("census_shards"):
         # SHARDED manifest: evaluate keep/skip as a DISTRIBUTED job
         # over the census rows (VERDICT r13 item 3) — at millions of
@@ -324,10 +341,26 @@ def read_table_skipping(
         # bottleneck, so it runs where the manifest rows are. The kept
         # list is collected because it IS the scan's file list (bounded
         # by the predicate's true footprint, same as the inline path).
-        kept_all = _kept_files_distributed(spark, vdir, bounds)
-    else:
-        # inline fast path: one JSON read (footer fallback inside),
-        # validated against the live listing by history_file_stats
+        # Guarantee parity with the inline path (code-review r14): the
+        # census must cover every live data file — snapshots are
+        # immutable and sweeps are whole-snapshot, so a names-only
+        # count check against one live walk pins set equality; a
+        # mismatch (hand-restored file, partial recovery) degrades to
+        # the validated stats path below instead of silently dropping
+        # the uncensused file's rows. Kept paths are additionally
+        # filtered to the live set — the inline branch's
+        # vanished-entry tolerance.
+        live = {rel for rel, _p in _iter_data_files(vdir)}
+        if len(live) == meta.get("census_files"):
+            kept_all = [
+                kp
+                for kp in _kept_files_distributed(spark, vdir, bounds)
+                if os.path.relpath(kp, vdir) in live
+            ]
+    if kept_all is None:
+        # inline fast path: one JSON read (footer fallback inside,
+        # also the sharded path's degradation target), validated
+        # against the live listing by history_file_stats
         stats = history_file_stats(path, list(bounds), version=version)
         kept_all = []
         for s in stats:
@@ -743,6 +776,12 @@ def _write_snapshot_meta(
     """
     import json
 
+    if manifest_shard_files is not None and manifest_shard_files < 1:
+        raise ValueError(
+            f"manifest_shard_files must be >= 1 or None, got "
+            f"{manifest_shard_files}"
+        )
+    policy = manifest_shard_files
     prev_stats: dict = {}
     cur = _current_version_name(path)  # pointer not yet flipped
     if cur is not None:
@@ -754,6 +793,14 @@ def _write_snapshot_meta(
                 partition_spec = prev_meta.get("partition_spec")
             if layouts is None:
                 layouts = prev_meta.get("layouts")
+            if policy is None:
+                # the sharding threshold is a TABLE PROPERTY
+                # (code-review r14): set once at any commit, inherited
+                # by every later commit — evolved merges, compaction,
+                # deletes, retention — so a table's census serving
+                # mode can't silently revert to inline JSON on its
+                # next maintenance commit
+                policy = prev_meta.get("manifest_shard_files")
     file_stats: dict = {}
     for rel, fpath in _iter_data_files(vdir):
         try:
@@ -784,12 +831,11 @@ def _write_snapshot_meta(
         "manifest_id": uuid.uuid4().hex,
         "partition_spec": partition_spec,
         "layouts": layouts,
+        # None = module default; an explicit value persists as the
+        # table's sharding policy (inherited above)
+        "manifest_shard_files": policy,
     }
-    threshold = (
-        MANIFEST_INLINE_MAX
-        if manifest_shard_files is None
-        else manifest_shard_files
-    )
+    threshold = MANIFEST_INLINE_MAX if policy is None else policy
     # No writer carries _manifest between snapshots (census is
     # per-snapshot), but remove any stray copy before (re)writing:
     # overwriting a hardlinked shard in place would mutate another
@@ -959,20 +1005,10 @@ _CDF_RETAINED = "_cdf"  # table-level home for feeds preserved past
 
 
 def _ledger_names(path: str) -> list[str]:
-    """Every snapshot name ever recorded in the ledger, committed
-    order, whether or not its directory still exists — the forensic
-    record :func:`_committed_versions` filters to live dirs. Used to
-    distinguish 'feed EXPIRED' (snapshot once existed) from 'feed never
-    emitted' in :func:`read_table_changes`."""
-    ledger = os.path.join(path, _LEDGER)
-    names: list[str] = []
-    if os.path.isfile(ledger):
-        with open(ledger, encoding="utf-8") as f:
-            for line in f:
-                n = line.strip()
-                if n and n not in names:
-                    names.append(n)
-    return names
+    """Forensic ledger record for :func:`read_table_changes`: every
+    snapshot name ever committed, whether or not its directory still
+    exists (``_committed_versions`` filters to live dirs)."""
+    return _read_ledger(path) or []
 
 
 def _feed_dirs(path: str) -> dict[str, str]:
@@ -1379,10 +1415,13 @@ def read_table_changes(
     ``expire_versions(..., cdf_keep_last=N)`` are read transparently
     from ``<table>/_cdf/<snapshot>/``.
 
-    Asking for a commit whose feed retention has EXPIRED raises loudly
+    Asking for a SWEPT commit with no preserved feed raises loudly
     (VERDICT r13 item 5 — an IVM consumer must never silently fold an
-    incomplete delta range), distinguished from a commit that never
-    emitted a feed via the ledger's forensic record."""
+    incomplete delta range). The ledger records commits, not feed
+    emission, so for a swept commit the error honestly says "expired
+    OR never emitted" (code-review r14); the clean never-emitted
+    message is reserved for commits still retained, where the absence
+    is verifiable."""
     feeds = _feed_dirs(path) if os.path.isdir(path) else {}
     if version is None:
         if not feeds:
@@ -1397,8 +1436,10 @@ def read_table_changes(
     if version in ever and version not in live:
         raise ValueError(
             f"change feed for snapshot v_{version:06d} under {path!r} "
-            "has EXPIRED: the snapshot was swept by retention and its "
-            "feed was not preserved (expire_versions cdf_keep_last). "
+            "is not readable — EXPIRED or never emitted: the snapshot "
+            "was swept by retention and no feed of that commit was "
+            "preserved (expire_versions cdf_keep_last; whether one was "
+            "emitted is no longer knowable once the snapshot is gone). "
             f"Readable feeds: {have or 'none'} — an IVM consumer this "
             "far behind must rebuild from a full snapshot read."
         )
@@ -2500,7 +2541,11 @@ def delete_rows(
         _reject_spec_evolved(target_path, "delete_rows")
         cur = read_table(spark, target_path)
         n_before = cur.count()
-        kept = cur.filter(f"NOT ({predicate})")
+        # SQL DELETE semantics (code-review r14): only rows where the
+        # predicate is TRUE are deleted — a NULL-valued predicate
+        # (e.g. "x > 5" on a NULL x) keeps its row, same as DELETE in
+        # every SQL engine; plain NOT(pred) would silently drop it.
+        kept = cur.filter(f"NOT coalesce(({predicate}), false)")
         vdir = _next_version_dir(target_path)
         kept.write.mode("overwrite").parquet(vdir)
         n_after = spark.read.parquet(vdir).count()
@@ -2524,7 +2569,9 @@ def delete_rows_evolved(
     every untouched leaf enters the new snapshot as hardlinks. A leaf
     whose rows ALL match simply disappears; a layout emptied entirely
     stays in the map with zero files (the census-driven read skips
-    it). Returns the number of rows deleted.
+    it). Returns the number of rows deleted. SQL DELETE semantics:
+    only rows where ``predicate`` evaluates TRUE are deleted —
+    NULL-predicate rows are kept and not counted.
 
     Same GDPR semantics as :func:`delete_rows`: committed through the
     versioned layout, ``keep_versions`` bounds how long the subject
@@ -2557,35 +2604,43 @@ def delete_rows_evolved(
             if lay["dir"] not in nonempty:
                 continue
             df = spark.read.parquet(lay_src)
-            matches = df.filter(predicate)
+            matches = df.filter(predicate)  # predicate IS TRUE rows
             if cols:
-                # the matching rows' TOUCHED LEAVES, from the physical
-                # file paths Spark actually scanned (never reconstructed
-                # from values — a delete can EMPTY a leaf, so the
+                # ONE job per layout (code-review r14: leaves, tuple
+                # footprint, and the delete count used to be three
+                # separate scans): group the matching rows by physical
+                # file + partition tuple. Leaves come from the paths
+                # Spark actually scanned (never reconstructed from
+                # values — a delete can EMPTY a leaf, so the
                 # written-dirs diff the merge path uses can't tell
                 # "untouched" from "fully deleted"); bounded by the
-                # subject's file footprint
+                # subject's file footprint.
                 from urllib.parse import unquote, urlparse
 
+                grouped = matches.groupBy(
+                    F.input_file_name().alias("__f"), *cols
+                ).count().collect()
                 touched_leaves = {
                     os.path.relpath(
-                        os.path.dirname(unquote(urlparse(r[0]).path)),
+                        os.path.dirname(unquote(urlparse(r["__f"]).path)),
                         lay_src,
                     )
-                    for r in matches.select(
-                        F.input_file_name()
-                    ).distinct().collect()
+                    for r in grouped
                 }
-                tuples = [
-                    tuple(r)
-                    for r in matches.select(*cols).distinct().collect()
-                ]
+                tuples = list(
+                    {tuple(r[c] for c in cols) for r in grouped}
+                )
+                deleted += sum(r["count"] for r in grouped)
                 if tuples:
                     scoped = df.filter(
                         _partition_tuple_filter(cols, tuples)
                     )
-                    deleted += scoped.filter(predicate).count()
-                    kept = scoped.filter(f"NOT ({predicate})")
+                    # SQL DELETE semantics: only predicate-TRUE rows
+                    # go; NULL-predicate rows are kept (code-review
+                    # r14 — NOT(pred) silently dropped them, uncounted)
+                    kept = scoped.filter(
+                        f"NOT coalesce(({predicate}), false)"
+                    )
                     kept.write.mode("overwrite").partitionBy(
                         *cols
                     ).parquet(dst)
@@ -2600,9 +2655,9 @@ def delete_rows_evolved(
                 n_match = matches.count()
                 if n_match:
                     deleted += n_match
-                    df.filter(f"NOT ({predicate})").write.mode(
-                        "overwrite"
-                    ).parquet(dst)
+                    df.filter(
+                        f"NOT coalesce(({predicate}), false)"
+                    ).write.mode("overwrite").parquet(dst)
                 else:
                     _link_tree(lay_src, dst)
         _commit_version(

@@ -2154,3 +2154,151 @@ def test_sharded_census_type_tags_roundtrip_exotic_types(spark, tmp_path):
         ).collect()
     )
     assert got == [8, 9, 10, 11]
+
+
+def test_delete_semantics_null_predicate_rows_kept(spark, tmp_path):
+    """Code-review r14: SQL DELETE semantics — a NULL-valued predicate
+    keeps its row in BOTH delete paths (plain NOT(pred) silently
+    dropped such rows, uncounted, and only in leaves that also held a
+    true match)."""
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        delete_rows,
+        delete_rows_evolved,
+        evolve_partition_spec,
+        merge_upsert,
+        read_table,
+    )
+
+    schema = "id bigint, day string, typ string, v double"
+    keys = ["id", "day", "typ"]
+
+    # flat path
+    path1 = str(tmp_path / "flat")
+    rows = [(1, "d1", "view", 1.0), (2, "d1", "view", None),
+            (3, "d2", "view", 3.0)]
+    merge_upsert(spark, path1, spark.createDataFrame(rows, schema),
+                 keys=keys, keep_versions=5)
+    n = delete_rows(spark, path1, "v > 2.0")
+    assert n == 1
+    got = sorted(
+        (r.id, r.v) for r in read_table(spark, path1).collect()
+    )
+    assert got == [(1, 1.0), (2, None)], "NULL-predicate row must stay"
+
+    # evolved path: the NULL row shares a leaf with a true match
+    path2 = str(tmp_path / "evo")
+    merge_upsert(spark, path2, spark.createDataFrame(rows, schema),
+                 keys=keys, partition_col="day", keep_versions=5)
+    evolve_partition_spec(spark, path2, ["day", "typ"], keep_versions=5)
+    n2 = delete_rows_evolved(spark, path2, "v < 2.0")
+    assert n2 == 1
+    got2 = sorted(
+        (r.id, r.v) for r in read_table(spark, path2).collect()
+    )
+    assert got2 == [(2, None), (3, 3.0)], (
+        "NULL-predicate row in a matched leaf must survive the rewrite"
+    )
+
+
+def test_manifest_shard_files_validated_and_inherited(spark, tmp_path):
+    """Code-review r14: manifest_shard_files < 1 raises loudly (0 used
+    to crash mid-commit with an opaque range() error), and an explicit
+    value persists as a TABLE PROPERTY — later commits that cannot
+    pass the knob (evolved merges, compaction, deletes) inherit it
+    instead of silently reverting the census to inline JSON."""
+    import json
+    import os
+
+    from etl_end_to_end_airflow_bigquery_spark.operators import writers
+
+    schema = "id bigint, day string, typ string, v double"
+    keys = ["id", "day", "typ"]
+    path = str(tmp_path / "tbl")
+    rows = [(i, f"d{i % 5}", "view", float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, schema)
+
+    with pytest.raises(ValueError, match="manifest_shard_files"):
+        writers.merge_upsert(
+            spark, path, df, keys=keys, partition_col="day",
+            manifest_shard_files=0,
+        )
+
+    writers.merge_upsert(
+        spark, path, df, keys=keys, partition_col="day",
+        manifest_shard_files=2, keep_versions=10,
+    )
+
+    def meta_of():
+        vdir = writers._resolve_data_dir(path)
+        return json.load(
+            open(os.path.join(vdir, writers._SNAPSHOT_META))
+        )
+
+    assert meta_of()["census_shards"] >= 2
+    assert meta_of()["manifest_shard_files"] == 2
+
+    # maintenance commits WITHOUT the knob keep the sharded policy
+    writers.evolve_partition_spec(spark, path, ["day", "typ"],
+                                  keep_versions=10)
+    assert meta_of().get("census_shards"), "evolve must inherit policy"
+    writers.merge_upsert_evolved(
+        spark, path,
+        spark.createDataFrame([(99, "d9", "view", 9.0)], schema),
+        keys=keys, keep_versions=10,
+    )
+    m = meta_of()
+    assert m.get("census_shards") and m["manifest_shard_files"] == 2
+    writers.compact_parquet_evolved(spark, path)
+    assert meta_of().get("census_shards"), "compaction must inherit"
+    writers.delete_rows_evolved(spark, path, "id = 99")
+    assert meta_of().get("census_shards"), "delete must inherit"
+
+
+def test_sharded_planning_degrades_on_uncensused_live_file(
+    spark, tmp_path
+):
+    """Code-review r14: the sharded fast path must give the SAME
+    superset guarantee as the inline path — a live data file with no
+    census row (count mismatch against one live walk) degrades
+    planning to the validated stats path instead of silently treating
+    the file as nonexistent."""
+    import shutil as _sh
+    import os
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        _resolve_data_dir,
+        merge_upsert,
+        read_table_skipping,
+    )
+
+    rows = [(i, f"d{i // 8}", float(i)) for i in range(32)]
+    path = str(tmp_path / "tbl")
+    merge_upsert(
+        spark, path, _frame(spark, rows), keys=["k", "day"],
+        partition_col="day", manifest_shard_files=2, keep_versions=5,
+    )
+    vdir = _resolve_data_dir(path)
+    # hand-restore an extra data file the census never saw: duplicate
+    # an existing leaf file under a new name with DIFFERENT rows
+    leaf = os.path.join(vdir, "day=d0")
+    extra = _frame(spark, [(100, "d0", 100.0)]).coalesce(1)
+    tmp_out = str(tmp_path / "extra")
+    extra.write.parquet(tmp_out)
+    extra_file = [
+        f for f in os.listdir(tmp_out) if f.endswith(".parquet")
+    ][0]
+    _sh.copy(
+        os.path.join(tmp_out, extra_file),
+        os.path.join(leaf, "zz-restored.parquet"),
+    )
+    # bounds that keep d0: the restored row MUST be served (superset
+    # guarantee) — the stale sharded census alone would drop it
+    pruned = read_table_skipping(spark, path, {"v": (90.0, 110.0)})
+    got = sorted(
+        tuple(r)
+        for r in pruned.filter(F.col("v") >= 90.0)
+        .select("k", "day", "v").collect()
+    )
+    assert got == [(100, "d0", 100.0)], (
+        "uncensused live file dropped by sharded planning"
+    )
