@@ -238,6 +238,18 @@ GATED_THROUGH_R13: frozenset[str] = GATED_THROUGH_R12 | frozenset(
     }
 )
 
+# Round-14 fold (CORRECTNESS_r14: 50/50 green — the whole gate passed).
+# Anchors and the 23 backfill re-proofs (incl. the full 9-name r03/r04
+# stale pool, now retired) were already in the R13 ledger; the union
+# adds exactly the 5 rotation rows (the r14-new queries).
+GATED_THROUGH_R14: frozenset[str] = GATED_THROUGH_R13 | frozenset(
+    {
+        "partition_spec_rollback", "sharded_manifest_read",
+        "cdf_retention_feed", "evolved_subject_delete",
+        "evolved_compaction_read",
+    }
+)
+
 _GATE_ANCHORS: tuple[str, ...] = (
     "daily_avg_report",        # flagship grouped avg + time bucket (A2)
     "topk_recent_events",      # projection + ORDER BY DESC LIMIT (P1/O1)
@@ -263,55 +275,46 @@ _GATE_ANCHORS: tuple[str, ...] = (
     "scd2_orders_status",      # SCD2 history merge
 )
 
-# Round 14 (same post-exhaustion policy): rotation slots hold exactly
+# Round 15 (same post-exhaustion policy): rotation slots hold exactly
 # the round's NEW queries — never-proven by construction. Filled as the
-# r14 builds land (spec rollback / DROP PARTITION FIELD, the sharded
-# stats manifest, the CDF retention split); each addition evicts one
-# name from the END of the backfill.
-_GATE_ROTATION: tuple[str, ...] = (
-    "partition_spec_rollback",  # DROP PARTITION FIELD: evolve -> roll
-                                # back -> one merge across 3 layouts
-                                # (first and third share a spec)
-    "sharded_manifest_read",  # census sharded to parquet, keep/skip
-                              # evaluated as a distributed job
-    "cdf_retention_feed",  # feed retention decoupled from VACUUM:
-                           # preserved feeds fold exact IVM deltas
-    "evolved_subject_delete",  # GDPR delete across a spec-evolved
-                               # table, per-layout leaf-scoped rewrite
-    "evolved_compaction_read",  # per-layout small-file compaction,
-                                # layout map carried in one commit
-)
+# r15 builds land (per-layout sharded-manifest planning, CDF feed
+# compaction at retention, the lakehouse end-to-end report read —
+# VERDICT r14 items 2/3/5); each addition evicts one name from the END
+# of the backfill.
+_GATE_ROTATION: tuple[str, ...] = ()
 
 # Backfill to 50 (r8 policy, see module docstring). This round tier (b)
-# LEADS the tuple: VERDICT r13 item 1 makes retiring the 9-name stale
-# pool (last driver green r03/r04 — verified by a union scan over
-# CORRECTNESS_r01–r13 this session, which also caught multimodal_meta
-# missing from SURVEY §7's 8-name listing) the top deliverable, so the
-# stale names sit at the head where rotation evictions can't reach
-# them. Tier (a) follows, ordered most-affected-first by this round's
-# writer-layer edits (ADVICE r13 ×4, sharded manifest planning, spec
-# rollback, CDF retention) so the least-affected tail evicts as new
-# rotation queries land.
+# LEADS the tuple again: VERDICT r14 item 1 makes retiring the 27-name
+# r05 evidence tier (the stalest pool now that r03/r04 is empty —
+# verified by a union scan over CORRECTNESS_r01–r14 this session) the
+# top deliverable. 22 of the 27 fit; the 5 carried to r16 are the
+# continuously-exercised remainder (ivfpq_topk_adc / pq_topk_adc /
+# ivfpq_rerank_topk run in every round's bench with recall-floor
+# pytests; streaming_cms_counts is pytest-pinned hash-equal to the
+# gated cms_heavy_hitters; semantic_dedup_kmeans has pinned cluster
+# assignments) — all selfcheck-exact at every round close. Tier (a)
+# follows: the queries whose code this round's writer-layer edits touch
+# (ADVICE r14 census-digest parity + expire_versions rename fix,
+# per-layout shard partitioning, feed compaction), evictable tail last.
 _REPROOF_BACKFILL: tuple[str, ...] = (
-    # tier (b), the 9-name stale pool (VERDICT r13 item 1 — all must
-    # land green this round so the r15 pool is empty):
-    "multimodal_meta", "tfidf_top_terms", "window_function_pack",
-    "q19_or_pushdown", "q22_idle_customers", "streaming_segment_counts",
-    "streaming_sessionize", "streaming_sliding_avg",
-    "streaming_view_purchase_join",
+    # tier (b), 22 of the 27-name r05 stale pool (VERDICT r14 item 1;
+    # remainder documented in SURVEY §7 round-16 notes):
+    "bm25_retrieval", "hybrid_rrf_retrieval", "phrase_search_docs",
+    "unigram_logprob_docs", "bigram_logprob_docs", "curated_corpus_v3",
+    "pii_scrub_docs", "pagerank_dedup_graph", "leakage_safe_split",
+    "duplicate_spans_docs", "cms_heavy_hitters", "hll_distinct_users",
+    "bloom_join_prune", "url_function_pack", "map_function_pack",
+    "json_function_pack", "array_function_pack", "null_function_pack",
+    "try_function_pack", "datetime_function_pack",
+    "string_function_pack2", "stats_pack",
     # tier (a) — code this round touches, most-affected first: the
-    # snapshot-meta read/cache path (ADVICE r13 items 3/4: content-keyed
-    # manifest cache, census-derived layout emptiness), manifest-planned
-    # scans (sharded manifest, VERDICT r13 item 3), the evolved-merge
-    # family (spec rollback, VERDICT r13 item 2), _change_data sweeping
-    # (CDF retention, VERDICT r13 item 5), and _iter_data_files ordering
-    # (ADVICE r13 items 1/2):
-    "time_travel_orders", "history_skip_scan", "partition_evolution_read",
-    "table_diff_audit", "file_lineage_scan", "zorder_skipping_report",
-    "snapshot_diff_orders", "manifest_skipping_read",
-    "partition_evolution_history", "evolved_merge_cdf",
-    "streaming_partition_evolution", "merge_cdf_ivm_roundtrip",
-    "cdf_squash_roundtrip", "merge_cdf_join_ivm",
+    # sharded-census planning path (digest parity gate + per-layout
+    # shards), the census write every versioned commit runs, and the
+    # expire_versions feed-retention path (rename fix + compaction).
+    # The tail is the eviction zone as new rotation queries land.
+    "sharded_manifest_read", "manifest_skipping_read",
+    "cdf_retention_feed", "merge_cdf_ivm_roundtrip",
+    "cdf_squash_roundtrip", "partition_spec_rollback",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (
@@ -336,7 +339,7 @@ if len(_GATE_PRIORITY) != 50:
     raise RuntimeError(
         f"gate priority list must be exactly 50 names, got {len(_GATE_PRIORITY)}"
     )
-_stale = [n for n in _GATE_ROTATION if n in GATED_THROUGH_R13]
+_stale = [n for n in _GATE_ROTATION if n in GATED_THROUGH_R14]
 if _stale:
     raise RuntimeError(
         f"rotation slots must hold never-gated names, got: {_stale}"
@@ -344,7 +347,7 @@ if _stale:
 # Backfill names are the opposite: each must be a deliberate RE-proof
 # (previously green) — a never-proven name hiding there would dodge the
 # stale-slot bookkeeping.
-_not_reproof = [n for n in _REPROOF_BACKFILL if n not in GATED_THROUGH_R13]
+_not_reproof = [n for n in _REPROOF_BACKFILL if n not in GATED_THROUGH_R14]
 if _not_reproof:
     raise RuntimeError(
         f"backfill slots must hold previously-green names, got: {_not_reproof}"
@@ -354,7 +357,7 @@ if _not_reproof:
 def rotation_candidates() -> list[str]:
     """Registered queries that have never had a driver row and are not
     in the current gate — the pool for next round's rotation slots."""
-    gated = set(_GATE_PRIORITY) | GATED_THROUGH_R13
+    gated = set(_GATE_PRIORITY) | GATED_THROUGH_R14
     return [n for n in _ALL_QUERIES if n not in gated]
 
 
@@ -374,5 +377,6 @@ __all__ = [
     "QUERIES", "ORACLES", "GATED_THROUGH_R06", "GATED_THROUGH_R07",
     "GATED_THROUGH_R08", "GATED_THROUGH_R09", "GATED_THROUGH_R10",
     "GATED_THROUGH_R11", "GATED_THROUGH_R12", "GATED_THROUGH_R13",
+    "GATED_THROUGH_R14",
     "rotation_candidates",
 ]
