@@ -306,3 +306,93 @@ def cdf_compact_net_changes(
             F.col("first_pre")
         ),
     )
+
+
+def cdf_squash_feed(
+    feed: DataFrame, keys: list[str], type_col: str = "_change_type",
+    version_col: str = "_commit_version",
+) -> DataFrame:
+    """Squash a multi-commit change feed into net per-key changes IN
+    RAW FEED SHAPE — same columns and type vocabulary as the input, so
+    the result can replace the squashed commits on disk and every
+    existing consumer (``cdf_to_signed`` → ``signed_partial_state``,
+    windowed folds, replication) reads it unchanged. This is the
+    storage-side twin of :func:`cdf_compact_net_changes` (a REPORTING
+    surface with net_change labels); it exists for
+    ``writers.expire_versions(cdf_compact_before=K)``, which applies it
+    to preserved feeds at retention time (VERDICT r14 item 3) so a
+    long-retention table stores O(net keys), not O(commits × keys).
+
+    Fold preservation by telescoping: per key, retract(state at window
+    start) + add(state at window end) ≡ the sum of every intermediate
+    retract/add pair. Classification is by EXISTENCE AT THE WINDOW
+    EDGES, not by the ``entered`` flag the reporting squash uses:
+    the earliest captured image type decides existence at start
+    ('insert' ⇒ absent; any pre/delete capture ⇒ present), the latest
+    decides existence at end ('delete' ⇒ absent). That distinction is
+    load-bearing for DELETE-THEN-REINSERT inside the window — the key
+    "entered", but it also existed at window start, so the net effect
+    is an UPDATE (retract the pre-window image, add the final one);
+    labeling it insert would leak the old image into the fold
+    (pytest-pinned in ``tests/test_cdf.py``). Emitted versions are
+    real commit sequences — the window's min for pre-images, max for
+    post/insert/delete — so version-ordered consumers stay ordered.
+
+    One grouped aggregate (min_by/max_by under FILTER) + one explode;
+    no self-join, no window sort. Within one commit a key emits either
+    {insert}, {update_preimage, update_postimage} (tied versions — a
+    tie-broken min_by/max_by over the TYPE still answers the existence
+    question identically for both update types), or {delete}.
+    """
+    data_cols = [c for c in feed.columns if c not in (type_col, version_col)]
+    row = "struct(" + ", ".join(data_cols) + ")"
+    g = feed.groupBy(*keys).agg(
+        F.expr(
+            f"min_by({row}, {version_col}) FILTER "
+            f"(WHERE {type_col} IN ('update_preimage', 'delete'))"
+        ).alias("first_pre"),
+        F.expr(
+            f"max_by({row}, {version_col}) FILTER "
+            f"(WHERE {type_col} IN ('update_postimage', 'insert'))"
+        ).alias("last_post"),
+        F.expr(f"min_by({type_col}, {version_col})").alias("first_type"),
+        F.expr(f"max_by({type_col}, {version_col})").alias("last_type"),
+        F.min(version_col).alias("min_v"),
+        F.max(version_col).alias("max_v"),
+    )
+    exists_start = F.col("first_type") != "insert"
+    exists_end = F.col("last_type") != "delete"
+
+    def item(typ: str, img: str, ver: str):
+        return F.struct(
+            F.lit(typ).alias("t"), F.col(ver).alias("v"),
+            F.col(img).alias("d"),
+        )
+
+    events = (
+        F.when(
+            exists_start & exists_end,
+            F.array(
+                item("update_preimage", "first_pre", "min_v"),
+                item("update_postimage", "last_post", "max_v"),
+            ),
+        )
+        .when(~exists_start & exists_end,
+              F.array(item("insert", "last_post", "max_v")))
+        .when(exists_start & ~exists_end,
+              F.array(item("delete", "first_pre", "max_v")))
+        # insert-then-delete wholly inside the window: no net change —
+        # no otherwise(), so the CASE yields NULL and explode() (not
+        # explode_outer) emits zero rows for the key
+    )
+    ex = g.select(F.explode(events).alias("e"))
+    return ex.select(
+        *[
+            F.col(f"e.d.{c}").alias(c) if c in data_cols
+            else (
+                F.col("e.t").alias(type_col) if c == type_col
+                else F.col("e.v").alias(version_col)
+            )
+            for c in feed.columns
+        ]
+    )

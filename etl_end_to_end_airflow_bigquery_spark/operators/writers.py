@@ -341,22 +341,53 @@ def read_table_skipping(
         # bottleneck, so it runs where the manifest rows are. The kept
         # list is collected because it IS the scan's file list (bounded
         # by the predicate's true footprint, same as the inline path).
-        # Guarantee parity with the inline path (code-review r14): the
-        # census must cover every live data file — snapshots are
-        # immutable and sweeps are whole-snapshot, so a names-only
-        # count check against one live walk pins set equality; a
-        # mismatch (hand-restored file, partial recovery) degrades to
-        # the validated stats path below instead of silently dropping
-        # the uncensused file's rows. Kept paths are additionally
-        # filtered to the live set — the inline branch's
-        # vanished-entry tolerance.
-        live = {rel for rel, _p in _iter_data_files(vdir)}
-        if len(live) == meta.get("census_files"):
-            kept_all = [
-                kp
-                for kp in _kept_files_distributed(spark, vdir, bounds)
-                if os.path.relpath(kp, vdir) in live
-            ]
+        # Guarantee parity with the inline path (ADVICE r14): the
+        # census must EQUAL the live file set — pinned by comparing
+        # the commit-time sha256 over the sorted relpaths against one
+        # names-only live listing (a count alone would pass a
+        # same-count swap and silently drop the uncensused file's
+        # rows). A mismatch (hand-restored file, partial recovery)
+        # degrades to the validated stats path below. The listing is
+        # O(#files) driver-side directory metadata — names only, no
+        # footer reads — and runs ONCE per (snapshot, manifest) per
+        # process: snapshots are immutable, so the verdict is cached.
+        # Digest equality makes a separate live-set filter of the kept
+        # paths redundant (census set == live set exactly).
+        if _census_live_parity_ok(
+            vdir,
+            meta.get("manifest_id", ""),
+            meta.get("census_digest"),
+            meta.get("census_files"),
+        ):
+            # Per-layout shard pruning (VERDICT r14 item 2): a layout
+            # whose census-wide column bounds already exclude the
+            # predicate contributes no kept files — skip its shard
+            # subdir entirely, so the distributed decide never reads
+            # its manifest rows (Iceberg's manifest-list partition
+            # summaries). Conservative rule is identical to the
+            # per-file one: both bounds present and disjoint.
+            subdirs: list[str] | None = None
+            lay_stats = meta.get("census_layout_stats")
+            if lay_stats:
+                subdirs = []
+                for d in sorted(lay_stats):
+                    st = lay_stats[d]
+                    lskip = False
+                    for c, (lo, hi) in bounds.items():
+                        mn = _stat_from_json(st["mins"].get(c))
+                        mx = _stat_from_json(st["maxs"].get(c))
+                        if (
+                            mn is not None
+                            and mx is not None
+                            and (mn > hi or mx < lo)
+                        ):
+                            lskip = True
+                            break
+                    if not lskip:
+                        subdirs.append(d)
+            kept_all = _kept_files_distributed(
+                spark, vdir, bounds, subdirs=subdirs
+            )
     if kept_all is None:
         # inline fast path: one JSON read (footer fallback inside,
         # also the sharded path's degradation target), validated
@@ -399,8 +430,39 @@ def read_table_skipping(
     return spark.read.option("basePath", vdir).parquet(*kept_all)
 
 
+@_functools.lru_cache(maxsize=64)
+def _census_live_parity_ok(
+    vdir: str, manifest_id: str, digest: str | None, count: int | None
+) -> bool:
+    """Sharded-census ⇔ live-file-set parity (ADVICE r14): compare the
+    commit-time ``census_digest`` (sha256 over newline-joined sorted
+    relpaths) against a names-only live listing. Digest equality pins
+    SET equality — a same-count swap (one censused file gone, one
+    uncensused file hand-restored) fails here, where a bare count
+    check would pass and the planner would silently drop the
+    uncensused file's rows. Pre-digest sidecars (older commits) fall
+    back to the count check those rounds shipped with.
+
+    Cached per (snapshot dir, manifest_id): snapshots are immutable
+    once committed, so one O(#files) names-only walk per process
+    settles the verdict — repeated planning calls on the same snapshot
+    skip the listing entirely (the per-read walk ADVICE r14 flagged).
+    Out-of-contract mutation of a committed snapshot AFTER a read
+    validated it is not re-detected in the same process."""
+    import hashlib
+
+    rels = sorted(rel for rel, _p in _iter_data_files(vdir))
+    if digest is not None:
+        h = hashlib.sha256("\n".join(rels).encode("utf-8")).hexdigest()
+        return h == digest
+    return len(rels) == count
+
+
 def _kept_files_distributed(
-    spark: SparkSession, vdir: str, bounds: dict[str, tuple]
+    spark: SparkSession,
+    vdir: str,
+    bounds: dict[str, tuple],
+    subdirs: list[str] | None = None,
 ) -> list[str]:
     """Distributed keep/skip over a SHARDED census: scan the
     ``_manifest`` parquet shards as a DataFrame and decide per row in
@@ -409,10 +471,23 @@ def _kept_files_distributed(
     ``_stat_from_json``; a None bound can never justify a skip). The
     sharded and inline paths are pytest-pinned to identical decisions.
 
+    ``subdirs`` (VERDICT r14 item 2) restricts the scan to the named
+    layout shard groups (plus the ungrouped root shards, which carry
+    any file outside a layout dir): a spec-evolved snapshot's census is
+    sharded PER LAYOUT, so a layout excluded by its census-wide column
+    bounds costs zero shard-file reads here. ``None`` reads every
+    shard (single-layout tables, or no layout stats recorded).
+
     Returns kept files as absolute paths (relpath-sorted, matching the
     inline path's order). Scale: the manifest scan parallelizes over
     shards; only kept RELPATHS come back to the driver — the list the
-    scan needs anyway."""
+    scan needs anyway. Cluster note: the ``decide`` closure calls the
+    module-level ``_stat_from_json``, which cloudpickle serializes BY
+    REFERENCE — correct in local[*] (one JVM, shared interpreter
+    state) and on any cluster that ships this package to executors
+    (``--py-files`` / a site install); the planner assumes the package
+    is importable on executors, as every pandas-UDF operator here
+    already does."""
     import json
 
     bounds_local = dict(bounds)
@@ -439,7 +514,10 @@ def _kept_files_distributed(
                 keep.append(not skip)
             yield pd.DataFrame({"rel": pdf["rel"][pd.Series(keep).values]})
 
-    mdf = spark.read.parquet(os.path.join(vdir, _MANIFEST_DIR))
+    shard_paths = _census_shard_paths(vdir, subdirs=subdirs)
+    if not shard_paths:
+        return []
+    mdf = spark.read.parquet(*shard_paths)
     kept_rels = sorted(
         r.rel for r in mdf.mapInPandas(decide, "rel string").collect()
     )
@@ -680,13 +758,30 @@ def _iter_data_files(vdir: str):
                 yield os.path.relpath(fpath, vdir), fpath
 
 
-def _census_shard_paths(vdir: str) -> list[str]:
+def _census_shard_paths(
+    vdir: str, subdirs: list[str] | None = None
+) -> list[str]:
+    """Shard files of a sharded census. Flat tables keep every shard
+    directly under ``_manifest/``; spec-evolved snapshots group shards
+    per layout under ``_manifest/<layout_dir>/`` (VERDICT r14 item 2)
+    so planning can skip a whole layout's shards. ``subdirs`` limits
+    the walk to those layout groups (root-level shards — files outside
+    any layout dir — are always included); ``None`` returns all."""
     d = os.path.join(vdir, _MANIFEST_DIR)
     if not os.path.isdir(d):
         return []
-    return sorted(
+    out = [
         os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
-    )
+    ]
+    for sub in sorted(os.listdir(d)) if subdirs is None else sorted(subdirs):
+        sd = os.path.join(d, sub)
+        if os.path.isdir(sd):
+            out.extend(
+                os.path.join(sd, f)
+                for f in os.listdir(sd)
+                if f.endswith(".parquet")
+            )
+    return sorted(out)
 
 
 @_functools.lru_cache(maxsize=8)
@@ -738,6 +833,33 @@ def _load_census(vdir: str) -> dict | None:
     if meta.get("census_shards"):
         return _load_census_shards(vdir, meta.get("manifest_id", ""))
     return None
+
+
+def _layout_bounds(entries: list[dict]) -> dict:
+    """Census-wide column bounds for one layout's file entries —
+    {"mins": {col: json-stat}, "maxs": {col: json-stat}} where a column
+    appears ONLY if every file in the layout has both stats for it (a
+    file with an unknown bound makes the layout's bound unknown, so the
+    conservative skip rule can never exclude rows it hasn't seen).
+    Values stay in the census's type-tagged JSON encoding; comparisons
+    decode through ``_stat_from_json`` — the same codec planning uses,
+    so layout-level and file-level decisions can't diverge on type."""
+    common: set[str] | None = None
+    for e in entries:
+        cols = {
+            c
+            for c in set(e.get("mins", {})) & set(e.get("maxs", {}))
+            if _stat_from_json(e["mins"][c]) is not None
+            and _stat_from_json(e["maxs"][c]) is not None
+        }
+        common = cols if common is None else (common & cols)
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    for c in common or set():
+        lo = min((e["mins"][c] for e in entries), key=_stat_from_json)
+        hi = max((e["maxs"][c] for e in entries), key=_stat_from_json)
+        mins[c], maxs[c] = lo, hi
+    return {"mins": mins, "maxs": maxs}
 
 
 def _write_snapshot_meta(
@@ -848,34 +970,71 @@ def _write_snapshot_meta(
         # distributed job instead of parsing one giant JSON on the
         # driver. The sidecar keeps only the summary (+ the top-level
         # dirs holding data, so evolved reads resolve layout emptiness
-        # without touching the census).
+        # without touching the census). Spec-evolved snapshots shard
+        # PER LAYOUT (``_manifest/<layout_dir>/``) and record each
+        # layout's census-wide column bounds in the sidecar (VERDICT
+        # r14 item 2, Iceberg's manifest-list partition summaries) so
+        # planning can drop a whole layout's shards from one bounded
+        # sidecar check. The digest over the sorted relpaths is the
+        # read-side parity gate (ADVICE r14): set equality with the
+        # live tree, not just count equality.
+        import hashlib
+
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         rels = sorted(file_stats)
         mdir = os.path.join(vdir, _MANIFEST_DIR)
         os.makedirs(mdir, exist_ok=True)
-        n_shards = 0
-        for i in range(0, len(rels), threshold):
-            chunk = rels[i : i + threshold]
-            tbl = pa.table(
-                {
-                    "rel": chunk,
-                    "n_rows": [file_stats[r]["n_rows"] for r in chunk],
-                    "ino": [file_stats[r]["ino"] for r in chunk],
-                    "bytes": [file_stats[r]["bytes"] for r in chunk],
-                    "mins": [
-                        json.dumps(file_stats[r]["mins"]) for r in chunk
-                    ],
-                    "maxs": [
-                        json.dumps(file_stats[r]["maxs"]) for r in chunk
-                    ],
-                }
+        lay_dirs = {lay["dir"] for lay in layouts} if layouts else set()
+        groups: list[tuple[str | None, list[str]]] = []
+        if lay_dirs:
+            by_dir: dict[str | None, list[str]] = {}
+            for r in rels:
+                top = r.split(os.sep, 1)[0]
+                by_dir.setdefault(top if top in lay_dirs else None, []).append(r)
+            groups = sorted(
+                by_dir.items(), key=lambda kv: (kv[0] is not None, kv[0] or "")
             )
-            pq.write_table(tbl, os.path.join(mdir, f"census-{n_shards:05d}.parquet"))
-            n_shards += 1
+        else:
+            groups = [(None, rels)]
+        n_shards = 0
+        layout_stats: dict[str, dict] = {}
+        for gdir, grels in groups:
+            gdir_abs = mdir if gdir is None else os.path.join(mdir, gdir)
+            os.makedirs(gdir_abs, exist_ok=True)
+            for i in range(0, len(grels), threshold):
+                chunk = grels[i : i + threshold]
+                tbl = pa.table(
+                    {
+                        "rel": chunk,
+                        "n_rows": [file_stats[r]["n_rows"] for r in chunk],
+                        "ino": [file_stats[r]["ino"] for r in chunk],
+                        "bytes": [file_stats[r]["bytes"] for r in chunk],
+                        "mins": [
+                            json.dumps(file_stats[r]["mins"]) for r in chunk
+                        ],
+                        "maxs": [
+                            json.dumps(file_stats[r]["maxs"]) for r in chunk
+                        ],
+                    }
+                )
+                pq.write_table(
+                    tbl,
+                    os.path.join(gdir_abs, f"census-{n_shards:05d}.parquet"),
+                )
+                n_shards += 1
+            if gdir is not None:
+                layout_stats[gdir] = _layout_bounds(
+                    [file_stats[r] for r in grels]
+                )
         meta["census_shards"] = n_shards
         meta["census_files"] = len(file_stats)
+        meta["census_digest"] = hashlib.sha256(
+            "\n".join(rels).encode("utf-8")
+        ).hexdigest()
+        if layout_stats:
+            meta["census_layout_stats"] = layout_stats
         meta["census_dirs"] = sorted(
             {r.split(os.sep, 1)[0] for r in rels if os.sep in r}
         )
@@ -1011,17 +1170,46 @@ def _ledger_names(path: str) -> list[str]:
     return _read_ledger(path) or []
 
 
+_CDF_NET_PREFIX = "net_"  # squashed preserved feed: _cdf/net_<lo>_<hi>
+
+
+def _net_feed_ranges(path: str) -> list[tuple[int, int, str]]:
+    """Squashed preserved feeds under ``_cdf`` as (lo_seq, hi_seq, dir),
+    sorted — the output of :func:`expire_versions`'
+    ``cdf_compact_before`` compaction. Each covers every feed-emitting
+    commit in [lo, hi] as ONE net-change feed in raw feed shape."""
+    pres_root = os.path.join(path, _CDF_RETAINED)
+    out: list[tuple[int, int, str]] = []
+    if os.path.isdir(pres_root):
+        for d in os.listdir(pres_root):
+            full = os.path.join(pres_root, d)
+            if not (d.startswith(_CDF_NET_PREFIX) and os.path.isdir(full)):
+                continue
+            parts = d.split("_")
+            if len(parts) == 3 and parts[1].isdigit() and parts[2].isdigit():
+                out.append((int(parts[1]), int(parts[2]), full))
+    return sorted(out)
+
+
 def _feed_dirs(path: str) -> dict[str, str]:
-    """{snapshot name: feed dir} for every readable change feed — live
-    (``v_*/_change_data`` inside retained snapshots) plus preserved
-    (``_cdf/<vname>`` kept past the snapshot's sweep by
-    :func:`expire_versions`' feed retention)."""
+    """{snapshot name: feed dir} for every readable PER-COMMIT change
+    feed — live (``v_*/_change_data`` inside retained snapshots) plus
+    preserved (``_cdf/<vname>`` kept past the snapshot's sweep by
+    :func:`expire_versions`' feed retention). A preserved feed whose
+    sequence falls inside a squashed net range is a crash leftover
+    (compaction renames the net feed in place BEFORE removing its
+    sources) — the net copy wins, so it is skipped here; squashed
+    feeds are surfaced via :func:`_net_feed_ranges` instead."""
     out: dict[str, str] = {}
+    nets = _net_feed_ranges(path)
     pres_root = os.path.join(path, _CDF_RETAINED)
     if os.path.isdir(pres_root):
         for d in os.listdir(pres_root):
             full = os.path.join(pres_root, d)
             if d.startswith("v_") and os.path.isdir(full):
+                seq = _seq_of(d)
+                if any(lo <= seq <= hi for lo, hi, _p in nets):
+                    continue  # squashed — the net feed carries it
                 out[d] = full
     for d in _committed_versions(path):
         live = os.path.join(path, d, CDF_DIR)
@@ -1031,7 +1219,12 @@ def _feed_dirs(path: str) -> dict[str, str]:
 
 
 def expire_versions(
-    path: str, keep_last: int = 1, cdf_keep_last: int | None = None
+    path: str,
+    keep_last: int = 1,
+    cdf_keep_last: int | None = None,
+    cdf_compact_before: int | None = None,
+    cdf_squash_keys: list[str] | None = None,
+    spark: SparkSession | None = None,
 ) -> list[int]:
     """Explicit snapshot retention — the VACUUM / expire-snapshots
     surface (Delta ``VACUUM``, Iceberg ``expire_snapshots``): sweep all
@@ -1066,7 +1259,26 @@ def expire_versions(
     snapshot is never touched — snapshot trees stay immutable, so
     ``cdf_keep_last`` is a floor, not a cap). ``None`` keeps today's
     behavior: feeds die with their snapshot, previously preserved
-    feeds stay.
+    feeds stay. ``cdf_keep_last=0`` prunes every preserved feed,
+    squashed net feeds included.
+
+    ``cdf_compact_before`` (VERDICT r14 item 3) bounds the PRESERVED
+    feed volume: keep the newest N preserved feed units at per-commit
+    granularity and squash everything older — including any previous
+    squash — into ONE net-change feed ``_cdf/net_<lo>_<hi>`` via
+    ``incremental.cdf_squash_feed`` (raw feed shape, fold-preserving
+    by telescoping), so a long-retention table stores O(net keys)
+    instead of O(commits × touched keys). Per-commit granularity
+    inside the squashed range is gone by design:
+    ``read_table_changes(version=k)`` for a squashed commit raises
+    loudly; the full-feed read unions net + per-commit feeds
+    transparently. Requires ``spark`` (the squash is a distributed
+    aggregate) and ``cdf_squash_keys`` (the merge keys — feeds record
+    images, not key metadata). Live feeds inside RETAINED snapshots
+    are never squashed (the same immutability floor as above). Crash
+    safety: the net feed is written to a temp dir and renamed into
+    place BEFORE sources are removed; a crash in between leaves both,
+    and readers let the net copy win (:func:`_feed_dirs`).
     """
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
@@ -1074,6 +1286,18 @@ def expire_versions(
         raise ValueError(
             f"cdf_keep_last must be >= 0 or None, got {cdf_keep_last}"
         )
+    if cdf_compact_before is not None:
+        if cdf_compact_before < 0:
+            raise ValueError(
+                "cdf_compact_before must be >= 0 or None, got "
+                f"{cdf_compact_before}"
+            )
+        if spark is None or not cdf_squash_keys:
+            raise ValueError(
+                "cdf_compact_before requires spark= (the squash is a "
+                "distributed aggregate) and cdf_squash_keys= (the merge "
+                "keys of the feed's rows)"
+            )
     # validate BEFORE taking the lock: _write_lock mkdirs the path, and
     # an admin op on a typo'd path must stay read-only (code-review r11)
     if not os.path.isdir(path) or _current_version_name(path) is None:
@@ -1101,14 +1325,81 @@ def expire_versions(
                 ):
                     continue  # snapshot retained, or already preserved
                 os.makedirs(pres_root, exist_ok=True)
-                os.replace(fdir, os.path.join(pres_root, vname))
-            for vname, fdir in feeds:
-                # prune expired PRESERVED feeds only — live feeds in
-                # retained snapshots stay (immutability floor above)
-                if vname not in kept_names and fdir.startswith(
-                    pres_root + os.sep
-                ):
-                    shutil.rmtree(fdir, ignore_errors=True)
+                dest = os.path.join(pres_root, vname)
+                # ADVICE r14: os.replace raises on an existing non-empty
+                # DIRECTORY target — exactly the both-copies state the
+                # read side tolerates ("live copy wins"). The live copy
+                # being moved is authoritative, so drop the stale
+                # preserved shadow before the rename instead of
+                # aborting the VACUUM mid-sweep.
+                if os.path.isdir(dest):
+                    shutil.rmtree(dest, ignore_errors=True)
+                os.replace(fdir, dest)
+            # prune expired PRESERVED feeds only — live feeds in
+            # retained snapshots stay (immutability floor above).
+            # List pres_root DIRECTLY (ADVICE r14): the live-wins
+            # _feed_dirs map hides a preserved copy shadowed by a live
+            # feed of the same commit, which would otherwise never be
+            # pruned. A shadowed copy is kept only while its commit's
+            # feed is in the kept set AND served from pres_root.
+            preserved_keep = {n for n in kept_names if n not in keep}
+            if os.path.isdir(pres_root):
+                for d in os.listdir(pres_root):
+                    full = os.path.join(pres_root, d)
+                    if not os.path.isdir(full):
+                        continue
+                    if d.startswith("v_") and d not in preserved_keep:
+                        shutil.rmtree(full, ignore_errors=True)
+                    elif (
+                        cdf_keep_last == 0
+                        and d.startswith(_CDF_NET_PREFIX)
+                    ):
+                        # 0 = drop feed history entirely, squashed
+                        # archives included
+                        shutil.rmtree(full, ignore_errors=True)
+        if cdf_compact_before is not None:
+            from .incremental import cdf_squash_feed
+
+            pres_root = os.path.join(path, _CDF_RETAINED)
+            units = [
+                (lo, hi, p) for lo, hi, p in _net_feed_ranges(path)
+            ]
+            for vname, fdir in _feed_dirs(path).items():
+                if fdir.startswith(pres_root + os.sep):
+                    seq = _seq_of(vname)
+                    units.append((seq, seq, fdir))
+            units.sort()
+            to_squash = (
+                units[:-cdf_compact_before] if cdf_compact_before else units
+            )
+            # a single already-net unit is already compact; a single
+            # per-commit feed gains nothing from squashing alone
+            if len(to_squash) >= 2:
+                lo = min(u[0] for u in to_squash)
+                hi = max(u[1] for u in to_squash)
+                src_dirs = [u[2] for u in to_squash]
+                net = cdf_squash_feed(
+                    spark.read.parquet(*src_dirs), list(cdf_squash_keys)
+                )
+                tmp = os.path.join(path, f".net_tmp_{uuid.uuid4().hex[:8]}")
+                net.write.mode("overwrite").parquet(tmp)
+                dest = os.path.join(
+                    pres_root, f"{_CDF_NET_PREFIX}{lo:06d}_{hi:06d}"
+                )
+                if os.path.isdir(dest) and dest not in src_dirs:
+                    shutil.rmtree(dest, ignore_errors=True)
+                if dest in src_dirs:
+                    # re-squash landing on the same range: swap the
+                    # refreshed net feed in atomically
+                    old = dest + f".old.{uuid.uuid4().hex[:8]}"
+                    os.replace(dest, old)
+                    os.replace(tmp, dest)
+                    shutil.rmtree(old, ignore_errors=True)
+                else:
+                    os.replace(tmp, dest)
+                for d in src_dirs:
+                    if d != dest:
+                        shutil.rmtree(d, ignore_errors=True)
         return _sweep_versions(path, keep)
 
 
@@ -1423,13 +1714,26 @@ def read_table_changes(
     message is reserved for commits still retained, where the absence
     is verifiable."""
     feeds = _feed_dirs(path) if os.path.isdir(path) else {}
+    nets = _net_feed_ranges(path) if os.path.isdir(path) else []
     if version is None:
-        if not feeds:
+        dirs = list(feeds.values()) + [p for _lo, _hi, p in nets]
+        if not dirs:
             raise ValueError(f"no change feed recorded under {path!r}")
-        return spark.read.parquet(*feeds.values())
+        return spark.read.parquet(*dirs)
     by_seq = {_seq_of(n): d for n, d in feeds.items()}
     if version in by_seq:
         return spark.read.parquet(by_seq[version])
+    for lo, hi, _p in nets:
+        if lo <= version <= hi:
+            raise ValueError(
+                f"change feed for snapshot v_{version:06d} under "
+                f"{path!r} was SQUASHED by retention compaction into "
+                f"the net feed covering commits {lo}..{hi} "
+                "(expire_versions cdf_compact_before) — per-commit "
+                "granularity inside that range is gone by design. "
+                "Read the full feed (version=None) to fold the net "
+                "changes, or rebuild from a snapshot read."
+            )
     have = sorted(by_seq)
     ever = {_seq_of(n) for n in _ledger_names(path)}
     live = {_seq_of(d) for d in _committed_versions(path)}

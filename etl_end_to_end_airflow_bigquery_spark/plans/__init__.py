@@ -281,7 +281,12 @@ _GATE_ANCHORS: tuple[str, ...] = (
 # compaction at retention, the lakehouse end-to-end report read —
 # VERDICT r14 items 2/3/5); each addition evicts one name from the END
 # of the backfill.
-_GATE_ROTATION: tuple[str, ...] = ()
+_GATE_ROTATION: tuple[str, ...] = (
+    "cdf_compacted_feed_ivm",  # preserved feeds squashed to one net
+                               # feed at retention; fold telescopes
+    "lakehouse_daily_report",  # the reference's daily report served
+                               # through the sharded-census planner
+)
 
 # Backfill to 50 (r8 policy, see module docstring). This round tier (b)
 # LEADS the tuple again: VERDICT r14 item 1 makes retiring the 27-name
@@ -314,7 +319,6 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     # The tail is the eviction zone as new rotation queries land.
     "sharded_manifest_read", "manifest_skipping_read",
     "cdf_retention_feed", "merge_cdf_ivm_roundtrip",
-    "cdf_squash_roundtrip", "partition_spec_rollback",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

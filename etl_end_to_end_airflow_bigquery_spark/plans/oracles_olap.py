@@ -2525,3 +2525,75 @@ OLAP_ORACLES["evolved_subject_delete"] = f"""
 OLAP_ORACLES["evolved_compaction_read"] = OLAP_ORACLES[
     "partition_evolution_history"
 ]
+
+# cdf_compacted_feed_ivm: recompute the FINAL table state after the
+# four CDF-emitting commits (create %3<>0, then the three
+# cdf_retention_feed reprice waves layered last-wins) and aggregate it
+# relationally. The Spark side folds ONLY the readable change feed —
+# with the two oldest preserved feeds SQUASHED into one net feed at
+# retention time — so a hash match certifies the squash telescopes
+# exactly (retract first-pre + add last-post ≡ every intermediate
+# pair). The two literal columns pin the on-disk mechanism: one net
+# feed, one granular preserved feed.
+OLAP_ORACLES["cdf_compacted_feed_ivm"] = f"""
+    WITH target AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 3 <> 0
+    ), s1 AS (
+        SELECT o_orderkey, 'M' AS o_orderstatus,
+               {_hs_round(f'o_totalprice * {_CDFR_F[0]!r}', 2)} AS o_totalprice
+        FROM orders WHERE o_orderkey % {_CDFR_M[0]} = 0
+    ), s2 AS (
+        SELECT o_orderkey, 'N' AS o_orderstatus,
+               {_hs_round(f'o_totalprice * {_CDFR_F[1]!r}', 2)} AS o_totalprice
+        FROM orders WHERE o_orderkey % {_CDFR_M[1]} = 0
+    ), s3 AS (
+        SELECT o_orderkey, 'P' AS o_orderstatus,
+               {_hs_round(f'o_totalprice * {_CDFR_F[2]!r}', 2)} AS o_totalprice
+        FROM orders WHERE o_orderkey % {_CDFR_M[2]} = 0
+    ), final AS (
+        SELECT * FROM s3
+        UNION ALL
+        SELECT * FROM s2
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s3)
+        UNION ALL
+        SELECT * FROM s1
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s2)
+          AND o_orderkey NOT IN (SELECT o_orderkey FROM s3)
+        UNION ALL
+        SELECT * FROM target
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s1)
+          AND o_orderkey NOT IN (SELECT o_orderkey FROM s2)
+          AND o_orderkey NOT IN (SELECT o_orderkey FROM s3)
+    )
+    SELECT o_orderstatus,
+           count(o_totalprice) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+               AS BIGINT) AS sum_u,
+           {_hs_round("CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(o_totalprice)", 2)}
+               AS avg_price,
+           CAST(1 AS INTEGER) AS n_net_feeds,
+           CAST(1 AS INTEGER) AS n_granular_feeds
+    FROM final
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
+# lakehouse_daily_report: the identical daily report computed straight
+# off the raw events parquet with the ts band as a WHERE clause — the
+# Spark side routes through a versioned day-partitioned table with a
+# SHARDED census and the distributed skipping planner, so a hash match
+# certifies the whole lakehouse read path end-to-end.
+from .queries_olap import LDR_TS_HI as _LDR_HI  # noqa: E402
+from .queries_olap import LDR_TS_LO as _LDR_LO  # noqa: E402
+
+OLAP_ORACLES["lakehouse_daily_report"] = f"""
+    SELECT CAST(ts AS DATE) AS report_date,
+           event_type,
+           {_hs_round(_davg('value'), 4)} AS avg_rate,
+           count(*) AS n_ticks
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '{_LDR_LO}' AND TIMESTAMP '{_LDR_HI}'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""

@@ -300,3 +300,188 @@ def test_cdf_retention_survives_vacuum_and_expires_loudly(spark, tmp_path):
                  keys=["k"], keep_versions=10)                    # c5
     with pytest.raises(ValueError, match="no change feed"):
         read_table_changes(spark, path, version=5)
+
+
+def test_preserved_feed_shadow_tolerated_and_pruned(spark, tmp_path):
+    """ADVICE r14: a stale preserved copy under _cdf/<vname> (crash
+    leftover / hand-restore) must not abort the VACUUM's os.replace —
+    the live copy being moved is authoritative — and a preserved copy
+    SHADOWED by a live feed of the same commit must be pruned by the
+    direct pres_root listing (the live-wins _feed_dirs map hides it)."""
+    import os
+    import shutil
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        expire_versions,
+        merge_upsert,
+        read_table_changes,
+    )
+
+    schema = "k int, v double"
+    path = str(tmp_path / "tbl")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, schema)
+
+    merge_upsert(spark, path, batch([(1, 1.0)]), keys=["k"],
+                 keep_versions=10, emit_cdf=True)                 # c1
+    merge_upsert(spark, path, batch([(1, 2.0)]), keys=["k"],
+                 keep_versions=10, emit_cdf=True)                 # c2
+    merge_upsert(spark, path, batch([(2, 3.0)]), keys=["k"],
+                 keep_versions=10, emit_cdf=True)                 # c3
+
+    # plant a STALE preserved copy for c2 (junk content) while c2's
+    # real feed is still live in its snapshot
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        _committed_versions,
+        _seq_of,
+    )
+
+    names = {_seq_of(d): d for d in _committed_versions(path)}
+    pres = os.path.join(path, "_cdf", names[2])
+    os.makedirs(pres)
+    open(os.path.join(pres, "junk.txt"), "w").write("stale")
+
+    # VACUUM preserving feeds 2,3: the c2 move hits the existing dir —
+    # must replace it with the authoritative live copy, not raise
+    expire_versions(path, keep_last=1, cdf_keep_last=2)
+    feed2 = read_table_changes(spark, path, version=2)
+    rows = sorted((r.k, r.v, r._change_type) for r in feed2.collect())
+    assert rows == [
+        (1, 1.0, "update_preimage"), (1, 2.0, "update_postimage")
+    ], "stale preserved shadow won over the authoritative live feed"
+    assert not os.path.exists(os.path.join(pres, "junk.txt"))
+
+    # shadow of a RETAINED commit: plant _cdf/<c3> while c3 is current
+    # (its feed is live) — the direct listing must prune it
+    shadow = os.path.join(path, "_cdf", names[3])
+    os.makedirs(shadow, exist_ok=True)
+    open(os.path.join(shadow, "junk.txt"), "w").write("stale")
+    expire_versions(path, keep_last=1, cdf_keep_last=2)
+    assert not os.path.isdir(shadow), "shadowed preserved copy not pruned"
+    assert read_table_changes(spark, path, version=3).count() == 1
+
+
+def test_cdf_compaction_squashes_preserved_feeds(spark, tmp_path):
+    """VERDICT r14 item 3: expire_versions(cdf_compact_before=K)
+    squashes preserved feeds older than the newest K into ONE net feed
+    (raw feed shape) — the IVM fold over the full readable feed lands
+    on the same state as before compaction, per-version reads inside
+    the squashed range raise loudly, the newest K preserved feeds keep
+    per-commit granularity, live feeds in retained snapshots are
+    untouched (immutability floor), and a second compaction folds the
+    previous net feed instead of stacking beside it."""
+    import os
+
+    import pytest as _pytest
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.incremental import (
+        cdf_to_signed,
+        signed_partial_state,
+    )
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        CDF_DIR,
+        expire_versions,
+        merge_upsert,
+        read_table,
+        read_table_changes,
+    )
+
+    schema = "k int, s string, v double"
+    path = str(tmp_path / "tbl")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, schema)
+
+    # five CDF commits with inserts, updates, a delete-then-reinsert
+    merge_upsert(spark, path, batch([(1, "a", 1.0), (2, "a", 2.0)]),
+                 keys=["k"], keep_versions=10, emit_cdf=True)     # c1
+    merge_upsert(spark, path, batch([(2, "b", 20.0), (3, "a", 3.0)]),
+                 keys=["k"], keep_versions=10, emit_cdf=True)     # c2
+    merge_upsert(spark, path, batch([(1, "b", 10.0)]),
+                 keys=["k"], keep_versions=10, emit_cdf=True)     # c3
+    merge_upsert(spark, path, batch([(4, "c", 4.0)]),
+                 keys=["k"], keep_versions=10, emit_cdf=True)     # c4
+    merge_upsert(spark, path, batch([(3, "c", 30.0)]),
+                 keys=["k"], keep_versions=10, emit_cdf=True)     # c5
+
+    def fold_state():
+        feed = read_table_changes(spark, path)
+        st = signed_partial_state(cdf_to_signed(feed), ["s"], "v")
+        return sorted(
+            (r.s, r.n, r.sum_u) for r in st.filter(F.col("n") > 0).collect()
+        )
+
+    before = fold_state()
+
+    # VACUUM to 1 snapshot, preserve all 4 swept feeds (keep_last=5
+    # counts the live c5 feed too), squash all but the newest 2
+    # preserved -> net feed over c1..c2
+    expire_versions(
+        path, keep_last=1, cdf_keep_last=5, cdf_compact_before=2,
+        cdf_squash_keys=["k"], spark=spark,
+    )
+    pres = os.path.join(path, "_cdf")
+    entries = sorted(os.listdir(pres))
+    assert "net_000001_000002" in entries
+    assert sum(e.startswith("v_") for e in entries) == 2  # c3, c4 granular
+    # live feed of the retained current snapshot untouched
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        _resolve_data_dir,
+    )
+
+    assert os.path.isdir(os.path.join(_resolve_data_dir(path), CDF_DIR))
+
+    # fold equivalence after squash
+    assert fold_state() == before
+    # per-commit reads: squashed range raises loudly, granular range works
+    with _pytest.raises(ValueError, match="SQUASHED"):
+        read_table_changes(spark, path, version=1)
+    assert read_table_changes(spark, path, version=3).count() == 2
+
+    # second compaction with K=1 folds the net feed + c3 into c1..c3
+    expire_versions(
+        path, keep_last=1, cdf_keep_last=5, cdf_compact_before=1,
+        cdf_squash_keys=["k"], spark=spark,
+    )
+    entries = sorted(os.listdir(pres))
+    assert "net_000001_000003" in entries
+    assert "net_000001_000002" not in entries, "previous net must fold in"
+    assert fold_state() == before
+    with _pytest.raises(ValueError, match="SQUASHED"):
+        read_table_changes(spark, path, version=3)
+
+    # table itself unchanged throughout
+    got = sorted(tuple(r) for r in read_table(spark, path).collect())
+    assert got == [(1, "b", 10.0), (2, "b", 20.0), (3, "c", 30.0),
+                   (4, "c", 4.0)]
+
+
+def test_cdf_squash_feed_delete_then_reinsert_is_update(spark):
+    """The storage squash classifies by existence at the WINDOW EDGES,
+    not by cdf_compact_net_changes' `entered` flag: a key deleted then
+    re-inserted inside the window existed at both edges, so the net is
+    an UPDATE — retract the pre-window image, add the final one. An
+    insert-classification would leak the old image into the fold."""
+    from etl_end_to_end_airflow_bigquery_spark.operators.incremental import (
+        cdf_squash_feed,
+    )
+
+    rows = [
+        (5, 50.0, "delete", 1),          # pre-window image retracted
+        (5, 55.0, "insert", 2),          # re-created
+        (6, 60.0, "insert", 1),          # genuine insert…
+        (6, 60.0, "delete", 2),          # …then gone: no net rows
+        (7, 70.0, "insert", 1),
+        (7, 70.0, "update_preimage", 3),
+        (7, 77.0, "update_postimage", 3),  # net insert, final image
+    ]
+    feed = spark.createDataFrame(
+        rows, "k int, v double, _change_type string, _commit_version bigint"
+    )
+    got = sorted(tuple(r) for r in cdf_squash_feed(feed, ["k"]).collect())
+    assert got == [
+        (5, 50.0, "update_preimage", 1),
+        (5, 55.0, "update_postimage", 2),
+        (7, 77.0, "insert", 3),
+    ]

@@ -2302,3 +2302,135 @@ def test_sharded_planning_degrades_on_uncensused_live_file(
     assert got == [(100, "d0", 100.0)], (
         "uncensused live file dropped by sharded planning"
     )
+
+
+def test_sharded_planning_degrades_on_same_count_swap(spark, tmp_path):
+    """ADVICE r14 (medium): a SAME-COUNT swap — one censused file
+    removed, one uncensused file hand-restored under a different name —
+    must fail the parity gate. The old count-only check passed it and
+    silently dropped the uncensused file's rows; the sha256 relpath
+    digest pins set equality, so planning degrades to the validated
+    stats path and the restored row is served."""
+    import os
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        _resolve_data_dir,
+        merge_upsert,
+        read_table_skipping,
+    )
+
+    rows = [(i, f"d{i // 8}", float(i)) for i in range(32)]
+    path = str(tmp_path / "tbl")
+    merge_upsert(
+        spark, path, _frame(spark, rows), keys=["k", "day"],
+        partition_col="day", manifest_shard_files=2, keep_versions=5,
+    )
+    vdir = _resolve_data_dir(path)
+    leaf = os.path.join(vdir, "day=d0")
+    victim = sorted(
+        f for f in os.listdir(leaf) if f.endswith(".parquet")
+    )[0]
+    # swap: remove a censused file, add an uncensused one — count of
+    # live files is unchanged
+    os.remove(os.path.join(leaf, victim))
+    extra = _frame(spark, [(100, "d0", 100.0)]).coalesce(1)
+    tmp_out = str(tmp_path / "extra")
+    extra.write.parquet(tmp_out)
+    extra_file = [
+        f for f in os.listdir(tmp_out) if f.endswith(".parquet")
+    ][0]
+    import shutil as _sh
+
+    _sh.copy(
+        os.path.join(tmp_out, extra_file),
+        os.path.join(leaf, "zz-swapped.parquet"),
+    )
+    pruned = read_table_skipping(spark, path, {"v": (90.0, 110.0)})
+    got = sorted(
+        tuple(r)
+        for r in pruned.filter(F.col("v") >= 90.0)
+        .select("k", "day", "v").collect()
+    )
+    assert got == [(100, "d0", 100.0)], (
+        "same-count swap passed the parity gate — uncensused file "
+        "dropped by sharded planning"
+    )
+
+
+def test_layout_sharded_census_prunes_whole_layout(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r14 item 2: a spec-evolved snapshot's census is sharded
+    PER LAYOUT and the sidecar records each layout's census-wide column
+    bounds — a bound that excludes a layout outright must cost ZERO
+    shard-file reads for that layout (its `_manifest/<layout>/` subdir
+    never appears in the planned shard list), while the pruned read
+    stays value-identical to a plain filter."""
+    import json
+    import os
+
+    from etl_end_to_end_airflow_bigquery_spark.operators import writers
+
+    monkeypatch.setattr(writers, "MANIFEST_INLINE_MAX", 2)
+    schema = "id bigint, day string, typ string, v double"
+    keys = ["id", "day", "typ"]
+    path = str(tmp_path / "tbl")
+    # layout_000: v in [0, 11]; layout_001 (post-evolution batch):
+    # v in [500, 520] — disjoint, so a low-v bound excludes it wholesale
+    pre = [(i, f"d{i % 3}", "view" if i % 2 else "click", float(i))
+           for i in range(12)]
+    writers.merge_upsert(
+        spark, path, spark.createDataFrame(pre, schema),
+        keys=keys, partition_col="day", keep_versions=5,
+    )
+    writers.evolve_partition_spec(spark, path, ["day", "typ"],
+                                  keep_versions=5)
+    batch = [(20, "d9", "view", 500.0), (21, "d9", "click", 520.0)]
+    writers.merge_upsert_evolved(
+        spark, path, spark.createDataFrame(batch, schema),
+        keys=keys, keep_versions=5,
+    )
+    vdir = writers._resolve_data_dir(path)
+    meta = json.load(open(os.path.join(vdir, writers._SNAPSHOT_META)))
+    assert meta.get("census_shards")
+    lay_stats = meta.get("census_layout_stats")
+    assert set(lay_stats) == {"layout_000", "layout_001"}
+    assert writers._stat_from_json(
+        lay_stats["layout_001"]["mins"]["v"]
+    ) == 500.0
+    # shards are grouped per layout on disk
+    mdir = os.path.join(vdir, writers._MANIFEST_DIR)
+    assert os.path.isdir(os.path.join(mdir, "layout_000"))
+    assert os.path.isdir(os.path.join(mdir, "layout_001"))
+
+    planned: list[str] = []
+    real = writers._census_shard_paths
+
+    def record(vd, subdirs=None):
+        out = real(vd, subdirs=subdirs)
+        planned.extend(out)
+        return out
+
+    monkeypatch.setattr(writers, "_census_shard_paths", record)
+    pruned = writers.read_table_skipping(spark, path, {"v": (3.0, 9.0)})
+    got = sorted(
+        tuple(r)
+        for r in pruned.filter(F.col("v").between(3.0, 9.0))
+        .select("id", "day", "typ", "v").collect()
+    )
+    want = sorted(
+        (i, d, t, v) for i, d, t, v in pre if 3.0 <= v <= 9.0
+    )
+    assert got == want
+    assert planned, "distributed planner must have selected shards"
+    assert all("layout_001" not in p for p in planned), (
+        "excluded layout's shards were read: "
+        f"{[p for p in planned if 'layout_001' in p]}"
+    )
+    assert any("layout_000" in p for p in planned)
+
+    # and a bound excluding NOTHING reads both layouts' shards
+    planned.clear()
+    allkept = writers.read_table_skipping(spark, path, {"v": (0.0, 600.0)})
+    assert allkept.count() == 14
+    assert any("layout_001" in p for p in planned)
