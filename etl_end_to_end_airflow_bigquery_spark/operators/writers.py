@@ -1361,6 +1361,12 @@ def expire_versions(
             from .incremental import cdf_squash_feed
 
             pres_root = os.path.join(path, _CDF_RETAINED)
+            # sweep stray tmp dirs from a compaction that crashed
+            # between write and rename (the rename-before-remove
+            # protocol makes them pure garbage, never the only copy)
+            for d in os.listdir(path):
+                if d.startswith(".net_tmp_"):
+                    shutil.rmtree(os.path.join(path, d), ignore_errors=True)
             units = [
                 (lo, hi, p) for lo, hi, p in _net_feed_ranges(path)
             ]

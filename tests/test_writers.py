@@ -2434,3 +2434,99 @@ def test_layout_sharded_census_prunes_whole_layout(
     allkept = writers.read_table_skipping(spark, path, {"v": (0.0, 600.0)})
     assert allkept.count() == 14
     assert any("layout_001" in p for p in planned)
+
+
+def test_layout_bounds_drops_columns_with_missing_stats():
+    """_layout_bounds: a column qualifies only when EVERY file entry in
+    the layout carries both decoded stats — one unknown bound makes the
+    layout's bound unknown (conservative: can never exclude unseen
+    rows). Values stay in the type-tagged JSON encoding."""
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        _layout_bounds,
+        _stat_from_json,
+        _stat_to_json,
+    )
+
+    e = lambda lo, hi: {  # noqa: E731
+        "mins": {"v": _stat_to_json(lo), "w": _stat_to_json(1.0)},
+        "maxs": {"v": _stat_to_json(hi), "w": _stat_to_json(2.0)},
+    }
+    partial = {
+        "mins": {"v": _stat_to_json(5.0)},   # w missing entirely
+        "maxs": {"v": _stat_to_json(9.0), "w": _stat_to_json(None)},
+    }
+    out = _layout_bounds([e(0.0, 4.0), e(2.0, 7.0), partial])
+    assert set(out["mins"]) == {"v"}, "w must be dropped (partial stats)"
+    assert _stat_from_json(out["mins"]["v"]) == 0.0
+    assert _stat_from_json(out["maxs"]["v"]) == 9.0
+    # empty entry list -> empty bounds, not a crash
+    assert _layout_bounds([]) == {"mins": {}, "maxs": {}}
+
+
+def test_layout_sharded_all_layouts_excluded_returns_empty(
+    spark, tmp_path, monkeypatch
+):
+    """Bounds disjoint from EVERY layout's census-wide range: zero
+    layout shard groups survive, zero data files are scanned, and the
+    read returns an empty frame with the table schema."""
+    from etl_end_to_end_airflow_bigquery_spark.operators import writers
+
+    monkeypatch.setattr(writers, "MANIFEST_INLINE_MAX", 2)
+    schema = "id bigint, day string, typ string, v double"
+    keys = ["id", "day", "typ"]
+    path = str(tmp_path / "tbl")
+    pre = [(i, f"d{i % 3}", "view", float(i)) for i in range(12)]
+    writers.merge_upsert(
+        spark, path, spark.createDataFrame(pre, schema),
+        keys=keys, partition_col="day", keep_versions=5,
+    )
+    writers.evolve_partition_spec(spark, path, ["day", "typ"],
+                                  keep_versions=5)
+    writers.merge_upsert_evolved(
+        spark, path,
+        spark.createDataFrame([(20, "d9", "view", 500.0)], schema),
+        keys=keys, keep_versions=5,
+    )
+    out = writers.read_table_skipping(spark, path, {"v": (2000.0, 3000.0)})
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "day", "typ", "v"}
+
+
+def test_cdf_compact_before_zero_squashes_everything(spark, tmp_path):
+    """cdf_compact_before=0: every preserved feed squashes into the net
+    archive (no granular tail), and the full-feed fold still matches."""
+    import os
+
+    from etl_end_to_end_airflow_bigquery_spark.operators.writers import (
+        expire_versions,
+        merge_upsert,
+        read_table_changes,
+    )
+
+    schema = "k int, v double"
+    path = str(tmp_path / "tbl")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, schema)
+
+    merge_upsert(spark, path, batch([(1, 1.0), (2, 2.0)]), keys=["k"],
+                 keep_versions=10, emit_cdf=True)
+    merge_upsert(spark, path, batch([(1, 10.0)]), keys=["k"],
+                 keep_versions=10, emit_cdf=True)
+    merge_upsert(spark, path, batch([(3, 3.0)]), keys=["k"],
+                 keep_versions=10, emit_cdf=True)
+    expire_versions(
+        path, keep_last=1, cdf_keep_last=3, cdf_compact_before=0,
+        cdf_squash_keys=["k"], spark=spark,
+    )
+    entries = sorted(os.listdir(os.path.join(path, "_cdf")))
+    assert entries == ["net_000001_000002"]
+    # readable range: net (c1-2) + live (c3); fold lands on final state
+    feed = read_table_changes(spark, path)
+    w = F.when(
+        F.col("_change_type").isin("update_preimage", "delete"), -1
+    ).otherwise(1)
+    tot = feed.withColumn("w", w).agg(
+        F.sum(F.col("w") * F.col("v")).alias("s")
+    ).first().s
+    assert abs(tot - (10.0 + 2.0 + 3.0)) < 1e-9

@@ -158,6 +158,10 @@ DEFAULT = [
     "evolved_subject_delete",    # per-layout leaf-scoped GDPR rewrite
     "evolved_compaction_read",   # per-layout leaf-grain compaction
     "manifest_planning_filecount",  # planning cost vs FILE COUNT (below)
+    # round 15
+    "cdf_compacted_feed_ivm",    # retention-time net squash + feed fold
+    "lakehouse_daily_report",    # landed table + sharded-census report
+    "evolved_layout_pruned_read",  # per-layout shards, whole-layout prune
 ]
 
 
