@@ -38,6 +38,27 @@ def _tune(spark: SparkSession) -> None:
         pass  # tuning must never break a query
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to default parallelism IFF the plan
+    resolves to fewer partitions (r15, guide §2.5 "input skew —
+    repartition immediately after the read").
+
+    Compute-dense single-pass stages (in-row higher-order-function
+    folds: BPE merge application, shingle/minhash folds, in-row
+    quantizer assignment) otherwise serialize on the one task a tiny
+    single-file scan produces. At scale the scan already carries
+    ≥ parallelism splits and this returns ``df`` unchanged — no
+    exchange is added where the data is big. Safe only for
+    partitioning-independent computations (exact/associative
+    aggregates, per-row projections); round-robin repartition is
+    retry-safe (sort-before-repartition stays on).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one synthetic table. Plain columnar scan; filters push down."""
     _tune(spark)

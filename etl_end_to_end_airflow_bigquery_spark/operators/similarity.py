@@ -27,6 +27,8 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..io import spread_small_scan as _spread  # guide §2.5
+
 N_PLANES = 8
 PLANE_SEED = 7
 EMB_DIM = 64
@@ -113,25 +115,44 @@ def lsh_buckets(
     bucket — is engine-exact. One broadcast of P planes, one grouped sum
     over (vec, plane) sign bits.
     """
-    v = _vectors(embeddings)
-    planes = spark.createDataFrame(
-        [
-            (i, [float(x) for x in row])
-            for i, row in enumerate(hyperplanes(dim=dim, seed=seed))
-        ],
-        "plane_idx int, w array<double>",
+    del spark  # kept in the signature for API compatibility
+    return _with_buckets(_vectors(embeddings), dim=dim, seed=seed).select(
+        "vec_id", "bucket"
     )
-    plane_dots = (
-        v.select("vec_id", "e")
-        .crossJoin(F.broadcast(planes))
-        .select("vec_id", "plane_idx", F.expr(dot_fold("e", "w")).alias("dot"))
-    )
-    return plane_dots.groupBy("vec_id").agg(
-        F.sum(
-            F.expr(
-                "CASE WHEN dot >= 0 THEN shiftleft(cast(1 as bigint), plane_idx) ELSE 0 END"
+
+
+def _with_buckets(
+    v: DataFrame, dim: int = EMB_DIM, seed: int = PLANE_SEED
+) -> DataFrame:
+    """``v`` + its LSH ``bucket`` column, computed IN-ROW (r15, guide
+    §2.4): the hyperplanes are compile-time constants (fixed numpy
+    seed), so the per-plane sign bits fold over a literal plane array
+    in one projection — the broadcast cross of P planes and the
+    grouped bit-sum exchange of the r14 spelling are gone, and callers
+    that need (e, norm2, bucket) together skip the ``vec_id`` re-join.
+    The fold sums the same CASE/shiftleft BIGINT terms in plane order
+    (integer adds — associative), so buckets are bit-identical."""
+    # one parsed SQL expression — see _cents_arr for why not F.lit
+    planes_arr = F.expr(
+        "array("
+        + ",".join(
+            "named_struct('plane_idx', {i}, 'w', array({w}))".format(
+                i=i, w=",".join(_sql_double(x) for x in row)
             )
-        ).alias("bucket")
+            for i, row in enumerate(hyperplanes(dim=dim, seed=seed))
+        )
+        + ")"
+    )
+    dot = dot_fold("e", "pl.w")
+    bucket = F.expr(
+        "aggregate(__planes, CAST(0 AS BIGINT), (accb, pl) -> accb + "
+        f"(CASE WHEN {dot} >= 0 THEN shiftleft(CAST(1 AS BIGINT), "
+        "pl.plane_idx) ELSE CAST(0 AS BIGINT) END))"
+    )
+    return (
+        v.withColumn("__planes", planes_arr)
+        .withColumn("bucket", bucket)
+        .drop("__planes")
     )
 
 
@@ -161,9 +182,10 @@ def ann_lsh_topk(
     """
     if probe_hamming not in (0, 1):
         raise ValueError("probe_hamming must be 0 or 1")
+    # r15 (guide §2.4): bucket computed in-row (literal planes) — no
+    # bucket join; the candidate join keys the in-row bucket directly.
     v = _vectors(embeddings)
-    buckets = lsh_buckets(spark, embeddings, dim=dim)
-    vb = v.join(buckets, "vec_id").select("vec_id", "e", "norm2", "bucket")
+    vb = _with_buckets(v, dim=dim).select("vec_id", "e", "norm2", "bucket")
     q = vb.filter(query_pred).select(
         F.col("vec_id").alias("q_id"),
         F.col("e").alias("qe"),
@@ -231,14 +253,15 @@ def ann_lsh_multitable(
     )
     cands = None
     for t in range(n_tables):
-        b = lsh_buckets(
-            spark, embeddings, dim=dim, seed=PLANE_SEED + t * TABLE_SEED_STRIDE
+        # r15: per-table buckets in-row (literal planes) on both sides —
+        # the per-table bucket join against the corpus disappears.
+        bt = _with_buckets(
+            v, dim=dim, seed=PLANE_SEED + t * TABLE_SEED_STRIDE
+        ).select("vec_id", "bucket")
+        qb = bt.filter(query_pred).select(
+            F.col("vec_id").alias("q_id"), "bucket"
         )
-        qb = (
-            qv.select("q_id")
-            .join(b.withColumnRenamed("vec_id", "q_id"), "q_id")
-        )
-        ct = qb.join(b, "bucket").select("q_id", "vec_id")
+        ct = F.broadcast(qb).join(bt, "bucket").select("q_id", "vec_id")
         cands = ct if cands is None else cands.union(ct)
     cands = cands.filter(F.col("q_id") != F.col("vec_id")).distinct()
     scored = (
@@ -278,7 +301,7 @@ def embedding_near_dups(
     all-pairs cost — and the bucket is the shuffle/partition key.
     """
     v = _vectors(embeddings)
-    vb = v.join(lsh_buckets(spark, embeddings, dim=dim), "vec_id").select(
+    vb = _with_buckets(v, dim=dim).select(
         "vec_id", "e", "norm2", "bucket"
     ).repartition("bucket")  # exchange barrier → self-join reuses one computation
     a = vb.alias("a")
@@ -325,7 +348,7 @@ def embedding_decontaminate(
     downstream either drops the train docs or audits the pairs.
     """
     v = _vectors(embeddings)
-    vb = v.join(lsh_buckets(spark, embeddings, dim=dim), "vec_id").select(
+    vb = _with_buckets(v, dim=dim).select(
         "vec_id", "e", "norm2", "bucket", eval_pred.alias("__is_eval")
     ).repartition("bucket")
     t = vb.filter(~F.col("__is_eval")).alias("t")
@@ -353,23 +376,123 @@ def ivf_cells(embeddings: DataFrame, n_seeds: int = N_IVF_SEEDS) -> DataFrame:
     uses the same exact dot fold, so the partitioning is engine-exact.
     """
     v = _vectors(embeddings)
-    seeds = v.filter(F.col("vec_id") < n_seeds).select(
-        F.col("vec_id").alias("cell"),
-        F.col("e").alias("se"),
-        F.col("norm2").alias("sn"),
-    )
-    scored = (
-        v.select("vec_id", "e", "norm2")
-        .crossJoin(F.broadcast(seeds))
+    # r15 (guide §2.4): seeds are n_seeds bounded rows — collect them
+    # and assign in-row (projection; no crossJoin, no argmax exchange).
+    # Same dots, same tie rule → identical assignments.
+    seed_rows = (
+        v.filter(F.col("vec_id") < n_seeds)
         .select(
-            "vec_id",
-            "cell",
-            (
-                F.expr(dot_fold("e", "se")) / (F.sqrt("norm2") * F.sqrt("sn"))
-            ).alias("cos_to_seed"),
+            F.col("vec_id").alias("cell"),
+            F.col("e").alias("ce"),
+            F.col("norm2").alias("cn"),
+        )
+        .collect()
+    )
+    return _with_cells_lit(v, seed_rows).select("vec_id", "cell")
+
+
+def _sql_double(x: float) -> str:
+    """Shortest-round-trip double literal (``repr`` → Java
+    ``parseDouble`` is IEEE-exact both ways), ``D``-suffixed."""
+    return repr(float(x)) + "D"
+
+
+def _cents_arr(cent_rows) -> "F.Column":
+    """Literal ``array<struct<cell,ce,cn>>`` from collected centroid
+    rows — the K-row driver-side centroid state every Lloyd round
+    already materializes (``ivf_cells_kmeans``), re-entered into the
+    plan as a literal so assignment can run IN-ROW (guide §2.4: the
+    crossJoin + argmax-aggregate exchange disappears; see
+    :func:`_with_cells_lit`). Doubles round-trip driver↔plan
+    bit-exactly (same IEEE values), so results are unchanged.
+
+    Built as ONE parsed SQL expression, not per-element ``F.lit``
+    composition: K·d literals as individual py4j Column calls cost
+    seconds of driver time PER QUERY CONSTRUCTION (measured — the
+    first spelling of this refactor was driver-bound, guide §7.3);
+    one ``expr()`` parse of the same text is milliseconds. The
+    optimizer constant-folds the parsed tree to a single Literal."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "named_struct('cell', CAST({c} AS BIGINT), 'ce', array({ce}),"
+            " 'cn', {cn})".format(
+                c=int(r["cell"]),
+                ce=",".join(_sql_double(x) for x in r["ce"]),
+                cn=_sql_double(r["cn"]),
+            )
+            for r in cent_rows
+        )
+        + ")"
+    )
+
+
+def _with_cells_lit(
+    v: DataFrame, cent_rows, keep_centroid: bool = False
+) -> DataFrame:
+    """``v`` + its nearest-centroid ``cell`` column, computed IN-ROW
+    over a literal centroid array — a pure projection: zero exchanges,
+    zero joins, where :func:`_assign_cells` costs a broadcast cross +
+    a grouped struct-max exchange (guide §2.4 "remove shuffles
+    outright"). EXACT-identical to the aggregate spelling: the cosine
+    is the same ``dot_fold`` fixed-point expression on the same
+    doubles, and ``array_max`` over ``struct(cos_to_seed, neg_cell)``
+    uses the very struct ordering ``F.max`` used — max cosine, ties →
+    lowest cell (A/B-verified equal at sf0.01/sf0.1).
+
+    ``keep_centroid=True`` additionally emits the winning centroid's
+    ``ce``/``cn`` (rides in the same struct; the comparator never
+    reaches those fields because ``neg_cell`` is unique) so residual
+    computation needs no join back to the centroid table.
+    """
+    dot = dot_fold("e", "c.ce")
+    best = F.expr(
+        "array_max(transform(__cents, c -> struct("
+        f"{dot} / (sqrt(norm2) * sqrt(c.cn)) AS cos_to_seed, "
+        "-c.cell AS neg_cell, c.ce AS ce, c.cn AS cn)))"
+    )
+    out = (
+        v.withColumn("__cents", _cents_arr(cent_rows))
+        .withColumn("__best", best)
+        .withColumn("cell", -F.col("__best.neg_cell"))
+    )
+    if keep_centroid:
+        out = out.withColumn("__ce", F.col("__best.ce")).withColumn(
+            "__cn", F.col("__best.cn")
+        )
+    return out.drop("__cents", "__best")
+
+
+def _probe_cells_lit(q: DataFrame, cent_rows, nprobe: int) -> DataFrame:
+    """Per-query top-``nprobe`` centroids by cosine, IN-ROW (explode of
+    a sorted literal-array slice) — replaces the broadcast-cross +
+    row_number window of the probe stage with a projection (guide
+    §2.4). Ordering is EXACT-identical to the window spelling
+    ``orderBy(cos_to_seed DESC, cell)``: ``array_sort`` on
+    ``struct(neg_cos, cell, ce, cn)`` compares neg_cos ascending
+    (= cosine descending), then cell ascending; ce/cn ride along for
+    the residual/LUT stage (never compared — (neg_cos, cell) is
+    already a total order).
+
+    ``q`` must carry ``qe``/``qn``; output adds (cell, ce, cn) one row
+    per probed cell.
+    """
+    dot = dot_fold("qe", "c.ce")
+    probes = F.expr(
+        f"slice(array_sort(transform(__cents, c -> struct("
+        f"-({dot} / (sqrt(qn) * sqrt(c.cn))) AS neg_cos, "
+        f"c.cell AS cell, c.ce AS ce, c.cn AS cn))), 1, {int(nprobe)})"
+    )
+    return (
+        q.withColumn("__cents", _cents_arr(cent_rows))
+        .withColumn("__p", F.explode(probes))
+        .select(
+            *[c for c in q.columns],
+            F.col("__p.cell").alias("cell"),
+            F.col("__p.ce").alias("ce"),
+            F.col("__p.cn").alias("cn"),
         )
     )
-    return _argmax_cell(scored)
 
 
 def _argmax_cell(scored: DataFrame) -> DataFrame:
@@ -488,7 +611,44 @@ def ivf_cells_kmeans(
     an A/B run (identical search results, ~10% faster even at 2
     rounds).
     """
-    spark = embeddings.sparkSession
+    va, cents = kmeans_vectors(embeddings, n_seeds, n_iters, dim, train_fraction)
+    return va.select("vec_id", "cell"), cents
+
+
+def kmeans_vectors(
+    embeddings: DataFrame,
+    n_seeds: int = N_IVF_SEEDS,
+    n_iters: int = KMEANS_ITERS,
+    dim: int = EMB_DIM,
+    train_fraction: float = TRAIN_FRACTION,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`ivf_cells_kmeans` with the full vector columns kept:
+    returns (va, cents) where ``va`` is :func:`_vectors` of the corpus
+    PLUS its ``cell`` column — computed in ONE in-row projection over
+    the literal centroids (r15, guide §2.4), so callers that need
+    (e, norm2, cell) together (the IVF search lists, SemDeDup's
+    within-cell join, the residual encode) no longer pay the
+    ``v.join(cells, "vec_id")`` shuffle that re-attaching the
+    assignment used to cost. Training arithmetic is unchanged — same
+    exact fixed-point means, same tie rules — so centroids and
+    assignments are bit-identical to the r14 spelling (A/B-verified)."""
+    va, cent_rows = _kmeans_state(embeddings, n_seeds, n_iters, dim, train_fraction)
+    cents = embeddings.sparkSession.createDataFrame(
+        cent_rows, schema="cell bigint, ce array<double>, cn double"
+    )
+    return va, cents
+
+
+def _kmeans_state(
+    embeddings: DataFrame,
+    n_seeds: int = N_IVF_SEEDS,
+    n_iters: int = KMEANS_ITERS,
+    dim: int = EMB_DIM,
+    train_fraction: float = TRAIN_FRACTION,
+) -> tuple[DataFrame, list]:
+    """(va, cent_rows): the Lloyd trainer returning the collected
+    centroid ROWS (the driver-side state each round materializes
+    anyway) so in-row consumers skip re-collecting the literal frame."""
     v = _vectors(embeddings)
     # Lloyd refinement runs on the deterministic training sample (see
     # _train_sample); only the FINAL assignment scans the full corpus.
@@ -496,16 +656,25 @@ def ivf_cells_kmeans(
     # source would otherwise re-read parquet and recompute norms per
     # round, and at 100 TB the training set is the bounded piece you
     # want resident, exactly like FAISS keeping its train matrix in RAM.
-    tv = _train_sample(v, train_fraction).persist()
-    cents = v.filter(F.col("vec_id") < n_seeds).select(
-        F.col("vec_id").alias("cell"),
-        F.col("e").alias("ce"),
-        F.col("norm2").alias("cn"),
+    tv = _spread(_train_sample(v, train_fraction)).persist()
+    # Seed centroids collected up front (n_seeds rows — the same bounded
+    # driver state every later round keeps anyway): with literal
+    # centroids, EVERY round's assignment is an in-row projection
+    # (guide §2.4) — the per-round crossJoin + struct-max exchange of
+    # the r14 spelling is gone, and each Lloyd round is exactly one
+    # grouped-means job over (cell, dim).
+    cent_rows = (
+        v.filter(F.col("vec_id") < n_seeds)
+        .select(
+            F.col("vec_id").alias("cell"),
+            F.col("e").alias("ce"),
+            F.col("norm2").alias("cn"),
+        )
+        .collect()
     )
     scale = F.lit(float(MEAN_SCALE))
     for _ in range(n_iters):
-        assign = _assign_cells(tv, cents)
-        member = tv.join(assign, "vec_id")
+        member = _with_cells_lit(tv, cent_rows)
         # Per-cell per-dimension exact fixed-point means, keyed
         # (cell, dim) after a posexplode rather than as `dim` separate
         # wide aggregates: hash partial aggregation combines map-side,
@@ -539,9 +708,9 @@ def ivf_cells_kmeans(
             )
             .withColumn("cn", F.expr(dot_fold("ce", "ce")))
         )
-        cents = spark.createDataFrame(cents.collect(), schema=cents.schema)
+        cent_rows = cents.collect()
     tv.unpersist()
-    return _assign_cells(v, cents), cents
+    return _with_cells_lit(_spread(v), cent_rows), cent_rows
 
 
 def ivf_topk_kmeans(
@@ -559,35 +728,23 @@ def ivf_topk_kmeans(
     cell quality/balance) differs."""
     if nprobe < 1 or nprobe > n_seeds:
         raise ValueError("nprobe must be in 1..n_seeds")
-    v = _vectors(embeddings)
-    cells, cents = ivf_cells_kmeans(embeddings, n_seeds, n_iters)
-    vc = v.join(cells, "vec_id").select("vec_id", "e", "norm2", "cell")
-    qs = (
-        v.filter(query_pred)
-        .select(
+    # r15 (guide §2.4): the quantizer returns vectors WITH their cell —
+    # a projection — so the probed-list side needs no vec_id re-join;
+    # probe ranking is the in-row sorted-slice over literal centroids
+    # instead of a broadcast cross + row_number window. Search results
+    # are bit-identical (same dots, same tie order).
+    va, cents = kmeans_vectors(embeddings, n_seeds, n_iters)
+    cent_rows = cents.collect()
+    vc = va.select("vec_id", "e", "norm2", "cell")
+    q = _probe_cells_lit(
+        va.filter(query_pred).select(
             F.col("vec_id").alias("q_id"),
             F.col("e").alias("qe"),
             F.col("norm2").alias("qn"),
-        )
-        .crossJoin(F.broadcast(cents))
-        .select(
-            "q_id",
-            "qe",
-            "qn",
-            "cell",
-            (
-                F.expr(dot_fold("qe", "ce")) / (F.sqrt("qn") * F.sqrt("cn"))
-            ).alias("cos_to_seed"),
-        )
-    )
-    wq = Window.partitionBy("q_id").orderBy(
-        F.col("cos_to_seed").desc(), F.col("cell")
-    )
-    q = (
-        qs.withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= nprobe)
-        .select("q_id", "qe", "qn", "cell")
-    )
+        ),
+        cent_rows,
+        nprobe,
+    ).select("q_id", "qe", "qn", "cell")
     scored = (
         F.broadcast(q)
         .join(vc, "cell")
@@ -749,6 +906,94 @@ def _assign_codes(sv: DataFrame, cb: DataFrame) -> DataFrame:
     )
 
 
+# In-row nearest-sub-codeword: d² = ‖x‖² − 2·x·c + ‖c‖² from the exact
+# fixed-point dots (identical expression to _assign_codes), argmin via
+# array_max over struct(neg_d2, neg_code) — the same comparator the
+# grouped struct-max used, so ties (→ lowest code) decide identically.
+def _code_argmin_sql(x: str, xn: str, cb_slot: str) -> str:
+    dot = dot_fold(x, "k.ce")
+    return (
+        f"-array_max(transform({cb_slot}, "
+        f"k -> struct(-(({xn} - (2.0 * {dot})) + k.cn) AS neg_d2, "
+        "-k.code AS neg_code))).neg_code"
+    )
+
+
+def _cb_attach(df: DataFrame, cb_rows) -> DataFrame:
+    """``df`` + the trained codebook as a ``__cb`` column
+    (array-by-subspace of (code, ce, cn) structs) via a ONE-ROW
+    broadcast cross — the repo's adjudicated bounded-scalar pattern.
+
+    Why not a literal: an M·K nested literal is a ~15k-node expression
+    tree; parsing + analyzing it cost seconds of DRIVER time per query
+    construction (guide §7.3 — measured on the first spelling of this
+    refactor). A one-row LocalTableScan broadcast carries the same
+    values with a constant-size plan."""
+    spark = df.sparkSession
+    by_s: dict[int, list] = {}
+    for r in cb_rows:
+        by_s.setdefault(int(r["s"]), []).append(r)
+    data = [
+        [
+            (int(r["code"]), [float(x) for x in r["ce"]], float(r["cn"]))
+            for r in sorted(by_s[s], key=lambda r: int(r["code"]))
+        ]
+        for s in range(PQ_M)
+    ]
+    cb_df = spark.createDataFrame(
+        [(data,)],
+        "__cb array<array<struct<code:bigint,ce:array<double>,cn:double>>>",
+    )
+    return df.crossJoin(F.broadcast(cb_df))
+
+
+def _codes_arr_sql(e: str = "e") -> str:
+    """SQL (over ``__cb``): ALL ``PQ_M`` sub-codes of vector column
+    ``e`` as one in-row array — the full PQ encode as a projection,
+    replacing the posexplode→join→argmin-exchange pipeline. ‖x‖² is
+    hoisted per subspace (computed once, not once per codeword) with
+    the same ``dot_fold`` the exploded frame precomputed, so d² values
+    are bit-identical."""
+    slice_x = f"slice({e}, sidx * {PQ_SUBDIM} + 1, {PQ_SUBDIM})"
+    xn = dot_fold("sv0.x", "sv0.x")
+    argmin = _code_argmin_sql(
+        "sv.x", "sv.xn", "element_at(__cb, sv.s + 1)"
+    )
+    return (
+        f"transform(transform(transform(sequence(0, {PQ_M - 1}), "
+        f"sidx -> struct(sidx AS s, {slice_x} AS x)), "
+        f"sv0 -> struct(sv0.s AS s, sv0.x AS x, {xn} AS xn)), "
+        f"sv -> {argmin})"
+    )
+
+
+def _lut_arr_sql(e: str = "e") -> str:
+    """SQL (over ``__cb``): the per-query ADC lookup table as an
+    in-row array indexed by ``s`` of ``map<code, q·c_code>`` — exact
+    ``dot_fold`` dots of the query('s residual) subvectors against the
+    literal codebook, built in one projection on the (tiny) query side
+    instead of a posexplode + broadcast-join LUT frame."""
+    slice_x = f"slice({e}, sidx * {PQ_SUBDIM} + 1, {PQ_SUBDIM})"
+    dot = dot_fold("sv.x", "k.ce")
+    return (
+        f"transform(transform(sequence(0, {PQ_M - 1}), "
+        f"sidx -> struct(sidx AS s, {slice_x} AS x)), "
+        "sv -> map_from_entries(transform(element_at(__cb, sv.s + 1), "
+        f"k -> struct(k.code, {dot}))))"
+    )
+
+
+# The ADC score: Σ_s floor(LUT[s][code_s]·1e9 + 0.5) as exact BIGINT
+# adds (associative — any order gives the sum the grouped F.sum
+# produced), finished with the same single double division.
+_ADC_SUM_SQL = (
+    f"CAST(aggregate(sequence(0, {PQ_M - 1}), CAST(0 AS BIGINT), "
+    "(acc2, sidx) -> acc2 + CAST(floor("
+    f"element_at(element_at(__luts, sidx + 1), element_at(codes, sidx + 1))"
+    f" * {ADC_SCALE} + 0.5) AS BIGINT)) AS DOUBLE) / {ADC_SCALE}"
+)
+
+
 def pq_codebooks(
     embeddings: DataFrame,
     n_codes: int = PQ_K,
@@ -777,33 +1022,44 @@ def pq_codebooks(
     unrolled Lloyd lineage grows exponentially in n_iters.
     """
     sv = _subvectors(_vectors(embeddings))
-    return _pq_train(embeddings.sparkSession, sv, n_codes, n_iters)
+    spark = embeddings.sparkSession
+    rows = _pq_train_rows(sv, n_codes, n_iters)
+    return spark.createDataFrame(
+        rows, schema="s int, code bigint, ce array<double>, cn double"
+    )
 
 
-def _pq_train(
-    spark,
+def _pq_train_rows(
     sv: DataFrame,
     n_codes: int,
     n_iters: int,
     train_fraction: float = TRAIN_FRACTION,
-) -> DataFrame:
+) -> list:
     """The Lloyd loop of :func:`pq_codebooks`, over any prepared
     subvector frame (vec_id, s, x, xn) — also trains the RESIDUAL
     sub-quantizers of :func:`ivfpq_topk`. Refinement runs on the
     deterministic training sample (:func:`_train_sample`), persisted
     across rounds; only code ASSIGNMENT (done by callers) sees the
-    full corpus."""
-    cb = sv.filter(F.col("vec_id") < n_codes).select(
-        "s",
-        F.col("vec_id").alias("code"),
-        F.col("x").alias("ce"),
-        F.col("xn").alias("cn"),
+    full corpus. Returns the collected codebook ROWS (s, code, ce, cn)
+    — the same bounded M·K driver state every round materialized —
+    so callers assign codes IN-ROW over the literal codebook (r15,
+    guide §2.4): each round is ONE grouped-means job; the per-round
+    assignment crossJoin + argmin exchange of the r14 spelling is
+    gone. Arithmetic unchanged — codebooks are bit-identical."""
+    cb_rows = (
+        sv.filter(F.col("vec_id") < n_codes)
+        .select(
+            "s",
+            F.col("vec_id").alias("code"),
+            F.col("x").alias("ce"),
+            F.col("xn").alias("cn"),
+        )
+        .collect()
     )
-    tsv = _train_sample(sv, train_fraction).persist()
+    tsv = _spread(_train_sample(sv, train_fraction)).persist()
     scale = F.lit(float(MEAN_SCALE))
     for _ in range(n_iters):
-        assign = _assign_codes(tsv, cb)
-        member = tsv.join(assign, ["vec_id", "s"])
+        member = _assign_codes_member(tsv, cb_rows)
         sums = member.groupBy("s", "code").agg(
             F.count(F.lit(1)).alias("__n"),
             *[
@@ -823,9 +1079,18 @@ def _pq_train(
                 ]
             ).alias("ce"),
         ).withColumn("cn", F.expr(dot_fold("ce", "ce")))
-        cb = spark.createDataFrame(cb.collect(), schema=cb.schema)
+        cb_rows = cb.collect()
     tsv.unpersist()
-    return cb
+    return cb_rows
+
+
+def _assign_codes_member(sv: DataFrame, cb_rows) -> DataFrame:
+    """``sv`` + its in-row ``code`` column (projection — the join-free
+    member frame the Lloyd means pass consumes)."""
+    code = F.expr(
+        _code_argmin_sql("x", "xn", "element_at(__cb, s + 1)")
+    )
+    return _cb_attach(sv, cb_rows).withColumn("code", code)
 
 
 def pq_topk(
@@ -855,27 +1120,34 @@ def pq_topk(
     list with exact dots — composable here as cosine_topk over the
     candidate ids).
     """
+    # r15 (guide §2.4/§8): encode, LUT and the ADC sum all run IN-ROW
+    # over the literal codebook — the corpus side is ONE projection
+    # (vec_id, codes[M]) with no posexplode and no (s, code) join, the
+    # query side is |Q| rows carrying their M lookup maps, attached by
+    # a broadcast cross (|Q| bounded by query_pred — the repo's
+    # adjudicated one-row-broadcast-cross pattern), and the per-pair
+    # score is the same exact Σ floor(val·1e9 + 0.5) BIGINT fold the
+    # grouped sum produced. The N·M·K scored intermediate and its
+    # partial-agg exchange are gone; the only exchanges left are the
+    # rank window and the caller's output sort. Bit-identical results.
     v = _vectors(embeddings)
-    sv = _subvectors(v)
-    cb = pq_codebooks(embeddings, n_codes=n_codes, n_iters=n_iters)
-    codes = _assign_codes(sv, cb)
-    q = sv.filter(query_pred).select(
-        F.col("vec_id").alias("q_id"), "s", F.col("x").alias("qx")
+    cb_rows = _pq_train_rows(_subvectors(v), n_codes, n_iters)
+    vcodes = (
+        _cb_attach(_spread(v), cb_rows)
+        .withColumn("codes", F.expr(_codes_arr_sql("e")))
+        .select("vec_id", "codes")
     )
-    lut = q.join(F.broadcast(cb), "s").select(
-        "q_id", "s", "code", F.expr(dot_fold("qx", "ce")).alias("val")
+    qlut = (
+        _cb_attach(v.filter(query_pred), cb_rows)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.expr(_lut_arr_sql("e")).alias("__luts"),
+        )
     )
     scored = (
-        codes.join(F.broadcast(lut), ["s", "code"])
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(
-            (
-                F.sum(
-                    F.floor(F.col("val") * F.lit(float(ADC_SCALE)) + 0.5)
-                ).cast("double")
-                / F.lit(float(ADC_SCALE))
-            ).alias("approx_dot")
+        vcodes.join(F.broadcast(qlut), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id", F.expr(_ADC_SUM_SQL).alias("approx_dot")
         )
     )
     w = Window.partitionBy("q_id").orderBy(
@@ -934,103 +1206,69 @@ def ivfpq_topk(
     """
     if nprobe < 1 or nprobe > n_seeds:
         raise ValueError("nprobe must be in 1..n_seeds")
-    spark = embeddings.sparkSession
-    v = _vectors(embeddings)
-    cells, cents = ivf_cells_kmeans(embeddings, n_seeds, kmeans_iters)
-    # The coarse assignment feeds three passes (residual training,
-    # encoding, and the search plan) — persist it so the N·K argmax
-    # cross runs once, not per pass (measured −1.0 s min-of-3 at sf0.1;
-    # MEMORY_AND_DISK, 2 narrow columns, spills rather than OOMs at
-    # scale). Left cached for the life of the returned lazy plan; Spark
-    # evicts LRU, and build_ivfpq_index (the train-once serving path)
-    # unpersists explicitly after materializing.
-    cells = cells.persist()
-
-    # residual frame: r = x − centroid(cell), re-keyed as the 'e' column
-    # so the PQ subvector machinery applies unchanged. Persisted: it
-    # feeds residual training AND the encode pass — materializing it
-    # once is the standard index-build shape (FAISS computes residuals
-    # once per add), and MEMORY_AND_DISK spills rather than OOMs when
-    # the residual set outgrows executor memory (measured −1.6 s
-    # min-of-3 at sf0.1 vs recomputing the join chain per pass).
-    member = v.join(cells, "vec_id").join(F.broadcast(cents), "cell")
-    res = member.select(
-        "vec_id",
-        F.expr("zip_with(e, ce, (a, b) -> a - b)").alias("e"),
+    # r15 (guide §2.4/§8): the whole index side — coarse assignment,
+    # residual, PQ encode — is ONE in-row projection over the literal
+    # centroid/codebook state (both already materialize to the driver
+    # per training round): the r14 spelling's persisted cells frame,
+    # its two vec_id re-joins, the posexplode'd residual frame, the
+    # probe window, and the (cell, s, code) LUT join + grouped ADC
+    # exchange are all gone — the only exchanges left are the rank
+    # window and the caller's output sort. Training still runs on the
+    # persisted deterministic sample; every arithmetic step is
+    # unchanged, so the index and search results are bit-identical
+    # (oracle-verified). ``cache_registry`` is kept for API
+    # compatibility — nothing outlives the call anymore (training
+    # samples unpersist inside their loops).
+    del cache_registry
+    va, cent_rows = _kmeans_state(embeddings, n_seeds, kmeans_iters)
+    vac = _with_cells_lit(
+        _spread(_vectors(embeddings)), cent_rows, keep_centroid=True
     )
-    rsv = _subvectors(res).persist()
-    if cache_registry is not None:
-        cache_registry.extend([cells, rsv])
-    cb = _pq_train(spark, rsv, n_codes, pq_iters)
-    codes = _assign_codes(rsv, cb).join(cells, "vec_id")
+    res = vac.select(
+        "vec_id",
+        "cell",
+        F.expr("zip_with(e, __ce, (a, b) -> a - b)").alias("e"),
+    )
+    cb_rows = _pq_train_rows(
+        _subvectors(res.select("vec_id", "e")), n_codes, pq_iters
+    )
+    codes = (
+        _cb_attach(res, cb_rows)
+        .withColumn("codes", F.expr(_codes_arr_sql("e")))
+        .select("vec_id", "cell", "codes")
+    )
 
-    # probe ranking: nprobe nearest centroids per query by cosine
-    # (identical to ivf_topk_kmeans's probe stage)
-    q = v.filter(query_pred).select(
+    # probe ranking: nprobe nearest centroids per query by cosine —
+    # in-row sorted slice over the literal centroids (same order as
+    # the window spelling); the probed centroid rides along, so the
+    # q·c term, the query residual and its LUT maps are one projection
+    q = va.filter(query_pred).select(
         F.col("vec_id").alias("q_id"),
         F.col("e").alias("qe"),
         F.col("norm2").alias("qn"),
     )
-    qs = (
-        F.broadcast(q)
-        .crossJoin(F.broadcast(cents))
+    qlut = (
+        _probe_cells_lit(q, cent_rows, nprobe)
         .select(
             "q_id",
-            "qe",
             "cell",
-            (
-                F.expr(dot_fold("qe", "ce")) / (F.sqrt("qn") * F.sqrt("cn"))
-            ).alias("cos_to_seed"),
+            F.expr(dot_fold("qe", "ce")).alias("qdotc"),
+            F.expr("zip_with(qe, ce, (a, b) -> a - b)").alias("e"),
         )
-    )
-    wq = Window.partitionBy("q_id").orderBy(
-        F.col("cos_to_seed").desc(), F.col("cell")
-    )
-    qp = (
-        qs.withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= nprobe)
-        .select("q_id", "qe", "cell")
-    )
-
-    # per probed cell: the q·c term and the query residual's subvectors
-    qr = qp.join(F.broadcast(cents), "cell").select(
-        "q_id",
-        "cell",
-        F.expr(dot_fold("qe", "ce")).alias("qdotc"),
-        F.expr("zip_with(qe, ce, (a, b) -> a - b)").alias("e"),
-    )
-    slices = F.array(
-        *[
-            F.slice(F.col("e"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
-            for s in range(PQ_M)
-        ]
-    )
-    qsv = qr.select(
-        "q_id", "cell", "qdotc", F.posexplode(slices).alias("s", "qx")
-    )
-    lut = qsv.join(F.broadcast(cb), "s").select(
-        "q_id", "cell", "qdotc", "s", "code",
-        F.expr(dot_fold("qx", "ce")).alias("val"),
+        .transform(lambda d: _cb_attach(d, cb_rows))
+        .select(
+            "q_id", "cell", "qdotc", F.expr(_lut_arr_sql("e")).alias("__luts")
+        )
     )
 
     scored = (
-        codes.join(F.broadcast(lut), ["cell", "s", "code"])
+        codes.join(F.broadcast(qlut), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .groupBy("q_id", "vec_id", "cell")
-        .agg(
-            F.max("qdotc").alias("__qdotc"),  # constant within the group
-            (
-                F.sum(
-                    F.floor(F.col("val") * F.lit(float(ADC_SCALE)) + 0.5)
-                ).cast("double")
-                / F.lit(float(ADC_SCALE))
-            ).alias("__adc"),
-        )
         .select(
             "q_id",
             "vec_id",
             "cell",
-            (F.col("__qdotc") + F.col("__adc")).alias("approx_ip"),
+            (F.col("qdotc") + F.expr(_ADC_SUM_SQL)).alias("approx_ip"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(
@@ -1074,25 +1312,39 @@ def build_ivfpq_index(
     (asserted in tests).
     """
     spark = embeddings.sparkSession
-    v = _vectors(embeddings)
-    cells, cents = ivf_cells_kmeans(embeddings, n_seeds, kmeans_iters)
-    # Coarse assignment feeds residual training AND encoding — cache it
-    # across the two passes, released once the index is on disk.
-    cells = cells.persist()
-    member = v.join(cells, "vec_id").join(F.broadcast(cents), "cell")
-    res = member.select(
-        "vec_id", F.expr("zip_with(e, ce, (a, b) -> a - b)").alias("e")
+    # r15: same in-row build as ivfpq_topk (guide §2.4) — assignment,
+    # residual and encode are one projection; the stored layout and
+    # every stored value are byte-identical to the r14 build (doubles
+    # round-trip parquet bit-exactly; asserted in tests).
+    _, cent_rows = _kmeans_state(embeddings, n_seeds, kmeans_iters)
+    vac = _with_cells_lit(
+        _spread(_vectors(embeddings)), cent_rows, keep_centroid=True
     )
-    rsv = _subvectors(res).persist()
-    cb = _pq_train(spark, rsv, n_codes, pq_iters)
-    codes = _assign_codes(rsv, cb).join(cells, "vec_id")
+    res = vac.select(
+        "vec_id", "cell", F.expr("zip_with(e, __ce, (a, b) -> a - b)").alias("e")
+    )
+    cb_rows = _pq_train_rows(
+        _subvectors(res.select("vec_id", "e")), n_codes, pq_iters
+    )
+    cents = spark.createDataFrame(
+        cent_rows, schema="cell bigint, ce array<double>, cn double"
+    )
+    cb = spark.createDataFrame(
+        cb_rows, schema="s int, code bigint, ce array<double>, cn double"
+    )
+    codes = (
+        _cb_attach(res, cb_rows)
+        .select(
+            "vec_id",
+            F.posexplode(F.expr(_codes_arr_sql("e"))).alias("s", "code"),
+            "cell",
+        )
+    )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     cb.write.mode("overwrite").parquet(f"{path}/codebooks")
     codes.write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/codes"
     )
-    rsv.unpersist()
-    cells.unpersist()
 
 
 def search_ivfpq_index(
@@ -1251,7 +1503,7 @@ def knn_join(
     """
     v = _vectors(embeddings)
     vb = (
-        v.join(lsh_buckets(spark, embeddings, dim=dim), "vec_id")
+        _with_buckets(v, dim=dim)
         .select("vec_id", "e", "norm2", "bucket")
         .repartition("bucket")
     )

@@ -1533,10 +1533,14 @@ def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairing is quadratic in cell size only (the quantizer's balance is
     the tuning knob, same as every SemDeDup deployment)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cells, _ = S.ivf_cells_kmeans(emb)
-    # Both sides of the within-cell self-join reference the clustered
-    # frame — persist it so the coarse assignment runs once, not twice.
-    v = S._vectors(emb).join(cells, "vec_id").persist()
+    # r15 (guide §2.4): the quantizer returns vectors WITH their cell
+    # (in-row literal-centroid assignment — no vec_id re-join), and the
+    # explicit repartition("cell") is the exchange barrier the self-join
+    # needs anyway: both sides resolve to a ReusedExchange of ONE
+    # assignment pass — replaces the r14 persist() (same single-compute
+    # guarantee, no executor-memory pinning).
+    va, _ = S.kmeans_vectors(emb)
+    v = va.select("vec_id", "e", "norm2", "cell").repartition("cell")
     a = v.select(
         F.col("vec_id").alias("vec_a"),
         F.col("e").alias("ea"),
@@ -2307,7 +2311,15 @@ def _bpe_train_loop(toks, k: int) -> list[tuple[int, str, str, int]]:
     :func:`bpe_encode_corpus`. Each argmax is ONE row of driver
     metadata (the bounded-collect pattern)."""
     learned: list[tuple[int, str, str, int]] = []
-    cur = toks
+    # r15 (guide §2.5): a tiny single-file documents scan resolves to
+    # ONE task, serializing every round's pair expansion, count and
+    # checkpoint materialization on one core; spread once up front so
+    # all K rounds (and their localCheckpoint blocks) run wide. No-op
+    # at scale (scan already ≥ parallelism splits); counts/argmax are
+    # partitioning-independent.
+    from ..io import spread_small_scan
+
+    cur = spread_small_scan(toks)
     for rnd in range(1, k + 1):
         rows = (
             cur.select(
@@ -2383,8 +2395,12 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform step of the load pipeline (`dags/README.md`), applied
     corpus-wide.
     """
+    from ..io import spread_small_scan
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = docs.select(
+    # spread once (guide §2.5): the trainer rounds AND the final
+    # corpus-wide encode fold otherwise serialize on a one-task scan
+    toks = spread_small_scan(docs).select(
         "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("t")
     )
     merges = _bpe_train_loop(toks.select("t").filter(F.size("t") >= 2), k=5)

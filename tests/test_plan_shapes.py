@@ -187,6 +187,11 @@ def test_duplicate_spans_shuffles_hashes_not_text(spark):
 def test_pq_adc_no_cartesian_and_partial_aggs(spark):
     plan = _formatted(spark, "pq_topk_adc")
     assert "CartesianProduct" not in plan
-    # codebook/LUT sides broadcast; score sum partial-aggregates
-    assert "BroadcastHashJoin" in plan
-    assert "partial_sum" in plan or "partial_max" in plan
+    # r15 in-row ADC: the corpus side is a projection (codes computed
+    # in-row over the broadcast codebook), the bounded query side
+    # attaches by broadcast — the adjudicated one-row-broadcast-cross
+    # pattern; no (s, code) join and no score-sum aggregation exchange
+    # remain. The only hash exchange left is the per-query rank window.
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "hashpartitioning(q_id" in plan  # the rank window's exchange
+    assert "HashAggregate" not in plan  # score-sum aggregation gone
