@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..io import spread_small_scan  # guide §2.5
+
 # MinHash parameters: 12 permutations in 4 bands of 3 → candidate-pair
 # probability 1-(1-j³)⁴ (≈0.9 at j=0.8, ≈0.03 at j=0.2).
 MINHASH_SEEDS = 12
@@ -52,9 +54,18 @@ SHINGLES_EXPR = """
 
 
 def shingle_docs(docs: DataFrame) -> DataFrame:
-    """doc_id + distinct 3-word shingle set (docs with ≥3 tokens)."""
+    """doc_id + distinct 3-word shingle set (docs with ≥3 tokens).
+
+    The shingle fold (and the minhash md5 fold derived from it) is
+    compute-dense, and it runs in the SCAN stage — under a tiny
+    single-file scan that is ONE task, serializing the whole dedup
+    family's tokenization on one core. Spread first (r15, guide §2.5;
+    no-op once the scan carries ≥ parallelism splits); the fold then
+    runs wide, still once, still below the doc_id/shingle barriers
+    callers pin above it."""
     return (
-        docs.filter(F.expr("size(split(text, ' ')) >= 3"))
+        spread_small_scan(docs)
+        .filter(F.expr("size(split(text, ' ')) >= 3"))
         .select("doc_id", F.expr(SHINGLES_EXPR).alias("shingles"))
     )
 
@@ -354,7 +365,11 @@ def simhash(docs: DataFrame) -> DataFrame:
                                     THEN shiftleft(cast(1 as bigint), b)
                                     ELSE cast(0 as bigint) END))
     """
-    return docs.select("doc_id", F.expr(fold).alias("simhash"))
+    # spread (guide §2.5): the fold is the whole cost and otherwise
+    # runs on a one-task tiny scan; no-op at scale
+    return spread_small_scan(docs).select(
+        "doc_id", F.expr(fold).alias("simhash")
+    )
 
 
 PAGERANK_DAMPING = 0.85

@@ -1534,27 +1534,40 @@ def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tuning knob, same as every SemDeDup deployment)."""
     emb = load_table(spark, sf_dir, "embeddings")
     # r15 (guide §2.4): the quantizer returns vectors WITH their cell
-    # (in-row literal-centroid assignment — no vec_id re-join), and the
-    # explicit repartition("cell") is the exchange barrier the self-join
-    # needs anyway: both sides resolve to a ReusedExchange of ONE
-    # assignment pass — replaces the r14 persist() (same single-compute
-    # guarantee, no executor-memory pinning).
+    # (in-row literal-centroid assignment — no vec_id re-join).
+    # r15 (guide §2.5, hot keys): ``cell`` has only N_IVF_SEEDS (8)
+    # distinct values, so a plain cell-keyed self-join caps the
+    # quadratic pairwise stage at 8-way parallelism — and AQE's
+    # size-based coalescing collapses these small-bytes/huge-compute
+    # partitions to ONE task (measured: the two 1-task sort/join
+    # stages were the whole query). SALT the join: side a keeps its
+    # deterministic bucket ``pmod(xxhash64(vec_id), B)``, side b
+    # explodes B ways — the textbook salt trade (B× replication of one
+    # side buys K·B-way parallelism); explicit numPartitions on both
+    # repartitions keeps AQE from re-collapsing them. Pair set, cosine
+    # arithmetic and tie order are unchanged.
     va, _ = S.kmeans_vectors(emb)
-    v = va.select("vec_id", "e", "norm2", "cell").repartition("cell")
+    v = va.select("vec_id", "e", "norm2", "cell")
+    n_part = spark.sparkContext.defaultParallelism
+    salt_b = 8
     a = v.select(
         F.col("vec_id").alias("vec_a"),
         F.col("e").alias("ea"),
         F.col("norm2").alias("na"),
         "cell",
-    )
+        F.expr(f"pmod(xxhash64(vec_id), {salt_b})").alias("__salt"),
+    ).repartition(n_part, "cell", "__salt")
     b = v.select(
         F.col("vec_id").alias("vec_b"),
         F.col("e").alias("eb"),
         F.col("norm2").alias("nb"),
         "cell",
-    )
+        F.explode(
+            F.expr(f"sequence(CAST(0 AS BIGINT), {salt_b - 1})")
+        ).alias("__salt"),
+    ).repartition(n_part, "cell", "__salt")
     pairs = (
-        a.join(b, "cell")
+        a.join(b, ["cell", "__salt"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",

@@ -1564,18 +1564,18 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Monetary stays in exact micro-units until the final power-of-ten
     division.
     """
-    import os
-    from ..tmputil import session_tmpdir
-    import uuid as _uuid
-
     from ..operators.relational import global_cumsum
 
-    tmp = session_tmpdir("rfm_stages_")
-
     def _mat(df: DataFrame) -> DataFrame:
-        p = os.path.join(tmp, _uuid.uuid4().hex[:8])
-        df.write.parquet(p)
-        return spark.read.parquet(p)
+        # r15: eager localCheckpoint replaces the parquet write+read
+        # round-trip — the SAME lineage cut (each cumsum sweep
+        # references its input twice; live chaining doubled the
+        # upstream plan per stage), without a filesystem job + footer
+        # re-read per stage (guide §5: localCheckpoint is the cheap
+        # lineage truncation when fault tolerance of the intermediate
+        # is not needed — it is recomputed-from-nothing here, a bench
+        # query, and the blocks are |customers|-row small).
+        return df.localCheckpoint(eager=True)
 
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(

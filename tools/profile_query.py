@@ -93,6 +93,7 @@ def main() -> int:
 
     stages = []  # (submit_ms, complete_ms, stage_id, name, tasks)
     jobs = []  # (submit_ms, jid)
+    tasks: dict[int, list] = {}  # stage_id -> [(dur, gc, spill)]
     if True:
         for line in _lines():
             try:
@@ -109,6 +110,19 @@ def main() -> int:
                                si["Number of Tasks"]))
             elif ev.get("Event") == "SparkListenerJobStart":
                 jobs.append((ev["Submission Time"], ev["Job ID"]))
+            elif ev.get("Event") == "SparkListenerTaskEnd":
+                ti = ev.get("Task Info", {})
+                tm = ev.get("Task Metrics") or {}
+                dur = (ti.get("Finish Time", 0) or 0) - (
+                    ti.get("Launch Time", 0) or 0
+                )
+                tasks.setdefault(ev["Stage ID"], []).append(
+                    (
+                        dur,
+                        tm.get("JVM GC Time", 0),
+                        tm.get("Memory Bytes Spilled", 0),
+                    )
+                )
 
     for name, (cold, warm, t0, t1) in marks.items():
         mine = [s for s in stages if t0 <= s[0] <= t1]
@@ -117,8 +131,14 @@ def main() -> int:
               f"jobs {njobs}  stages {len(mine)} ===")
         mine.sort(key=lambda s: -(s[1] - s[0]))
         for sub, com, sid, sname, ntask in mine[:14]:
-            print(f"  {com - sub:6d} ms  stage {sid:4d}  tasks {ntask:3d}  "
-                  f"{sname[:90]}")
+            ts = sorted(t[0] for t in tasks.get(sid, [])) or [0]
+            gc = sum(t[1] for t in tasks.get(sid, []))
+            spill = sum(t[2] for t in tasks.get(sid, []))
+            print(
+                f"  {com - sub:6d} ms  stage {sid:4d}  tasks {ntask:3d}  "
+                f"task max/med {ts[-1]}/{ts[len(ts) // 2]}  gc {gc}  "
+                f"spill {spill // 1048576}M  {sname[:60]}"
+            )
 
     shutil.rmtree(log_dir, ignore_errors=True)
     return 0
