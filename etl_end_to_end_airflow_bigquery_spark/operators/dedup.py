@@ -312,18 +312,25 @@ def connected_components(
             )
         )
         check = it % 2 == 1 or it == max_iter - 1
-        changed = (
-            merged.filter(F.col("new_label") != F.col("label")).count()
-            if check
-            else None
-        )
-        labels = (
-            merged.select("node", F.col("new_label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        if changed == 0:
-            converged = True
-            break
+        # r15 (guide §1/§5): on CHECK rounds the convergence count is
+        # the action that materializes the (lazy) checkpoint, so the
+        # round costs ONE job instead of checkpoint-job + count-job.
+        # Non-check rounds keep the EAGER checkpoint: the next round
+        # references `labels` twice (edge join + merge join), so an
+        # unmaterialized checkpoint would execute the round's subtree
+        # twice. Propagation math, check cadence and the loud
+        # non-convergence contract are unchanged.
+        nxt = merged.select(
+            "node",
+            F.col("new_label").alias("label"),
+            (F.col("new_label") != F.col("label")).alias("__chg"),
+        ).localCheckpoint(eager=not check)
+        labels = nxt.select("node", "label")
+        if check:
+            changed = nxt.filter(F.col("__chg")).count()
+            if changed == 0:
+                converged = True
+                break
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge within max_iter={max_iter} "
@@ -406,14 +413,24 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     nodes = e.select(F.col("a").alias("node")).distinct()
-    n = nodes.agg(F.count(F.lit(1)).alias("n"))
-    deg = e.groupBy(F.col("a").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
+    # r15 (guide §2.4/§5): N is ONE number — bounded driver metadata,
+    # like the centroid tables. Collecting it once removes the 1-row
+    # crossJoin-broadcast `n` subquery from EVERY round's plan (one
+    # broadcast-build job per round, n_iters of them). The divisions
+    # are the same binary64 ops whether evaluated in Python or the
+    # JVM, so ranks stay bit-exact.
+    n_val = nodes.count()
+    # r15 (guide §2.4): deg was re-derived from `e` inside every
+    # round's join — n_iters re-executions of the same groupBy
+    # shuffle. Materialize it once; every round (and the final join)
+    # reads the checkpoint.
+    deg = (
+        e.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
     )
-    ranks = nodes.crossJoin(F.broadcast(n)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("rank")
-    )
-    base = F.lit(1.0 - damping) / F.col("n")
+    ranks = nodes.select("node", F.lit(1.0 / n_val).alias("rank"))
+    base = F.lit((1.0 - damping) / n_val)
     for _ in range(n_iters):
         contrib = (
             e.join(ranks, e.a == ranks.node)
@@ -431,14 +448,10 @@ def pagerank(
                 / F.lit(PR_SCALE)
             ).alias("__sum")
         )
-        ranks = (
-            summed.crossJoin(F.broadcast(n))
-            .select(
-                F.col("__to").alias("node"),
-                (base + F.lit(damping) * F.col("__sum")).alias("rank"),
-            )
-            .localCheckpoint(eager=False)
-        )
+        ranks = summed.select(
+            F.col("__to").alias("node"),
+            (base + F.lit(damping) * F.col("__sum")).alias("rank"),
+        ).localCheckpoint(eager=False)
     return (
         ranks.join(deg, "node")
         .select("node", "deg", "rank")
@@ -756,15 +769,20 @@ def bfs_levels(
     )
     frontier = visited.select("node")
     for k in range(1, max_hops + 1):
+        # r15 (guide §1/§5): lazy checkpoint + count — ONE job per
+        # round materializes the frontier AND answers the early-exit
+        # probe (was an eager-checkpoint job + an isEmpty job). count()
+        # computes every partition, so the checkpoint is fully
+        # materialized before visited/frontier reference it twice.
         nxt = (
             frontier.join(edges, frontier["node"] == edges["a"])
             .select(F.col("b").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("dist", F.lit(k))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             break
         visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt.select("node")

@@ -1363,8 +1363,16 @@ def search_ivfpq_index(
     touches nprobe/K of the index. Arithmetic is identical to
     ivfpq_topk, so results match the in-line operator exactly.
     """
-    cents = spark.read.parquet(f"{path}/centroids")
-    cb = spark.read.parquet(f"{path}/codebooks")
+    # r15 (guide §2.4): centroids and codebooks are bounded index
+    # METADATA (K and M·K rows) — collect them once and run probe
+    # ranking, the q·c term, the query residual and its LUT maps as
+    # one in-row projection over the literals, exactly like the
+    # in-line ivfpq_topk: the probe window, the centroid re-join and
+    # the posexplode'd LUT frame disappear from the search plan. The
+    # code-table scan and its (cell, s, code) scoring join are
+    # unchanged (the stored grain IS (vec_id, s, code)).
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
     codes = spark.read.parquet(f"{path}/codes")
 
     v = _vectors(embeddings)
@@ -1373,27 +1381,8 @@ def search_ivfpq_index(
         F.col("e").alias("qe"),
         F.col("norm2").alias("qn"),
     )
-    qs = (
-        F.broadcast(q)
-        .crossJoin(F.broadcast(cents))
-        .select(
-            "q_id",
-            "qe",
-            "cell",
-            (
-                F.expr(dot_fold("qe", "ce")) / (F.sqrt("qn") * F.sqrt("cn"))
-            ).alias("cos_to_seed"),
-        )
-    )
-    wq = Window.partitionBy("q_id").orderBy(
-        F.col("cos_to_seed").desc(), F.col("cell")
-    )
-    qp = (
-        qs.withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= nprobe)
-        .select("q_id", "qe", "cell")
-    )
-    qr = qp.join(F.broadcast(cents), "cell").select(
+    qp = _probe_cells_lit(q, cent_rows, nprobe)
+    qr = qp.select(
         "q_id",
         "cell",
         F.expr(dot_fold("qe", "ce")).alias("qdotc"),
@@ -1407,6 +1396,9 @@ def search_ivfpq_index(
     )
     qsv = qr.select(
         "q_id", "cell", "qdotc", F.posexplode(slices).alias("s", "qx")
+    )
+    cb = spark.createDataFrame(
+        cb_rows, schema="s int, code bigint, ce array<double>, cn double"
     )
     lut = qsv.join(F.broadcast(cb), "s").select(
         "q_id", "cell", "qdotc", "s", "code",

@@ -31,13 +31,15 @@ def test_sweep_is_idempotent_and_tolerates_missing_dirs():
 
 
 def test_temp_materializing_queries_leave_nothing_after_sweep(spark):
-    """The four temp-materializing gated queries (ADVICE r6 low): run,
-    consume, sweep — every directory they created is gone."""
+    """Temp-materializing gated queries (ADVICE r6 low): run, consume,
+    sweep — every directory they created is gone. (rfm_segments left
+    this roster in r15: its staging parquet round-trips became eager
+    localCheckpoints, so it no longer touches /tmp at all.)"""
     from etl_end_to_end_airflow_bigquery_spark.plans import QUERIES
 
     tmputil.sweep_tmpdirs()
     created: list[str] = []
-    for name in ("time_travel_orders", "ivm_join_revenue", "rfm_segments",
+    for name in ("time_travel_orders", "ivm_join_revenue",
                  "variant_shredded_roundtrip"):
         n0 = len(tmputil._TMP_ROOTS)
         QUERIES[name](spark, SF_DIR).collect()

@@ -82,6 +82,10 @@ BNLJ_OK = {
     "mix_sources_tokens",  # 1-row (total, n_sources) scalar broadcast
     "semantic_dedup_kmeans",  # K-centroid broadcast per Lloyd round
     "ivfpq_topk_adc",  # K-centroid + M*K-codebook broadcasts + probe rank
+    # r15 in-row ADC: the one-row codebook broadcast (_cb_attach) and
+    # the 5-row query-LUT broadcast cross replace the (s, code) join +
+    # score aggregation — same bounded-side pattern as ivfpq_topk_adc
+    "pq_topk_adc",
     "dq_expectations_orders",  # 1-row totals frame joined to the report
     "ivfpq_rerank_topk",  # same bounded broadcasts as ivfpq_topk_adc
     "hybrid_rrf_retrieval",  # 1-row dense query vector broadcast cross
