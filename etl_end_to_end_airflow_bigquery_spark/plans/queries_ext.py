@@ -2324,15 +2324,15 @@ def _bpe_train_loop(toks, k: int) -> list[tuple[int, str, str, int]]:
     :func:`bpe_encode_corpus`. Each argmax is ONE row of driver
     metadata (the bounded-collect pattern)."""
     learned: list[tuple[int, str, str, int]] = []
-    # r15 (guide §2.5): a tiny single-file documents scan resolves to
-    # ONE task, serializing every round's pair expansion, count and
-    # checkpoint materialization on one core; spread once up front so
-    # all K rounds (and their localCheckpoint blocks) run wide. No-op
-    # at scale (scan already ≥ parallelism splits); counts/argmax are
-    # partitioning-independent.
-    from ..io import spread_small_scan
-
-    cur = spread_small_scan(toks)
+    # r15: deliberately NOT spread (guide §1 — measure first). An
+    # up-front repartition was tried here and reverted: it widens the
+    # per-round checkpoints, turning every one of the K rounds' tiny
+    # count/argmax jobs into 32-task jobs, and the added scheduler
+    # latency exceeded the fold-parallelism win (interleaved same-JVM
+    # A/B: min 4.3s unspread vs 5.4s spread, 14 vs 16 jobs). At scale
+    # the scan is already wide, so the spread would be a no-op there —
+    # nothing is lost at 100 TB by leaving the bench-scale plan narrow.
+    cur = toks
     for rnd in range(1, k + 1):
         rows = (
             cur.select(
