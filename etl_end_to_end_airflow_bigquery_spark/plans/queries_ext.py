@@ -2225,8 +2225,10 @@ def _bpe_apply_merge_sparse(t, a: str, b: str):
     positions with a scalar consume cursor (greedy = take a match iff
     its start is past the last consumed token), and the output is
     rebuilt with one filter/transform pass. Equivalence to the dense
-    fold is pytest-proven on randomized inputs; both are certified
-    against the oracle's string-replace mechanism by the gate.
+    fold AND the Python kernel is pytest-proven on randomized inputs.
+    Since r15 the production trainer/encoder path runs the Arrow-batched
+    :func:`_bpe_py_merge` kernel (guide §4.2); the in-row folds remain
+    as the JVM-side reference implementations the pins triangulate.
 
     The input array is bound ONCE through a lambda variable (the
     ``transform(array(t), tt -> …)[1]`` idiom): the body references the
@@ -2281,16 +2283,199 @@ def _bpe_apply_merge_sparse(t, a: str, b: str):
     return F.element_at(F.transform(F.array(t), body), 1)
 
 
+def _bpe_py_merge(seq, a: str, b: str) -> list:
+    """Greedy left-to-right non-overlapping application of merge (a, b)
+    in plain Python — extensionally equal to :func:`_bpe_apply_merge`
+    and :func:`_bpe_apply_merge_sparse` (pytest pins all three on
+    adversarial and randomized inputs). This is the per-row kernel of
+    the Arrow-batched trainer/encoder passes (r15, guide §4.2)."""
+    out, i, n = [], 0, len(seq)
+    while i < n:
+        if i + 1 < n and seq[i] == a and seq[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return out
+
+
+def _bpe_flat_view(col):
+    """(flat values, offsets ndarray, valid-pair mask) of a null-free
+    ``list<string>`` Arrow array. ``flat[i], flat[i+1]`` is an adjacent
+    pair of the SAME document iff ``valid[i]``: interior list
+    boundaries (and empty lists, whose repeated offsets are skipped by
+    the >0 guard on a fresh batch) are masked out."""
+    import numpy as np
+
+    lengths = col.value_lengths().to_numpy(zero_copy_only=False)
+    offsets = np.concatenate(([0], np.cumsum(lengths, dtype=np.int64)))
+    flat = col.flatten()
+    n = len(flat)
+    valid = np.ones(max(n - 1, 0), dtype=bool)
+    interior = offsets[1:-1]
+    interior = interior[(interior > 0) & (interior <= n - 1)]
+    valid[interior - 1] = False
+    return flat, offsets, valid
+
+
+def _bpe_match_starts(flat, valid, a: str, b: str):
+    """Greedy non-overlapping match START positions of pair (a, b) over
+    the flat token view — the vectorized form of :func:`_bpe_py_merge`'s
+    cursor walk. Matches are adjacent only when a == b (a run of equal
+    tokens); greedy left-to-right = take every OTHER match within each
+    maximal run of consecutive match positions (pytest-pinned equal to
+    the sequential kernel on randomized inputs)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n = len(flat)
+    if n < 2:
+        return np.empty(0, dtype=np.int64)
+    m = pc.and_(
+        pc.equal(flat.slice(0, n - 1), a), pc.equal(flat.slice(1, n - 1), b)
+    ).to_numpy(zero_copy_only=False)
+    idx = np.flatnonzero(np.asarray(m, dtype=bool) & valid)
+    if idx.size == 0:
+        return idx
+    is_start = np.concatenate(([True], np.diff(idx) != 1))
+    run_first = idx[is_start][np.cumsum(is_start) - 1]
+    return idx[(idx - run_first) % 2 == 0]
+
+
+def _bpe_merge_list_column(col, a: str, b: str):
+    """Apply ONE greedy merge to a ``list<string>`` Arrow array in
+    vectorized Arrow/numpy ops (guide §4.2): replace each taken match
+    start with the merged token, drop its consumed right neighbour, and
+    re-slice the list offsets — no per-row Python loop. Null lists (not
+    produced by these pipelines) fall back to the pinned per-row
+    kernel."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if col.null_count:
+        return pa.array(
+            [
+                None if t is None else _bpe_py_merge(t.as_py(), a, b)
+                for t in col
+            ],
+            type=pa.list_(pa.string()),
+        )
+    flat, offsets, valid = _bpe_flat_view(col)
+    taken = _bpe_match_starts(flat, valid, a, b)
+    if taken.size == 0:
+        return col
+    n = len(flat)
+    rep_mask = np.zeros(n, dtype=bool)
+    rep_mask[taken] = True
+    keep = np.ones(n, dtype=bool)
+    keep[taken + 1] = False
+    new_flat = pc.filter(
+        pc.replace_with_mask(
+            flat, pa.array(rep_mask), pa.array([a + b] * taken.size)
+        ),
+        pa.array(keep),
+    )
+    # dropped positions are never list starts (a pair lies inside one
+    # list), so each list's new offset is its old one minus the number
+    # of drops before it
+    new_offsets = offsets - np.searchsorted(taken + 1, offsets)
+    return pa.ListArray.from_arrays(
+        pa.array(new_offsets, type=pa.int32()), new_flat
+    )
+
+
+def _bpe_pair_counts_after(merges: tuple):
+    """``mapInArrow`` kernel: apply the merges learned so far (K
+    vectorized column sweeps) and emit the batch's adjacent-pair
+    partial counts — the map-side combine of the grouped pair count,
+    fully vectorized (join each valid adjacent pair with a space —
+    tokens come from a space split and merges concatenate, so no token
+    ever contains one — then ``value_counts``). Per-task state is
+    bounded by the batch's distinct pairs (vocab²-bounded, heavy-hitter
+    dominated), never its token count; the JVM groupBy downstream
+    merges partials exactly. Fusing apply+count keeps each trainer
+    round at ONE JVM↔Arrow crossing of the corpus (closure pickled by
+    value; the module-level kernels resolve by import — same
+    executor-importability assumption as the writers' distributed
+    manifest planner, trivially true in local mode)."""
+
+    def fn(it):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in it:
+            col = batch.column(0)
+            if col.null_count:  # not produced by these pipelines
+                col = col.drop_null()
+            for a, b in merges:
+                col = _bpe_merge_list_column(col, a, b)
+            flat, _offsets, valid = _bpe_flat_view(col)
+            n = len(flat)
+            if n < 2:
+                continue
+            joined = pc.binary_join_element_wise(
+                flat.slice(0, n - 1), flat.slice(1, n - 1), " "
+            )
+            vc = pc.filter(joined, pa.array(valid)).value_counts()
+            if len(vc) == 0:
+                continue
+            parts = pc.split_pattern(vc.field("values"), " ", max_splits=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.list_element(parts, 0),
+                    pc.list_element(parts, 1),
+                    vc.field("counts"),
+                ],
+                names=["a", "b", "n"],
+            )
+
+    return fn
+
+
+def _bpe_encode_arrow(merges: list):
+    """``mapInArrow`` kernel for the corpus-wide encode pass: applies
+    the learned merge list IN PRIORITY ORDER (K vectorized column
+    sweeps per batch) and emits per-doc raw/encoded counts + the
+    space-joined encoded text."""
+
+    def fn(it):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in it:
+            t = batch.column(batch.schema.get_field_index("t"))
+            n_raw = pc.cast(t.value_lengths(), pa.int64())
+            enc = t
+            for a, b in merges:
+                enc = _bpe_merge_list_column(enc, a, b)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("doc_id")),
+                    n_raw,
+                    pc.cast(enc.value_lengths(), pa.int64()),
+                    # cast: binary_join has no kernel for the
+                    # non-nullable element annotation from_arrays emits
+                    pc.binary_join(pc.cast(enc, pa.list_(pa.string())), " "),
+                ],
+                names=["doc_id", "n_raw", "n_enc", "enc_text"],
+            )
+
+    return fn
+
+
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ACTUAL tokenizer-training kernel (VERDICT r07 item 5):
     K = 5 applied BPE merge rounds, not just one scoring pass. Each
-    round scores adjacent pairs over the CURRENT sequences (in-row
-    pair expansion → one grouped count, exactly
-    :func:`bpe_merge_candidates`'s single-shuffle shape), collects the
+    round scores adjacent pairs over the CURRENT sequences
+    (Arrow-batched partial counts → one grouped sum — the same
+    single-shuffle shape as :func:`bpe_merge_candidates`), collects the
     argmax (count DESC, a, b tie-break — ONE row of driver metadata,
     the same bounded-collect pattern as pagerank's convergence scalar),
-    applies it greedily left-to-right with the :func:`_bpe_apply_merge`
-    fold, and repeats — fixed-iteration unrolled like
+    applies it greedily left-to-right with the :func:`_bpe_py_merge`
+    kernel (Arrow-batched; extensionally pinned to the in-row folds),
+    and repeats — fixed-iteration unrolled like
     ``pagerank_dedup_graph``. Returns the learned merge table
     (merge_round, a, b, n_pairs): the artifact a BPE tokenizer ships.
 
@@ -2300,10 +2485,9 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-equality certifies two independent greedy-merge
     implementations agree round by round.
 
-    Scale: per round, one corpus scan (the merge chain is in-row,
-    re-applied on read — cheaper than materializing at 100 TB) + one
-    map-side-combined grouped count + a 1-row collect; K rounds = K
-    such passes. For production vocab building (K ~ 30k), swap the
+    Scale: per round, one scan of the previous round's checkpointed
+    token arrays + one batch-grain-combined grouped count + a 1-row
+    collect; K rounds = K such passes. For production vocab building (K ~ 30k), swap the
     exact count for the count-min sketch (``operators/sketch.py``) and
     batch top-pairs per pass. Reference analog: the recompute cadence
     (`README.md:98`) — a fixed, bounded retrain loop.
@@ -2313,8 +2497,20 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(F.split("text", " "), lambda x: x != "").alias("t")
     ).filter(F.size("t") >= 2)
     learned = _bpe_train_loop(toks, k=5)
+    # K rows of driver metadata, landed via the Arrow/pandas local path
+    # (r15, guide §6 "Arrow for driver transfers"): the list-of-tuples
+    # path parallelizes into defaultParallelism pickled slices, and the
+    # downstream sort then pays a Python deserializer handshake PER
+    # SLICE (~0.68 s probed for 5 rows; 4.1 s if coalesced to one
+    # sequential task). The pandas/Arrow local relation probes at
+    # 0.14 s for the identical plan and rows.
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        learned, columns=["merge_round", "a", "b", "n_pairs"]
+    )
     return spark.createDataFrame(
-        learned, "merge_round int, a string, b string, n_pairs bigint"
+        pdf, schema="merge_round int, a string, b string, n_pairs bigint"
     ).orderBy("merge_round")
 
 
@@ -2322,30 +2518,39 @@ def _bpe_train_loop(toks, k: int) -> list[tuple[int, str, str, int]]:
     """K score→argmax→apply rounds over a ``t array<string>`` frame —
     the shared trainer kernel behind :func:`bpe_train_merges` and
     :func:`bpe_encode_corpus`. Each argmax is ONE row of driver
-    metadata (the bounded-collect pattern)."""
+    metadata (the bounded-collect pattern).
+
+    r15 (guide §4.2): each round runs ONE Arrow-batched ``mapInArrow``
+    stage over the checkpointed RAW token arrays — apply the merges
+    learned so far (k vectorized pyarrow/numpy column sweeps, no
+    per-row Python) and emit adjacent-pair partial counts; the JVM
+    groupBy merges the partials exactly and the argmax / tie-break
+    (count DESC, a, b) is the same TakeOrdered over the same exact
+    integer sums. This replaces the Catalyst higher-order-function
+    folds, whose version spent ~40% of its wall in DRIVER planning
+    gaps (the chained lambda expression re-analyzed every round) and
+    whose per-task expression setup was so large that spreading the
+    scan parallelized nothing (32 tasks × ~460 ms each where one task
+    took 430 ms). Fusing apply+count also drops the per-round
+    materialize-back-to-JVM checkpoint: K is a small constant (the
+    fixed-iteration contract), so re-applying ≤K−1 cheap vectorized
+    sweeps per round costs far less than serializing the merged corpus
+    out of Arrow every round. Docs that collapse below 2 tokens simply
+    contribute no pairs (the boundary mask yields no valid positions),
+    which is exactly the refilter semantics the checkpointed loop
+    enforced (ADVICE r8/r9)."""
     learned: list[tuple[int, str, str, int]] = []
-    # r15: deliberately NOT spread (guide §1 — measure first). An
-    # up-front repartition was tried here and reverted: it widens the
-    # per-round checkpoints, turning every one of the K rounds' tiny
-    # count/argmax jobs into 32-task jobs, and the added scheduler
-    # latency exceeded the fold-parallelism win (interleaved same-JVM
-    # A/B: min 4.3s unspread vs 5.4s spread, 14 vs 16 jobs). At scale
-    # the scan is already wide, so the spread would be a no-op there —
-    # nothing is lost at 100 TB by leaving the bench-scale plan narrow.
-    cur = toks
+    base = toks.localCheckpoint(eager=False)
     for rnd in range(1, k + 1):
         rows = (
-            cur.select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(0, size(t) - 2),"
-                        " i -> struct(t[i] AS a, t[i + 1] AS b))"
-                    )
-                ).alias("p")
+            base.mapInArrow(
+                _bpe_pair_counts_after(
+                    tuple((a, b) for _, a, b, _n in learned)
+                ),
+                "a string, b string, n bigint",
             )
-            .select("p.a", "p.b")
             .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .agg(F.sum("n").alias("n_pairs"))
             .orderBy(F.desc("n_pairs"), "a", "b")
             .limit(1)
             .collect()
@@ -2358,26 +2563,6 @@ def _bpe_train_loop(toks, k: int) -> list[tuple[int, str, str, int]]:
             break
         top = rows[0]
         learned.append((rnd, top["a"], top["b"], top["n_pairs"]))
-        # Re-filter after every merge round (ADVICE r8): a repetitive
-        # doc can collapse to 1 token, and the next round's pair
-        # expansion sequence(0, size(t)-2) would descend to [0,-1] and
-        # throw INVALID_ARRAY_INDEX under ANSI. Size-1 docs contribute
-        # no pairs in the oracle either, so dropping them preserves
-        # hash-equality.
-        cur = (
-            cur.select(
-                _bpe_apply_merge_sparse(F.col("t"), top["a"], top["b"]).alias(
-                    "t"
-                )
-            )
-            .filter(F.size("t") >= 2)
-            # Bound the O(K²) fold lineage (VERDICT r08 scale caveat):
-            # each round scans the PREVIOUS round's materialized token
-            # arrays instead of re-applying every prior merge — K scans
-            # of cached blocks, not a K-deep re-derivation (spills to
-            # local disk on a cluster; ~40% faster at sf0.1).
-            .localCheckpoint(eager=False)
-        )
     return learned
 
 
@@ -2391,40 +2576,42 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     like :func:`bpe_train_merges` (shared :func:`_bpe_train_loop`),
     then applies the merges IN PRIORITY ORDER to EVERY document —
     including the size<2 docs the trainer never scores — in ONE final
-    corpus pass: the :func:`_bpe_apply_merge_sparse` greedy folds chain
-    in-row, so the encode pass is a single scan with zero shuffles
-    (the only exchange in the final plan is the output sort).
+    corpus pass: an Arrow-batched ``mapInPandas`` sweep applying the
+    :func:`_bpe_py_merge` greedy kernel per document (r15, guide §4.2 —
+    the in-row Catalyst fold chain this replaces grew a 6^k-character
+    expression tree whose per-task setup cost swallowed the scan
+    parallelism), so the encode pass is a single scan with zero
+    shuffles (the only exchange in the final plan is the output sort).
 
     Returns per-doc raw/encoded token counts + the encoded text. The
     oracle trains through the same SQL CTE chain and applies the same
     5 merges via the separator-delimited string-replace mechanism —
     hash-equality certifies trainer AND encoder agree end-to-end
-    across two independent greedy-merge implementations.
+    across two independent greedy-merge implementations (and the
+    pytest Python-reference pin makes it three).
 
     Scale: K bounded training passes (see bpe_train_merges) + one
-    encode scan; the merge table rides in the plan as literals (at
-    vocab-scale K it becomes a broadcast trie applied by a pandas UDF
-    — documented swap, same contract). Reference analog: the batch
-    transform step of the load pipeline (`dags/README.md`), applied
-    corpus-wide.
+    encode scan; the merge table rides in the encode kernel's closure
+    (at vocab-scale K the same kernel applies a broadcast trie — same
+    contract, no plan change). Reference analog: the batch transform
+    step of the load pipeline (`dags/README.md`), applied corpus-wide.
     """
-    from ..io import spread_small_scan
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # spread once (guide §2.5): the trainer rounds AND the final
-    # corpus-wide encode fold otherwise serialize on a one-task scan
-    toks = spread_small_scan(docs).select(
+    # r15: the scan spread added for the in-row fold era is REMOVED —
+    # the vectorized kernels process the whole sf0.1 corpus in ~30 ms,
+    # so per-task fixed overhead (Arrow conversion + Python worker
+    # round trip) dominates and 32-way spreading multiplies it
+    # (profiled: spread rounds ran 32 tasks × ~500 ms vs one task ×
+    # ~400 ms unspread). At 100 TB the scan is already wide and
+    # spread_small_scan would be a no-op, so nothing is lost at scale.
+    toks = docs.select(
         "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("t")
     )
     merges = _bpe_train_loop(toks.select("t").filter(F.size("t") >= 2), k=5)
-    enc = F.col("t")
-    for _, a, b, _n in merges:
-        enc = _bpe_apply_merge_sparse(enc, a, b)
-    return toks.select(
-        "doc_id",
-        F.size("t").cast("bigint").alias("n_raw"),
-        F.size(enc).cast("bigint").alias("n_enc"),
-        F.array_join(enc, " ").alias("enc_text"),
+    id_type = toks.schema["doc_id"].dataType.simpleString()
+    return toks.mapInArrow(
+        _bpe_encode_arrow([(a, b) for _, a, b, _n in merges]),
+        f"doc_id {id_type}, n_raw bigint, n_enc bigint, enc_text string",
     ).orderBy("doc_id")
 
 

@@ -509,6 +509,56 @@ def test_bpe_sparse_fold_equals_dense_fold(spark):
             assert r.dense == r.sparse, (a, b, c, r.dense, r.sparse)
 
 
+def test_bpe_py_merge_equals_in_row_folds(spark):
+    """The r15 vectorized kernels (_bpe_merge_list_column over a whole
+    Arrow list column, and its sequential reference _bpe_py_merge) must
+    be extensionally equal to BOTH in-row folds on the same adversarial
+    + randomized inputs the dense/sparse pin uses — the production
+    trainer/encoder now runs the Arrow kernel, so this pin is what ties
+    it back to the JVM implementations. The Arrow column carries all
+    cases in ONE batch, so cross-document boundary masking (including
+    empty lists between documents) is exercised too."""
+    import random
+
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from etl_end_to_end_airflow_bigquery_spark.plans.queries_ext import (
+        _bpe_apply_merge,
+        _bpe_apply_merge_sparse,
+        _bpe_merge_list_column,
+        _bpe_py_merge,
+    )
+
+    rng = random.Random(1541)
+    cases = [
+        [], ["a"], ["b"], ["a", "b"], ["b", "a"],
+        ["a", "a", "a"], ["a", "a", "a", "a"],
+        # boundary adversaries: a doc ending in 'a' followed by one
+        # starting with 'b' (and an empty doc between) must not match
+        ["x", "a"], [], ["b", "x"],
+        ["a", "b", "a", "b"], ["a", "b", "b", "a", "b"],
+        ["x", "a", "b", "a", "b", "y", "a", "b"],
+    ] + [
+        [rng.choice("aabx") for _ in range(rng.randrange(0, 25))]
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "t array<string>")
+    for a, b in [("a", "b"), ("a", "a"), ("b", "x")]:
+        rows = df.select(
+            _bpe_apply_merge(F.col("t"), a, b).alias("dense"),
+            _bpe_apply_merge_sparse(F.col("t"), a, b).alias("sparse"),
+        ).collect()
+        arrow = _bpe_merge_list_column(
+            pa.array(cases, type=pa.list_(pa.string())), a, b
+        ).to_pylist()
+        for c, r, ar in zip(cases, rows, arrow):
+            py = _bpe_py_merge(c, a, b)
+            assert py == r.dense == r.sparse == ar, (
+                a, b, c, py, r.dense, r.sparse, ar,
+            )
+
+
 def test_bpe_encoder_matches_python_reference(spark):
     """End-to-end trainer+encoder vs an independent pure-Python greedy
     BPE: train K merges by (count DESC, a, b) argmax over size>=2 docs,

@@ -54,6 +54,14 @@ ARROW_OK = {
     # r13: the SAME greedy stage over stored-index candidates — the
     # serving path; the pandas stage is the operator by design
     "mmr_rerank_stored",
+    # r15 (guide §4.2): the BPE trainer/encoder greedy-merge kernel is
+    # an Arrow-batched mapInPandas sweep — the Catalyst fold chain it
+    # replaces spent ~40% of wall in per-round plan analysis and its
+    # per-task expression setup swallowed the scan parallelism; the
+    # Python kernel is pytest-pinned to both in-row folds and the
+    # queries stay oracle-hash-equal
+    "bpe_train_merges",
+    "bpe_encode_corpus",
 }
 
 # Queries whose BroadcastNestedLoopJoin builds a ≤-handful-of-rows side —
