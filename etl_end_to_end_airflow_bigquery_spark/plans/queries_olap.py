@@ -3706,11 +3706,12 @@ def sql_scripting_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     one table scan total at any scale — iterating the raw 100 TB scan
     per probe is exactly what this layout avoids.
     """
-    import os
-
-    from ..tmputil import session_tmpdir
-
-    hist_path = os.path.join(session_tmpdir("script_hist_"), "hist")
+    # one shard, eagerly localCheckpointed (r15, guide §5): the ~17
+    # probe statements then scan a single in-memory block instead of
+    # re-opening a parquet file per probe — same materialization
+    # barrier as the old write+read-back, no /tmp footprint, no
+    # per-probe file listing/footer I/O. The loop pays statement
+    # latency, not fan-out or I/O.
     (
         load_events(spark, sf_dir)
         .filter(F.col("value").isNotNull())
@@ -3718,13 +3719,10 @@ def sql_scripting_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("v2")
         )
         .agg(F.count(F.lit(1)).alias("c"))
-        # one shard: every probe job is then a single task over a
-        # KB-scale file — the loop pays statement latency, not fan-out
         .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(hist_path)
+        .localCheckpoint(eager=True)
+        .createOrReplaceTempView("script_hist")
     )
-    spark.read.parquet(hist_path).createOrReplaceTempView("script_hist")
     script = """
         BEGIN
             DECLARE n BIGINT;
@@ -3769,8 +3767,18 @@ def sql_scripting_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = spark.sql(script).collect()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    # Arrow/pandas local relation (r15, guide §6 "Arrow for driver
+    # transfers"): the list-of-Rows path parallelizes 1 row into 32
+    # pickled slices whose noop save pays a Python deserializer
+    # handshake per slice (~0.27 s profiled).
+    import pandas as pd
+
     return spark.createDataFrame(
-        rows, "n_values bigint, median_2dp double, n_at_or_below bigint"
+        pd.DataFrame(
+            [tuple(r) for r in rows],
+            columns=["n_values", "median_2dp", "n_at_or_below"],
+        ),
+        schema="n_values bigint, median_2dp double, n_at_or_below bigint",
     )
 
 
