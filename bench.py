@@ -388,6 +388,15 @@ def main() -> None:
                          "BENCH_LOCAL.json")
     with open(local, "w") as f:
         json.dump(record, f, indent=1)
+    # Per-core-count copy (VERDICT r15 item 5): the driver benches at
+    # two core counts in one session, and the second (low-core) run
+    # overwrote BENCH_LOCAL.json — clobbering the 32-core per-query
+    # record that PERF's per_query/scaling blocks read. Keep the
+    # un-suffixed file (its name is part of the stdout contract) AND a
+    # c{cpus}-suffixed copy so both runs survive the session.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    with open(local.replace(".json", f"_c{cpus}.json"), "w") as f:
+        json.dump(record, f, indent=1)
     # Stdout: ONE scalars-only line (VERDICT r11 item 1). The driver
     # keeps only the last 2000 bytes of stdout and parses the JSON it
     # finds there; at 83 bench entries the per-query map alone is

@@ -673,47 +673,84 @@ def containment_pairs(
     # cap filter rides the same shingle-keyed exchange the self-join
     # needs, so candidate generation costs ONE shuffle of the postings
     # (a separate df aggregate + join would re-shuffle them twice)
-    rposts = (
+    posts = (
         sh.select("doc_id", F.explode("shingles").alias("shingle"))
         .repartition("shingle")
         .withColumn(
             "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
         )
-        .filter(F.col("df") <= df_cap)
-        .drop("df")
     )
-    cand = (
+    rposts = posts.filter(F.col("df") <= df_cap).drop("df")
+    # Verify via METADATA, not payloads (r16, guide §2.3/§8). The old
+    # shape re-attached the full shingle arrays to every candidate pair
+    # through two merge joins: 1M+ pairs × ~2 KB of strings sorted twice
+    # and fed to array_intersect — ~500 CPU-seconds of UTF8String churn
+    # at sf0.1 (and the bench's bistable 7s/70s GC signature). But the
+    # candidate join IS the posting intersection for everything under
+    # the cap: counting matches per pair gives |A∩B| restricted to
+    # df ≤ cap shingles exactly (per-doc shingles are distinct). Only
+    # the few OVER-cap ("hot") shingles a doc carries — bounded by the
+    # doc's own shingle count, typically none — still need an array
+    # intersect, over per-doc hot arrays that are tiny. The pair table
+    # then joins two ~|docs|-row side tables of (doc_id, n, hot) — a
+    # broadcast of bounded metadata, no payload ever re-shuffled.
+    cnt = (
         rposts.alias("a")
         .join(
             rposts.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_small"))
     )
+    # distinct hot shingles per doc (sorted for determinism); docs whose
+    # shingles are all under the cap simply have no row here
+    hot_docs = (
+        posts.filter(F.col("df") > df_cap)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("shingle")).alias("hot"))
+    )
+    side = (
+        sh.select("doc_id", F.size("shingles").alias("n"))
+        .join(hot_docs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n",
+            F.coalesce(
+                "hot", F.array().cast("array<string>")
+            ).alias("hot"),
+        )
+    )
+    # No forced broadcast on the side tables (|docs| rows — bounded
+    # metadata per doc, not bounded rows): AQE broadcasts them at the
+    # probed sizes here and degrades to a skinny-row shuffle join
+    # gracefully at corpus scale (the ivm_minmax precedent).
     j = (
-        cand.join(
-            sh.withColumnsRenamed({"doc_id": "doc_a", "shingles": "sh_a"}).hint(
-                "merge"
+        cnt.join(
+            side.withColumnsRenamed(
+                {"doc_id": "doc_a", "n": "na", "hot": "hot_a"}
             ),
             "doc_a",
         )
         .join(
-            sh.withColumnsRenamed({"doc_id": "doc_b", "shingles": "sh_b"}).hint(
-                "merge"
+            side.withColumnsRenamed(
+                {"doc_id": "doc_b", "n": "nb", "hot": "hot_b"}
             ),
             "doc_b",
         )
         .select(
             "doc_a",
             "doc_b",
-            F.expr("size(array_intersect(sh_a, sh_b))").alias("inter"),
-            F.expr("size(sh_a)").alias("na"),
-            F.expr("size(sh_b)").alias("nb"),
+            (
+                F.col("n_small").cast("int")
+                + F.expr("size(array_intersect(hot_a, hot_b))")
+            ).alias("inter"),
+            "na",
+            "nb",
         )
     )
     cont_a = F.col("inter").cast("double") / F.col("na").cast("double")
