@@ -14,7 +14,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import load_table, spread_small_scan
 from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators.relational import decimal_sum, round_half_up
@@ -814,10 +814,15 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def repetition_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc repetition score: share of trigram occurrences taken by
     the most frequent trigram — the boilerplate/template filter of a
-    corpus-quality pass. In-row fold; codegen'd map at any scale."""
+    corpus-quality pass. In-row fold; codegen'd map at any scale.
+    Spread first (r16, guide §2.5): the fold was the whole query and
+    ran as ONE task under the tiny single-file scan (profiled as two
+    sequential single-task stages, 1.4 s + 1.1 s); no-op once the scan
+    carries ≥ parallelism splits."""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.filter(F.expr("size(split(text, ' ')) >= 3"))
+        spread_small_scan(docs)
+        .filter(F.expr("size(split(text, ' ')) >= 3"))
         .select(
             "doc_id",
             round_half_up(repetition_ratio(3), 6).alias("rep_ratio"),
@@ -1115,7 +1120,9 @@ def duplicate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates partial-aggregate map-side.
     """
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.filter(
+    # spread (r16, guide §2.5): the per-doc gram-md5 fold ran as one
+    # task under the tiny single-file scan; no-op at scale
+    grams = spread_small_scan(docs).filter(
         F.expr(f"size(split(text, ' ')) >= {SPAN_K}")
     ).select(
         "doc_id",
@@ -1186,7 +1193,11 @@ def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = docs.select(
+    # spread (r16, guide §2.5): the SPAN_W-gram md5 fold (~150 grams ×
+    # 50-token join + md5 per doc) and the in-row coverage filter both
+    # ran as single-task stages under the tiny one-file scan (profiled
+    # 1.0 s + 0.7 s + 0.28 s + 0.25 s single-task chain); no-op at scale
+    toks = spread_small_scan(docs).select(
         "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("t")
     )
     grams = toks.filter(F.size("t") >= SPAN_W).select(
