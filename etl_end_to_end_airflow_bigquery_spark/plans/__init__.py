@@ -250,6 +250,18 @@ GATED_THROUGH_R14: frozenset[str] = GATED_THROUGH_R13 | frozenset(
     }
 )
 
+# Round-15 fold (CORRECTNESS_r15: 50/50 green — the whole gate passed).
+# Anchors and the 25 backfill re-proofs (the 22-name r05 stale-pool
+# retirement + 3 writer-path re-proofs) were already in the R14 ledger;
+# the union adds exactly the 3 rotation rows (the r15-new queries from
+# the interrupted build round).
+GATED_THROUGH_R15: frozenset[str] = GATED_THROUGH_R14 | frozenset(
+    {
+        "cdf_compacted_feed_ivm", "lakehouse_daily_report",
+        "evolved_layout_pruned_read",
+    }
+)
+
 _GATE_ANCHORS: tuple[str, ...] = (
     "daily_avg_report",        # flagship grouped avg + time bucket (A2)
     "topk_recent_events",      # projection + ORDER BY DESC LIMIT (P1/O1)
@@ -275,52 +287,39 @@ _GATE_ANCHORS: tuple[str, ...] = (
     "scd2_orders_status",      # SCD2 history merge
 )
 
-# Round 15 (same post-exhaustion policy): rotation slots hold exactly
-# the round's NEW queries — never-proven by construction. Filled as the
-# r15 builds land (per-layout sharded-manifest planning, CDF feed
-# compaction at retention, the lakehouse end-to-end report read —
-# VERDICT r14 items 2/3/5); each addition evicts one name from the END
-# of the backfill.
-_GATE_ROTATION: tuple[str, ...] = (
-    "cdf_compacted_feed_ivm",  # preserved feeds squashed to one net
-                               # feed at retention; fold telescopes
-    "lakehouse_daily_report",  # the reference's daily report served
-                               # through the sharded-census planner
-    "evolved_layout_pruned_read",  # per-layout census shards: a whole
-                                   # layout pruned from one sidecar check
-)
+# Round 16 (optimization round — no new queries by rule): rotation is
+# EMPTY and every non-anchor slot is a deliberate re-proof. VERDICT r15
+# item 2: the r15 optimizer rewrote the ANN/ADC family, the Arrow BPE
+# kernels, the stored-index search, the graph-loop folds, SemDeDup's
+# salt and the rfm/sql_scripting staging with only 2 of ~19 touched
+# names in the r15 gate — round 16 gates EVERY r15-touched query plus
+# everything the r16 optimizer touches.
+_GATE_ROTATION: tuple[str, ...] = ()
 
-# Backfill to 50 (r8 policy, see module docstring). This round tier (b)
-# LEADS the tuple again: VERDICT r14 item 1 makes retiring the 27-name
-# r05 evidence tier (the stalest pool now that r03/r04 is empty —
-# verified by a union scan over CORRECTNESS_r01–r14 this session) the
-# top deliverable. 22 of the 27 fit; the 5 carried to r16 are the
-# continuously-exercised remainder (ivfpq_topk_adc / pq_topk_adc /
-# ivfpq_rerank_topk run in every round's bench with recall-floor
-# pytests; streaming_cms_counts is pytest-pinned hash-equal to the
-# gated cms_heavy_hitters; semantic_dedup_kmeans has pinned cluster
-# assignments) — all selfcheck-exact at every round close. Tier (a)
-# follows: the queries whose code this round's writer-layer edits touch
-# (ADVICE r14 census-digest parity + expire_versions rename fix,
-# per-layout shard partitioning, feed compaction), evictable tail last.
+# Backfill to 50 (r8 policy, see module docstring). Tier (a) leads and
+# fills the round: first the queries the R16 optimizer itself rewrote
+# (containment metadata-verify, PPJoin positional filter, ivm_minmax
+# CDC fold, the three newly spread text folds), then the full VERDICT
+# r15 item-2 list — the r15-rewritten ANN/ADC + Arrow-BPE + dedup
+# tokenization + SemDeDup + graph-loop + staging paths that had no r15
+# driver row on the new code (incl. the 5-name r05 stale-pool
+# remainder: ivfpq/pq/ivfpq_rerank, streaming_cms_counts,
+# semantic_dedup_kmeans).
 _REPROOF_BACKFILL: tuple[str, ...] = (
-    # tier (b), 22 of the 27-name r05 stale pool (VERDICT r14 item 1;
-    # remainder documented in SURVEY §7 round-16 notes):
-    "bm25_retrieval", "hybrid_rrf_retrieval", "phrase_search_docs",
-    "unigram_logprob_docs", "bigram_logprob_docs", "curated_corpus_v3",
-    "pii_scrub_docs", "pagerank_dedup_graph", "leakage_safe_split",
-    "duplicate_spans_docs", "cms_heavy_hitters", "hll_distinct_users",
-    "bloom_join_prune", "url_function_pack", "map_function_pack",
-    "json_function_pack", "array_function_pack", "null_function_pack",
-    "try_function_pack", "datetime_function_pack",
-    "string_function_pack2", "stats_pack",
-    # tier (a) — code this round touches, most-affected first: the
-    # sharded-census planning path (digest parity gate + per-layout
-    # shards), the census write every versioned commit runs, and the
-    # expire_versions feed-retention path (rename fix + compaction).
-    # The tail is the eviction zone as new rotation queries land.
-    "sharded_manifest_read", "manifest_skipping_read",
-    "cdf_retention_feed",
+    # tier (a.1) — r16-rewritten operators, most-affected first:
+    "containment_near_dups", "prefix_filter_near_dups",
+    "ivm_minmax_recompute", "repetition_ratio_docs",
+    "substring_dedup_spans", "duplicate_spans_docs",
+    # tier (a.2) — the r15-rewritten paths (VERDICT r15 item 2 list,
+    # plus the rest of the in-row ANN family from the same commits):
+    "ivfpq_topk_adc", "pq_topk_adc", "ivfpq_rerank_topk",
+    "bpe_train_merges", "bpe_encode_corpus", "minhash_pairs",
+    "simhash_docs", "jaccard_near_dups", "semantic_dedup_kmeans",
+    "er_golden_record", "bfs_dedup_distance", "dedup_clusters",
+    "mmr_rerank_topk", "mmr_rerank_stored", "rfm_segments",
+    "sql_scripting_pack", "pagerank_dedup_graph", "streaming_cms_counts",
+    "knn_graph", "embedding_near_dups", "ann_lsh_topk",
+    "decontaminate_embeddings",
 )
 
 _GATE_PRIORITY: tuple[str, ...] = (
@@ -345,7 +344,7 @@ if len(_GATE_PRIORITY) != 50:
     raise RuntimeError(
         f"gate priority list must be exactly 50 names, got {len(_GATE_PRIORITY)}"
     )
-_stale = [n for n in _GATE_ROTATION if n in GATED_THROUGH_R14]
+_stale = [n for n in _GATE_ROTATION if n in GATED_THROUGH_R15]
 if _stale:
     raise RuntimeError(
         f"rotation slots must hold never-gated names, got: {_stale}"
@@ -353,7 +352,7 @@ if _stale:
 # Backfill names are the opposite: each must be a deliberate RE-proof
 # (previously green) — a never-proven name hiding there would dodge the
 # stale-slot bookkeeping.
-_not_reproof = [n for n in _REPROOF_BACKFILL if n not in GATED_THROUGH_R14]
+_not_reproof = [n for n in _REPROOF_BACKFILL if n not in GATED_THROUGH_R15]
 if _not_reproof:
     raise RuntimeError(
         f"backfill slots must hold previously-green names, got: {_not_reproof}"
@@ -363,7 +362,7 @@ if _not_reproof:
 def rotation_candidates() -> list[str]:
     """Registered queries that have never had a driver row and are not
     in the current gate — the pool for next round's rotation slots."""
-    gated = set(_GATE_PRIORITY) | GATED_THROUGH_R14
+    gated = set(_GATE_PRIORITY) | GATED_THROUGH_R15
     return [n for n in _ALL_QUERIES if n not in gated]
 
 
@@ -383,6 +382,6 @@ __all__ = [
     "QUERIES", "ORACLES", "GATED_THROUGH_R06", "GATED_THROUGH_R07",
     "GATED_THROUGH_R08", "GATED_THROUGH_R09", "GATED_THROUGH_R10",
     "GATED_THROUGH_R11", "GATED_THROUGH_R12", "GATED_THROUGH_R13",
-    "GATED_THROUGH_R14",
+    "GATED_THROUGH_R14", "GATED_THROUGH_R15",
     "rotation_candidates",
 ]

@@ -52,7 +52,7 @@ def test_gate_first_50_spans_families_and_rotates():
        re-verifying the same 50 forever.
     """
     from etl_end_to_end_airflow_bigquery_spark.plans import (
-        GATED_THROUGH_R14,
+        GATED_THROUGH_R15,
         _GATE_ANCHORS,
         _GATE_ROTATION,
         _REPROOF_BACKFILL,
@@ -73,8 +73,8 @@ def test_gate_first_50_spans_families_and_rotates():
     # through the last folded round, so rotation slots hold exactly the
     # round's NEW queries and every backfill slot is a deliberate
     # re-proof of a prior green.
-    assert all(n not in GATED_THROUGH_R14 for n in _GATE_ROTATION)
-    assert all(n in GATED_THROUGH_R14 for n in _REPROOF_BACKFILL)
+    assert all(n not in GATED_THROUGH_R15 for n in _GATE_ROTATION)
+    assert all(n in GATED_THROUGH_R15 for n in _REPROOF_BACKFILL)
     from etl_end_to_end_airflow_bigquery_spark.plans import rotation_candidates
 
     assert rotation_candidates() == [], (
@@ -121,6 +121,7 @@ def test_gated_history_matches_correctness_files():
         GATED_THROUGH_R12,
         GATED_THROUGH_R13,
         GATED_THROUGH_R14,
+        GATED_THROUGH_R15,
     )
 
     assert GATED_THROUGH_R06 == frozenset(u)
@@ -140,6 +141,8 @@ def test_gated_history_matches_correctness_files():
     assert GATED_THROUGH_R13 == frozenset(u)
     u |= greens(root / "CORRECTNESS_r14.json")
     assert GATED_THROUGH_R14 == frozenset(u)
+    u |= greens(root / "CORRECTNESS_r15.json")
+    assert GATED_THROUGH_R15 == frozenset(u)
 
 
 def test_entry_smoke(spark):
